@@ -1,0 +1,294 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.9 Tier-A relational corpus, expressed Spark-first with the
+  * DataFrame API (broadcast hints on the small dimension tables; Catalyst
+  * handles pushdown/pruning/join selection). Each query carries the ANSI SQL
+  * the DuckDB oracle executes over the same parquet files.
+  *
+  * Determinism rules (SURVEY §2.9): total ORDER BY, ROUND on float
+  * aggregates, explicit casts so Spark and DuckDB result types agree
+  * (e.g. FLOOR/LENGTH/EXTRACT return BIGINT on one engine, not the other).
+  */
+object Relational {
+
+  private def t(s: SparkSession, d: String)(name: String): DataFrame =
+    Tables.load(s, d, name)
+
+  val defs: Seq[Q] = Seq(
+
+    Q("a01_scan_project",
+      (s, d) => t(s, d)("region")
+        .select("r_regionkey", "r_name")
+        .orderBy("r_regionkey"),
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
+    Q("a02_filter",
+      (s, d) => t(s, d)("lineitem")
+        .filter(col("l_quantity") > 30 && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("SELECT l_orderkey, l_linenumber FROM lineitem " +
+        "WHERE l_quantity > 30 AND l_returnflag = 'R' " +
+        "ORDER BY l_orderkey, l_linenumber")),
+
+    Q("a03_inner_join",
+      (s, d) => t(s, d)("nation")
+        .join(broadcast(t(s, d)("region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_name", "r_name")
+        .orderBy("n_name"),
+      Some("SELECT n_name, r_name FROM nation JOIN region " +
+        "ON n_regionkey = r_regionkey ORDER BY n_name")),
+
+    Q("a04_join_agg",
+      (s, d) => t(s, d)("customer")
+        .join(broadcast(t(s, d)("nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("cnt"), round(sum("c_acctbal"), 2).as("bal"))
+        .orderBy("n_name"),
+      Some("SELECT n_name, COUNT(*) AS cnt, ROUND(SUM(c_acctbal), 2) AS bal " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name")),
+
+    Q("a05_left_join_agg",
+      (s, d) => t(s, d)("customer")
+        .join(t(s, d)("orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer " +
+        "LEFT JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY c_custkey ORDER BY c_custkey")),
+
+    Q("a06_semi_join",
+      (s, d) => t(s, d)("customer")
+        .join(t(s, d)("orders").filter(col("o_totalprice") > 100000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey FROM customer WHERE c_custkey IN " +
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 100000) " +
+        "ORDER BY c_custkey")),
+
+    Q("a07_anti_join",
+      (s, d) => t(s, d)("customer")
+        .join(t(s, d)("orders"), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "ORDER BY c_custkey")),
+
+    Q("a08_agg_having",
+      (s, d) => t(s, d)("lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 10)
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("SELECT l_returnflag, l_linestatus, " +
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+        "COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+        "HAVING COUNT(*) > 10 ORDER BY l_returnflag, l_linestatus")),
+
+    Q("a09_distinct_agg",
+      (s, d) => t(s, d)("lineitem")
+        .agg(
+          countDistinct(col("l_suppkey")).as("suppliers"),
+          countDistinct(col("l_partkey")).as("parts")),
+      Some("SELECT COUNT(DISTINCT l_suppkey) AS suppliers, " +
+        "COUNT(DISTINCT l_partkey) AS parts FROM lineitem")),
+
+    Q("a10_rollup",
+      (s, d) => t(s, d)("lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus")),
+      Some("SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem " +
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")),
+
+    Q("a11_grouping_sets",
+      (s, d) => {
+        // GROUPING SETS is SQL-only surface in Spark; Catalyst plans it as a
+        // single Expand + one aggregate (one pass over orders).
+        t(s, d)("orders").createOrReplaceTempView("orders")
+        s.sql("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt " +
+          "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), " +
+          "(o_orderpriority)) ORDER BY o_orderstatus NULLS FIRST, " +
+          "o_orderpriority NULLS FIRST")
+      },
+      Some("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt " +
+        "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), " +
+        "(o_orderpriority)) ORDER BY o_orderstatus NULLS FIRST, " +
+        "o_orderpriority NULLS FIRST")),
+
+    Q("a12_rank_window",
+      (s, d) => {
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        t(s, d)("customer")
+          .select(col("c_custkey"), rank().over(w).cast("bigint").as("rnk"))
+          .filter(col("rnk") <= 3)
+          .orderBy("c_custkey")
+      },
+      Some("SELECT c_custkey, rnk FROM (SELECT c_custkey, RANK() OVER " +
+        "(PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) " +
+        "AS rnk FROM customer) t WHERE rnk <= 3 ORDER BY c_custkey")),
+
+    Q("a13_running_window",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d)("orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(sum("o_totalprice").over(w), 2).as("running"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("SELECT o_custkey, o_orderkey, ROUND(SUM(o_totalprice) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running " +
+        "FROM orders ORDER BY o_custkey, o_orderkey")),
+
+    Q("a14_lag_window",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+        t(s, d)("orders")
+          .select(col("o_orderkey"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_key"))
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, LAG(o_orderkey) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey) AS prev_key FROM orders " +
+        "ORDER BY o_orderkey")),
+
+    Q("a15_topk",
+      (s, d) => t(s, d)("orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+      Some("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10")),
+
+    Q("a16_union",
+      (s, d) => t(s, d)("customer").select(col("c_nationkey").as("k"))
+        .union(t(s, d)("supplier").select(col("s_nationkey").as("k")))
+        .distinct()
+        .orderBy("k"),
+      Some("SELECT c_nationkey AS k FROM customer UNION " +
+        "SELECT s_nationkey AS k FROM supplier ORDER BY k")),
+
+    Q("a16_intersect",
+      (s, d) => t(s, d)("customer").select(col("c_nationkey").as("k"))
+        .intersect(t(s, d)("supplier").select(col("s_nationkey").as("k")))
+        .orderBy("k"),
+      Some("SELECT c_nationkey AS k FROM customer INTERSECT " +
+        "SELECT s_nationkey AS k FROM supplier ORDER BY k")),
+
+    Q("a16_except",
+      (s, d) => t(s, d)("customer").select(col("c_nationkey").as("k"))
+        .except(t(s, d)("supplier").select(col("s_nationkey").as("k")))
+        .orderBy("k"),
+      Some("SELECT c_nationkey AS k FROM customer EXCEPT " +
+        "SELECT s_nationkey AS k FROM supplier ORDER BY k")),
+
+    Q("a17_string_funcs",
+      (s, d) => t(s, d)("customer")
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("u"),
+          length(col("c_name")).cast("bigint").as("l"),
+          substring(col("c_name"), 1, 8).as("pre"),
+          concat(col("c_mktsegment"), lit("-"), col("c_name")).as("cc"))
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, UPPER(c_name) AS u, LENGTH(c_name) AS l, " +
+        "SUBSTRING(c_name, 1, 8) AS pre, " +
+        "CONCAT(c_mktsegment, '-', c_name) AS cc " +
+        "FROM customer ORDER BY c_custkey")),
+
+    Q("a18_date_funcs",
+      (s, d) => t(s, d)("orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("bigint").as("y"),
+          month(col("o_orderdate")).cast("bigint").as("m"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, EXTRACT(YEAR FROM o_orderdate) AS y, " +
+        "EXTRACT(MONTH FROM o_orderdate) AS m, " +
+        "CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d " +
+        "FROM orders ORDER BY o_orderkey")),
+
+    Q("a19_math_funcs",
+      (s, d) => t(s, d)("lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(abs(col("l_discount") - col("l_tax")), 4).as("a"),
+          floor(col("l_quantity")).as("f"),
+          ceil(col("l_extendedprice") / 100).as("c"),
+          round(sqrt(col("l_quantity")), 4).as("s"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("SELECT l_orderkey, l_linenumber, " +
+        "ROUND(ABS(l_discount - l_tax), 4) AS a, " +
+        "CAST(FLOOR(l_quantity) AS BIGINT) AS f, " +
+        "CAST(CEIL(l_extendedprice / 100) AS BIGINT) AS c, " +
+        "ROUND(SQRT(l_quantity), 4) AS s " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber")),
+
+    Q("a20_case_agg",
+      (s, d) => t(s, d)("orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          sum(when(col("o_totalprice") > 150000, 1).otherwise(0))
+            .cast("bigint").as("big"),
+          count(lit(1)).as("total"))
+        .orderBy("o_orderstatus"),
+      Some("SELECT o_orderstatus, CAST(SUM(CASE WHEN o_totalprice > 150000 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS big, COUNT(*) AS total " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
+
+    Q("a21_corr_subquery",
+      (s, d) => {
+        // Correlated scalar subquery decorrelated by hand: the per-nation
+        // average as a window — one shuffle on c_nationkey, no join.
+        val w = Window.partitionBy("c_nationkey")
+        t(s, d)("customer")
+          .withColumn("nat_avg", avg("c_acctbal").over(w))
+          .filter(col("c_acctbal") > col("nat_avg"))
+          .select("c_custkey")
+          .orderBy("c_custkey")
+      },
+      Some("SELECT c_custkey FROM customer c WHERE c_acctbal > " +
+        "(SELECT AVG(c_acctbal) FROM customer WHERE c_nationkey = " +
+        "c.c_nationkey) ORDER BY c_custkey")),
+
+    Q("a22_theta_join",
+      (s, d) => t(s, d)("part").filter(col("p_partkey") <= 20)
+        .join(broadcast(t(s, d)("supplier")),
+          col("p_retailprice") > col("s_acctbal"))
+        .select("p_partkey", "s_suppkey")
+        .orderBy("p_partkey", "s_suppkey"),
+      Some("SELECT p_partkey, s_suppkey FROM part JOIN supplier " +
+        "ON p_retailprice > s_acctbal WHERE p_partkey <= 20 " +
+        "ORDER BY p_partkey, s_suppkey")),
+
+    Q("a23_events_time_agg",
+      (s, d) => t(s, d)("events")
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sv"))
+        .orderBy("event_type", "day"),
+      Some("SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, " +
+        "COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sv FROM events " +
+        "GROUP BY event_type, CAST(ts AS DATE) ORDER BY event_type, day"))
+  )
+}
