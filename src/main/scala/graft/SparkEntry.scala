@@ -8,7 +8,8 @@ object SparkEntry {
   /** Every registered engine query (relational corpus, LLM-data ops,
     * connector round-trips). Modules contribute `Seq[Q]`. */
   def allDefs: Seq[Q] =
-    ops.Relational.defs
+    ops.Relational.defs ++ ops.TextOps.defs ++ ops.Dedup.defs ++
+      ops.Vector.defs ++ ops.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,201 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` (text) and `embeddings`
+  * (vectors). Scale design notes:
+  *
+  *  - exact dedup: one hash-shuffle on the digest — the canonical
+  *    distributed dedup; digest is computed map-side so the shuffle carries
+  *    (digest, doc_id), not the text.
+  *  - MinHash+LSH: signatures via a single groupBy over exploded shingles
+  *    (map-side partial min), banding turns the O(n²) pair space into
+  *    equality buckets — the only joins are equi-joins on (band, hash), so
+  *    they shuffle-partition by bucket and never materialize the full
+  *    cross product. This is the 100 TB-safe path.
+  *  - SimHash: 64-bit signature via sum-aggregates (codegen), pigeonhole
+  *    banding on 16-bit chunks for the candidate join.
+  *  - n-gram Jaccard: exact verification via shingle equi-join (candidate
+  *    pairs share >= 1 shingle; high-frequency shingles would need a
+  *    frequency cap at extreme scale).
+  *  - embedding cosine: explicit double-precision dot products so results
+  *    are bit-identical to the DuckDB oracle.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  /** (doc_id, s): distinct word-3-shingles per document. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"))
+        .as("s"))
+      .distinct()
+
+  /** Sequential-fold double dot product of two float arrays — written so
+    * DuckDB's list_sum over the same zip evaluates bit-identically. */
+  private def dot(a: String, b: String): Column = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private[ops] def normed(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot("embedding", "embedding")).as("nrm"))
+
+  private val MinhashK = 32 // permutations
+  private val Bands = 8     // 8 bands x 4 rows
+
+  val defs: Seq[Q] = Seq(
+
+    Q("d01_exact_dedup",
+      (s, d) => docs(s, d)
+        .groupBy(sha2(col("text").cast("binary"), 256).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dups"))
+        .select("keep_id", "dups")
+        .orderBy("keep_id"),
+      Some("SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dups FROM documents " +
+        "GROUP BY sha256(text) ORDER BY keep_id")),
+
+    Q("d02_minhash_lsh",
+      (s, d) => {
+        val sh = shingles(s, d)
+        // k minhashes in ONE aggregation: hash the shingle under k seeds,
+        // take per-doc minima (map-side partial aggregation applies).
+        val hashed = sh.select(col("doc_id") +:
+          (0 until MinhashK).map(i =>
+            hash(col("s"), lit(i)).cast("long").as(s"h$i")): _*)
+        val minCols = (0 until MinhashK).map(i => min(s"h$i").as(s"m$i"))
+        val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+        // LSH banding: docs agreeing on all rows of any band collide.
+        val bandCols = (0 until Bands).map { j =>
+          val cols = (0 until MinhashK / Bands).map(r =>
+            col(s"m${j * (MinhashK / Bands) + r}"))
+          hash(cols :+ lit(j): _*)
+        }
+        val bands = sig
+          .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        // Verify candidates on the full signatures: estimated Jaccard =
+        // fraction of agreeing minhashes.
+        val agree = (0 until MinhashK)
+          .map(i => when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        cand
+          .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            (agree.cast("double") / MinhashK).as("est_jac"))
+          .filter(col("est_jac") >= 0.5)
+          .select(col("doc_a"), col("doc_b"),
+            round(col("est_jac"), 4).as("est_jac"))
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    Q("d03_simhash",
+      (s, d) => {
+        // Term-frequency SimHash: each word votes +/-1 on all 64 bits of
+        // its xxhash64; the sign vector packs into one 64-bit signature.
+        val words = docs(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .select(col("doc_id"), xxhash64(col("word")).as("h"))
+        val bitSums = (0 until 64).map(i =>
+          sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+            .otherwise(-1)).as(s"b$i"))
+        val packed = (0 until 64).map(i =>
+          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        val sig = words.groupBy("doc_id")
+          .agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"), packed.as("sim"))
+        // Pigeonhole banding: at hamming distance <= 3 over 4 chunks of
+        // 16 bits, at least one chunk matches exactly, so the equi-join on
+        // (chunk index, chunk value) finds ALL pairs within the radius —
+        // the banding is exact for radius 3, not probabilistic.
+        val chunkCols = (0 until 4).map(j =>
+          shiftright(col("sim"), 16 * j).bitwiseAND(lit(0xFFFFL)))
+        val chunks = sig
+          .select(col("doc_id"), col("sim"),
+            posexplode(array(chunkCols: _*)).as(Seq("pos", "chunk")))
+        chunks.as("a")
+          .join(chunks.as("b"),
+            col("a.pos") === col("b.pos") && col("a.chunk") === col("b.chunk") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("bigint")
+              .as("dist"))
+          .distinct()
+          .filter(col("dist") <= 3)
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    Q("d04_ngram_jaccard",
+      (s, d) => {
+        val sh = shingles(s, d)
+        val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = sh.as("a")
+          .join(sh.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("i"))
+        val jac = col("i").cast("double") /
+          (col("ca.n") + col("cb.n") - col("i"))
+        inter
+          .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+          .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+          .filter(jac >= 0.5)
+          .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jac"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w " +
+        "FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, " +
+        "array_to_string(list_slice(w, g, g+2), ' ') AS s FROM toks, " +
+        "UNNEST(generate_series(1, len(w)-2)) AS t(g)), " +
+        "cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) " +
+        "AS i FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE)/(ca.n + cb.n - i), 4) " +
+        "AS jac FROM inter JOIN cnt ca ON doc_a = ca.doc_id " +
+        "JOIN cnt cb ON doc_b = cb.doc_id " +
+        "WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.5 " +
+        "ORDER BY doc_a, doc_b")),
+
+    Q("d05_embed_cosine_dup",
+      (s, d) => {
+        val n = normed(s, d)
+        val cos = (dot("a.embedding", "b.embedding") /
+          (col("a.nrm") * col("b.nrm")))
+        n.as("a")
+          .join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            cos.as("cos"))
+          .filter(col("cos") >= 0.45)
+          .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+          .orderBy("vec_a", "vec_b")
+      },
+      Some("WITH n AS (SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(list_zip(embedding, embedding), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) AS nrm " +
+        "FROM embeddings), " +
+        "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+        "(a.nrm * b.nrm) AS cos FROM n a JOIN n b ON a.vec_id < b.vec_id) " +
+        "SELECT vec_a, vec_b, ROUND(cos, 4) AS cos FROM p " +
+        "WHERE cos >= 0.45 ORDER BY vec_a, vec_b"))
+  )
+}

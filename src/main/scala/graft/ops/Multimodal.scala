@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One decoded "frame" batch emitted by the (stubbed) media decoder. */
+final case class MediaFrames(doc_id: Long, n_frames: Long, mean_val: Double)
+
+/** Multimodal-column plumbing: media payloads are opaque `binary` columns
+  * with typed metadata. The real decode step (image/audio codecs) is NOT
+  * available in this container, so `FakeDecoder` below is a clearly-marked
+  * deterministic stand-in; everything Spark-side — binary schema, typed
+  * Dataset, partition-local batch processing via mapPartitions, metadata
+  * extraction with codegen'd built-ins — is real and tested.
+  *
+  * Fixture note: there is no binary media table in the test data, so the
+  * payload is derived (`encode(text)`), which exercises the identical
+  * Spark plumbing a real `content BINARY` column would.
+  */
+object Multimodal {
+
+  /** STUB: deterministic stand-in for a media decoder. Treats the payload
+    * as 16-byte "frames", samples every 4th frame, and reports the mean
+    * byte value — the shape (per-partition batched iteration, fixed-size
+    * feature output) matches what a real codec UDF would do. */
+  private object FakeDecoder {
+    val FrameBytes = 16
+    val SampleEvery = 4
+    def decode(docId: Long, payload: Array[Byte]): MediaFrames = {
+      val nFrames = payload.length / FrameBytes
+      val sampled = (0 until nFrames by SampleEvery).flatMap { f =>
+        payload.slice(f * FrameBytes, (f + 1) * FrameBytes)
+      }
+      val mean =
+        if (sampled.isEmpty) 0.0
+        else sampled.map(b => (b & 0xff).toDouble).sum / sampled.size
+      MediaFrames(docId, nFrames.toLong,
+        math.rint(mean * 10000) / 10000)
+    }
+  }
+
+  val defs: Seq[Q] = Seq(
+
+    Q("m01_media_meta",
+      // Metadata over the opaque binary column: all codegen'd built-ins,
+      // no decode needed — this is the "cheap pass" a media pipeline runs
+      // first (sizing, content hashing for dedup/caching).
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("bigint").as("nbytes"),
+          md5(col("payload")).as("digest"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, octet_length(encode(text)) AS nbytes, " +
+        "md5(text) AS digest FROM documents ORDER BY doc_id")),
+
+    Q("m02_frame_features",
+      // Decode/feature-extract path: typed Dataset + mapPartitions so the
+      // (stub) decoder amortizes any per-batch init across a partition —
+      // the same shape as a vectorized decode over binary batches.
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, payload) =>
+            FakeDecoder.decode(id, payload)
+          })
+          .toDF()
+          .orderBy("doc_id")
+      },
+      None)
+  )
+}

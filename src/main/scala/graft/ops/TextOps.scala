@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, over
+  * the `documents` fixture table. All expressions are Catalyst built-ins
+  * (whole-stage-codegen'd, no UDFs), so they scale linearly with the scan:
+  * no shuffle at all for the per-document ops — partition-local map work.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  /** Per-language stopword profiles for the language-ID heuristic. */
+  private val stopwords: Seq[(String, String)] = Seq(
+    "en" -> "the|a|of|and|to|in|is",
+    "fr" -> "le|la|les|et|de|un|une",
+    "es" -> "el|los|las|y|que|un|una",
+    "de" -> "der|die|das|und|ein|zu")
+
+  val defs: Seq[Q] = Seq(
+
+    Q("t01_token_count",
+      (s, d) => docs(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("bigint").as("n_ws"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+          .cast("bigint").as("n_bpe"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, " +
+        "len(string_split_regex(text, '\\s+')) AS n_ws, " +
+        "len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) " +
+        "AS n_bpe FROM documents ORDER BY doc_id")),
+
+    Q("t02_quality",
+      (s, d) => {
+        val words = size(split(col("text"), " ")).cast("bigint")
+        val chars = length(col("text")).cast("bigint")
+        val stops = regexp_count(col("text"), lit("\\b(the|a)\\b"))
+          .cast("bigint")
+        docs(s, d).select(
+          col("doc_id"),
+          chars.as("chars"),
+          words.as("words"),
+          round((chars - words + lit(1)).cast("double") / words, 4)
+            .as("avg_wlen"),
+          round(stops.cast("double") / words, 4).as("stop_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, length(text) AS chars, " +
+        "len(string_split(text, ' ')) AS words, " +
+        "ROUND(CAST(length(text) - len(string_split(text, ' ')) + 1 " +
+        "AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_wlen, " +
+        "ROUND(CAST(len(regexp_extract_all(text, '\\b(the|a)\\b')) " +
+        "AS DOUBLE) / len(string_split(text, ' ')), 4) AS stop_ratio " +
+        "FROM documents ORDER BY doc_id")),
+
+    Q("t03_langid",
+      (s, d) => {
+        // N-gram/stopword language-ID heuristic: score each language by
+        // stopword hits, argmax with a fixed tie order. Deterministic and
+        // shuffle-free (per-row map only) — no oracle (not a SQL-dialect-
+        // portable computation); driver records a rows-only check.
+        val scores = stopwords.map { case (lang, re) =>
+          lang -> regexp_count(col("text"), lit(s"\\b($re)\\b"))
+        }
+        val Seq(en, fr, es, de) = scores.map(_._2)
+        docs(s, d).select(
+          col("doc_id"),
+          when(en >= fr && en >= es && en >= de, "en")
+            .when(fr >= es && fr >= de, "fr")
+            .when(es >= de, "es")
+            .otherwise("de").as("pred_lang"))
+          .orderBy("doc_id")
+      },
+      None),
+
+    Q("t04_fingerprint",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"))
+  )
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  *  - s01: brute-force cosine top-k — the exact baseline. The tiny query
+  *    side is broadcast, so the big side streams once with no shuffle;
+  *    at cluster scale this is one map-side pass over the corpus.
+  *  - s02: LSH-bucketed ANN (random-hyperplane signs + multiprobe) — the
+  *    scale path: candidates come from equi-join on bucket code instead of
+  *    a cross product.
+  */
+object Vector {
+
+  private def dot(a: String, b: String): Column = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private val K = 5        // neighbors per query
+  private val NQueries = 8 // query vectors: vec_id < 8
+
+  /** Deterministic random hyperplanes for the LSH family (fixed seed). */
+  private val NPlanes = 6
+  private lazy val planes: Seq[String] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NPlanes)(
+      Array.fill(64)(rnd.nextGaussian()).mkString("array(", "D,", "D)"))
+  }
+
+  val defs: Seq[Q] = Seq(
+
+    Q("s01_cosine_topk",
+      (s, d) => {
+        val n = Dedup.normed(s, d)
+        val q = n.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        broadcast(q)
+          .join(n, col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            (dot("qe", "embedding") / (col("qn") * col("nrm"))).as("cos"))
+          .withColumn("rnk", row_number().over(w).cast("bigint"))
+          .filter(col("rnk") <= K)
+          .select(col("query_id"), col("neighbor_id"), col("rnk"),
+            round(col("cos"), 4).as("cos"))
+          .orderBy("query_id", "rnk")
+      },
+      Some("WITH n AS (SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(list_zip(embedding, embedding), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) AS nrm " +
+        "FROM embeddings), " +
+        s"p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+        "(a.nrm * b.nrm) AS cos FROM n a JOIN n b " +
+        s"ON a.vec_id < $NQueries AND a.vec_id <> b.vec_id), " +
+        "r AS (SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER " +
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk " +
+        "FROM p) SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, " +
+        s"ROUND(cos, 4) AS cos FROM r WHERE rnk <= $K " +
+        "ORDER BY query_id, rnk")),
+
+    Q("s02_ann_lsh",
+      (s, d) => {
+        // Random-hyperplane LSH: 6 sign bits -> 64 buckets. Queries
+        // multiprobe their own bucket plus all hamming-1 neighbors, then
+        // rerank candidates by exact cosine. Approximate by construction,
+        // so no SQL oracle; the driver records a rows-only check.
+        val n = Dedup.normed(s, d)
+        val codeExpr = planes.zipWithIndex
+          .map { case (p, j) =>
+            when(dot("embedding", p) > 0, lit(1 << j)).otherwise(lit(0)) }
+          .reduce(_ + _)
+        val coded = n.withColumn("code", codeExpr)
+        val probes = (0 until NPlanes)
+          .map(i => col("code").bitwiseXOR(lit(1 << i))) :+ col("code")
+        val q = coded.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("nrm").as("qn"), explode(array(probes: _*)).as("probe"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        broadcast(q)
+          .join(coded, col("probe") === col("code") &&
+            col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            (dot("qe", "embedding") / (col("qn") * col("nrm"))).as("cos"))
+          .distinct()
+          .withColumn("rnk", row_number().over(w).cast("bigint"))
+          .filter(col("rnk") <= K)
+          .select(col("query_id"), col("neighbor_id"), col("rnk"),
+            round(col("cos"), 4).as("cos"))
+          .orderBy("query_id", "rnk")
+      },
+      None)
+  )
+}
