@@ -1,0 +1,178 @@
+package graft.pubsub
+
+import java.util.concurrent.atomic.AtomicLong
+import scala.collection.mutable
+
+/** In-process pub/sub broker standing in for the cloud service (the build
+  * environment is zero-egress; see SURVEY.md §7.2). Semantics replicate
+  * what the connector relies on in the reference system:
+  *
+  *  - topics / subscriptions; publishing fans out to every subscription
+  *    attached to the topic at publish time
+  *  - leased pull with ack ids: a pulled message is invisible until its
+  *    ack deadline lapses, then is redelivered (at-least-once)
+  *  - `acknowledge` permanently removes delivered messages
+  *  - per-ordering-key FIFO: messages sharing a key are delivered in
+  *    publish order, and a later message of a key is withheld while an
+  *    earlier one is outstanding (leased but unacked)
+  *  - backlog metrics (total and per-"region") feeding dynamic
+  *    partitioning, replacing the cloud monitoring API
+  *  - idempotent chunked publish: a (dedupKey) chunk observed twice is
+  *    dropped, giving effectively-once sink publishes under task retry
+  *
+  * Brokers are keyed by `endpoint` string, mirroring the reference's
+  * emulator endpoint override. Thread-safe; everything synchronizes on the
+  * subscription/topic object, never globally.
+  */
+object EmbeddedBroker {
+  private val brokers = new java.util.concurrent.ConcurrentHashMap[String, Broker]()
+
+  val DefaultEndpoint = "embedded:default"
+
+  def get(endpoint: String): Broker =
+    brokers.computeIfAbsent(endpoint, _ => new Broker)
+
+  def reset(): Unit = brokers.clear()
+
+  final case class Message(
+      messageId: String,
+      data: Array[Byte],
+      attributes: Map[String, String],
+      orderingKey: String,
+      publishTimestampMicros: Long)
+
+  private final class Sub(val topic: String, val ackDeadlineMs: Long) {
+    /** Queue of (message, seq). Leased entries carry their lease expiry. */
+    val pending = mutable.ArrayBuffer[Entry]()
+    val leased = mutable.LinkedHashMap[String, Entry]() // ackId -> entry
+    var seq = 0L
+  }
+
+  private final class Entry(val msg: Message, val seqNo: Long) {
+    var leaseExpiry: Long = 0L // 0 = not leased
+    var ackId: String = _
+  }
+
+  final class Broker {
+    private val topics = mutable.Set[String]()
+    private val subsByTopic = mutable.Map[String, mutable.Buffer[String]]()
+    private val subs = mutable.Map[String, Sub]()
+    private val msgId = new AtomicLong(0)
+    private val ackId = new AtomicLong(0)
+    private val seenChunks = mutable.Set[String]()
+
+    def createTopic(topic: String): Unit = synchronized {
+      topics += topic
+      subsByTopic.getOrElseUpdate(topic, mutable.Buffer())
+    }
+
+    def deleteTopic(topic: String): Unit = synchronized {
+      topics -= topic
+      subsByTopic.remove(topic)
+    }
+
+    def createSubscription(name: String, topic: String,
+        ackDeadlineMs: Long = 10000): Unit = synchronized {
+      require(topics.contains(topic), s"no such topic: $topic")
+      subs(name) = new Sub(topic, ackDeadlineMs)
+      subsByTopic(topic) += name
+    }
+
+    def deleteSubscription(name: String): Unit = synchronized {
+      subs.remove(name).foreach(s =>
+        subsByTopic.get(s.topic).foreach(_ -= name))
+    }
+
+    def hasSubscription(name: String): Boolean =
+      synchronized(subs.contains(name))
+
+    def publish(topic: String, data: Array[Byte],
+        attributes: Map[String, String] = Map.empty,
+        orderingKey: String = ""): String = synchronized {
+      require(topics.contains(topic), s"no such topic: $topic")
+      val id = msgId.incrementAndGet().toString
+      val msg = Message(id, data, attributes, orderingKey,
+        System.currentTimeMillis() * 1000L)
+      subsByTopic(topic).foreach { sName =>
+        val s = subs(sName)
+        s.synchronized {
+          s.pending += new Entry(msg, s.seq)
+          s.seq += 1
+        }
+      }
+      id
+    }
+
+    /** Idempotent batch publish: the whole chunk is dropped if `dedupKey`
+      * was seen before (sink effectively-once under task retry). */
+    def publishChunk(topic: String, dedupKey: String,
+        msgs: Seq[(Array[Byte], Map[String, String], String)]): Unit = {
+      val fresh = synchronized {
+        if (seenChunks.contains(dedupKey)) false
+        else { seenChunks += dedupKey; true }
+      }
+      if (fresh) msgs.foreach { case (d, a, k) => publish(topic, d, a, k) }
+    }
+
+    /** Leased pull honoring per-key FIFO. Returns (ackId, message). */
+    def pull(subscription: String, maxMessages: Int): Seq[(String, Message)] = {
+      val s = synchronized(subs.getOrElse(subscription,
+        throw new IllegalArgumentException(s"no such subscription: $subscription")))
+      s.synchronized {
+        val now = System.currentTimeMillis()
+        // Reclaim expired leases back into pending (redelivery).
+        val expired = s.leased.filter(_._2.leaseExpiry <= now)
+        expired.foreach { case (aid, e) =>
+          s.leased -= aid
+          e.leaseExpiry = 0
+          s.pending += e
+        }
+        val keysOutstanding: Set[String] =
+          s.leased.values.map(_.msg.orderingKey).filter(_.nonEmpty).toSet
+        val ordered = s.pending.sortBy(_.seqNo)
+        val out = mutable.ArrayBuffer[(String, Message)]()
+        val keysTaken = mutable.Set[String]()
+        for (e <- ordered if out.size < maxMessages) {
+          val k = e.msg.orderingKey
+          // A keyed message is deliverable only if no earlier message of
+          // the same key is outstanding; within this pull, keys stay FIFO
+          // because entries are scanned in seq order.
+          if (k.isEmpty || !keysOutstanding.contains(k)) {
+            val aid = s"ack-${ackId.incrementAndGet()}"
+            e.ackId = aid
+            e.leaseExpiry = now + s.ackDeadlineMs
+            s.leased(aid) = e
+            s.pending -= e
+            out += ((aid, e.msg))
+            if (k.nonEmpty) keysTaken += k
+          }
+        }
+        out.toSeq
+      }
+    }
+
+    def acknowledge(subscription: String, ackIds: Seq[String]): Unit = {
+      val s = synchronized(subs.getOrElse(subscription, return))
+      s.synchronized { ackIds.foreach(s.leased.remove) }
+    }
+
+    /** Undelivered = pending + leased-but-unacked
+      * (mirrors `num_undelivered_messages`). */
+    def backlog(subscription: String): Long = {
+      val s = synchronized(subs.getOrElse(subscription, return 0L))
+      s.synchronized { (s.pending.size + s.leased.size).toLong }
+    }
+
+    /** Per-region backlog, region taken from the `region` attribute
+      * (mirrors `num_unacked_messages_by_region`). */
+    def backlogByRegion(subscription: String): Map[String, Long] = {
+      val s = synchronized(subs.getOrElse(subscription, return Map.empty))
+      s.synchronized {
+        (s.pending.iterator ++ s.leased.valuesIterator)
+          .toSeq
+          .groupBy(_.msg.attributes.getOrElse("region", "global"))
+          .view.mapValues(_.size.toLong).toMap
+      }
+    }
+  }
+}

@@ -1,0 +1,81 @@
+package graft.pubsub
+
+import java.util.{Timer, TimerTask}
+
+import org.apache.spark.SparkConf
+
+/** Backlog-driven dynamic partitioning (reference:
+  * PubsubSubscriptionMonitor.scala:17-224). The embedded broker exposes
+  * backlog counts directly, replacing the cloud monitoring metrics
+  * (`num_undelivered_messages` / per-region variant). Same clamp math:
+  *
+  *   partitions = clamp(ceil(backlog / threshold), 1, maxPartitions)
+  *
+  * and the same region-wise split rule: when more than one region holds
+  * backlog and the largest share exceeds the split threshold, partitions
+  * are apportioned per region. Counts refresh on a daemon Timer.
+  */
+class PubsubBacklogMonitor(
+    broker: EmbeddedBroker.Broker,
+    subscriptionPath: String,
+    conf: SparkConf) {
+
+  import PubsubBacklogMonitor._
+
+  private val maxPartitions = math.max(
+    conf.getInt(MaxDynamicPartitions, 256), 32)
+  private val backlogThreshold = math.max(
+    conf.getLong(BacklogThreshold, 10000L), 1000L)
+  private val intervalMs = math.max(
+    conf.getLong(MonitoringInterval, 600000L), 30000L)
+  private val regionSplitThreshold = math.max(
+    conf.getDouble(RegionSplitThreshold, 0.7), 0.5)
+
+  @volatile private var backlog: Long = broker.backlog(subscriptionPath)
+  @volatile private var byRegion: Map[String, Long] =
+    broker.backlogByRegion(subscriptionPath)
+
+  private val timer = new Timer(s"pubsub-monitor-$subscriptionPath", true)
+  timer.scheduleAtFixedRate(new TimerTask {
+    override def run(): Unit = refresh()
+  }, intervalMs, intervalMs)
+
+  def refresh(): Unit = {
+    backlog = broker.backlog(subscriptionPath)
+    byRegion = broker.backlogByRegion(subscriptionPath)
+  }
+
+  private def clamp(b: Long): Int =
+    math.min(math.max(ceilDiv(b, backlogThreshold), 1L),
+      maxPartitions.toLong).toInt
+
+  def partitionCount(): Int = clamp(backlog)
+
+  /** Per-region partition counts; a single "global" entry unless one
+    * region dominates (share > regionSplitThreshold) with >1 region. */
+  def regionPartitionCounts(): Seq[(String, Int)] = {
+    val regions = byRegion.filter(_._2 > 0)
+    val total = regions.values.sum
+    val split = regions.size > 1 && total > 0 &&
+      regions.values.max.toDouble / total > regionSplitThreshold
+    if (!split) Seq("global" -> partitionCount())
+    else regions.toSeq.sortBy(_._1)
+      .map { case (r, b) => r -> clamp(b) }
+  }
+
+  /** Trigger.AvailableNow batch budget (reference:
+    * PubsubSubscriptionMonitor.scala:96-113). */
+  def estimatedBatches(partitions: Int): Long =
+    math.max(backlog / (partitions * 500L), 1L)
+
+  def stop(): Unit = timer.cancel()
+}
+
+object PubsubBacklogMonitor {
+  val MaxDynamicPartitions = "spark.graft.pubsub.max.dynamic.partitions"
+  val BacklogThreshold = "spark.graft.pubsub.backlog.threshold"
+  val MonitoringInterval = "spark.graft.pubsub.monitoring.interval"
+  val RegionSplitThreshold = "spark.graft.pubsub.region.split.threshold"
+
+  private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+}

@@ -1,0 +1,196 @@
+package graft.pubsub
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+
+/** Micro-batch streaming source over the embedded broker.
+  *
+  * Semantics mirrored from the reference
+  * (PubsubMicroBatchStream.scala:17-182):
+  *  - offsets are logical batch counters, not positions (§3.1 step 4)
+  *  - each batch plans N partitions, each pulling up to
+  *    `max_messages_per_partition` leased messages
+  *  - re-evaluation of a batch is deterministic: the first pull per
+  *    (batch, partition) is persisted to the checkpoint location and
+  *    replayed from there (the reference cached in the BlockManager and
+  *    left checkpoint persistence as its own TODO,
+  *    PubsubPartitionReader.scala:56 — the checkpoint cache is the
+  *    public-API, executor-loss-proof version of the same idea)
+  *  - ack ids flow executor->driver through the replay-cache files and
+  *    are acknowledged only after the batch commits: at-least-once
+  *  - one active stream per subscription; splitting a subscription across
+  *    streams is rejected (reference companion registry,
+  *    PubsubMicroBatchStream.scala:166-180)
+  *  - Trigger.AvailableNow snapshots a batch budget from the backlog
+  */
+class PubsubMicroBatchStream(
+    opts: PubsubReadOptions,
+    checkpointLocation: String)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private val session = SparkSession.active
+  private val endpoint = opts.endpoint.getOrElse(EmbeddedBroker.DefaultEndpoint)
+  private val broker = EmbeddedBroker.get(endpoint)
+  private val monitor: Option[PubsubBacklogMonitor] =
+    if (opts.dynamicPartitioning)
+      Some(new PubsubBacklogMonitor(broker, opts.subscriptionPath,
+        session.sparkContext.getConf))
+    else None
+
+  /** Last announced batch id; -1 = nothing announced yet. */
+  private var current = -1L
+  /** Remaining batch budget under Trigger.AvailableNow. */
+  private var availableNowBudget: Option[Long] = None
+
+  PubsubStreamRegistry.register(opts.subscriptionPath, checkpointLocation)
+
+  private def cacheRoot = new Path(checkpointLocation, "graft-pubsub-cache")
+
+  override def initialOffset(): Offset = PubsubOffset(-1L)
+
+  override def deserializeOffset(json: String): Offset =
+    PubsubOffset(json.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
+    val backlog = broker.backlog(opts.subscriptionPath)
+    val parts = plannedPartitionCount()
+    // Batch-count estimate from the reference's AvailableNow sizing
+    // (PubsubSubscriptionMonitor.scala:96-113): backlog/(partitions*500).
+    availableNowBudget = Some(math.max(backlog / (parts * 500L), 1L))
+  }
+
+  override def latestOffset(): Offset =
+    latestOffset(PubsubOffset(current), ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    synchronized {
+      current = math.max(current, start.asInstanceOf[PubsubOffset].batchId)
+      val backlog = broker.backlog(opts.subscriptionPath)
+      val mayAdvance = availableNowBudget match {
+        case Some(remaining) => remaining > 0 && backlog > 0
+        case None => backlog > 0
+      }
+      if (mayAdvance) {
+        current += 1
+        availableNowBudget = availableNowBudget.map(_ - 1)
+      }
+      PubsubOffset(current)
+    }
+
+  private def plannedPartitionCount(): Int =
+    monitor.map(_.partitionCount()).getOrElse(opts.numPartitions)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val endBatch = end.asInstanceOf[PubsubOffset].batchId
+    synchronized { current = math.max(current, endBatch) }
+    // Region-aware fan-out: when one region dominates the backlog, give
+    // each region its own slice of partitions (reference
+    // PubsubMicroBatchStream.scala:58-74); the labels only size the
+    // fan-out here — the embedded broker is a single process.
+    val regions: Seq[(String, Int)] = monitor match {
+      case Some(m) => m.regionPartitionCounts()
+      case None => Seq("global" -> opts.numPartitions)
+    }
+    val total = regions.map(_._2).sum
+    var idx = -1
+    regions.flatMap { case (region, n) =>
+      (0 until n).map { _ =>
+        idx += 1
+        PubsubInputPartition(
+          subscriptionPath = opts.subscriptionPath,
+          endpoint = endpoint,
+          batchId = endBatch,
+          partitionIdx = idx,
+          maxMessages = opts.maxMessagesPerPartition,
+          cachePath = new Path(cacheRoot,
+            s"batch=$endBatch/part=$idx").toString,
+          region = region)
+      }
+    }.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PubsubPartitionReaderFactory
+
+  override def commit(end: Offset): Unit = {
+    val endBatch = end.asInstanceOf[PubsubOffset].batchId
+    // Ack ids come from the replay-cache files of every still-cached batch
+    // up to `end` (dedup in case of racing re-pulls), acknowledged in
+    // groups of 1500 (reference: PubsubMicroBatchStream.scala:93-107).
+    try {
+      val fs = cacheRoot.getFileSystem(new Configuration())
+      if (fs.exists(cacheRoot)) {
+        fs.listStatus(cacheRoot).foreach { st =>
+          val name = st.getPath.getName // batch=N
+          if (name.startsWith("batch=") &&
+            name.stripPrefix("batch=").toLong <= endBatch) {
+            ReplayCache.ackIds(st.getPath).distinct.grouped(1500).foreach(
+              g => broker.acknowledge(opts.subscriptionPath, g))
+          }
+        }
+      }
+    } catch { case _: java.io.IOException => () } // redelivery covers us
+    // The committed batch can never be re-planned: drop its replay cache.
+    dropCaches(_ <= endBatch)
+  }
+
+  override def stop(): Unit = {
+    PubsubStreamRegistry.deregister(opts.subscriptionPath)
+    monitor.foreach(_.stop())
+    dropCaches(_ => true)
+  }
+
+  private def dropCaches(pred: Long => Boolean): Unit = {
+    try {
+      val fs = cacheRoot.getFileSystem(new Configuration())
+      if (fs.exists(cacheRoot)) {
+        fs.listStatus(cacheRoot).foreach { st =>
+          val name = st.getPath.getName // batch=N
+          if (name.startsWith("batch=") &&
+            pred(name.stripPrefix("batch=").toLong)) {
+            fs.delete(st.getPath, true)
+          }
+        }
+      }
+    } catch { case _: java.io.IOException => () } // best-effort eviction
+  }
+
+  override def toString: String =
+    s"PubsubMicroBatchStream(${opts.subscriptionPath})"
+}
+
+/** One active stream per subscription, JVM-wide. Rejects both duplicate
+  * subscriptions and stream splits (reference companion registry,
+  * PubsubMicroBatchStream.scala:166-180, README.md:129-131). */
+object PubsubStreamRegistry {
+  private val active = mutable.Map[String, String]() // subPath -> checkpoint
+
+  def register(subscriptionPath: String, checkpoint: String): Unit =
+    synchronized {
+      active.get(subscriptionPath) match {
+        case Some(existing) if existing == checkpoint =>
+          throw new IllegalStateException(
+            s"Subscription $subscriptionPath is already consumed by an " +
+              "active stream; two streams cannot share one subscription")
+        case Some(_) =>
+          throw new IllegalStateException(
+            s"Subscription $subscriptionPath is already bound to a " +
+              "different stream; splitting one subscription across " +
+              "streams/sinks is not supported (use foreachBatch for " +
+              "multi-sink fan-out)")
+        case None => active(subscriptionPath) = checkpoint
+      }
+    }
+
+  def deregister(subscriptionPath: String): Unit =
+    synchronized { active.remove(subscriptionPath) }
+
+  def clear(): Unit = synchronized { active.clear() }
+}

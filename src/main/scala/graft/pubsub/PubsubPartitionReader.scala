@@ -1,0 +1,129 @@
+package graft.pubsub
+
+import java.io.{ObjectInputStream, ObjectOutputStream}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Serializable partition descriptor. Carries the replay-cache path for
+  * its (batch, partition) slot. Reference: PubsubInputPartition.scala:7-10.
+  */
+final case class PubsubInputPartition(
+    subscriptionPath: String,
+    endpoint: String,
+    batchId: Long,
+    partitionIdx: Int,
+    maxMessages: Int,
+    cachePath: String,
+    region: String) extends InputPartition
+
+class PubsubPartitionReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PubsubPartitionReader(partition.asInstanceOf[PubsubInputPartition])
+}
+
+/** Executor-side reader: pulls once per (batch, partition), persists the
+  * pulled messages to the checkpoint location, and replays from there on
+  * any re-evaluation — so a plan that evaluates the source twice (e.g.
+  * show() + count() in one foreachBatch) sees identical rows, and a task
+  * rescheduled on another executor after executor loss still replays the
+  * original pull. (The reference cached in the BlockManager with x2
+  * replication, PubsubPartitionReader.scala:33-70; the checkpoint cache
+  * trades a small write for surviving any executor loss.)
+  *
+  * The cache files double as the ack-id channel: the driver reads them at
+  * commit time and acknowledges everything in them, so acks flow without
+  * an executor->driver accumulator. (The reference used an accumulator,
+  * PubsubPartitionReader.scala:26,100-103 — but re-registering one inside
+  * a reader needs the private[spark] TaskContext.registerAccumulator; the
+  * file channel stays on public APIs and survives executor loss.)
+  */
+class PubsubPartitionReader(p: PubsubInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private var fetched: Seq[(String, EmbeddedBroker.Message)] = _
+  private var pos = -1
+
+  private def ensureFetched(): Unit = if (fetched == null) {
+    fetched = readCache().getOrElse {
+      val pulled = EmbeddedBroker.get(p.endpoint)
+        .pull(p.subscriptionPath, p.maxMessages)
+      writeCache(pulled)
+      pulled
+    }
+  }
+
+  override def next(): Boolean = {
+    ensureFetched()
+    pos += 1
+    pos < fetched.size
+  }
+
+  override def get(): InternalRow = {
+    val (ackId, m) = fetched(pos)
+    val keys = new GenericArrayData(
+      m.attributes.keysIterator.map(UTF8String.fromString).toArray[Any])
+    val values = new GenericArrayData(
+      m.attributes.valuesIterator.map(UTF8String.fromString).toArray[Any])
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(p.subscriptionPath),
+      UTF8String.fromString(ackId),
+      UTF8String.fromString(m.messageId),
+      UTF8String.fromString(m.orderingKey),
+      m.data,
+      m.publishTimestampMicros,
+      new ArrayBasedMapData(keys, values)))
+  }
+
+  override def close(): Unit = ()
+
+  private def readCache() = ReplayCache.read(p.cachePath)
+  private def writeCache(msgs: Seq[(String, EmbeddedBroker.Message)]): Unit =
+    ReplayCache.write(p.cachePath, msgs)
+}
+
+/** Pulled-batch persistence under the checkpoint location: one file per
+  * (batch, partition), written once by the first evaluation, replayed by
+  * any later one, read by the driver at commit time for the ack ids, and
+  * deleted after commit. */
+object ReplayCache {
+
+  def read(path: String): Option[Seq[(String, EmbeddedBroker.Message)]] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    if (!fs.exists(p)) None
+    else {
+      val in = new ObjectInputStream(fs.open(p))
+      try Some(in.readObject()
+        .asInstanceOf[Array[(String, EmbeddedBroker.Message)]].toSeq)
+      finally in.close()
+    }
+  }
+
+  def write(path: String,
+      msgs: Seq[(String, EmbeddedBroker.Message)]): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val tmp = new Path(path + s".tmp-${java.util.UUID.randomUUID()}")
+    fs.mkdirs(p.getParent)
+    val out = new ObjectOutputStream(fs.create(tmp, true))
+    try out.writeObject(msgs.toArray) finally out.close()
+    // First writer wins; concurrent re-evaluations race benignly.
+    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+  }
+
+  /** All ack ids recorded under a batch directory (driver side). */
+  def ackIds(batchDir: Path): Seq[String] = {
+    val fs = batchDir.getFileSystem(new Configuration())
+    if (!fs.exists(batchDir)) Seq.empty
+    else fs.listStatus(batchDir).toSeq
+      .filter(st => !st.getPath.getName.contains(".tmp-"))
+      .flatMap(st => read(st.getPath.toString).getOrElse(Seq.empty))
+      .map(_._1)
+  }
+}

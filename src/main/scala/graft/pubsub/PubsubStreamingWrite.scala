@@ -1,0 +1,141 @@
+package graft.pubsub
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types.{BinaryType, MapType, StringType, StructType}
+
+/** Streaming sink: validates the incoming schema once at planning time
+  * (reference validated per-batch, PubsubSink.scala:23-35), then publishes
+  * from the executors through the embedded broker's idempotent chunked
+  * publish — a chunk is keyed (queryId, epoch, partition, chunk#), so a
+  * retried task republishes the same keys and the broker drops the
+  * duplicates. That upgrades the reference's batch-level at-least-once
+  * (PubsubSink.scala:17-18) to effectively-once per partition-chunk while
+  * keeping the publish on the executors (reference PubsubWriter.scala:29).
+  */
+class PubsubWriteBuilder(opts: PubsubWriteOptions, info: LogicalWriteInfo)
+    extends WriteBuilder {
+
+  override def build(): Write = {
+    val schema = info.schema()
+    PubsubWriteBuilder.validate(schema, opts)
+    new Write {
+      override def toStreaming: StreamingWrite =
+        new PubsubStreamingWrite(opts, schema, info.queryId())
+      override def description(): String =
+        s"PubsubWrite(${opts.topicPath})"
+    }
+  }
+}
+
+object PubsubWriteBuilder {
+  /** Structural subset validation, name+type, mirroring
+    * PubsubSink.scala:23-35: `data BINARY` required, `attributes
+    * MAP<STRING,STRING>` optional, plus an optional STRING ordering-key
+    * column when configured. */
+  def validate(schema: StructType, opts: PubsubWriteOptions): Unit = {
+    def fieldType(name: String) =
+      schema.fields.find(_.name == name).map(_.dataType)
+    fieldType("data") match {
+      case Some(BinaryType) => ()
+      case Some(t) => throw new IllegalArgumentException(
+        s"Column 'data' must be BINARY, got $t")
+      case None => throw new IllegalArgumentException(
+        "Sink schema must contain a BINARY column named 'data'")
+    }
+    fieldType("attributes") match {
+      case None | Some(MapType(StringType, StringType, _)) => ()
+      case Some(t) => throw new IllegalArgumentException(
+        s"Column 'attributes' must be MAP<STRING,STRING>, got $t")
+    }
+    opts.orderingKeyColumn.foreach { k =>
+      fieldType(k) match {
+        case Some(StringType) => ()
+        case Some(t) => throw new IllegalArgumentException(
+          s"Ordering key column '$k' must be STRING, got $t")
+        case None => throw new IllegalArgumentException(
+          s"Ordering key column '$k' is missing from the sink schema")
+      }
+    }
+  }
+}
+
+class PubsubStreamingWrite(opts: PubsubWriteOptions, schema: StructType,
+    queryId: String) extends StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    PubsubWriterFactory(
+      endpoint = opts.endpoint.getOrElse(EmbeddedBroker.DefaultEndpoint),
+      topicPath = opts.topicPath,
+      queryId = queryId,
+      dataIdx = schema.fieldIndex("data"),
+      attrIdx = schema.fields.indexWhere(_.name == "attributes"),
+      keyIdx = opts.orderingKeyColumn.map(schema.fieldIndex).getOrElse(-1))
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final case class PubsubWriterFactory(
+    endpoint: String,
+    topicPath: String,
+    queryId: String,
+    dataIdx: Int,
+    attrIdx: Int,
+    keyIdx: Int) extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new PubsubDataWriter(this, partitionId, epochId)
+}
+
+private case object PubsubCommitMessage extends WriterCommitMessage
+
+/** Publishes in chunks of 20 (the reference publisher's batching element
+  * count, CachedPublishers.scala:27-31), each chunk idempotent under its
+  * (query, epoch, partition, chunk) key. */
+class PubsubDataWriter(f: PubsubWriterFactory, partitionId: Int,
+    epochId: Long) extends DataWriter[InternalRow] {
+
+  private val ChunkSize = 20
+  private val broker = EmbeddedBroker.get(f.endpoint)
+  private val buf =
+    collection.mutable.ArrayBuffer[(Array[Byte], Map[String, String], String)]()
+  private var chunkNo = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val data = row.getBinary(f.dataIdx)
+    val attrs: Map[String, String] =
+      if (f.attrIdx < 0 || row.isNullAt(f.attrIdx)) Map.empty
+      else {
+        // MapData -> Scala map (reference bridged UnsafeMapData the same
+        // way, package.scala:204-219).
+        val md = row.getMap(f.attrIdx)
+        val ks = md.keyArray(); val vs = md.valueArray()
+        (0 until md.numElements()).map(i =>
+          ks.getUTF8String(i).toString -> vs.getUTF8String(i).toString).toMap
+      }
+    val key =
+      if (f.keyIdx < 0 || row.isNullAt(f.keyIdx)) ""
+      else row.getUTF8String(f.keyIdx).toString
+    buf += ((data.clone(), attrs, key))
+    if (buf.size >= ChunkSize) flush()
+  }
+
+  private def flush(): Unit = if (buf.nonEmpty) {
+    broker.publishChunk(f.topicPath,
+      s"${f.queryId}/$epochId/$partitionId/$chunkNo", buf.toSeq)
+    buf.clear()
+    chunkNo += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    PubsubCommitMessage
+  }
+
+  override def abort(): Unit = buf.clear()
+  override def close(): Unit = ()
+}

@@ -1,0 +1,93 @@
+package graft.pubsub
+
+import org.apache.spark.sql.types._
+
+/** Option keys + validated option holders for the pub/sub-style connector.
+  *
+  * API surface mirrors the reference connector's options
+  * (reference: src/main/scala/.../pubsub/package.scala:8-38,49-80,138-171):
+  * `project_id`, `subscription`/`topic`, `endpoint`, `num_partitions`,
+  * `max_messages_per_partition`, `dynamic_partitioning`,
+  * `ordering_key_column` — re-validated here as pure functions.
+  */
+object PubsubOptions {
+  val ProjectId = "project_id"
+  val Subscription = "subscription"
+  val Topic = "topic"
+  val Endpoint = "endpoint"
+  val NumPartitions = "num_partitions"
+  val MaxMessagesPerPartition = "max_messages_per_partition"
+  val DynamicPartitioning = "dynamic_partitioning"
+  val OrderingKeyColumn = "ordering_key_column"
+
+  val DefaultNumPartitions = 4
+  val DefaultMaxMessagesPerPartition = 1000
+
+  /** Fixed, non-inferred source schema
+    * (reference: package.scala:174-186). */
+  val ReadSchema: StructType = StructType(Seq(
+    StructField("subscription", StringType, nullable = false),
+    StructField("ack_id", StringType, nullable = false),
+    StructField("message_id", StringType, nullable = false),
+    StructField("ordering_key", StringType, nullable = false),
+    StructField("data", BinaryType, nullable = false),
+    StructField("publish_timestamp", TimestampType, nullable = false),
+    StructField("attributes", MapType(StringType, StringType),
+      nullable = true)))
+
+  /** Minimal sink schema; an extra string ordering-key column is allowed
+    * (reference: package.scala:189-196, PubsubSink.scala:23-35). */
+  val WriteSchema: StructType = StructType(Seq(
+    StructField("data", BinaryType, nullable = false),
+    StructField("attributes", MapType(StringType, StringType),
+      nullable = true)))
+
+  private def required(opts: Map[String, String], key: String): String =
+    opts.getOrElse(key, throw new IllegalArgumentException(
+      s"Option '$key' is required"))
+
+  private def positiveInt(opts: Map[String, String], key: String,
+      default: Int): Int = {
+    val v = opts.get(key).map(_.toInt).getOrElse(default)
+    if (v <= 0) throw new IllegalArgumentException(
+      s"Option '$key' must be positive, got $v")
+    v
+  }
+
+  def readOptions(opts: Map[String, String]): PubsubReadOptions =
+    PubsubReadOptions(
+      projectId = required(opts, ProjectId),
+      subscription = required(opts, Subscription),
+      endpoint = opts.get(Endpoint),
+      numPartitions = positiveInt(opts, NumPartitions, DefaultNumPartitions),
+      maxMessagesPerPartition = positiveInt(opts, MaxMessagesPerPartition,
+        DefaultMaxMessagesPerPartition),
+      dynamicPartitioning =
+        opts.get(DynamicPartitioning).exists(_.toBoolean))
+
+  def writeOptions(opts: Map[String, String]): PubsubWriteOptions =
+    PubsubWriteOptions(
+      projectId = required(opts, ProjectId),
+      topic = required(opts, Topic),
+      orderingKeyColumn = opts.get(OrderingKeyColumn),
+      endpoint = opts.get(Endpoint))
+}
+
+final case class PubsubReadOptions(
+    projectId: String,
+    subscription: String,
+    endpoint: Option[String],
+    numPartitions: Int,
+    maxMessagesPerPartition: Int,
+    dynamicPartitioning: Boolean) {
+  def subscriptionPath: String =
+    s"projects/$projectId/subscriptions/$subscription"
+}
+
+final case class PubsubWriteOptions(
+    projectId: String,
+    topic: String,
+    orderingKeyColumn: Option[String],
+    endpoint: Option[String]) {
+  def topicPath: String = s"projects/$projectId/topics/$topic"
+}

@@ -1,0 +1,120 @@
+package graft.pubsub
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Broker-semantics tests: leased pull + ack + deadline redelivery,
+  * ordering-key FIFO, backlog metrics, chunk-publish idempotency. */
+class EmbeddedBrokerSpec extends AnyFunSuite with Matchers {
+
+  private var n = 0
+  private def freshBroker(): (EmbeddedBroker.Broker, String, String) = {
+    n += 1
+    val b = EmbeddedBroker.get(s"test-broker-$n-${System.nanoTime()}")
+    b.createTopic("t")
+    b.createSubscription("s", "t")
+    (b, "t", "s")
+  }
+
+  test("publish then pull delivers payload, attributes, ids") {
+    val (b, t, s) = freshBroker()
+    b.publish(t, "hello".getBytes, Map("k" -> "v"))
+    val pulled = b.pull(s, 10)
+    pulled should have size 1
+    val (ackId, m) = pulled.head
+    ackId should startWith("ack-")
+    new String(m.data) shouldBe "hello"
+    m.attributes shouldBe Map("k" -> "v")
+    m.messageId.nonEmpty shouldBe true
+  }
+
+  test("leased messages are invisible until the deadline, then redeliver") {
+    val (b, t, _) = freshBroker()
+    b.createSubscription("fast", "t", ackDeadlineMs = 80)
+    b.publish(t, "x".getBytes)
+    b.pull("fast", 10) should have size 1
+    b.pull("fast", 10) shouldBe empty // leased
+    Thread.sleep(120)
+    b.pull("fast", 10) should have size 1 // redelivered
+  }
+
+  test("acknowledge removes permanently") {
+    val (b, t, s) = freshBroker()
+    b.publish(t, "x".getBytes)
+    val Seq((ackId, _)) = b.pull(s, 10)
+    b.acknowledge(s, Seq(ackId))
+    Thread.sleep(5)
+    b.pull(s, 10) shouldBe empty
+    b.backlog(s) shouldBe 0
+  }
+
+  test("backlog counts pending plus leased-unacked") {
+    val (b, t, s) = freshBroker()
+    (1 to 5).foreach(i => b.publish(t, s"m$i".getBytes))
+    b.backlog(s) shouldBe 5
+    val pulled = b.pull(s, 2)
+    b.backlog(s) shouldBe 5 // still undelivered-or-unacked
+    b.acknowledge(s, pulled.map(_._1))
+    b.backlog(s) shouldBe 3
+  }
+
+  test("per-region backlog from the region attribute") {
+    val (b, t, s) = freshBroker()
+    b.publish(t, "a".getBytes, Map("region" -> "us-east1"))
+    b.publish(t, "b".getBytes, Map("region" -> "us-east1"))
+    b.publish(t, "c".getBytes, Map("region" -> "eu-west1"))
+    b.publish(t, "d".getBytes)
+    b.backlogByRegion(s) shouldBe
+      Map("us-east1" -> 2, "eu-west1" -> 1, "global" -> 1)
+  }
+
+  test("ordering-key FIFO: a key's later message is withheld while an " +
+    "earlier one is outstanding") {
+    val (b, t, s) = freshBroker()
+    b.publish(t, "k1-first".getBytes, orderingKey = "k1")
+    b.publish(t, "k1-second".getBytes, orderingKey = "k1")
+    b.publish(t, "free".getBytes)
+    val first = b.pull(s, 10)
+    // Within one pull the key's messages come in order.
+    first.map(p => new String(p._2.data)) shouldBe
+      Seq("k1-first", "k1-second", "free")
+    val (b2, t2, s2) = freshBroker()
+    b2.publish(t2, "k1-first".getBytes, orderingKey = "k1")
+    val one = b2.pull(s2, 10)
+    b2.publish(t2, "k1-second".getBytes, orderingKey = "k1")
+    // k1-first is leased and unacked: k1-second must be withheld.
+    b2.pull(s2, 10) shouldBe empty
+    b2.acknowledge(s2, one.map(_._1))
+    b2.pull(s2, 10).map(p => new String(p._2.data)) shouldBe Seq("k1-second")
+  }
+
+  test("publishChunk is idempotent per dedup key") {
+    val (b, t, s) = freshBroker()
+    val msgs = Seq[(Array[Byte], Map[String, String], String)](
+      ("a".getBytes, Map.empty, ""), ("b".getBytes, Map.empty, ""))
+    b.publishChunk(t, "q/0/0/0", msgs)
+    b.publishChunk(t, "q/0/0/0", msgs) // retry of same chunk: dropped
+    b.publishChunk(t, "q/0/0/1", msgs) // next chunk: delivered
+    b.pull(s, 100) should have size 4
+  }
+
+  test("property: pull-ack loop drains any publish sequence exactly once " +
+    "when every pull is acked (100 seeded cases)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 100).foreach { _ =>
+      val payloads =
+        List.fill(1 + rnd.nextInt(50))(rnd.alphanumeric.take(8).mkString)
+      val (b, t, s) = freshBroker()
+      payloads.foreach(p => b.publish(t, p.getBytes))
+      var seen = List.empty[String]
+      var guard = 0
+      while (b.backlog(s) > 0 && guard < 100) {
+        val pulled = b.pull(s, 1 + rnd.nextInt(7))
+        seen ++= pulled.map(p => new String(p._2.data))
+        b.acknowledge(s, pulled.map(_._1))
+        guard += 1
+      }
+      seen.sorted shouldBe payloads.sorted
+    }
+  }
+}

@@ -1,0 +1,77 @@
+package graft.pubsub
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Mirror of the reference's option-validation unit tests
+  * (PubsubOptionsTest.scala:6-114). */
+class PubsubOptionsSpec extends AnyFunSuite with Matchers {
+
+  private val readBase = Map(
+    "project_id" -> "p", "subscription" -> "s")
+  private val writeBase = Map(
+    "project_id" -> "p", "topic" -> "t")
+
+  test("missing project_id throws") {
+    an[IllegalArgumentException] should be thrownBy
+      PubsubOptions.readOptions(Map("subscription" -> "s"))
+  }
+
+  test("missing subscription throws") {
+    an[IllegalArgumentException] should be thrownBy
+      PubsubOptions.readOptions(Map("project_id" -> "p"))
+  }
+
+  test("missing topic throws for write") {
+    an[IllegalArgumentException] should be thrownBy
+      PubsubOptions.writeOptions(Map("project_id" -> "p"))
+  }
+
+  test("read defaults: 4 partitions, 1000 messages") {
+    val o = PubsubOptions.readOptions(readBase)
+    o.numPartitions shouldBe 4
+    o.maxMessagesPerPartition shouldBe 1000
+    o.dynamicPartitioning shouldBe false
+    o.endpoint shouldBe None
+  }
+
+  test("explicit values respected") {
+    val o = PubsubOptions.readOptions(readBase ++ Map(
+      "num_partitions" -> "7", "max_messages_per_partition" -> "50",
+      "dynamic_partitioning" -> "true", "endpoint" -> "e1"))
+    o.numPartitions shouldBe 7
+    o.maxMessagesPerPartition shouldBe 50
+    o.dynamicPartitioning shouldBe true
+    o.endpoint shouldBe Some("e1")
+  }
+
+  test("non-positive num_partitions throws") {
+    an[IllegalArgumentException] should be thrownBy
+      PubsubOptions.readOptions(readBase + ("num_partitions" -> "0"))
+  }
+
+  test("non-positive max_messages_per_partition throws") {
+    an[IllegalArgumentException] should be thrownBy
+      PubsubOptions.readOptions(
+        readBase + ("max_messages_per_partition" -> "-1"))
+  }
+
+  test("ordering key column passes through") {
+    PubsubOptions.writeOptions(writeBase + ("ordering_key_column" -> "k"))
+      .orderingKeyColumn shouldBe Some("k")
+    PubsubOptions.writeOptions(writeBase).orderingKeyColumn shouldBe None
+  }
+
+  test("fully qualified paths") {
+    PubsubOptions.readOptions(readBase).subscriptionPath shouldBe
+      "projects/p/subscriptions/s"
+    PubsubOptions.writeOptions(writeBase).topicPath shouldBe
+      "projects/p/topics/t"
+  }
+
+  test("read schema shape is fixed") {
+    val f = PubsubOptions.ReadSchema.fields.map(f => f.name).toSeq
+    f shouldBe Seq("subscription", "ack_id", "message_id", "ordering_key",
+      "data", "publish_timestamp", "attributes")
+  }
+}
