@@ -9,7 +9,7 @@ object SparkEntry {
     * connector round-trips). Modules contribute `Seq[Q]`. */
   def allDefs: Seq[Q] =
     ops.Relational.defs ++ ops.TextOps.defs ++ ops.Dedup.defs ++
-      ops.Vector.defs ++ ops.Multimodal.defs
+      ops.Vector.defs ++ ops.Multimodal.defs ++ ops.StreamingOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

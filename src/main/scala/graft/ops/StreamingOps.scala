@@ -1,0 +1,152 @@
+package graft.ops
+
+import java.nio.file.Files
+import java.util.UUID
+
+import graft.{Q, Tables}
+import graft.pubsub.EmbeddedBroker
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming-surface proofs that run inside the batch correctness gate:
+  * each query publishes fixture rows through the embedded broker, runs a
+  * real Structured Streaming query over the `pubsub` source
+  * (Trigger.AvailableNow, memory sink), and returns a batch DataFrame the
+  * DuckDB oracle can reproduce with plain SQL over the same fixture —
+  * so the connector's source, sink, offsets, replay cache and ack flow
+  * are all inside the hash-checked path, not just unit tests.
+  *
+  * The embedded broker is in-process (the `endpoint` option would point at
+  * a real service on a cluster); publishing happens from executors via
+  * foreachPartition, the shape a distributed producer would have.
+  */
+object StreamingOps {
+
+  /** Publish events rows (event_type payload + attribute map) to a fresh
+    * topic/subscription pair on a fresh broker; returns (endpoint, sub
+    * short name). */
+  private def publishEvents(s: SparkSession, d: String, copies: Int = 1): (String, String) = {
+    val ep = s"query-${UUID.randomUUID()}"
+    val broker = EmbeddedBroker.get(ep)
+    val topic = "projects/p/topics/events"
+    broker.createTopic(topic)
+    broker.createSubscription("projects/p/subscriptions/events-sub", topic)
+    val n = copies
+    Tables.load(s, d, "events")
+      .select(col("event_type"), expr("unix_micros(ts)").as("ts_us"),
+        col("value"), col("event_id"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val b = EmbeddedBroker.get(ep)
+        rows.foreach { r =>
+          val attrs = Map(
+            "ts" -> r.getLong(1).toString,
+            "value" -> r.getDouble(2).toString,
+            "eid" -> r.getLong(3).toString)
+          var i = 0
+          while (i < n) { b.publish(topic, r.getString(0).getBytes, attrs); i += 1 }
+        }
+      }
+    (ep, "events-sub")
+  }
+
+  private def sourceDF(s: SparkSession, ep: String, sub: String): DataFrame =
+    s.readStream.format("pubsub")
+      .option("project_id", "p")
+      .option("subscription", sub)
+      .option("endpoint", ep)
+      .load()
+
+  /** Drain the stream into a memory sink synchronously; returns the sink
+    * table. */
+  private def drain(df: DataFrame, mode: String): DataFrame = {
+    val name = "sink_" + UUID.randomUUID().toString.replace("-", "_")
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-stream").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    df.sparkSession.table(name)
+  }
+
+  val defs: Seq[Q] = Seq(
+
+    Q("p01_stream_roundtrip",
+      // B1's canonical CAST(data AS STRING) idiom + attribute access, then
+      // a batch aggregate over what actually came through the stream.
+      (s, d) => {
+        val (ep, sub) = publishEvents(s, d)
+        val sunk = drain(sourceDF(s, ep, sub).selectExpr(
+          "CAST(data AS STRING) AS event_type",
+          "CAST(attributes['value'] AS DOUBLE) AS value"), "append")
+        sunk.groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sv"))
+          .orderBy("event_type")
+      },
+      Some("SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sv " +
+        "FROM events GROUP BY event_type ORDER BY event_type")),
+
+    Q("p02_stream_window",
+      // Streaming tumbling-window aggregation with a watermark (B5).
+      (s, d) => {
+        val (ep, sub) = publishEvents(s, d)
+        val parsed = sourceDF(s, ep, sub).selectExpr(
+          "CAST(data AS STRING) AS event_type",
+          "timestamp_micros(CAST(attributes['ts'] AS BIGINT)) AS ts",
+          "CAST(attributes['value'] AS DOUBLE) AS value")
+        val windowed = parsed
+          .withWatermark("ts", "10 seconds")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sv"))
+        drain(windowed, "complete")
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+              .as("hour_start"),
+            col("event_type"), col("cnt"), col("sv"))
+          .orderBy("hour_start", "event_type")
+      },
+      Some("SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start, " +
+        "event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sv " +
+        "FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type")),
+
+    Q("p03_stream_dedup",
+      // Streaming dropDuplicates over redelivered/duplicated messages
+      // (B6): every event is published twice; exactly one copy survives.
+      (s, d) => {
+        val (ep, sub) = publishEvents(s, d, copies = 2)
+        val deduped = sourceDF(s, ep, sub)
+          .selectExpr("attributes['eid'] AS eid")
+          .dropDuplicates("eid")
+        drain(deduped, "append")
+          .agg(count(lit(1)).as("cnt"))
+      },
+      Some("SELECT COUNT(*) AS cnt FROM events")),
+
+    Q("b03_json_scalar",
+      // JSON scalar extraction over events.props (B3).
+      (s, d) => Tables.load(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, CAST(json_extract_string(props, '$.k') " +
+        "AS BIGINT) AS k FROM events ORDER BY event_id")),
+
+    Q("b04_array_ops",
+      // Array surface over embeddings (B4): size, element access, slice
+      // aggregation — double-cast before arithmetic for oracle parity.
+      (s, d) => Tables.load(s, d, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).cast("bigint").as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
+          round(expr("aggregate(slice(embedding, 1, 8), CAST(0 AS DOUBLE), " +
+            "(acc, x) -> acc + CAST(x AS DOUBLE))"), 4).as("s8"))
+        .orderBy("vec_id"),
+      Some("SELECT vec_id, len(embedding) AS dim, " +
+        "ROUND(CAST(embedding[1] AS DOUBLE), 4) AS e1, " +
+        "ROUND(list_sum(list_transform(embedding[1:8], " +
+        "x -> CAST(x AS DOUBLE))), 4) AS s8 " +
+        "FROM embeddings ORDER BY vec_id"))
+  )
+}

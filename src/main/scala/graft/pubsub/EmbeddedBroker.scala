@@ -42,10 +42,12 @@ object EmbeddedBroker {
       publishTimestampMicros: Long)
 
   private final class Sub(val topic: String, val ackDeadlineMs: Long) {
-    /** Queue of (message, seq). Leased entries carry their lease expiry. */
+    /** Entries in publish (seq) order. Publishes append in order; only a
+      * redelivery re-queues out of order, flagging a one-off re-sort. */
     val pending = mutable.ArrayBuffer[Entry]()
     val leased = mutable.LinkedHashMap[String, Entry]() // ackId -> entry
     var seq = 0L
+    var needsSort = false
   }
 
   private final class Entry(val msg: Message, val seqNo: Long) {
@@ -126,13 +128,20 @@ object EmbeddedBroker {
           s.leased -= aid
           e.leaseExpiry = 0
           s.pending += e
+          s.needsSort = true
         }
-        val keysOutstanding: Set[String] =
-          s.leased.values.map(_.msg.orderingKey).filter(_.nonEmpty).toSet
-        val ordered = s.pending.sortBy(_.seqNo)
+        if (s.needsSort) {
+          s.pending.sortInPlaceBy(_.seqNo)
+          s.needsSort = false
+        }
+        val keysOutstanding = mutable.Set.from(
+          s.leased.values.view.map(_.msg.orderingKey).filter(_.nonEmpty))
         val out = mutable.ArrayBuffer[(String, Message)]()
-        val keysTaken = mutable.Set[String]()
-        for (e <- ordered if out.size < maxMessages) {
+        val taken = java.util.Collections.newSetFromMap(
+          new java.util.IdentityHashMap[Entry, java.lang.Boolean]())
+        val it = s.pending.iterator
+        while (it.hasNext && out.size < maxMessages) {
+          val e = it.next()
           val k = e.msg.orderingKey
           // A keyed message is deliverable only if no earlier message of
           // the same key is outstanding; within this pull, keys stay FIFO
@@ -142,11 +151,13 @@ object EmbeddedBroker {
             e.ackId = aid
             e.leaseExpiry = now + s.ackDeadlineMs
             s.leased(aid) = e
-            s.pending -= e
             out += ((aid, e.msg))
-            if (k.nonEmpty) keysTaken += k
+            taken.add(e)
+            // Same-key messages later in this scan may still deliver: they
+            // ride the same response in order (within-pull FIFO).
           }
         }
+        if (!taken.isEmpty) s.pending.filterInPlace(e => !taken.contains(e))
         out.toSeq
       }
     }

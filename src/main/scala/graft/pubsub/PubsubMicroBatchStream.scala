@@ -47,7 +47,10 @@ class PubsubMicroBatchStream(
   /** Remaining batch budget under Trigger.AvailableNow. */
   private var availableNowBudget: Option[Long] = None
 
-  PubsubStreamRegistry.register(opts.subscriptionPath, checkpointLocation)
+  // Registry key includes the endpoint: the same subscription name on two
+  // different brokers is two different subscriptions.
+  private val registryKey = s"$endpoint/${opts.subscriptionPath}"
+  PubsubStreamRegistry.register(registryKey, checkpointLocation)
 
   private def cacheRoot = new Path(checkpointLocation, "graft-pubsub-cache")
 
@@ -142,7 +145,7 @@ class PubsubMicroBatchStream(
   }
 
   override def stop(): Unit = {
-    PubsubStreamRegistry.deregister(opts.subscriptionPath)
+    PubsubStreamRegistry.deregister(registryKey)
     monitor.foreach(_.stop())
     dropCaches(_ => true)
   }
