@@ -37,11 +37,11 @@ object Dedup {
         .as("s"))
       .distinct()
 
-  /** Sequential-fold double dot product of two float arrays — written so
-    * DuckDB's list_sum over the same zip evaluates bit-identically. */
-  private def dot(a: String, b: String): Column = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+  /** Sequential-fold double dot product of two float arrays (native
+    * codegen expression) — bit-identical to DuckDB's list_sum over the
+    * same zip, see [[graft.functions.DotProductF32]]. */
+  private def dot(a: String, b: String): Column =
+    graft.functions.VectorExpressions.dotF32(col(a), col(b))
 
   private[ops] def normed(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")

@@ -55,6 +55,11 @@ object StreamingOps {
       .option("project_id", "p")
       .option("subscription", sub)
       .option("endpoint", ep)
+      // Size pulls so AvailableNow drains the whole fixture in one or two
+      // micro-batches — per-batch overhead (state checkpointing) dominates
+      // otherwise. 8 x 50k covers the largest fixture (2 x 100k events).
+      .option("num_partitions", "8")
+      .option("max_messages_per_partition", "50000")
       .load()
 
   /** Drain the stream into a memory sink synchronously; returns the sink

@@ -16,19 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object Vector {
 
-  private def dot(a: String, b: String): Column = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+  private def dot(a: String, b: String): Column =
+    graft.functions.VectorExpressions.dotF32(col(a), col(b))
 
   private val K = 5        // neighbors per query
   private val NQueries = 8 // query vectors: vec_id < 8
 
-  /** Deterministic random hyperplanes for the LSH family (fixed seed). */
+  /** Deterministic random hyperplanes for the LSH family (fixed seed),
+    * as ARRAY<FLOAT> literals so the native dot product applies. */
   private val NPlanes = 6
   private lazy val planes: Seq[String] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(NPlanes)(
-      Array.fill(64)(rnd.nextGaussian()).mkString("array(", "D,", "D)"))
+    Seq.fill(NPlanes)(Array.fill(64)(rnd.nextGaussian())
+      .map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")"))
   }
 
   val defs: Seq[Q] = Seq(
@@ -75,7 +75,9 @@ object Vector {
         val n = Dedup.normed(s, d)
         val codeExpr = planes.zipWithIndex
           .map { case (p, j) =>
-            when(dot("embedding", p) > 0, lit(1 << j)).otherwise(lit(0)) }
+            when(graft.functions.VectorExpressions
+              .dotF32(col("embedding"), expr(p)) > 0, lit(1 << j))
+              .otherwise(lit(0)) }
           .reduce(_ + _)
         val coded = n.withColumn("code", codeExpr)
         val probes = (0 until NPlanes)
