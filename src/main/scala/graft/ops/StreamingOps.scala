@@ -27,6 +27,7 @@ object StreamingOps {
     * topic/subscription pair on a fresh broker; returns (endpoint, sub
     * short name). */
   private def publishEvents(s: SparkSession, d: String, copies: Int = 1): (String, String) = {
+    val t0 = System.nanoTime()
     val ep = s"query-${UUID.randomUUID()}"
     val broker = EmbeddedBroker.get(ep)
     val topic = "projects/p/topics/events"
@@ -38,15 +39,20 @@ object StreamingOps {
         col("value"), col("event_id"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         val b = EmbeddedBroker.get(ep)
-        rows.foreach { r =>
-          val attrs = Map(
-            "ts" -> r.getLong(1).toString,
-            "value" -> r.getDouble(2).toString,
-            "eid" -> r.getLong(3).toString)
-          var i = 0
-          while (i < n) { b.publish(topic, r.getString(0).getBytes, attrs); i += 1 }
+        rows.grouped(5000).foreach { group =>
+          val batch = group.flatMap { r =>
+            val attrs = Map(
+              "ts" -> r.getLong(1).toString,
+              "value" -> r.getDouble(2).toString,
+              "eid" -> r.getLong(3).toString)
+            Seq.fill(n)((r.getString(0).getBytes, attrs, ""))
+          }
+          b.publishBatch(topic, batch)
         }
       }
+    if (sys.env.contains("GRAFT_TIMING")) {
+      System.err.println(f"[timing] publish: ${(System.nanoTime()-t0)/1e9}%.2f s")
+    }
     (ep, "events-sub")
   }
 
@@ -65,6 +71,7 @@ object StreamingOps {
   /** Drain the stream into a memory sink synchronously; returns the sink
     * table. */
   private def drain(df: DataFrame, mode: String): DataFrame = {
+    val t0 = System.nanoTime()
     val name = "sink_" + UUID.randomUUID().toString.replace("-", "_")
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode)
@@ -73,6 +80,12 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination(300000)
+    if (sys.env.contains("GRAFT_TIMING")) {
+      System.err.println(f"[timing] drain($mode): ${(System.nanoTime()-t0)/1e9}%.2f s")
+      q.recentProgress.foreach(p => System.err.println(
+        s"[timing]   batch=${p.batchId} rows=${p.numInputRows} " +
+          s"durations=${p.durationMs}"))
+    }
     df.sparkSession.table(name)
   }
 

@@ -90,19 +90,31 @@ object EmbeddedBroker {
 
     def publish(topic: String, data: Array[Byte],
         attributes: Map[String, String] = Map.empty,
-        orderingKey: String = ""): String = synchronized {
-      require(topics.contains(topic), s"no such topic: $topic")
-      val id = msgId.incrementAndGet().toString
-      val msg = Message(id, data, attributes, orderingKey,
-        System.currentTimeMillis() * 1000L)
-      subsByTopic(topic).foreach { sName =>
-        val s = subs(sName)
+        orderingKey: String = ""): String =
+      publishBatch(topic, Seq((data, attributes, orderingKey))).head
+
+    /** Bulk publish: one lock acquisition per subscription per batch
+      * (single-message publishes at 100k+/s would serialize on locks). */
+    def publishBatch(topic: String,
+        msgs: Seq[(Array[Byte], Map[String, String], String)]): Seq[String] = {
+      val (targets, prepared) = synchronized {
+        require(topics.contains(topic), s"no such topic: $topic")
+        val now = System.currentTimeMillis() * 1000L
+        (subsByTopic(topic).toSeq,
+          msgs.map { case (d, a, k) =>
+            Message(msgId.incrementAndGet().toString, d, a, k, now)
+          })
+      }
+      targets.foreach { sName =>
+        val s = synchronized(subs(sName))
         s.synchronized {
-          s.pending += new Entry(msg, s.seq)
-          s.seq += 1
+          prepared.foreach { m =>
+            s.pending += new Entry(m, s.seq)
+            s.seq += 1
+          }
         }
       }
-      id
+      prepared.map(_.messageId)
     }
 
     /** Idempotent batch publish: the whole chunk is dropped if `dedupKey`
@@ -113,7 +125,7 @@ object EmbeddedBroker {
         if (seenChunks.contains(dedupKey)) false
         else { seenChunks += dedupKey; true }
       }
-      if (fresh) msgs.foreach { case (d, a, k) => publish(topic, d, a, k) }
+      if (fresh) publishBatch(topic, msgs)
     }
 
     /** Leased pull honoring per-key FIFO. Returns (ackId, message). */

@@ -1,6 +1,6 @@
 package graft.pubsub
 
-import java.io.{ObjectInputStream, ObjectOutputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
@@ -47,25 +47,35 @@ class PubsubPartitionReader(p: PubsubInputPartition)
     extends PartitionReader[InternalRow] {
 
   private var fetched: Seq[(String, EmbeddedBroker.Message)] = _
-  private var pos = -1
+  // Iterate, never index: Seq may be a List (O(n) apply -> O(n^2) scans).
+  private var iter: Iterator[(String, EmbeddedBroker.Message)] = _
+  private var current: (String, EmbeddedBroker.Message) = _
 
   private def ensureFetched(): Unit = if (fetched == null) {
+    val t0 = System.nanoTime()
+    var how = "cache"
     fetched = readCache().getOrElse {
+      val t1 = System.nanoTime()
       val pulled = EmbeddedBroker.get(p.endpoint)
         .pull(p.subscriptionPath, p.maxMessages)
+      val t2 = System.nanoTime()
       writeCache(pulled)
+      how = f"pull=${(t2 - t1) / 1e9}%.2f write=${(System.nanoTime() - t2) / 1e9}%.2f"
       pulled
     }
+    if (sys.env.contains("GRAFT_TIMING")) System.err.println(
+      f"[timing]   reader part=${p.partitionIdx} n=${fetched.size} " +
+        f"$how total=${(System.nanoTime() - t0) / 1e9}%.2f")
+    iter = fetched.iterator
   }
 
   override def next(): Boolean = {
     ensureFetched()
-    pos += 1
-    pos < fetched.size
+    if (iter.hasNext) { current = iter.next(); true } else false
   }
 
   override def get(): InternalRow = {
-    val (ackId, m) = fetched(pos)
+    val (ackId, m) = current
     val keys = new GenericArrayData(
       m.attributes.keysIterator.map(UTF8String.fromString).toArray[Any])
     val values = new GenericArrayData(
@@ -93,15 +103,31 @@ class PubsubPartitionReader(p: PubsubInputPartition)
   * deleted after commit. */
 object ReplayCache {
 
+  // Compact length-prefixed binary layout (java serialization of many
+  // small Maps was measurable at 100k+ messages per partition).
+
   def read(path: String): Option[Seq[(String, EmbeddedBroker.Message)]] = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
     if (!fs.exists(p)) None
     else {
-      val in = new ObjectInputStream(fs.open(p))
-      try Some(in.readObject()
-        .asInstanceOf[Array[(String, EmbeddedBroker.Message)]].toSeq)
-      finally in.close()
+      val in = new DataInputStream(
+        new BufferedInputStream(fs.open(p), 1 << 16))
+      try {
+        val count = in.readInt()
+        Some(Seq.fill(count) {
+          val ackId = in.readUTF()
+          val messageId = in.readUTF()
+          val orderingKey = in.readUTF()
+          val ts = in.readLong()
+          val data = new Array[Byte](in.readInt())
+          in.readFully(data)
+          val nAttrs = in.readInt()
+          val attrs = Seq.fill(nAttrs)(in.readUTF() -> in.readUTF()).toMap
+          (ackId,
+            EmbeddedBroker.Message(messageId, data, attrs, orderingKey, ts))
+        })
+      } finally in.close()
     }
   }
 
@@ -111,8 +137,23 @@ object ReplayCache {
     val fs = p.getFileSystem(new Configuration())
     val tmp = new Path(path + s".tmp-${java.util.UUID.randomUUID()}")
     fs.mkdirs(p.getParent)
-    val out = new ObjectOutputStream(fs.create(tmp, true))
-    try out.writeObject(msgs.toArray) finally out.close()
+    val out = new DataOutputStream(
+      new BufferedOutputStream(fs.create(tmp, true), 1 << 16))
+    try {
+      out.writeInt(msgs.size)
+      msgs.foreach { case (ackId, m) =>
+        out.writeUTF(ackId)
+        out.writeUTF(m.messageId)
+        out.writeUTF(m.orderingKey)
+        out.writeLong(m.publishTimestampMicros)
+        out.writeInt(m.data.length)
+        out.write(m.data)
+        out.writeInt(m.attributes.size)
+        m.attributes.foreach { case (k, v) =>
+          out.writeUTF(k); out.writeUTF(v)
+        }
+      }
+    } finally out.close()
     // First writer wins; concurrent re-evaluations race benignly.
     if (!fs.rename(tmp, p)) fs.delete(tmp, false)
   }
