@@ -36,7 +36,7 @@ object StreamingOps {
     val n = copies
     Tables.load(s, d, "events")
       .select(col("event_type"), expr("unix_micros(ts)").as("ts_us"),
-        col("value"), col("event_id"))
+        col("value"), col("event_id"), col("user_id"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         val b = EmbeddedBroker.get(ep)
         rows.grouped(5000).foreach { group =>
@@ -44,7 +44,8 @@ object StreamingOps {
             val attrs = Map(
               "ts" -> r.getLong(1).toString,
               "value" -> r.getDouble(2).toString,
-              "eid" -> r.getLong(3).toString)
+              "eid" -> r.getLong(3).toString,
+              "uid" -> r.getLong(4).toString)
             Seq.fill(n)((r.getString(0).getBytes, attrs, ""))
           }
           b.publishBatch(topic, batch)
@@ -141,6 +142,36 @@ object StreamingOps {
           .agg(count(lit(1)).as("cnt"))
       },
       Some("SELECT COUNT(*) AS cnt FROM events")),
+
+    Q("p04_stateful_counts",
+      // Custom stateful streaming operator (flatMapGroupsWithState): a
+      // per-user running event counter. Each batch emits the per-user
+      // increment, so the post-hoc sum equals the total regardless of how
+      // the stream was micro-batched; the GroupState carries the running
+      // total across batches.
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+        val (ep, sub) = publishEvents(s, d)
+        val uids = sourceDF(s, ep, sub)
+          .selectExpr("CAST(attributes['uid'] AS BIGINT) AS uid")
+          .as[Long]
+        val increments = uids.groupByKey(identity)
+          .flatMapGroupsWithState(OutputMode.Append(),
+            GroupStateTimeout.NoTimeout()) {
+            (uid: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+              val inc = rows.size.toLong
+              state.update(state.getOption.getOrElse(0L) + inc)
+              Iterator((uid, inc))
+          }
+          .toDF("user_id", "inc")
+        drain(increments, "append")
+          .groupBy("user_id")
+          .agg(sum("inc").as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("SELECT user_id, COUNT(*) AS n_events FROM events " +
+        "GROUP BY user_id ORDER BY user_id")),
 
     Q("b03_json_scalar",
       // JSON scalar extraction over events.props (B3).

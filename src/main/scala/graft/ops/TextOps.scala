@@ -82,6 +82,18 @@ object TextOps {
       (s, d) => docs(s, d)
         .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
         .orderBy("doc_id"),
-      Some("SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"))
+      Some("SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id")),
+
+    Q("t05_rolling_fp",
+      // Winnowing-style rolling-hash fingerprint: min xxhash64 over all
+      // 8-char windows of the text. Content-based (shift-invariant), so
+      // near-identical documents collide; all codegen'd built-ins.
+      // xxhash64 has no DuckDB counterpart -> rows-only check.
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), expr(
+          "array_min(transform(sequence(1, greatest(length(text) - 7, 1)), " +
+            "i -> xxhash64(substring(text, i, 8))))").as("fp"))
+        .orderBy("doc_id"),
+      None)
   )
 }

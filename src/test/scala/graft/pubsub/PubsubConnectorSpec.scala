@@ -163,6 +163,59 @@ class PubsubConnectorSpec extends AnyFunSuite with Matchers
     q.toString should include("data")
   }
 
+  test("foreachBatch fan-out: one stream feeding two sinks " +
+    "(the documented multi-sink pattern)") {
+    val outTopicA = "projects/p/topics/fan-a"
+    val outTopicB = "projects/p/topics/fan-b"
+    val outSubA = "projects/p/subscriptions/fan-a-sub"
+    val outSubB = "projects/p/subscriptions/fan-b-sub"
+    broker.createTopic(outTopicA); broker.createSubscription(outSubA, outTopicA)
+    broker.createTopic(outTopicB); broker.createSubscription(outSubB, outTopicB)
+    publish100()
+    val epLocal = ep
+    val q = sourceDF.writeStream
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        // One evaluation feeds both sinks deterministically thanks to the
+        // replay cache: both publishes see identical rows.
+        val b = EmbeddedBroker.get(epLocal)
+        val rows = ds.select("data").collect()
+          .map(r => (r.getAs[Array[Byte]](0), Map.empty[String, String], ""))
+        b.publishBatch(outTopicA, rows.toSeq)
+        b.publishBatch(outTopicB, rows.toSeq)
+        ()
+      }
+      .option("checkpointLocation", tmpDir())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000) shouldBe true
+    broker.pull(outSubA, 1000) should have size 100
+    broker.pull(outSubB, 1000) should have size 100
+  }
+
+  test("sink ordering-key column: keys land on the broker and stay FIFO") {
+    val outTopic = "projects/p/topics/keyed-topic"
+    val outSub = "projects/p/subscriptions/keyed-sub"
+    broker.createTopic(outTopic)
+    broker.createSubscription(outSub, outTopic)
+    publish100()
+    val q = sourceDF
+      .selectExpr("data", "attributes",
+        "concat('k', CAST(length(CAST(data AS STRING)) % 3 AS STRING)) AS okey")
+      .writeStream.format("pubsub")
+      .option("project_id", "p")
+      .option("topic", "keyed-topic")
+      .option("ordering_key_column", "okey")
+      .option("endpoint", ep)
+      .option("checkpointLocation", tmpDir())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000) shouldBe true
+    val got = broker.pull(outSub, 1000)
+    got should have size 100
+    got.map(_._2.orderingKey).toSet.subsetOf(Set("k0", "k1", "k2")) shouldBe true
+    got.map(_._2.orderingKey).forall(_.nonEmpty) shouldBe true
+  }
+
   test("duplicate subscription: second stream is rejected") {
     publish100()
     val q1 = sourceDF.writeStream
