@@ -289,6 +289,82 @@ object Relational {
         .orderBy("event_type", "day"),
       Some("SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, " +
         "COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sv FROM events " +
-        "GROUP BY event_type, CAST(ts AS DATE) ORDER BY event_type, day"))
+        "GROUP BY event_type, CAST(ts AS DATE) ORDER BY event_type, day")),
+
+    Q("a24_asof_join",
+      // As-of join composed from built-ins (no custom operator needed):
+      // for every error event, the latest click of the same user at or
+      // before it. One shuffle on user_id; the running last() is a
+      // window, so no self-join materializes. The oracle uses DuckDB's
+      // native ASOF JOIN — semantics must line up exactly.
+      (s, d) => {
+        val ev = t(s, d)("events")
+          .filter(col("event_type").isin("error", "click"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("last_click_us",
+          last(when(col("event_type") === "click",
+            expr("unix_micros(ts)")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "error")
+          .select(col("event_id"), col("last_click_us"))
+          .orderBy("event_id")
+      },
+      Some("SELECT e.event_id, CAST(epoch_us(l.ts) AS BIGINT) " +
+        "AS last_click_us " +
+        "FROM (SELECT * FROM events WHERE event_type = 'error') e " +
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') l " +
+        "ON e.user_id = l.user_id AND e.ts >= l.ts ORDER BY e.event_id")),
+
+    Q("a25_session_window",
+      // Sessionization via Spark's native session_window (10-minute
+      // inactivity gap); the oracle rebuilds sessions with the classic
+      // gaps-and-islands window SQL.
+      (s, d) => t(s, d)("events")
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"),
+          expr("unix_micros(session_window.start)").as("session_start"),
+          col("cnt"))
+        .orderBy("user_id", "session_start"),
+      Some("WITH o AS (SELECT user_id, ts, CASE WHEN " +
+        "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR " +
+        "ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= " +
+        "INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk FROM events), " +
+        "g AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id " +
+        "ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS grp FROM o) " +
+        "SELECT user_id, CAST(epoch_us(MIN(ts)) AS BIGINT) AS " +
+        "session_start, COUNT(*) AS cnt FROM g GROUP BY user_id, grp " +
+        "ORDER BY user_id, session_start")),
+
+    Q("a26_pivot",
+      // PIVOT with an explicit value list (deterministic columns; the raw
+      // priority strings contain spaces, illegal in parquet column names).
+      (s, d) => {
+        val vals = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+          "5-LOW")
+        val renames = vals.zipWithIndex
+          .map { case (v, i) => v -> s"p${i + 1}" }.toMap
+        t(s, d)("orders")
+          .groupBy("o_orderstatus")
+          .pivot("o_orderpriority", vals)
+          .count()
+          .withColumnsRenamed(renames)
+          .na.fill(0L, renames.values.toSeq)
+          .orderBy("o_orderstatus")
+      },
+      Some("SELECT o_orderstatus, " +
+        "CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS p1, " +
+        "CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS p2, " +
+        "CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS p3, " +
+        "CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 " +
+        "ELSE 0 END) AS BIGINT) AS p4, " +
+        "CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS p5 " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"))
   )
 }
