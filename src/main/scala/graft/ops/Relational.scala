@@ -365,6 +365,17 @@ object Relational {
         "ELSE 0 END) AS BIGINT) AS p4, " +
         "CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) " +
         "AS BIGINT) AS p5 " +
-        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"))
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
+
+    Q("a27_approx_distinct",
+      // HyperLogLog++ approximate distinct counts — the sketch every
+      // 100 TB pipeline reaches for before an exact COUNT(DISTINCT).
+      // Deterministic for fixed input, but DuckDB's approx sketch differs
+      // -> rows-only check (the exact counterpart is a09).
+      (s, d) => t(s, d)("lineitem")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("apd_parts"),
+          approx_count_distinct(col("l_suppkey")).as("apd_supps")),
+      None)
   )
 }

@@ -99,6 +99,57 @@ object Vector {
             round(col("cos"), 4).as("cos"))
           .orderBy("query_id", "rnk")
       },
+      None),
+
+    Q("s03_ann_ivf",
+      // IVF-style ANN: the label column plays the coarse quantizer's
+      // inverted-list id. Centroids are computed distributedly (explode to
+      // (label, dim, value), one aggregation), queries probe their
+      // nProbe=2 nearest lists, and only those lists are reranked by
+      // exact cosine — the candidate join is an equi-join on the list id,
+      // which is what makes IVF the 100 TB path (no cross product).
+      // Approximate by construction -> rows-only check.
+      (s, d) => {
+        val n = Dedup.normed(s, d)
+        val emb = Tables.load(s, d, "embeddings")
+        // element-wise centroid per label
+        val centroids = emb
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("label", "pos")
+          .agg(avg("v").as("m"))
+          .groupBy("label")
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("label").as("list_id"),
+            expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("centroid"))
+        // queries probe their 2 nearest centroids
+        val q = n.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+        val wProbe = Window.partitionBy("query_id")
+          .orderBy(col("cdist").desc, col("list_id"))
+        val probes = broadcast(q)
+          .join(broadcast(centroids), lit(true))
+          .select(col("query_id"), col("qe"), col("qn"), col("list_id"),
+            graft.functions.VectorExpressions
+              .dotF32(col("qe"), col("centroid")).as("cdist"))
+          .withColumn("pr", row_number().over(wProbe))
+          .filter(col("pr") <= 2)
+          .select(col("query_id"), col("qe"), col("qn"), col("list_id"))
+        // search only the probed lists, rerank by exact cosine
+        val listed = n.join(emb.select(col("vec_id"), col("label")), "vec_id")
+        val wRank = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        broadcast(probes)
+          .join(listed, col("list_id") === col("label") &&
+            col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            (dot("qe", "embedding") / (col("qn") * col("nrm"))).as("cos"))
+          .withColumn("rnk", row_number().over(wRank).cast("bigint"))
+          .filter(col("rnk") <= K)
+          .select(col("query_id"), col("neighbor_id"), col("rnk"),
+            round(col("cos"), 4).as("cos"))
+          .orderBy("query_id", "rnk")
+      },
       None)
   )
 }

@@ -216,6 +216,36 @@ class PubsubConnectorSpec extends AnyFunSuite with Matchers
     got.map(_._2.orderingKey).forall(_.nonEmpty) shouldBe true
   }
 
+  test("watermark in append mode: closed windows emit, the open one is " +
+    "withheld as potentially-late") {
+    // Three 1-minute windows of events; watermark = max ts - 10s falls
+    // inside the last window, so only the first two finalize.
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L
+    (0 until 30).foreach { i =>
+      val tsMicros = base + i * 6000000L // every 6s -> 10 events/minute
+      broker.publish(Topic, s"e$i".getBytes, Map("ts" -> tsMicros.toString))
+    }
+    val name = "wm_" + System.nanoTime()
+    val q = sourceDF
+      .selectExpr("timestamp_micros(CAST(attributes['ts'] AS BIGINT)) AS ts")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.col("ts"), "1 minute"))
+      .count()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000) shouldBe true
+    val rows = spark.table(name)
+      .selectExpr("CAST(window.start AS STRING) AS s", "count")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    // windows 00:00 and 00:01 finalized (10 events each); 00:02 withheld
+    rows shouldBe Array(
+      ("2024-01-01 00:00:00", 10L), ("2024-01-01 00:01:00", 10L))
+  }
+
   test("duplicate subscription: second stream is rejected") {
     publish100()
     val q1 = sourceDF.writeStream
