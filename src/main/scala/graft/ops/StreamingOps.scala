@@ -3,6 +3,8 @@ package graft.ops
 import java.nio.file.Files
 import java.util.UUID
 
+import scala.collection.mutable
+
 import graft.{Q, Tables}
 import graft.pubsub.EmbeddedBroker
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -23,39 +25,48 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingOps {
 
-  /** Publish events rows (event_type payload + attribute map) to a fresh
-    * topic/subscription pair on a fresh broker; returns (endpoint, sub
-    * short name). */
-  private def publishEvents(s: SparkSession, d: String, copies: Int = 1): (String, String) = {
-    val t0 = System.nanoTime()
-    val ep = s"query-${UUID.randomUUID()}"
-    val broker = EmbeddedBroker.get(ep)
-    val topic = "projects/p/topics/events"
-    broker.createTopic(topic)
-    broker.createSubscription("projects/p/subscriptions/events-sub", topic)
-    val n = copies
-    Tables.load(s, d, "events")
-      .select(col("event_type"), expr("unix_micros(ts)").as("ts_us"),
-        col("value"), col("event_id"), col("user_id"))
-      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-        val b = EmbeddedBroker.get(ep)
-        rows.grouped(5000).foreach { group =>
-          val batch = group.flatMap { r =>
-            val attrs = Map(
-              "ts" -> r.getLong(1).toString,
-              "value" -> r.getDouble(2).toString,
-              "eid" -> r.getLong(3).toString,
-              "uid" -> r.getLong(4).toString)
-            Seq.fill(n)((r.getString(0).getBytes, attrs, ""))
+  private val publishedBrokers = mutable.Map[(String, Int), String]()
+
+  /** Publish events rows (event_type payload + attribute map) once per
+    * (fixture dir, copies) to a retaining topic; each caller gets its own
+    * fresh subscription backfilled from topic retention, so p01–p04 share
+    * one publish instead of re-sending the fixture per query. Returns
+    * (endpoint, sub short name). */
+  private def publishEvents(s: SparkSession, d: String, copies: Int = 1): (String, String) =
+    synchronized {
+      val topic = "projects/p/topics/events"
+      val ep = publishedBrokers.getOrElseUpdate((d, copies), {
+        val t0 = System.nanoTime()
+        val ep = s"query-${UUID.randomUUID()}"
+        EmbeddedBroker.get(ep).createTopic(topic)
+        val n = copies
+        Tables.load(s, d, "events")
+          .select(col("event_type"), expr("unix_micros(ts)").as("ts_us"),
+            col("value"), col("event_id"), col("user_id"))
+          .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+            val b = EmbeddedBroker.get(ep)
+            rows.grouped(5000).foreach { group =>
+              val batch = group.flatMap { r =>
+                val attrs = Map(
+                  "ts" -> r.getLong(1).toString,
+                  "value" -> r.getDouble(2).toString,
+                  "eid" -> r.getLong(3).toString,
+                  "uid" -> r.getLong(4).toString)
+                Seq.fill(n)((r.getString(0).getBytes, attrs, ""))
+              }
+              b.publishBatch(topic, batch)
+            }
           }
-          b.publishBatch(topic, batch)
+        if (sys.env.contains("GRAFT_TIMING")) {
+          System.err.println(f"[timing] publish: ${(System.nanoTime()-t0)/1e9}%.2f s")
         }
-      }
-    if (sys.env.contains("GRAFT_TIMING")) {
-      System.err.println(f"[timing] publish: ${(System.nanoTime()-t0)/1e9}%.2f s")
+        ep
+      })
+      val sub = s"events-sub-${UUID.randomUUID().toString.take(8)}"
+      EmbeddedBroker.get(ep).createSubscription(
+        s"projects/p/subscriptions/$sub", topic, backfill = true)
+      (ep, sub)
     }
-    (ep, "events-sub")
-  }
 
   private def sourceDF(s: SparkSession, ep: String, sub: String): DataFrame =
     s.readStream.format("pubsub")

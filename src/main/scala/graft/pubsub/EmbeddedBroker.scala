@@ -59,6 +59,7 @@ object EmbeddedBroker {
     private val topics = mutable.Set[String]()
     private val subsByTopic = mutable.Map[String, mutable.Buffer[String]]()
     private val subs = mutable.Map[String, Sub]()
+    private val retained = mutable.Map[String, mutable.ArrayBuffer[Message]]()
     private val msgId = new AtomicLong(0)
     private val ackId = new AtomicLong(0)
     private val seenChunks = mutable.Set[String]()
@@ -66,19 +67,31 @@ object EmbeddedBroker {
     def createTopic(topic: String): Unit = synchronized {
       topics += topic
       subsByTopic.getOrElseUpdate(topic, mutable.Buffer())
+      retained.getOrElseUpdate(topic, mutable.ArrayBuffer())
     }
 
     def deleteTopic(topic: String): Unit = synchronized {
       topics -= topic
       subsByTopic.remove(topic)
+      retained.remove(topic)
     }
 
+    /** With `backfill = true` the new subscription is seeded with every
+      * message the topic retains — the cloud service's topic-retention +
+      * seek-to-start semantics, so late-created subscriptions can replay
+      * history without a re-publish. */
     def createSubscription(name: String, topic: String,
-        ackDeadlineMs: Long = 10000): Unit = synchronized {
-      require(topics.contains(topic), s"no such topic: $topic")
-      subs(name) = new Sub(topic, ackDeadlineMs)
-      subsByTopic(topic) += name
-    }
+        ackDeadlineMs: Long = 10000, backfill: Boolean = false): Unit =
+      synchronized {
+        require(topics.contains(topic), s"no such topic: $topic")
+        val s = new Sub(topic, ackDeadlineMs)
+        if (backfill) retained(topic).foreach { m =>
+          s.pending += new Entry(m, s.seq)
+          s.seq += 1
+        }
+        subs(name) = s
+        subsByTopic(topic) += name
+      }
 
     def deleteSubscription(name: String): Unit = synchronized {
       subs.remove(name).foreach(s =>
@@ -100,10 +113,11 @@ object EmbeddedBroker {
       val (targets, prepared) = synchronized {
         require(topics.contains(topic), s"no such topic: $topic")
         val now = System.currentTimeMillis() * 1000L
-        (subsByTopic(topic).toSeq,
-          msgs.map { case (d, a, k) =>
-            Message(msgId.incrementAndGet().toString, d, a, k, now)
-          })
+        val ms = msgs.map { case (d, a, k) =>
+          Message(msgId.incrementAndGet().toString, d, a, k, now)
+        }
+        retained(topic) ++= ms
+        (subsByTopic(topic).toSeq, ms)
       }
       targets.foreach { sName =>
         val s = synchronized(subs(sName))

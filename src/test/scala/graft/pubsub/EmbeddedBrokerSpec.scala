@@ -48,6 +48,21 @@ class EmbeddedBrokerSpec extends AnyFunSuite with Matchers {
     b.backlog(s) shouldBe 0
   }
 
+  test("backfilled subscription replays retained history; a plain one " +
+    "only sees later publishes") {
+    val (b, t, s) = freshBroker()
+    (1 to 3).foreach(i => b.publish(t, s"m$i".getBytes))
+    b.createSubscription("late-plain", t)
+    b.createSubscription("late-backfill", t, backfill = true)
+    b.publish(t, "m4".getBytes)
+    b.pull(s, 10).map(p => new String(p._2.data)) shouldBe
+      Seq("m1", "m2", "m3", "m4")
+    b.pull("late-plain", 10).map(p => new String(p._2.data)) shouldBe
+      Seq("m4")
+    b.pull("late-backfill", 10).map(p => new String(p._2.data)) shouldBe
+      Seq("m1", "m2", "m3", "m4")
+  }
+
   test("backlog counts pending plus leased-unacked") {
     val (b, t, s) = freshBroker()
     (1 to 5).foreach(i => b.publish(t, s"m$i".getBytes))
