@@ -81,17 +81,31 @@ object StreamingOps {
       .load()
 
   /** Drain the stream into a memory sink synchronously; returns the sink
-    * table. */
+    * table.
+    *
+    * Stateful streaming queries pin one state store per shuffle partition,
+    * and every micro-batch commits every store to the checkpoint — at the
+    * fixture's state sizes (<=100k keys) 32 stores are pure overhead, so
+    * the session's shuffle partitioning is dialed down for the stream and
+    * restored after. (On a real cluster this knob is sized to state
+    * volume, not CPU count.) */
   private def drain(df: DataFrame, mode: String): DataFrame = {
     val t0 = System.nanoTime()
+    val s = df.sparkSession
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     val name = "sink_" + UUID.randomUUID().toString.replace("-", "_")
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode)
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft-stream").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination(300000)
+    val q =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = df.writeStream.format("memory").queryName(name)
+          .outputMode(mode)
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-stream").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(300000)
+        q
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     if (sys.env.contains("GRAFT_TIMING")) {
       System.err.println(f"[timing] drain($mode): ${(System.nanoTime()-t0)/1e9}%.2f s")
       q.recentProgress.foreach(p => System.err.println(

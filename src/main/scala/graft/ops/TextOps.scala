@@ -86,13 +86,16 @@ object TextOps {
 
     Q("t05_rolling_fp",
       // Winnowing-style rolling-hash fingerprint: min xxhash64 over all
-      // 8-char windows of the text. Content-based (shift-invariant), so
-      // near-identical documents collide; all codegen'd built-ins.
+      // 8-byte windows of the text. Content-based (shift-invariant), so
+      // near-identical documents collide. Native codegen expression — a
+      // single O(len) pass per document (the HOF formulation re-sliced
+      // the string per position, O(len^2)); see
+      // [[graft.functions.RollingMinHash64]].
       // xxhash64 has no DuckDB counterpart -> rows-only check.
       (s, d) => docs(s, d)
-        .select(col("doc_id"), expr(
-          "array_min(transform(sequence(1, greatest(length(text) - 7, 1)), " +
-            "i -> xxhash64(substring(text, i, 8))))").as("fp"))
+        .select(col("doc_id"),
+          graft.functions.TextExpressions.rollingMinHash64(col("text"))
+            .as("fp"))
         .orderBy("doc_id"),
       None)
   )
