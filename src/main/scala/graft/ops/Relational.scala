@@ -367,6 +367,55 @@ object Relational {
         "AS BIGINT) AS p5 " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
 
+    Q("a28_percentiles",
+      // Exact percentiles with linear interpolation, grouped: Spark's
+      // `percentile` and DuckDB's `quantile_cont` share the
+      // p*(n-1)-position definition, so results hash-match after ROUND.
+      // (At 100 TB one switches to approx_percentile — a27 shows the
+      // sketch side; this is the exact counterpart.)
+      (s, d) => t(s, d)("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 2).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 2).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("price_p90"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, " +
+        "ROUND(quantile_cont(l_quantity, 0.25), 2) AS p25, " +
+        "ROUND(quantile_cont(l_quantity, 0.5), 2) AS p50, " +
+        "ROUND(quantile_cont(l_quantity, 0.75), 2) AS p75, " +
+        "ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS price_p90 " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    Q("a29_salted_join",
+      // Skew-mitigation pattern: the probe side is salted N ways and the
+      // build side replicated per salt, so one hot join key spreads over N
+      // shuffle partitions instead of hot-spotting one. Results are
+      // identical to the unsalted join (the oracle runs the plain SQL) —
+      // the salt only changes the partitioning. At fixture scale AQE's
+      // skew-join handles this automatically; explicit salting is the
+      // portable fallback when a key exceeds what one executor can hold.
+      (s, d) => {
+        val salts = 8
+        val li = t(s, d)("lineitem")
+          .withColumn("salt",
+            pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(salts)))
+        val supp = t(s, d)("supplier")
+          .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+        li.join(supp,
+            col("l_suppkey") === col("s_suppkey") &&
+              li("salt") === supp("salt"))
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).cast("bigint").as("cnt"),
+            round(sum("l_extendedprice"), 2).as("rev"))
+          .orderBy("s_nationkey")
+      },
+      Some("SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS cnt, " +
+        "ROUND(SUM(l_extendedprice), 2) AS rev " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey")),
+
     Q("a27_approx_distinct",
       // HyperLogLog++ approximate distinct counts — the sketch every
       // 100 TB pipeline reaches for before an exact COUNT(DISTINCT).

@@ -198,6 +198,29 @@ object StreamingOps {
       Some("SELECT user_id, COUNT(*) AS n_events FROM events " +
         "GROUP BY user_id ORDER BY user_id")),
 
+    Q("p05_stream_static_join",
+      // Stream-static join: the live stream enriches against a broadcast
+      // dimension table INSIDE the streaming plan (the standard dimension
+      // -enrichment shape — at scale the static side is broadcast to every
+      // executor once, not re-shuffled per micro-batch). The post-drain
+      // batch aggregate then matches the oracle's plain join.
+      (s, d) => {
+        val (ep, sub) = publishEvents(s, d)
+        val cust = broadcast(Tables.load(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")))
+        val joined = sourceDF(s, ep, sub)
+          .selectExpr("CAST(attributes['uid'] AS BIGINT) AS user_id",
+            "CAST(attributes['value'] AS DOUBLE) AS value")
+          .join(cust, col("user_id") === col("c_custkey"))
+        drain(joined, "append")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sv"))
+          .orderBy("c_mktsegment")
+      },
+      Some("SELECT c_mktsegment, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sv " +
+        "FROM events JOIN customer ON user_id = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment")),
+
     Q("b03_json_scalar",
       // JSON scalar extraction over events.props (B3).
       (s, d) => Tables.load(s, d, "events")

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Guards the scale-critical physical-plan properties: these are the
+  * differences between a plan that survives 100 TB and one that only
+  * works on fixtures. A regression here (lost pushdown, a join falling
+  * back to a cartesian product) would still pass the correctness gate, so
+  * it is asserted explicitly on the explain output.
+  */
+class PlanPropertiesSpec extends AnyFunSuite with Matchers {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def plan(name: String): String = {
+    val q = SparkEntry.allDefs.find(_.name == name)
+      .getOrElse(fail(s"no query named $name"))
+    q.run(spark, sfDir).queryExecution.explainString(FormattedMode)
+  }
+
+  test("a02: filter predicates are pushed into the parquet scan and " +
+    "unused columns pruned") {
+    val p = plan("a02_filter")
+    p should include("PushedFilters: [IsNotNull(l_quantity)")
+    p should include("GreaterThan(l_quantity,30.0)")
+    // projection+filter columns only — not the full 10-column lineitem
+    p should include regex "ReadSchema:[^\\n]*l_orderkey"
+    (p should not).include("l_extendedprice")
+  }
+
+  test("a03/a04: dimension joins broadcast the small side") {
+    plan("a03_inner_join") should include("BroadcastHashJoin")
+    plan("a04_join_agg") should include("BroadcastHashJoin")
+  }
+
+  test("a08: aggregation is partial (map-side) before the shuffle") {
+    val p = plan("a08_agg_having")
+    p should include("HashAggregate")
+    // partial agg appears below the exchange: two HashAggregate nodes
+    "HashAggregate".r.findAllIn(p).size should be >= 2
+  }
+
+  test("d02 minhash-LSH: candidate generation is an equi-join, never a " +
+    "cartesian product") {
+    val p = plan("d02_minhash_lsh")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("d04 shingle-join dedup: equi-join only") {
+    val p = plan("d04_ngram_jaccard")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("s03 IVF rerank: probed-list candidate join is a broadcast " +
+    "equi-join") {
+    val p = plan("s03_ann_ivf")
+    p should include("BroadcastHashJoin")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("t01 per-document text stats: map-only, no hash-shuffle before " +
+    "the output sort") {
+    val p = plan("t01_token_count")
+    (p should not).include("Exchange hashpartitioning")
+  }
+
+  test("a29 salted join: the join key carries the salt") {
+    val p = plan("a29_salted_join")
+    p should include("salt")
+    (p should not).include("CartesianProduct")
+  }
+}
