@@ -416,6 +416,26 @@ object Relational {
         "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
         "GROUP BY s_nationkey ORDER BY s_nationkey")),
 
+    Q("a30_latest_per_key",
+      // Keep-latest-record-per-key: the standard CDC/compaction shape
+      // (row_number over a per-key descending-time window, keep rn=1).
+      // One hash-shuffle on the key; at scale the window sort is
+      // per-partition, never global.
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id"))
+        t(s, d)("events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            round(col("value"), 2).as("value"))
+          .orderBy("user_id")
+      },
+      Some("SELECT user_id, event_id, event_type, ROUND(value, 2) AS value " +
+        "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id " +
+        "ORDER BY ts DESC, event_id) AS rn FROM events) " +
+        "WHERE rn = 1 ORDER BY user_id")),
+
     Q("a27_approx_distinct",
       // HyperLogLog++ approximate distinct counts — the sketch every
       // 100 TB pipeline reaches for before an exact COUNT(DISTINCT).

@@ -221,6 +221,39 @@ object StreamingOps {
         "FROM events JOIN customer ON user_id = c_custkey " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment")),
 
+    Q("p06_sink_roundtrip",
+      // Source AND sink in one gate query: stream from the subscription,
+      // relay through the DSv2 pubsub sink to a second topic, then stream
+      // the relayed copy back and aggregate. The sink's executor-side
+      // publish, idempotent chunking and schema validation are all on the
+      // hash-checked path.
+      (s, d) => {
+        val (ep, sub) = publishEvents(s, d)
+        val b = EmbeddedBroker.get(ep)
+        val relayTopic = "projects/p/topics/relay"
+        b.createTopic(relayTopic)
+        val relaySub = s"relay-sub-${UUID.randomUUID().toString.take(8)}"
+        b.createSubscription(s"projects/p/subscriptions/$relaySub", relayTopic)
+        val q = sourceDF(s, ep, sub).select(col("data"), col("attributes"))
+          .writeStream.format("pubsub")
+          .option("project_id", "p")
+          .option("topic", "relay")
+          .option("endpoint", ep)
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-relay").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(300000)
+        val sunk = drain(sourceDF(s, ep, relaySub).selectExpr(
+          "CAST(data AS STRING) AS event_type",
+          "CAST(attributes['value'] AS DOUBLE) AS value"), "append")
+        sunk.groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sv"))
+          .orderBy("event_type")
+      },
+      Some("SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sv " +
+        "FROM events GROUP BY event_type ORDER BY event_type")),
+
     Q("b03_json_scalar",
       // JSON scalar extraction over events.props (B3).
       (s, d) => Tables.load(s, d, "events")
