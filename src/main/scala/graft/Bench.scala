@@ -26,18 +26,25 @@ object Bench {
 
     spark.range(2000000).selectExpr("sum(id * 2)").collect() // warmup
 
+    // Min of N repetitions per query: single-shot timings on a shared VM
+    // swing several-fold with neighbor load; the minimum is the closest
+    // observable to the true cost.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.allDefs.sortBy(_.name).map { q =>
-      val t0 = System.nanoTime()
-      val ok =
-        try {
-          q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-          true
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-          false
-        }
-      val secs = (System.nanoTime() - t0) / 1e9
-      q.name -> (if (ok) secs else -1.0)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+            false
+          }
+        val secs = (System.nanoTime() - t0) / 1e9
+        if (ok) secs else -1.0
+      }
+      q.name -> (if (times.forall(_ >= 0)) times.min else -1.0)
     }
     val qs = results
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }

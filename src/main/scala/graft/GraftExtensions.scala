@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProductF32, RollingMinHash64}
+
+/** Library entry point for SQL users: registers the native expressions
+  * under SQL names, so `spark.sql("SELECT dot_f32(a, b) ...")` works the
+  * same as the Column API. Enable with
+  * `spark.sql.extensions=graft.GraftExtensions` (config-only, no code
+  * change — the standard way a platform team ships engine extensions to
+  * every job on a cluster).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_f32"),
+      new ExpressionInfo(classOf[DotProductF32].getName, "dot_f32"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_f32 takes exactly 2 arguments")
+        DotProductF32(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_min_hash64"),
+      new ExpressionInfo(classOf[RollingMinHash64].getName,
+        "rolling_min_hash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "rolling_min_hash64 takes exactly 1 argument")
+        RollingMinHash64(args.head)
+      }))
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The SQL-facing registration path: a session built with
+  * `spark.sql.extensions=graft.GraftExtensions` can call the native
+  * expressions from plain SQL.
+  */
+class GraftExtensionsSpec extends AnyFunSuite with Matchers {
+
+  test("dot_f32 and rolling_min_hash64 are callable from SQL when the " +
+    "extension is configured") {
+    // Extensions apply only at session construction, so this test builds
+    // its own session (sharing the JVM-wide SparkContext) and restores
+    // the previous active/default session afterwards.
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val dot = s.sql(
+        "SELECT dot_f32(array(CAST(1.5 AS FLOAT), CAST(2.5 AS FLOAT)), " +
+          "array(CAST(2.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+        .collect().head.getDouble(0)
+      dot shouldBe 13.0
+      val fp = s.sql("SELECT rolling_min_hash64('the quick brown fox') AS f")
+        .collect().head.getLong(0)
+      val viaColumn = s.range(1)
+        .selectExpr("'the quick brown fox' AS t")
+        .select(graft.functions.TextExpressions.rollingMinHash64(
+          org.apache.spark.sql.functions.col("t")))
+        .collect().head.getLong(0)
+      fp shouldBe viaColumn
+    } finally {
+      prevActive.foreach(SparkSession.setActiveSession)
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
+}
