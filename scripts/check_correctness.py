@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 scripts/check_correctness.py [sfdir] [outdir]
+
+1. Expects `sbt "runMain graft.Verify <sfdir> <outdir>"` to have run
+   (or runs it when outdir is missing), producing one parquet dir per
+   query plus oracle_sql.json.
+2. Runs each oracle SQL in DuckDB over the same parquet tables.
+3. Compares row counts, column names (sorted), and exact values.
+
+Uses driver-side python tools (duckdb/pyarrow) — NOT part of the Scala
+library; dev tooling only.
+"""
+import json
+import math
+import os
+import subprocess
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "target/verify_out"
+
+if not os.path.exists(os.path.join(OUT_DIR, "oracle_sql.json")):
+    subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT_DIR}'],
+        check=True)
+
+con = duckdb.connect()
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+for t in TABLES:
+    p = os.path.join(SF_DIR, f"{t}.parquet")
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+with open(os.path.join(OUT_DIR, "oracle_sql.json")) as f:
+    oracle = json.load(f)
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+fails = []
+for name in sorted(os.listdir(OUT_DIR)):
+    path = os.path.join(OUT_DIR, name)
+    if not os.path.isdir(path):
+        continue
+    spark_tbl = pq.read_table(path)
+    if name not in oracle:
+        print(f"{name:24s} rows={spark_tbl.num_rows:>7} (no oracle)")
+        continue
+    duck = con.execute(oracle[name]).fetch_arrow_table()
+    ok = True
+    if spark_tbl.num_rows != duck.num_rows:
+        ok = False
+        fails.append(f"{name}: rows {spark_tbl.num_rows} != {duck.num_rows}")
+    s_cols, d_cols = sorted(spark_tbl.column_names), sorted(duck.column_names)
+    if s_cols != d_cols:
+        ok = False
+        fails.append(f"{name}: cols {s_cols} != {d_cols}")
+    if ok:
+        # driver sorts columns by name, then hashes values; emulate with
+        # exact value comparison in result order
+        s_rows = list(zip(*[spark_tbl.column(c).to_pylist() for c in s_cols]))
+        d_rows = list(zip(*[duck.column(c).to_pylist() for c in d_cols]))
+        s_rows = [tuple(norm(v) for v in r) for r in s_rows]
+        d_rows = [tuple(norm(v) for v in r) for r in d_rows]
+        if s_rows != d_rows:
+            ok = False
+            bad = next(i for i, (a, b) in enumerate(zip(s_rows, d_rows))
+                       if a != b) if s_rows and d_rows else 0
+            fails.append(
+                f"{name}: values differ at row {bad}: "
+                f"spark={s_rows[bad] if s_rows else None} "
+                f"oracle={d_rows[bad] if d_rows else None}")
+    print(f"{name:24s} rows={spark_tbl.num_rows:>7} "
+          f"{'OK' if ok else 'MISMATCH'}")
+
+print()
+if fails:
+    print("FAILURES:")
+    for f_ in fails:
+        print(" ", f_)
+    sys.exit(1)
+print("all oracle-checked queries match")

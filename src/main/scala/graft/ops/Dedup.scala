@@ -28,10 +28,15 @@ object Dedup {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
 
-  /** (doc_id, s): distinct word-3-shingles per document. */
+  /** (doc_id, s): distinct word-3-shingles per document. Documents shorter
+    * than 3 words yield no shingles (and are filtered out, matching the
+    * oracle's generate_series(1, len-2), which is empty for len < 3 —
+    * without the guard Spark's sequence(0, size-3) goes DESCENDING for
+    * short docs and slice() throws). */
   private def shingles(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"))
         .as("s"))

@@ -300,8 +300,13 @@ object Relational {
       (s, d) => {
         val ev = t(s, d)("events")
           .filter(col("event_type").isin("error", "click"))
+        // Tie-break: clicks sort BEFORE errors at equal ts, so an
+        // exact-tie click is inside the error's frame — matching the
+        // oracle's ASOF condition e.ts >= l.ts (inclusive).
         val w = Window.partitionBy("user_id")
-          .orderBy(col("ts"), col("event_id"))
+          .orderBy(col("ts"),
+            when(col("event_type") === "click", 0).otherwise(1),
+            col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ev.withColumn("last_click_us",
           last(when(col("event_type") === "click",

@@ -41,7 +41,7 @@ object EmbeddedBroker {
       orderingKey: String,
       publishTimestampMicros: Long)
 
-  private final class Sub(val topic: String, val ackDeadlineMs: Long) {
+  private final class Sub(val topic: String, var ackDeadlineMs: Long) {
     /** Entries in publish (seq) order. Publishes append in order; only a
       * redelivery re-queues out of order, flagging a one-off re-sort. */
     val pending = mutable.ArrayBuffer[Entry]()
@@ -191,6 +191,28 @@ object EmbeddedBroker {
     def acknowledge(subscription: String, ackIds: Seq[String]): Unit = {
       val s = synchronized(subs.getOrElse(subscription, return))
       s.synchronized { ackIds.foreach(s.leased.remove) }
+    }
+
+    /** Changes the subscription's ack deadline for FUTURE leases (the
+      * cloud service's UpdateSubscription(ackDeadlineSeconds) — lets a
+      * consumer size the deadline above its worst-case pull-to-commit
+      * latency so in-flight batches aren't redelivered mid-batch). */
+    def setAckDeadline(subscription: String, deadlineMs: Long): Unit = {
+      require(deadlineMs > 0, s"ack deadline must be positive: $deadlineMs")
+      val s = synchronized(subs.getOrElse(subscription, return))
+      s.synchronized { s.ackDeadlineMs = deadlineMs }
+    }
+
+    /** Extends the lease of every currently-outstanding message by the
+      * subscription's deadline from now (ModifyAckDeadline over the whole
+      * in-flight set — the streaming source calls this per planned batch
+      * so slow batches keep their leases alive). */
+    def extendLeases(subscription: String): Unit = {
+      val s = synchronized(subs.getOrElse(subscription, return))
+      s.synchronized {
+        val expiry = System.currentTimeMillis() + s.ackDeadlineMs
+        s.leased.valuesIterator.foreach(_.leaseExpiry = expiry)
+      }
     }
 
     /** Undelivered = pending + leased-but-unacked

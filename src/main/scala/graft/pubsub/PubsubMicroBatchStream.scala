@@ -52,6 +52,12 @@ class PubsubMicroBatchStream(
   private val registryKey = s"$endpoint/${opts.subscriptionPath}"
   PubsubStreamRegistry.register(registryKey, checkpointLocation)
 
+  // Size the ack deadline above the worst-case pull-to-commit latency so
+  // a slow micro-batch isn't redelivered mid-flight (ADVICE: the 10s
+  // broker default only holds when batches commit fast).
+  opts.ackDeadlineSeconds.foreach(s =>
+    broker.setAckDeadline(opts.subscriptionPath, s * 1000L))
+
   private def cacheRoot = new Path(checkpointLocation, "graft-pubsub-cache")
 
   override def initialOffset(): Offset = PubsubOffset(-1L)
@@ -93,6 +99,10 @@ class PubsubMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val endBatch = end.asInstanceOf[PubsubOffset].batchId
     synchronized { current = math.max(current, endBatch) }
+    // Planning a batch means earlier batches' messages are still in
+    // flight (acked only at commit): renew their leases so they don't
+    // expire and double-deliver into this batch.
+    broker.extendLeases(opts.subscriptionPath)
     // Region-aware fan-out: when one region dominates the backlog, give
     // each region its own slice of partitions (reference
     // PubsubMicroBatchStream.scala:58-74); the labels only size the
@@ -179,9 +189,11 @@ object PubsubStreamRegistry {
     synchronized {
       active.get(subscriptionPath) match {
         case Some(existing) if existing == checkpoint =>
-          throw new IllegalStateException(
-            s"Subscription $subscriptionPath is already consumed by an " +
-              "active stream; two streams cannot share one subscription")
+          // Same stream restarting (same checkpoint) — idempotent no-op,
+          // so a restart after a driver-side failure that skipped stop()
+          // doesn't permanently block the subscription (reference
+          // registerStream only rejects a DIFFERENT checkpoint).
+          ()
         case Some(_) =>
           throw new IllegalStateException(
             s"Subscription $subscriptionPath is already bound to a " +

@@ -59,9 +59,11 @@ class PubsubPartitionReader(p: PubsubInputPartition)
       val pulled = EmbeddedBroker.get(p.endpoint)
         .pull(p.subscriptionPath, p.maxMessages)
       val t2 = System.nanoTime()
-      writeCache(pulled)
+      // writeCache returns the canonical rows for this slot (the winner's,
+      // if a concurrent evaluation won the rename race).
+      val canonical = writeCache(pulled)
       how = f"pull=${(t2 - t1) / 1e9}%.2f write=${(System.nanoTime() - t2) / 1e9}%.2f"
-      pulled
+      canonical
     }
     if (sys.env.contains("GRAFT_TIMING")) System.err.println(
       f"[timing]   reader part=${p.partitionIdx} n=${fetched.size} " +
@@ -93,7 +95,8 @@ class PubsubPartitionReader(p: PubsubInputPartition)
   override def close(): Unit = ()
 
   private def readCache() = ReplayCache.read(p.cachePath)
-  private def writeCache(msgs: Seq[(String, EmbeddedBroker.Message)]): Unit =
+  private def writeCache(msgs: Seq[(String, EmbeddedBroker.Message)])
+      : Seq[(String, EmbeddedBroker.Message)] =
     ReplayCache.write(p.cachePath, msgs)
 }
 
@@ -131,8 +134,16 @@ object ReplayCache {
     }
   }
 
+  /** Persists `msgs` and returns the CANONICAL row set for this slot:
+    * the argument when this writer's rename wins, the winner's file when
+    * it loses — so two concurrent first evaluations of one
+    * (batch, partition) always see identical rows, and the loser's
+    * independently-leased pull never leaks into the stream (its leases
+    * simply expire unacked and redeliver later, which at-least-once
+    * semantics already cover). */
   def write(path: String,
-      msgs: Seq[(String, EmbeddedBroker.Message)]): Unit = {
+      msgs: Seq[(String, EmbeddedBroker.Message)])
+      : Seq[(String, EmbeddedBroker.Message)] = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
     val tmp = new Path(path + s".tmp-${java.util.UUID.randomUUID()}")
@@ -154,8 +165,25 @@ object ReplayCache {
         }
       }
     } finally out.close()
-    // First writer wins; concurrent re-evaluations race benignly.
-    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+    // First writer wins; a loser discards its pull and adopts the
+    // winner's (retrying the read until the winner's rename is visible).
+    // The exists() guard matters on local/POSIX filesystems where rename
+    // silently overwrites an existing destination; on HDFS-like stores
+    // rename onto an existing path already returns false.
+    if (!fs.exists(p) && fs.rename(tmp, p)) msgs
+    else {
+      fs.delete(tmp, false)
+      var canonical: Option[Seq[(String, EmbeddedBroker.Message)]] = read(path)
+      var attempts = 0
+      while (canonical.isEmpty && attempts < 50) {
+        Thread.sleep(100)
+        canonical = read(path)
+        attempts += 1
+      }
+      canonical.getOrElse(throw new java.io.IOException(
+        s"replay cache $path: lost rename race but winner's file never " +
+          "became visible"))
+    }
   }
 
   /** All ack ids recorded under a batch directory (driver side). */

@@ -19,6 +19,7 @@ object PubsubOptions {
   val MaxMessagesPerPartition = "max_messages_per_partition"
   val DynamicPartitioning = "dynamic_partitioning"
   val OrderingKeyColumn = "ordering_key_column"
+  val AckDeadlineSeconds = "ack_deadline_seconds"
 
   val DefaultNumPartitions = 4
   val DefaultMaxMessagesPerPartition = 1000
@@ -63,7 +64,13 @@ object PubsubOptions {
       maxMessagesPerPartition = positiveInt(opts, MaxMessagesPerPartition,
         DefaultMaxMessagesPerPartition),
       dynamicPartitioning =
-        opts.get(DynamicPartitioning).exists(_.toBoolean))
+        opts.get(DynamicPartitioning).exists(_.toBoolean),
+      ackDeadlineSeconds = opts.get(AckDeadlineSeconds).map { v =>
+        val n = v.toInt
+        if (n <= 0) throw new IllegalArgumentException(
+          s"Option '$AckDeadlineSeconds' must be positive, got $n")
+        n
+      })
 
   def writeOptions(opts: Map[String, String]): PubsubWriteOptions =
     PubsubWriteOptions(
@@ -79,7 +86,8 @@ final case class PubsubReadOptions(
     endpoint: Option[String],
     numPartitions: Int,
     maxMessagesPerPartition: Int,
-    dynamicPartitioning: Boolean) {
+    dynamicPartitioning: Boolean,
+    ackDeadlineSeconds: Option[Int] = None) {
   def subscriptionPath: String =
     s"projects/$projectId/subscriptions/$subscription"
 }

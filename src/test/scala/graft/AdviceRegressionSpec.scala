@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.pubsub.{EmbeddedBroker, PubsubOptions, PubsubStreamRegistry, ReplayCache}
+
+/** Regressions for the round-1 ADVICE findings: short-document shingles,
+  * registry restart semantics, replay-cache rename races, configurable
+  * ack deadlines, and the as-of-join tie-break.
+  */
+class AdviceRegressionSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("shingle-based dedup survives documents shorter than 3 words") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-shortdoc").toString
+    Seq(
+      (1L, "one", "en", "t", 3L),
+      (2L, "two words", "en", "t", 9L),
+      (3L, "the quick brown fox jumps over", "en", "t", 30L),
+      (4L, "the quick brown fox jumps over", "en", "t", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val d04 = SparkEntry.queries("d04_ngram_jaccard")(s, dir).collect()
+    d04.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((3L, 4L))
+
+    // d02 must not throw on the short docs (Spark's sequence(0, size-3)
+    // is DESCENDING for size < 3 and slice() then throws).
+    val d02 = SparkEntry.queries("d02_minhash_lsh")(s, dir).collect()
+    d02.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((3L, 4L))
+  }
+
+  test("a24 as-of join includes a click tied exactly with the error ts") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-asof").toString
+    // click and error share user 7 and the *same* timestamp; DuckDB's
+    // ASOF condition e.ts >= l.ts includes the tie.
+    Seq(
+      (1L, 7L, "click", 1000000L, 1.0, """{}"""),
+      (2L, 7L, "error", 1000000L, 1.0, """{}"""),
+      (3L, 7L, "error", 5000000L, 1.0, """{}"""),
+      (4L, 8L, "error", 2000000L, 1.0, """{}"""))
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    // fixture ts values are nanos on disk -> micros in the result
+    val out = SparkEntry.queries("a24_asof_join")(s, dir).collect()
+    out.map(r => (r.getLong(0), Option(r.get(1)))) shouldBe Array(
+      (2L, Some(1000L)), // tie included
+      (3L, Some(1000L)),
+      (4L, None))        // no click for user 8
+  }
+
+  test("stream registry: same-checkpoint re-registration is a no-op, " +
+    "different checkpoint still rejected") {
+    val key = s"advice-reg-${System.nanoTime()}"
+    PubsubStreamRegistry.register(key, "/chk/a")
+    noException should be thrownBy
+      PubsubStreamRegistry.register(key, "/chk/a") // restart, same stream
+    an[IllegalStateException] should be thrownBy
+      PubsubStreamRegistry.register(key, "/chk/b") // split
+    PubsubStreamRegistry.deregister(key)
+  }
+
+  test("replay cache: the rename-race loser adopts the winner's rows") {
+    val dir = Files.createTempDirectory("graft-replay").toString
+    val path = s"$dir/batch=0/part=0"
+    def msg(id: String) =
+      ("ack-" + id, EmbeddedBroker.Message(id, id.getBytes, Map.empty, "", 0L))
+    val winner = Seq(msg("w1"), msg("w2"))
+    val loser = Seq(msg("l1"))
+    ReplayCache.write(path, winner).map(_._1) shouldBe Seq("ack-w1", "ack-w2")
+    // Second writer for the same slot must NOT clobber the canonical file
+    // and must return the winner's rows.
+    ReplayCache.write(path, loser).map(_._1) shouldBe Seq("ack-w1", "ack-w2")
+    ReplayCache.read(path).get.map(_._1) shouldBe Seq("ack-w1", "ack-w2")
+  }
+
+  test("ack_deadline_seconds option: parsed, validated positive") {
+    val base = Map(
+      PubsubOptions.ProjectId -> "p",
+      PubsubOptions.Subscription -> "s")
+    PubsubOptions.readOptions(base).ackDeadlineSeconds shouldBe None
+    PubsubOptions.readOptions(
+      base + (PubsubOptions.AckDeadlineSeconds -> "120"))
+      .ackDeadlineSeconds shouldBe Some(120)
+    an[IllegalArgumentException] should be thrownBy
+      PubsubOptions.readOptions(
+        base + (PubsubOptions.AckDeadlineSeconds -> "0"))
+  }
+
+  test("broker: setAckDeadline applies to future leases") {
+    val b = EmbeddedBroker.get(s"advice-deadline-${System.nanoTime()}")
+    b.createTopic("t")
+    b.createSubscription("s", "t", ackDeadlineMs = 60)
+    b.publish("t", "x".getBytes)
+    b.setAckDeadline("s", 600000L) // size above worst-case batch latency
+    b.pull("s", 10) should have size 1
+    Thread.sleep(150) // past the ORIGINAL 60ms deadline
+    b.pull("s", 10) shouldBe empty // not redelivered: new deadline holds
+  }
+
+  test("broker: extendLeases keeps an in-flight batch leased past its " +
+    "original deadline") {
+    val b = EmbeddedBroker.get(s"advice-extend-${System.nanoTime()}")
+    b.createTopic("t")
+    b.createSubscription("s", "t", ackDeadlineMs = 250)
+    b.publish("t", "x".getBytes)
+    b.pull("s", 10) should have size 1
+    Thread.sleep(150)
+    b.extendLeases("s") // batch still in flight
+    Thread.sleep(150)   // 300ms since lease: past original deadline
+    b.pull("s", 10) shouldBe empty // lease extended, no double-delivery
+    Thread.sleep(300)   // extension lapsed without ack
+    b.pull("s", 10) should have size 1 // at-least-once redelivery intact
+  }
+}

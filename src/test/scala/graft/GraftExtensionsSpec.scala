@@ -12,11 +12,11 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
 
   test("dot_f32 and rolling_min_hash64 are callable from SQL when the " +
     "extension is configured") {
-    // Extensions apply only at session construction, so this test builds
-    // its own session (sharing the JVM-wide SparkContext) and restores
-    // the previous active/default session afterwards.
-    val prevActive = SparkSession.getActiveSession
-    val prevDefault = SparkSession.getDefaultSession
+    // `spark.sql.extensions` is STATIC conf: it only takes effect on the
+    // SparkContext the session is built on. Another suite may already own
+    // a context without it, so this test tears the shared context down,
+    // builds its own, and cleans up so the next suite starts fresh.
+    SparkSession.getActiveSession.foreach(_.sparkContext.stop())
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
@@ -39,8 +39,9 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
         .collect().head.getLong(0)
       fp shouldBe viaColumn
     } finally {
-      prevActive.foreach(SparkSession.setActiveSession)
-      prevDefault.foreach(SparkSession.setDefaultSession)
+      s.sparkContext.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
     }
   }
 }
