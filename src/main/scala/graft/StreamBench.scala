@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.pubsub.EmbeddedBroker
+
+/** Streaming micro-bench (BASELINE.md: "source→sink round-trip msgs/sec,
+  * recorded once built"): publishes N messages to the embedded broker,
+  * streams them through the pubsub source and back out through the pubsub
+  * sink (Trigger.AvailableNow), and reports msgs/sec for
+  *
+  *  - `defaults`: the reference's defaults (4 partitions × 1000 msgs/pull
+  *    — 25 micro-batches at N=100k), and
+  *  - `tuned`: pulls sized so the backlog drains in one micro-batch
+  *    (8 × 16k), isolating per-batch overhead from per-message cost.
+  *
+  * Prints one JSON line, mirroring graft.Bench.
+  */
+object StreamBench {
+
+  private val N = 100000
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-stream-bench")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+
+    val payload = ("x" * 64).getBytes
+    def run(label: String, partitions: Int, maxPerPull: Int): Double = {
+      val ep = s"stream-bench-$label"
+      val b = EmbeddedBroker.get(ep)
+      b.createTopic("projects/p/topics/in")
+      b.createTopic("projects/p/topics/out")
+      b.createSubscription("projects/p/subscriptions/in-sub",
+        "projects/p/topics/in")
+      b.createSubscription("projects/p/subscriptions/out-sub",
+        "projects/p/topics/out")
+      (0 until N).grouped(5000).foreach { g =>
+        b.publishBatch("projects/p/topics/in",
+          g.map(i => (payload, Map("i" -> i.toString), "")))
+      }
+      val t0 = System.nanoTime()
+      val q = spark.readStream.format("pubsub")
+        .option("project_id", "p")
+        .option("subscription", "in-sub")
+        .option("endpoint", ep)
+        .option("num_partitions", partitions.toString)
+        .option("max_messages_per_partition", maxPerPull.toString)
+        .load()
+        .select("data", "attributes")
+        .writeStream.format("pubsub")
+        .option("project_id", "p")
+        .option("topic", "out")
+        .option("endpoint", ep)
+        .option("checkpointLocation",
+          Files.createTempDirectory(s"graft-sbench-$label").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(600000)
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(b.backlog("projects/p/subscriptions/out-sub") == N,
+        s"round-trip lost messages: " +
+          b.backlog("projects/p/subscriptions/out-sub"))
+      N / sec
+    }
+
+    val defaults = run("defaults", 4, 1000)
+    val tuned = run("tuned", 8, 16000)
+    println(f"""{"metric":"stream_roundtrip_msgs_per_sec","n":$N,""" +
+      f""""defaults_4x1000":${defaults}%.0f,"tuned_8x16000":${tuned}%.0f}""")
+    spark.stop()
+  }
+}

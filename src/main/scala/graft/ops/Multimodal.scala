@@ -70,6 +70,30 @@ object Multimodal {
           .toDF()
           .orderBy("doc_id")
       },
-      None)
+      None),
+
+    Q("m03_frame_sample",
+      // Frame-sampling as a relational op: slice the opaque binary payload
+      // into fixed 16-byte frames, keep every 4th, and emit one row per
+      // sampled frame with its digest — the explode is partition-local
+      // (no shuffle), so the expansion scales with the scan exactly like
+      // a video-frame sampler would. All codegen'd built-ins; the oracle
+      // slices the same (ASCII) payload as a string.
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .select(col("doc_id"), col("payload"),
+          expr("CAST(length(payload) DIV 16 AS INT)").as("nf"))
+        .filter(col("nf") >= 1)
+        .select(col("doc_id"),
+          explode(expr("sequence(0, nf-1, 4)")).as("f"), col("payload"))
+        .select(col("doc_id"), col("f").cast("bigint").as("frame_idx"),
+          md5(expr("substring(payload, f*16+1, 16)")).as("frame_digest"))
+        .orderBy("doc_id", "frame_idx"),
+      Some("WITH p AS (SELECT doc_id, text, length(text)//16 AS nf " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, " +
+        "md5(substring(text, CAST(f*16+1 AS BIGINT), 16)) AS frame_digest " +
+        "FROM p, UNNEST(generate_series(0, nf-1, 4)) t(f) " +
+        "WHERE nf >= 1 ORDER BY doc_id, frame_idx"))
   )
 }

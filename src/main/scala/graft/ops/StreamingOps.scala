@@ -254,6 +254,39 @@ object StreamingOps {
       Some("SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sv " +
         "FROM events GROUP BY event_type ORDER BY event_type")),
 
+    Q("p07_stream_stream_join",
+      // Watermarked stream-stream inner join: the error stream joins the
+      // click stream (a SECOND subscription of the same topic) per user
+      // within a 6-hour lookback. Both sides carry watermarks AND the
+      // join predicate carries the time-range bound — that pair is what
+      // lets Spark size and expire the join state instead of buffering
+      // both streams forever, the only shape that survives an unbounded
+      // stream at scale.
+      (s, d) => {
+        val (ep, subE) = publishEvents(s, d)
+        val (_, subC) = publishEvents(s, d) // same topic, own subscription
+        def side(sub: String, prefix: String) =
+          sourceDF(s, ep, sub).selectExpr(
+            "CAST(data AS STRING) AS et",
+            s"timestamp_micros(CAST(attributes['ts'] AS BIGINT)) AS ${prefix}_ts",
+            s"CAST(attributes['uid'] AS BIGINT) AS ${prefix}_uid")
+        val errors = side(subE, "e").filter(col("et") === "error").drop("et")
+          .withWatermark("e_ts", "10 seconds")
+        val clicks = side(subC, "c").filter(col("et") === "click").drop("et")
+          .withWatermark("c_ts", "10 seconds")
+        val joined = errors.join(clicks, expr(
+          "e_uid = c_uid AND c_ts >= e_ts - INTERVAL 6 HOURS AND c_ts <= e_ts"))
+        drain(joined.select(col("e_uid")), "append")
+          .groupBy(col("e_uid").as("user_id"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("user_id")
+      },
+      Some("SELECT e.user_id AS user_id, COUNT(*) AS n_pairs " +
+        "FROM events e JOIN events c ON e.user_id = c.user_id " +
+        "AND c.ts >= e.ts - INTERVAL 6 HOUR AND c.ts <= e.ts " +
+        "WHERE e.event_type = 'error' AND c.event_type = 'click' " +
+        "GROUP BY 1 ORDER BY user_id")),
+
     Q("b03_json_scalar",
       // JSON scalar extraction over events.props (B3).
       (s, d) => Tables.load(s, d, "events")

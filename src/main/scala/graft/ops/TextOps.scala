@@ -62,8 +62,8 @@ object TextOps {
       (s, d) => {
         // N-gram/stopword language-ID heuristic: score each language by
         // stopword hits, argmax with a fixed tie order. Deterministic and
-        // shuffle-free (per-row map only) — no oracle (not a SQL-dialect-
-        // portable computation); driver records a rows-only check.
+        // shuffle-free (per-row map only); the oracle rebuilds the same
+        // argmax from DuckDB's regexp_extract_all counts.
         val scores = stopwords.map { case (lang, re) =>
           lang -> regexp_count(col("text"), lit(s"\\b($re)\\b"))
         }
@@ -76,7 +76,17 @@ object TextOps {
             .otherwise("de").as("pred_lang"))
           .orderBy("doc_id")
       },
-      None),
+      Some("WITH sc AS (SELECT doc_id, " +
+        "len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b')) AS en, " +
+        "len(regexp_extract_all(text, '\\b(le|la|les|et|de|un|une)\\b')) AS fr, " +
+        "len(regexp_extract_all(text, '\\b(el|los|las|y|que|un|una)\\b')) AS es, " +
+        "len(regexp_extract_all(text, '\\b(der|die|das|und|ein|zu)\\b')) AS de " +
+        "FROM documents) " +
+        "SELECT doc_id, CASE " +
+        "WHEN en >= fr AND en >= es AND en >= de THEN 'en' " +
+        "WHEN fr >= es AND fr >= de THEN 'fr' " +
+        "WHEN es >= de THEN 'es' ELSE 'de' END AS pred_lang " +
+        "FROM sc ORDER BY doc_id")),
 
     Q("t04_fingerprint",
       (s, d) => docs(s, d)
