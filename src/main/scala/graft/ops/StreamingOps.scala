@@ -168,6 +168,27 @@ object StreamingOps {
       },
       Some("SELECT COUNT(*) AS cnt FROM events")),
 
+    Q("p08_stream_dedup_watermark",
+      // Bounded-state streaming dedup: p03's dropDuplicates keeps every
+      // key seen forever (state grows without bound on an unbounded
+      // stream); dropDuplicatesWithinWatermark expires dedup state once
+      // the event-time watermark passes, which is the only shape that
+      // holds at 100 TB/stream. The fixture publishes every event twice
+      // with the same event time, so duplicates always land inside the
+      // watermark and the result is exact.
+      (s, d) => {
+        val (ep, sub) = publishEvents(s, d, copies = 2)
+        val deduped = sourceDF(s, ep, sub)
+          .selectExpr(
+            "attributes['eid'] AS eid",
+            "timestamp_micros(CAST(attributes['ts'] AS BIGINT)) AS ts")
+          .withWatermark("ts", "10 seconds")
+          .dropDuplicatesWithinWatermark("eid")
+        drain(deduped.select("eid"), "append")
+          .agg(count(lit(1)).as("cnt"))
+      },
+      Some("SELECT COUNT(*) AS cnt FROM events")),
+
     Q("p04_stateful_counts",
       // Custom stateful streaming operator (flatMapGroupsWithState): a
       // per-user running event counter. Each batch emits the per-user
@@ -310,6 +331,25 @@ object StreamingOps {
         "ROUND(CAST(embedding[1] AS DOUBLE), 4) AS e1, " +
         "ROUND(list_sum(list_transform(embedding[1:8], " +
         "x -> CAST(x AS DOUBLE))), 4) AS s8 " +
-        "FROM embeddings ORDER BY vec_id"))
+        "FROM embeddings ORDER BY vec_id")),
+
+    Q("b05_partitioned_write",
+      // Partitioned-parquet output round-trip: the layout a training-data
+      // pipeline actually ships (hive-style lang=<v> directories so
+      // downstream readers partition-prune instead of scanning 100 TB).
+      // Writes with partitionBy, reads back through the pruned layout,
+      // and aggregates — write path + partition discovery are both on the
+      // hash-checked path.
+      (s, d) => {
+        val out = Files.createTempDirectory("graft-pwrite").toString
+        Tables.load(s, d, "documents")
+          .write.mode("overwrite").partitionBy("lang").parquet(out)
+        s.read.parquet(out)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("cnt"), sum("n_chars").as("total_chars"))
+          .orderBy("lang")
+      },
+      Some("SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) " +
+        "AS total_chars FROM documents GROUP BY lang ORDER BY lang"))
   )
 }
