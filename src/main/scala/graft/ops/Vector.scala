@@ -23,11 +23,18 @@ object Vector {
   private val NQueries = 8 // query vectors: vec_id < 8
 
   /** Deterministic random hyperplanes for the LSH family (fixed seed),
-    * as ARRAY<FLOAT> literals so the native dot product applies. */
-  private val NPlanes = 6
-  private lazy val planes: Seq[String] = {
+    * as ARRAY<FLOAT> literals so the native dot product applies.
+    * NTables independent tables of BitsPerTable sign bits each:
+    * AND-amplification within a table (all bits must match) keeps
+    * candidate lists short; OR-amplification across tables (a candidate
+    * needs to collide in ANY table) recovers recall — the standard LSH
+    * trade, and the only way to useful recall when true neighbors sit at
+    * cosine ~0.3 (as in this synthetic corpus). */
+  private val NTables = 4
+  private val BitsPerTable = 6
+  private lazy val tablePlanes: Seq[Seq[String]] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(NPlanes)(Array.fill(64)(rnd.nextGaussian())
+    Seq.fill(NTables, BitsPerTable)(Array.fill(64)(rnd.nextGaussian())
       .map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")"))
   }
 
@@ -68,31 +75,47 @@ object Vector {
 
     Q("s02_ann_lsh",
       (s, d) => {
-        // Random-hyperplane LSH: 6 sign bits -> 64 buckets. Queries
-        // multiprobe their own bucket plus all hamming-1 neighbors, then
-        // rerank candidates by exact cosine. Approximate by construction,
-        // so no SQL oracle; the driver records a rows-only check.
+        // Multi-table random-hyperplane LSH (4 tables x 6 sign bits),
+        // hamming-1 multiprobe per table. Candidate generation is a
+        // NARROW equi-join on (table, code) — only (vec_id, tbl, code)
+        // rows cross the wire, never embeddings; the exact-cosine rerank
+        // re-joins embeddings for the surviving candidates only. That
+        // split (narrow index join, then fat rerank on the short list) is
+        // what makes the shape hold when the corpus is 100 TB.
+        // Approximate by construction, so no SQL oracle; recall vs the
+        // exact top-k is asserted in SketchAccuracySpec.
         val n = Dedup.normed(s, d)
-        val codeExpr = planes.zipWithIndex
+        val codeExprs = tablePlanes.map(_.zipWithIndex
           .map { case (p, j) =>
             when(graft.functions.VectorExpressions
               .dotF32(col("embedding"), expr(p)) > 0, lit(1 << j))
               .otherwise(lit(0)) }
-          .reduce(_ + _)
-        val coded = n.withColumn("code", codeExpr)
-        val probes = (0 until NPlanes)
+          .reduce(_ + _))
+        // (vec_id, tbl, code): the inverted index, one row per table
+        val codes = n.select(col("vec_id"),
+          posexplode(array(codeExprs: _*)).as(Seq("tbl", "code")))
+        val probes = (0 until BitsPerTable)
           .map(i => col("code").bitwiseXOR(lit(1 << i))) :+ col("code")
-        val q = coded.filter(col("vec_id") < NQueries)
+        val qProbes = codes.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"), col("tbl"),
+            explode(array(probes: _*)).as("probe"))
+        val cand = broadcast(qProbes).as("q")
+          .join(codes.as("c"),
+            col("q.tbl") === col("c.tbl") &&
+              col("q.probe") === col("c.code") &&
+              col("q.query_id") =!= col("c.vec_id"))
+          .select(col("q.query_id"), col("c.vec_id").as("neighbor_id"))
+          .distinct()
+        val qv = n.filter(col("vec_id") < NQueries)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-            col("nrm").as("qn"), explode(array(probes: _*)).as("probe"))
+            col("nrm").as("qn"))
         val w = Window.partitionBy("query_id")
           .orderBy(col("cos").desc, col("neighbor_id"))
-        broadcast(q)
-          .join(coded, col("probe") === col("code") &&
-            col("query_id") =!= col("vec_id"))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cand
+          .join(broadcast(qv), "query_id")
+          .join(n, col("neighbor_id") === n("vec_id"))
+          .select(col("query_id"), col("neighbor_id"),
             (dot("qe", "embedding") / (col("qn") * col("nrm"))).as("cos"))
-          .distinct()
           .withColumn("rnk", row_number().over(w).cast("bigint"))
           .filter(col("rnk") <= K)
           .select(col("query_id"), col("neighbor_id"), col("rnk"),
@@ -121,7 +144,12 @@ object Vector {
           .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
           .select(col("label").as("list_id"),
             expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("centroid"))
-        // queries probe their 2 nearest centroids
+        // Queries probe their nProbe nearest centroids. nProbe=4 of 10
+        // lists here: this synthetic corpus is nearly unclustered, so the
+        // quantizer's signal is weak and recall is bought by probing
+        // wider (recall floor asserted in SketchAccuracySpec). On a real
+        // clustered corpus nProbe/nlist would be far smaller.
+        val nProbe = 4
         val q = n.filter(col("vec_id") < NQueries)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
             col("nrm").as("qn"))
@@ -133,7 +161,7 @@ object Vector {
             graft.functions.VectorExpressions
               .dotF32(col("qe"), col("centroid")).as("cdist"))
           .withColumn("pr", row_number().over(wProbe))
-          .filter(col("pr") <= 2)
+          .filter(col("pr") <= nProbe)
           .select(col("query_id"), col("qe"), col("qn"), col("list_id"))
         // search only the probed lists, rerank by exact cosine
         val listed = n.join(emb.select(col("vec_id"), col("label")), "vec_id")

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The approximate queries have no DuckDB oracle (rows-only in the gate),
+  * so their accuracy contracts are asserted here instead: HLL distinct
+  * within its rsd bound, and the ANN variants' recall against the exact
+  * brute-force top-k.
+  */
+class SketchAccuracySpec extends AnyFunSuite with Matchers {
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def run(name: String) =
+    SparkEntry.allDefs.find(_.name == name).get.run(spark, sfDir)
+
+  test("a27: HLL approx distinct within 3x the default 5% rsd of exact") {
+    val approx = run("a27_approx_distinct").collect().head
+    val exact = Tables.load(spark, sfDir, "lineitem")
+      .agg(countDistinct(col("l_partkey")), countDistinct(col("l_suppkey")))
+      .collect().head
+    for (i <- 0 to 1) {
+      val rel = math.abs(approx.getLong(i).toDouble - exact.getLong(i)) /
+        exact.getLong(i)
+      withClue(s"col $i approx=${approx.getLong(i)} exact=${exact.getLong(i)}: ")(
+        rel should be < 0.15)
+    }
+  }
+
+  test("s02/s03: approximate neighbors overlap the exact top-k") {
+    val exact = run("s01_cosine_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (name <- Seq("s02_ann_lsh", "s03_ann_ivf")) {
+      val approx = run(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (approx & exact).size.toDouble / exact.size
+      withClue(s"$name recall vs exact top-k: ")(recall should be >= 0.5)
+    }
+  }
+}
