@@ -7,6 +7,9 @@ import org.apache.spark.sql.functions._
 /** One decoded "frame" batch emitted by the (stubbed) media decoder. */
 final case class MediaFrames(doc_id: Long, n_frames: Long, mean_val: Double)
 
+/** A (stub-)resized media payload: target geometry + content digest. */
+final case class ResizedMedia(doc_id: Long, out_bytes: Long, digest: String)
+
 /** Multimodal-column plumbing: media payloads are opaque `binary` columns
   * with typed metadata. The real decode step (image/audio codecs) is NOT
   * available in this container, so `FakeDecoder` below is a clearly-marked
@@ -94,6 +97,39 @@ object Multimodal {
         "SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, " +
         "md5(substring(text, CAST(f*16+1 AS BIGINT), 16)) AS frame_digest " +
         "FROM p, UNNEST(generate_series(0, nf-1, 4)) t(f) " +
-        "WHERE nf >= 1 ORDER BY doc_id, frame_idx"))
+        "WHERE nf >= 1 ORDER BY doc_id, frame_idx")),
+
+    Q("m04_resize",
+      // Resize path: STUB "decoder" downsamples the payload by a fixed
+      // stride (a real codec would decode + bilinear-resample; the libs
+      // aren't in this container). The Spark side is the real thing:
+      // typed Dataset in, partition-local batch transform, fixed-schema
+      // (doc_id, out_bytes, digest) out — identical plumbing to a
+      // thumbnailing pass over 100 TB of images, where the only shuffle
+      // is whatever the caller does with the result. The oracle rebuilds
+      // the same stride-4 downsample over the (ASCII) payload as a
+      // string, so even the stub is hash-checked.
+      (s, d) => {
+        import s.implicits._
+        val Stride = 4
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, payload) =>
+            val thumb = payload.indices.collect {
+              case i if i % Stride == 0 => payload(i)
+            }.toArray
+            ResizedMedia(id, thumb.length.toLong,
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(thumb).map("%02x".format(_)).mkString)
+          })
+          .toDF()
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, CAST((length(text)+3)//4 AS BIGINT) AS out_bytes, " +
+        "md5(array_to_string(list_transform(" +
+        "generate_series(1, length(text), 4), " +
+        "i -> substring(text, CAST(i AS BIGINT), 1)), '')) AS digest " +
+        "FROM documents ORDER BY doc_id"))
   )
 }
