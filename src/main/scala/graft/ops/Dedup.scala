@@ -201,6 +201,43 @@ object Dedup {
         "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
         "(a.nrm * b.nrm) AS cos FROM n a JOIN n b ON a.vec_id < b.vec_id) " +
         "SELECT vec_a, vec_b, ROUND(cos, 4) AS cos FROM p " +
-        "WHERE cos >= 0.45 ORDER BY vec_a, vec_b"))
+        "WHERE cos >= 0.45 ORDER BY vec_a, vec_b")),
+
+    Q("d06_embed_cosine_lsh",
+      // The 100 TB version of d05: candidate pairs come from the
+      // multi-table LSH index (match in ANY table on the exact code or a
+      // hamming-1 probe), then ONLY candidates get the exact double-
+      // precision cosine + threshold. d05's all-pairs BNLJ is O(n²) in
+      // dot products; here pair generation is an equi-join on
+      // (table, code) — shuffle-partitioned by bucket — and the exact
+      // math runs on the short list. Approximate by construction
+      // (candidate recall < 1), so rows-only in the gate; recall vs
+      // d05's exact pairs is asserted in SketchAccuracySpec.
+      (s, d) => {
+        val n = normed(s, d)
+        val codes = n.select(col("vec_id"),
+          posexplode(array(Vector.lshCodeExprs: _*)).as(Seq("tbl", "code")))
+        val probes = (0 until Vector.BitsPerTable)
+          .map(i => col("code").bitwiseXOR(lit(1 << i))) :+ col("code")
+        val probed = codes.select(col("vec_id"), col("tbl"),
+          explode(array(probes: _*)).as("probe"))
+        val cand = probed.as("a")
+          .join(codes.as("b"),
+            col("a.tbl") === col("b.tbl") &&
+              col("a.probe") === col("b.code") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+          .distinct()
+        val cos = (dot("x.embedding", "y.embedding") /
+          (col("x.nrm") * col("y.nrm")))
+        cand
+          .join(n.as("x"), col("vec_a") === col("x.vec_id"))
+          .join(n.as("y"), col("vec_b") === col("y.vec_id"))
+          .select(col("vec_a"), col("vec_b"), cos.as("cos"))
+          .filter(col("cos") >= 0.45)
+          .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+          .orderBy("vec_a", "vec_b")
+      },
+      None)
   )
 }

@@ -31,12 +31,22 @@ object Vector {
     * trade, and the only way to useful recall when true neighbors sit at
     * cosine ~0.3 (as in this synthetic corpus). */
   private val NTables = 4
-  private val BitsPerTable = 6
+  private[ops] val BitsPerTable = 6
   private lazy val tablePlanes: Seq[Seq[String]] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(NTables, BitsPerTable)(Array.fill(64)(rnd.nextGaussian())
       .map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")"))
   }
+
+  /** One bucket-code column per LSH table for an `embedding` column —
+    * shared by s02 (top-k ANN) and d06 (near-dup candidate generation). */
+  private[ops] def lshCodeExprs: Seq[Column] =
+    tablePlanes.map(_.zipWithIndex
+      .map { case (p, j) =>
+        when(graft.functions.VectorExpressions
+          .dotF32(col("embedding"), expr(p)) > 0, lit(1 << j))
+          .otherwise(lit(0)) }
+      .reduce(_ + _))
 
   val defs: Seq[Q] = Seq(
 
@@ -85,15 +95,9 @@ object Vector {
         // Approximate by construction, so no SQL oracle; recall vs the
         // exact top-k is asserted in SketchAccuracySpec.
         val n = Dedup.normed(s, d)
-        val codeExprs = tablePlanes.map(_.zipWithIndex
-          .map { case (p, j) =>
-            when(graft.functions.VectorExpressions
-              .dotF32(col("embedding"), expr(p)) > 0, lit(1 << j))
-              .otherwise(lit(0)) }
-          .reduce(_ + _))
         // (vec_id, tbl, code): the inverted index, one row per table
         val codes = n.select(col("vec_id"),
-          posexplode(array(codeExprs: _*)).as(Seq("tbl", "code")))
+          posexplode(array(lshCodeExprs: _*)).as(Seq("tbl", "code")))
         val probes = (0 until BitsPerTable)
           .map(i => col("code").bitwiseXOR(lit(1 << i))) :+ col("code")
         val qProbes = codes.filter(col("vec_id") < NQueries)

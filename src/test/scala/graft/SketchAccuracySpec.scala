@@ -37,6 +37,18 @@ class SketchAccuracySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("d06: LSH-candidate near-dup recovers most of d05's exact pairs") {
+    val exact = run("d05_embed_cosine_dup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = run("d06_embed_cosine_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH candidates are a subset of all pairs: no false positives
+    // (the exact cosine filter runs on candidates), only missed recall.
+    (approx -- exact) shouldBe empty
+    val recall = (approx & exact).size.toDouble / exact.size
+    withClue(s"d06 recall vs exact near-dup pairs: ")(recall should be >= 0.5)
+  }
+
   test("s02/s03: approximate neighbors overlap the exact top-k") {
     val exact = run("s01_cosine_topk").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
