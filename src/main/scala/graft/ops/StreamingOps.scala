@@ -308,6 +308,56 @@ object StreamingOps {
         "WHERE e.event_type = 'error' AND c.event_type = 'click' " +
         "GROUP BY 1 ORDER BY user_id")),
 
+    Q("p09_foreachbatch_fanout",
+      // The reference's documented multi-sink recipe (README.md:131):
+      // foreachBatch fans one micro-batch out to two sinks. The batch
+      // DataFrame is deliberately NOT persisted, so each sink triggers
+      // its own evaluation of the source — the replay cache must hand
+      // both the identical row set (the reference's show()+count()
+      // determinism test, PubsubConnectorTest.scala:141-145, as a
+      // hash-checked gate query). The fan-out writes raw rows to one
+      // parquet sink and pre-aggregated rows to another; the result
+      // re-aggregates sink 1 and cross-checks sink 2 against it.
+      (s, d) => {
+        val (ep, sub) = publishEvents(s, d)
+        val outDir = Files.createTempDirectory("graft-fanout").toString
+        val q = sourceDF(s, ep, sub)
+          .selectExpr("CAST(data AS STRING) AS event_type",
+            "CAST(attributes['value'] AS DOUBLE) AS value")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(s"$outDir/raw")
+            batch.groupBy("event_type")
+              .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+              .write.mode("append").parquet(s"$outDir/agg")
+          }
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-fanout-chk").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(300000)
+        val raw = s.read.parquet(s"$outDir/raw")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sv"))
+        // the two sinks must agree — replay determinism made them see
+        // the same rows even though each evaluated the source itself
+        // (counts exact; sums within float re-association tolerance)
+        val aggM = s.read.parquet(s"$outDir/agg")
+          .groupBy("event_type")
+          .agg(sum("cnt").as("cnt"), round(sum("sv"), 2).as("sv"))
+          .collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        val rawM = raw.collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        require(rawM.keySet == aggM.keySet &&
+          rawM.forall { case (k, (c, sv)) =>
+            aggM(k)._1 == c && math.abs(aggM(k)._2 - sv) <= 0.011 },
+          "foreachBatch sinks diverged: replay determinism broken")
+        raw.orderBy("event_type")
+      },
+      Some("SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sv " +
+        "FROM events GROUP BY event_type ORDER BY event_type")),
+
     Q("b03_json_scalar",
       // JSON scalar extraction over events.props (B3).
       (s, d) => Tables.load(s, d, "events")
