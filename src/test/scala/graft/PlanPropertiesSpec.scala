@@ -82,4 +82,31 @@ class PlanPropertiesSpec extends AnyFunSuite with Matchers {
     p should include("salt")
     (p should not).include("CartesianProduct")
   }
+
+  test("s02 multi-table LSH: candidate generation joins on (table, code) " +
+    "— equi-join, never cartesian") {
+    val p = plan("s02_ann_lsh")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("d06 LSH near-dup: candidate + rerank joins are equi-joins") {
+    val p = plan("d06_embed_cosine_lsh")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("m03 frame sampling: partition-local explode, no shuffle before " +
+    "the output sort") {
+    val p = plan("m03_frame_sample")
+    (p should not).include("Exchange hashpartitioning")
+  }
+
+  test("b05 partitioned write round-trip: the partition column comes " +
+    "from the directory layout, not the data files") {
+    val p = plan("b05_partitioned_write")
+    // lang is hive-partitioned: the parquet reader materializes only
+    // n_chars; lang would appear in ReadSchema if the layout were flat
+    p should include("ReadSchema: struct<n_chars:bigint>")
+  }
 }
