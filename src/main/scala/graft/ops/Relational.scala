@@ -441,6 +441,93 @@ object Relational {
         "ORDER BY ts DESC, event_id) AS rn FROM events) " +
         "WHERE rn = 1 ORDER BY user_id")),
 
+    Q("a31_window_suite",
+      // The distribution-window family in one pass: ntile buckets,
+      // percent_rank, cume_dist over per-nation account balances. One
+      // shuffle on the partition key; all four functions share a single
+      // window sort.
+      (s, d) => {
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, d)("customer")
+          .select(col("c_custkey"),
+            ntile(4).over(w).cast("bigint").as("quartile"),
+            round(percent_rank().over(w), 4).as("pr"),
+            round(cume_dist().over(w), 4).as("cd"))
+          .orderBy("c_custkey")
+      },
+      Some("SELECT c_custkey, " +
+        "CAST(NTILE(4) OVER w AS BIGINT) AS quartile, " +
+        "ROUND(PERCENT_RANK() OVER w, 4) AS pr, " +
+        "ROUND(CUME_DIST() OVER w, 4) AS cd " +
+        "FROM customer WINDOW w AS (PARTITION BY c_nationkey " +
+        "ORDER BY c_acctbal, c_custkey) ORDER BY c_custkey")),
+
+    Q("a32_range_frame",
+      // RANGE (value-based) window frame: sum of all orders within
+      // 10 000 of the current order's price, per customer — value frames
+      // are the window shape ROWS can't express. Same single shuffle on
+      // the partition key.
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice"))
+          .rangeBetween(-10000L, 0L)
+        t(s, d)("orders")
+          .select(col("o_orderkey"),
+            round(sum("o_totalprice").over(w), 2).as("nearby_sum"))
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, ROUND(SUM(o_totalprice) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_totalprice " +
+        "RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW), 2) " +
+        "AS nearby_sum FROM orders ORDER BY o_orderkey")),
+
+    Q("a33_string_suite",
+      // Wider string surface: regexp_replace, split_part, translate,
+      // lpad, reverse, levenshtein — all codegen'd built-ins, per-row
+      // map work with no shuffle before the output sort.
+      (s, d) => t(s, d)("customer")
+        .select(col("c_custkey"),
+          regexp_replace(col("c_name"), "[0-9]+", "#").as("masked"),
+          split_part(col("c_name"), lit("#"), lit(2)).as("num_part"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("tr"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+          reverse(col("c_name")).as("rev"),
+          levenshtein(col("c_mktsegment"), lit("MACHINERY")).cast("bigint")
+            .as("lev"))
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, " +
+        "regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked, " +
+        "split_part(c_name, '#', 2) AS num_part, " +
+        "translate(c_mktsegment, 'AEIOU', 'aeiou') AS tr, " +
+        "lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded, " +
+        "reverse(c_name) AS rev, " +
+        "levenshtein(c_mktsegment, 'MACHINERY') AS lev " +
+        "FROM customer ORDER BY c_custkey")),
+
+    Q("a34_date_suite",
+      // Wider date surface: month truncation, end-of-month, day/week
+      // extraction, day arithmetic against a fixed anchor. Dialect
+      // function names differ (Spark datediff vs DuckDB date_diff) but
+      // outputs align; dates emitted as ISO strings for hash parity.
+      (s, d) => t(s, d)("orders")
+        .select(col("o_orderkey"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+            .as("month_start"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+            .as("month_end"),
+          dayofweek(col("o_orderdate")).cast("bigint").as("dow"),
+          datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+            .cast("bigint").as("days_since"))
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, " +
+        "CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) " +
+        "AS month_start, " +
+        "CAST(last_day(o_orderdate) AS VARCHAR) AS month_end, " +
+        "CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow, " +
+        "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) " +
+        "AS days_since FROM orders ORDER BY o_orderkey")),
+
     Q("a27_approx_distinct",
       // HyperLogLog++ approximate distinct counts — the sketch every
       // 100 TB pipeline reaches for before an exact COUNT(DISTINCT).

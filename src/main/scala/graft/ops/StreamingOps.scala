@@ -27,6 +27,17 @@ object StreamingOps {
 
   private val publishedBrokers = mutable.Map[(String, Int), String]()
 
+  /** Scratch checkpoint dir for in-gate streams. Prefers tmpfs
+    * (/dev/shm): the offset/commit-log fsyncs per micro-batch are pure
+    * harness overhead locally — a cluster would point this at HDFS/S3,
+    * where the same fsyncs are the durability contract. */
+  private[ops] def tmpCheckpoint(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm))
+      Files.createTempDirectory(shm, prefix).toString
+    else Files.createTempDirectory(prefix).toString
+  }
+
   /** Publish events rows (event_type payload + attribute map) once per
     * (fixture dir, copies) to a retaining topic; each caller gets its own
     * fresh subscription backfilled from topic retention, so p01–p04 share
@@ -99,8 +110,7 @@ object StreamingOps {
         s.conf.set("spark.sql.shuffle.partitions", "8")
         val q = df.writeStream.format("memory").queryName(name)
           .outputMode(mode)
-          .option("checkpointLocation",
-            Files.createTempDirectory("graft-stream").toString)
+          .option("checkpointLocation", tmpCheckpoint("graft-stream"))
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination(300000)
@@ -260,8 +270,7 @@ object StreamingOps {
           .option("project_id", "p")
           .option("topic", "relay")
           .option("endpoint", ep)
-          .option("checkpointLocation",
-            Files.createTempDirectory("graft-relay").toString)
+          .option("checkpointLocation", tmpCheckpoint("graft-relay"))
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination(300000)
@@ -331,8 +340,7 @@ object StreamingOps {
               .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
               .write.mode("append").parquet(s"$outDir/agg")
           }
-          .option("checkpointLocation",
-            Files.createTempDirectory("graft-fanout-chk").toString)
+          .option("checkpointLocation", tmpCheckpoint("graft-fanout-chk"))
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination(300000)
