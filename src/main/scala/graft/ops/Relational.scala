@@ -528,6 +528,90 @@ object Relational {
         "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) " +
         "AS days_since FROM orders ORDER BY o_orderkey")),
 
+    Q("a35_full_outer_join",
+      // FULL OUTER of two per-nation aggregates: customers vs suppliers.
+      // Both sides pre-aggregate BEFORE the join (map-side partial then
+      // one shuffle each), so the outer join runs on nation-cardinality
+      // inputs, not fact tables — the aggregate-then-join shape that
+      // keeps outer joins cheap at scale.
+      (s, d) => {
+        val c = t(s, d)("customer").groupBy(col("c_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n_cust"))
+        val su = t(s, d)("supplier").groupBy(col("s_nationkey").as("snk"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(su, col("nk") === col("snk"), "full_outer")
+          .select(coalesce(col("nk"), col("snk")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy("nationkey")
+      },
+      Some("SELECT COALESCE(c.nk, s.snk) AS nationkey, " +
+        "COALESCE(c.n_cust, 0) AS n_cust, COALESCE(s.n_supp, 0) AS n_supp " +
+        "FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer " +
+        "GROUP BY 1) c FULL OUTER JOIN (SELECT s_nationkey AS snk, " +
+        "COUNT(*) AS n_supp FROM supplier GROUP BY 1) s ON c.nk = s.snk " +
+        "ORDER BY nationkey")),
+
+    Q("a36_stats_agg",
+      // Statistical aggregates: stddev/variance/correlation/covariance
+      // plus argmin/argmax — all single-pass, mergeable (map-side
+      // partial) aggregates, the statistics a data-quality pass computes
+      // per group at scale.
+      (s, d) => t(s, d)("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_extendedprice")), 2).as("var_price"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("corr_qp"),
+          round(covar_pop(col("l_discount"), col("l_tax")), 6).as("cov_dt"),
+          // composite ordering key: unique per row, identical IEEE
+          // arithmetic on both engines (struct ordering isn't portable
+          // to DuckDB's ARG_MIN)
+          min_by(col("l_orderkey"), col("l_extendedprice") * lit(1e9)
+            + col("l_orderkey") * lit(10) + col("l_linenumber"))
+            .as("cheapest_order"),
+          max_by(col("l_orderkey"), col("l_extendedprice") * lit(1e9)
+            + col("l_orderkey") * lit(10) + col("l_linenumber"))
+            .as("dearest_order"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, " +
+        "ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty, " +
+        "ROUND(VAR_SAMP(l_extendedprice), 2) AS var_price, " +
+        "ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qp, " +
+        "ROUND(COVAR_POP(l_discount, l_tax), 6) AS cov_dt, " +
+        "ARG_MIN(l_orderkey, l_extendedprice * 1000000000 + " +
+        "l_orderkey * 10 + l_linenumber) AS cheapest_order, " +
+        "ARG_MAX(l_orderkey, l_extendedprice * 1000000000 + " +
+        "l_orderkey * 10 + l_linenumber) AS dearest_order " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    Q("a37_null_funcs",
+      // NULL-handling surface over the nullable side of a left join:
+      // COALESCE, NULLIF, null-aware CASE, and count/sum behavior over
+      // nulls — the semantics every pipeline join depends on.
+      (s, d) => t(s, d)("customer")
+        .join(t(s, d)("orders").filter(col("o_totalprice") > 250000),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("n_big"),
+          coalesce(round(sum("o_totalprice"), 2), lit(0.0)).as("sum_big"),
+          sum(when(col("o_orderkey").isNull, 1).otherwise(0))
+            .as("null_rows"))
+        .select(col("c_custkey"), col("n_big"),
+          col("sum_big"),
+          nullif(col("null_rows"), lit(0L)).as("null_marker"))
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, COUNT(o_orderkey) AS n_big, " +
+        "COALESCE(ROUND(SUM(o_totalprice), 2), 0.0) AS sum_big, " +
+        "NULLIF(CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT), 0) AS null_marker " +
+        "FROM customer LEFT JOIN (SELECT * FROM orders WHERE " +
+        "o_totalprice > 250000) o ON c_custkey = o_custkey " +
+        "GROUP BY c_custkey ORDER BY c_custkey")),
+
     Q("a27_approx_distinct",
       // HyperLogLog++ approximate distinct counts — the sketch every
       // 100 TB pipeline reaches for before an exact COUNT(DISTINCT).
