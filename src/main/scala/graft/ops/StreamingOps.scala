@@ -23,6 +23,27 @@ import org.apache.spark.sql.streaming.Trigger
   * a real service on a cluster); publishing happens from executors via
   * foreachPartition, the shape a distributed producer would have.
   */
+/** Per-user running event counter on the Spark 4 arbitrary-state API:
+  * typed ValueState survives across micro-batches; each batch emits the
+  * per-key increment (see p10). */
+class UserEventCounter
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Long, (Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var total: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    total = getHandle.getValueState[Long]("total",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Long],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    val inc = rows.size.toLong
+    total.update((if (total.exists()) total.get() else 0L) + inc)
+    Iterator.single((key, inc))
+  }
+}
+
 object StreamingOps {
 
   private val publishedBrokers = mutable.Map[(String, Int), String]()
@@ -316,6 +337,46 @@ object StreamingOps {
         "AND c.ts >= e.ts - INTERVAL 6 HOUR AND c.ts <= e.ts " +
         "WHERE e.event_type = 'error' AND c.event_type = 'click' " +
         "GROUP BY 1 ORDER BY user_id")),
+
+    Q("p10_transform_with_state",
+      // Spark 4's transformWithState — the successor to
+      // flatMapGroupsWithState (p04): typed per-key ValueState managed by
+      // a StatefulProcessor, running on the RocksDB state store provider
+      // (disk-backed + changelog-checkpointed, the store that actually
+      // holds 100 TB-scale state; the default HDFS-backed store keeps
+      // every key on-heap). Emits per-batch increments like p04, so the
+      // post-hoc sum is batching-invariant.
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        val (ep, sub) = publishEvents(s, d)
+        val uids = sourceDF(s, ep, sub)
+          .selectExpr("CAST(attributes['uid'] AS BIGINT) AS uid")
+          .as[Long]
+        val increments = uids.groupByKey(identity)
+          .transformWithState(new UserEventCounter,
+            TimeMode.None(), OutputMode.Append())
+          .toDF("user_id", "inc")
+        val prevProvider =
+          s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        val sunk =
+          try {
+            s.conf.set("spark.sql.streaming.stateStore.providerClass",
+              "org.apache.spark.sql.execution.streaming.state." +
+                "RocksDBStateStoreProvider")
+            drain(increments, "append")
+          } finally prevProvider match {
+            case Some(p) => s.conf.set(
+              "spark.sql.streaming.stateStore.providerClass", p)
+            case None => s.conf.unset(
+              "spark.sql.streaming.stateStore.providerClass")
+          }
+        sunk.groupBy("user_id")
+          .agg(sum("inc").as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("SELECT user_id, COUNT(*) AS n_events FROM events " +
+        "GROUP BY user_id ORDER BY user_id")),
 
     Q("p09_foreachbatch_fanout",
       // The reference's documented multi-sink recipe (README.md:131):
