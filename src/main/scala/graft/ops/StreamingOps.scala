@@ -10,6 +10,7 @@ import graft.pubsub.EmbeddedBroker
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{MapType, StringType}
 
 /** Streaming-surface proofs that run inside the batch correctness gate:
   * each query publishes fixture rows through the embedded broker, runs a
@@ -451,6 +452,26 @@ object StreamingOps {
         "ROUND(list_sum(list_transform(embedding[1:8], " +
         "x -> CAST(x AS DOUBLE))), 4) AS s8 " +
         "FROM embeddings ORDER BY vec_id")),
+
+    Q("b06_map_ops",
+      // Map-column surface (B2 beyond the stream's attributes map):
+      // parse events.props into MAP<STRING,STRING>, then key listing,
+      // cardinality, and typed element access — per-row map work,
+      // codegen'd, no shuffle before the output sort.
+      (s, d) => Tables.load(s, d, "events")
+        .select(col("event_id"),
+          from_json(col("props"), MapType(StringType, StringType))
+            .as("m"))
+        .select(col("event_id"),
+          size(col("m")).cast("bigint").as("n_keys"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("keys_sorted"),
+          element_at(col("m"), "k").cast("bigint").as("kval"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, " +
+        "CAST(len(json_keys(props)) AS BIGINT) AS n_keys, " +
+        "array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted, " +
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS kval " +
+        "FROM events ORDER BY event_id")),
 
     Q("b05_partitioned_write",
       // Partitioned-parquet output round-trip: the layout a training-data
