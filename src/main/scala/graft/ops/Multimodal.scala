@@ -38,8 +38,12 @@ object Multimodal {
       val mean =
         if (sampled.isEmpty) 0.0
         else sampled.map(b => (b & 0xff).toDouble).sum / sampled.size
+      // HALF_UP to match SQL ROUND semantics (the byte sums are exact
+      // integers in doubles, so the quotient is bit-identical across
+      // engines and rounding is the only divergence point)
       MediaFrames(docId, nFrames.toLong,
-        math.rint(mean * 10000) / 10000)
+        BigDecimal(mean).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
     }
   }
 
@@ -61,7 +65,9 @@ object Multimodal {
     Q("m02_frame_features",
       // Decode/feature-extract path: typed Dataset + mapPartitions so the
       // (stub) decoder amortizes any per-batch init across a partition —
-      // the same shape as a vectorized decode over binary batches.
+      // the same shape as a vectorized decode over binary batches. The
+      // oracle rebuilds the stub's frame math over the (ASCII) payload as
+      // a string, so even the mapPartitions path is hash-checked.
       (s, d) => {
         import s.implicits._
         Tables.load(s, d, "documents")
@@ -73,7 +79,17 @@ object Multimodal {
           .toDF()
           .orderBy("doc_id")
       },
-      None),
+      Some("WITH p AS (SELECT doc_id, text, length(text)//16 AS nf " +
+        "FROM documents), " +
+        "b AS (SELECT doc_id, " +
+        "unicode(substring(text, CAST(f*16+o AS BIGINT), 1)) AS v " +
+        "FROM p, UNNEST(generate_series(0, nf-1, 4)) t(f), " +
+        "UNNEST(generate_series(1, 16)) u(o) WHERE nf >= 1), " +
+        "m AS (SELECT doc_id, ROUND(SUM(v)::DOUBLE / COUNT(*), 4) AS mv " +
+        "FROM b GROUP BY doc_id) " +
+        "SELECT p.doc_id, CAST(p.nf AS BIGINT) AS n_frames, " +
+        "COALESCE(m.mv, 0.0) AS mean_val " +
+        "FROM p LEFT JOIN m ON p.doc_id = m.doc_id ORDER BY p.doc_id")),
 
     Q("m03_frame_sample",
       // Frame-sampling as a relational op: slice the opaque binary payload
