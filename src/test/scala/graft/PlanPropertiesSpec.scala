@@ -83,6 +83,15 @@ class PlanPropertiesSpec extends AnyFunSuite with Matchers {
     (p should not).include("CartesianProduct")
   }
 
+  test("driver contract: SparkEntry.entry returns rows and every query " +
+    "has matching oracle column names") {
+    SparkEntry.entry(spark).count() should be > 0L
+    // every oracle-checked query must name its columns identically in
+    // both forms — the driver hashes after sorting columns BY NAME
+    SparkEntry.oracleSql.keySet shouldBe
+      SparkEntry.allDefs.filter(_.oracle.isDefined).map(_.name).toSet
+  }
+
   test("s02 multi-table LSH: candidate generation joins on (table, code) " +
     "— equi-join, never cartesian") {
     val p = plan("s02_ann_lsh")
