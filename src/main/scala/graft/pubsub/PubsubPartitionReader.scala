@@ -107,7 +107,22 @@ class PubsubPartitionReader(p: PubsubInputPartition)
 object ReplayCache {
 
   // Compact length-prefixed binary layout (java serialization of many
-  // small Maps was measurable at 100k+ messages per partition).
+  // small Maps was measurable at 100k+ messages per partition). Strings
+  // are raw length-prefixed UTF-8, NOT DataOutput.writeUTF — writeUTF
+  // silently caps at 64 KB and a large attribute value would corrupt
+  // the cache (caught by the BrokerPropertiesSpec round-trip property).
+
+  private def writeStr(out: DataOutputStream, s: String): Unit = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out.writeInt(b.length)
+    out.write(b)
+  }
+
+  private def readStr(in: DataInputStream): String = {
+    val b = new Array[Byte](in.readInt())
+    in.readFully(b)
+    new String(b, java.nio.charset.StandardCharsets.UTF_8)
+  }
 
   def read(path: String): Option[Seq[(String, EmbeddedBroker.Message)]] = {
     val p = new Path(path)
@@ -119,14 +134,14 @@ object ReplayCache {
       try {
         val count = in.readInt()
         Some(Seq.fill(count) {
-          val ackId = in.readUTF()
-          val messageId = in.readUTF()
-          val orderingKey = in.readUTF()
+          val ackId = readStr(in)
+          val messageId = readStr(in)
+          val orderingKey = readStr(in)
           val ts = in.readLong()
           val data = new Array[Byte](in.readInt())
           in.readFully(data)
           val nAttrs = in.readInt()
-          val attrs = Seq.fill(nAttrs)(in.readUTF() -> in.readUTF()).toMap
+          val attrs = Seq.fill(nAttrs)(readStr(in) -> readStr(in)).toMap
           (ackId,
             EmbeddedBroker.Message(messageId, data, attrs, orderingKey, ts))
         })
@@ -153,15 +168,15 @@ object ReplayCache {
     try {
       out.writeInt(msgs.size)
       msgs.foreach { case (ackId, m) =>
-        out.writeUTF(ackId)
-        out.writeUTF(m.messageId)
-        out.writeUTF(m.orderingKey)
+        writeStr(out, ackId)
+        writeStr(out, m.messageId)
+        writeStr(out, m.orderingKey)
         out.writeLong(m.publishTimestampMicros)
         out.writeInt(m.data.length)
         out.write(m.data)
         out.writeInt(m.attributes.size)
         m.attributes.foreach { case (k, v) =>
-          out.writeUTF(k); out.writeUTF(v)
+          writeStr(out, k); writeStr(out, v)
         }
       }
     } finally out.close()
