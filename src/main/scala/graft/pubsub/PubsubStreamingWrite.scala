@@ -106,6 +106,9 @@ class PubsubDataWriter(f: PubsubWriterFactory, partitionId: Int,
   private var chunkNo = 0L
 
   override def write(row: InternalRow): Unit = {
+    if (row.isNullAt(f.dataIdx)) throw new IllegalArgumentException(
+      "sink column 'data' must not be NULL (schema validation checks the " +
+        "type; nullability is only visible per-row)")
     val data = row.getBinary(f.dataIdx)
     val attrs: Map[String, String] =
       if (f.attrIdx < 0 || row.isNullAt(f.attrIdx)) Map.empty
