@@ -69,19 +69,32 @@ object Dedup {
 
     Q("d02_minhash_lsh",
       (s, d) => {
-        val sh = shingles(s, d)
         // k minhashes in ONE aggregation: hash the shingle under k seeds,
         // take per-doc minima (map-side partial aggregation applies).
+        // The hash family is seeded md5, sliced into four 8-hex-char
+        // (32-bit) hashes per digest — fixed-length hex sorts
+        // lexicographically == numerically, so MIN over the strings IS
+        // the minhash, and md5 is bit-identical across engines, which
+        // makes the whole operator hash-checkable against the DuckDB
+        // oracle (murmur3 was Spark-only). Slicing 4 hashes per md5
+        // keeps it to 8 digests per shingle (32-bit slices collide with
+        // ~1e-5 probability across a 45k-shingle corpus — noise next to
+        // minhash's own estimation variance); codegen CSE shares each
+        // digest across its 4 slices.
+        val sh = shingles(s, d)
         val hashed = sh.select(col("doc_id") +:
-          (0 until MinhashK).map(i =>
-            hash(col("s"), lit(i)).cast("long").as(s"h$i")): _*)
+          (0 until MinhashK).map { i =>
+            val (seed, slice) = (i / 4, i % 4)
+            expr(s"substring(md5(concat('$seed:', s)), ${8 * slice + 1}, 8)")
+              .as(s"h$i")
+          }: _*)
         val minCols = (0 until MinhashK).map(i => min(s"h$i").as(s"m$i"))
         val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
         // LSH banding: docs agreeing on all rows of any band collide.
         val bandCols = (0 until Bands).map { j =>
           val cols = (0 until MinhashK / Bands).map(r =>
             col(s"m${j * (MinhashK / Bands) + r}"))
-          hash(cols :+ lit(j): _*)
+          md5(concat_ws(",", cols :+ lit(j.toString): _*))
         }
         val bands = sig
           .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
@@ -106,30 +119,66 @@ object Dedup {
             round(col("est_jac"), 4).as("est_jac"))
           .orderBy("doc_a", "doc_b")
       },
-      None),
+      Some {
+        val R = MinhashK / Bands
+        val minCols = (0 until MinhashK).map { i =>
+          val (seed, slice) = (i / 4, i % 4)
+          s"MIN(substring(md5(concat('$seed:', s)), ${8 * slice + 1}, 8)) " +
+            s"AS m$i"
+        }.mkString(", ")
+        val bandSelects = (0 until Bands).map { j =>
+          val cols = (0 until R).map(r => s"m${j * R + r}").mkString(", ")
+          s"SELECT doc_id, $j AS band, md5(concat_ws(',', $cols, '$j')) " +
+            "AS bh FROM sig"
+        }.mkString(" UNION ALL ")
+        val agree = (0 until MinhashK).map(i =>
+          s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w " +
+          "FROM documents), " +
+          "sh AS (SELECT DISTINCT doc_id, " +
+          "array_to_string(list_slice(w, g, g+2), ' ') AS s FROM toks, " +
+          "UNNEST(generate_series(1, len(w)-2)) AS t(g)), " +
+          s"sig AS (SELECT doc_id, $minCols FROM sh GROUP BY doc_id), " +
+          s"bands AS ($bandSelects), " +
+          "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+          "FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh " +
+          "AND a.doc_id < b.doc_id), " +
+          s"ag AS (SELECT doc_a, doc_b, ($agree) AS agree FROM cand " +
+          "JOIN sig sa ON doc_a = sa.doc_id " +
+          "JOIN sig sb ON doc_b = sb.doc_id) " +
+          s"SELECT doc_a, doc_b, ROUND(CAST(agree AS DOUBLE)/$MinhashK, 4) " +
+          s"AS est_jac FROM ag WHERE CAST(agree AS DOUBLE)/$MinhashK >= 0.5 " +
+          "ORDER BY doc_a, doc_b"
+      }),
 
     Q("d03_simhash",
       (s, d) => {
-        // Term-frequency SimHash: each word votes +/-1 on all 64 bits of
-        // its xxhash64; the sign vector packs into one 64-bit signature.
+        // Term-frequency SimHash: each word occurrence votes +/-1 on all
+        // 60 bits of its hash; the sign vector packs into one 60-bit
+        // signature. The word hash is md5 truncated to 15 hex chars
+        // (60 bits, fits a signed BIGINT) so the whole operator is
+        // portable and hash-checked against the oracle (xxhash64 was
+        // Spark-only).
         val words = docs(s, d)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-          .select(col("doc_id"), xxhash64(col("word")).as("h"))
-        val bitSums = (0 until 64).map(i =>
+          .select(col("doc_id"),
+            expr("CAST(conv(substring(md5(word), 1, 15), 16, 10) AS BIGINT)")
+              .as("h"))
+        val bitSums = (0 until 60).map(i =>
           sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
             .otherwise(-1)).as(s"b$i"))
-        val packed = (0 until 64).map(i =>
+        val packed = (0 until 60).map(i =>
           when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _)
         val sig = words.groupBy("doc_id")
           .agg(bitSums.head, bitSums.tail: _*)
           .select(col("doc_id"), packed.as("sim"))
         // Pigeonhole banding: at hamming distance <= 3 over 4 chunks of
-        // 16 bits, at least one chunk matches exactly, so the equi-join on
+        // 15 bits, at least one chunk matches exactly, so the equi-join on
         // (chunk index, chunk value) finds ALL pairs within the radius —
         // the banding is exact for radius 3, not probabilistic.
         val chunkCols = (0 until 4).map(j =>
-          shiftright(col("sim"), 16 * j).bitwiseAND(lit(0xFFFFL)))
+          shiftright(col("sim"), 15 * j).bitwiseAND(lit(0x7FFFL)))
         val chunks = sig
           .select(col("doc_id"), col("sim"),
             posexplode(array(chunkCols: _*)).as(Seq("pos", "chunk")))
@@ -144,7 +193,28 @@ object Dedup {
           .filter(col("dist") <= 3)
           .orderBy("doc_a", "doc_b")
       },
-      None),
+      Some {
+        val bitSums = (0 until 60).map(i =>
+          s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+          .mkString(", ")
+        val packed = (0 until 60).map(i =>
+          s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+        val chunkSelects = (0 until 4).map(j =>
+          s"SELECT doc_id, sim, $j AS pos, (sim >> ${15 * j}) & 32767 " +
+            "AS chunk FROM sig").mkString(" UNION ALL ")
+        "WITH wd AS (SELECT doc_id, " +
+          "CAST(concat('0x', substring(md5(word), 1, 15)) AS BIGINT) AS h " +
+          "FROM documents, UNNEST(string_split(text, ' ')) AS t(word)), " +
+          s"bits AS (SELECT doc_id, $bitSums FROM wd GROUP BY doc_id), " +
+          s"sig AS (SELECT doc_id, ($packed) AS sim FROM bits), " +
+          s"chunks AS ($chunkSelects) " +
+          "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+          "CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS dist " +
+          "FROM chunks a JOIN chunks b ON a.pos = b.pos " +
+          "AND a.chunk = b.chunk AND a.doc_id < b.doc_id " +
+          "WHERE bit_count(xor(a.sim, b.sim)) <= 3 " +
+          "ORDER BY doc_a, doc_b"
+      }),
 
     Q("d04_ngram_jaccard",
       (s, d) => {
