@@ -124,6 +124,11 @@ object ReplayCache {
     new String(b, java.nio.charset.StandardCharsets.UTF_8)
   }
 
+  // File layout: count, then ALL ack ids (header), then message bodies.
+  // The driver's commit path reads just the header — deserializing every
+  // payload only to extract ack ids measurably delayed the next batch
+  // (it runs inside Spark's between-batch source.commit call).
+
   def read(path: String): Option[Seq[(String, EmbeddedBroker.Message)]] = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
@@ -133,8 +138,8 @@ object ReplayCache {
         new BufferedInputStream(fs.open(p), 1 << 16))
       try {
         val count = in.readInt()
-        Some(Seq.fill(count) {
-          val ackId = readStr(in)
+        val ids = Seq.fill(count)(readStr(in))
+        Some(ids.map { ackId =>
           val messageId = readStr(in)
           val orderingKey = readStr(in)
           val ts = in.readLong()
@@ -147,6 +152,16 @@ object ReplayCache {
         })
       } finally in.close()
     }
+  }
+
+  /** Just the ack ids of one cache file — reads the header only. */
+  private def ackIdsOf(path: Path, fs: org.apache.hadoop.fs.FileSystem): Seq[String] = {
+    val in = new DataInputStream(
+      new BufferedInputStream(fs.open(path), 1 << 16))
+    try {
+      val count = in.readInt()
+      Seq.fill(count)(readStr(in))
+    } finally in.close()
   }
 
   /** Persists `msgs` and returns the CANONICAL row set for this slot:
@@ -167,8 +182,8 @@ object ReplayCache {
       new BufferedOutputStream(fs.create(tmp, true), 1 << 16))
     try {
       out.writeInt(msgs.size)
-      msgs.foreach { case (ackId, m) =>
-        writeStr(out, ackId)
+      msgs.foreach { case (ackId, _) => writeStr(out, ackId) }
+      msgs.foreach { case (_, m) =>
         writeStr(out, m.messageId)
         writeStr(out, m.orderingKey)
         out.writeLong(m.publishTimestampMicros)
@@ -201,13 +216,15 @@ object ReplayCache {
     }
   }
 
-  /** All ack ids recorded under a batch directory (driver side). */
+  /** All ack ids recorded under a batch directory (driver side) —
+    * header-only reads, the payloads stay on disk. */
   def ackIds(batchDir: Path): Seq[String] = {
     val fs = batchDir.getFileSystem(new Configuration())
     if (!fs.exists(batchDir)) Seq.empty
     else fs.listStatus(batchDir).toSeq
       .filter(st => !st.getPath.getName.contains(".tmp-"))
-      .flatMap(st => read(st.getPath.toString).getOrElse(Seq.empty))
-      .map(_._1)
+      .flatMap(st =>
+        try ackIdsOf(st.getPath, fs)
+        catch { case _: java.io.IOException => Seq.empty })
   }
 }
