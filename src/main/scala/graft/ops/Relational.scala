@@ -612,6 +612,42 @@ object Relational {
         "o_totalprice > 250000) o ON c_custkey = o_custkey " +
         "GROUP BY c_custkey ORDER BY c_custkey")),
 
+    Q("a38_set_ops_all",
+      // Duplicate-preserving set ops (EXCEPT ALL / INTERSECT ALL): bag
+      // semantics that plain EXCEPT/INTERSECT (a16) can't express —
+      // planned as a single hash-shuffle on the value with per-key
+      // count arithmetic, no join.
+      (s, d) => {
+        val c = t(s, d)("customer").select(col("c_nationkey").as("k"))
+        val su = t(s, d)("supplier").select(col("s_nationkey").as("k"))
+        c.exceptAll(su).groupBy("k").agg(count(lit(1)).as("surplus"))
+          .orderBy("k")
+      },
+      Some("SELECT k, COUNT(*) AS surplus FROM " +
+        "(SELECT c_nationkey AS k FROM customer " +
+        "EXCEPT ALL SELECT s_nationkey FROM supplier) " +
+        "GROUP BY k ORDER BY k")),
+
+    Q("a39_lateral_join",
+      // Correlated LATERAL subquery (SQL-only surface in both engines):
+      // top-2 orders per customer — the lateral runs per outer row
+      // logically, but both planners rewrite it to a window/join, so no
+      // per-row execution survives in the physical plan.
+      (s, d) => {
+        t(s, d)("customer").createOrReplaceTempView("customer")
+        t(s, d)("orders").createOrReplaceTempView("orders")
+        s.sql("SELECT c.c_custkey, o.o_orderkey, o.o_totalprice " +
+          "FROM customer c, LATERAL (SELECT o_orderkey, o_totalprice " +
+          "FROM orders WHERE o_custkey = c.c_custkey " +
+          "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o " +
+          "ORDER BY c_custkey, o_orderkey")
+      },
+      Some("SELECT c.c_custkey, o.o_orderkey, o.o_totalprice " +
+        "FROM customer c, LATERAL (SELECT o_orderkey, o_totalprice " +
+        "FROM orders WHERE o_custkey = c.c_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o " +
+        "ORDER BY c_custkey, o_orderkey")),
+
     Q("a27_approx_distinct",
       // HyperLogLog++ approximate distinct counts — the sketch every
       // 100 TB pipeline reaches for before an exact COUNT(DISTINCT).

@@ -88,6 +88,24 @@ object TextOps {
         "WHEN es >= de THEN 'es' ELSE 'de' END AS pred_lang " +
         "FROM sc ORDER BY doc_id")),
 
+    Q("t06_top_terms",
+      // Corpus-level term frequency: explode words, one hash-shuffle on
+      // the term, global top-20. The canonical vocabulary-building pass;
+      // at 100 TB the aggregation is map-side partial and only
+      // (term, count) pairs shuffle.
+      (s, d) => docs(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 3)
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(20),
+      Some("SELECT word, COUNT(*) AS cnt FROM " +
+        "(SELECT word FROM documents, " +
+        "UNNEST(string_split(text, ' ')) AS t(word) " +
+        "WHERE length(word) > 3) " +
+        "GROUP BY word ORDER BY cnt DESC, word LIMIT 20")),
+
     Q("t04_fingerprint",
       (s, d) => docs(s, d)
         .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
