@@ -79,8 +79,10 @@ object Dedup {
         // oracle (murmur3 was Spark-only). Slicing 4 hashes per md5
         // keeps it to 8 digests per shingle (32-bit slices collide with
         // ~1e-5 probability across a 45k-shingle corpus — noise next to
-        // minhash's own estimation variance); codegen CSE shares each
-        // digest across its 4 slices.
+        // minhash's own estimation variance; at web scale with billions
+        // of distinct shingles, widen the slices to 15 hex chars and pay
+        // 32 digests); codegen CSE shares each digest across its 4
+        // slices.
         val sh = shingles(s, d)
         val hashed = sh.select(col("doc_id") +:
           (0 until MinhashK).map { i =>

@@ -72,12 +72,23 @@ object PubsubOptions {
         n
       })
 
-  def writeOptions(opts: Map[String, String]): PubsubWriteOptions =
+  def writeOptions(opts: Map[String, String]): PubsubWriteOptions = {
+    // A fully-qualified `projects/<p>/topics/<t>` value carries its own
+    // project id (reference: PubsubWriteOptions alternate constructor,
+    // package.scala:71-76); the short form pairs with `project_id`.
+    val rawTopic = required(opts, Topic)
+    val (projectId, topic) = rawTopic match {
+      case FullTopicPath(p, t) => (p, t)
+      case _ => (required(opts, ProjectId), rawTopic)
+    }
     PubsubWriteOptions(
-      projectId = required(opts, ProjectId),
-      topic = required(opts, Topic),
+      projectId = projectId,
+      topic = topic,
       orderingKeyColumn = opts.get(OrderingKeyColumn),
       endpoint = opts.get(Endpoint))
+  }
+
+  private val FullTopicPath = "^projects/([^/]+)/topics/([^/]+)$".r
 }
 
 final case class PubsubReadOptions(

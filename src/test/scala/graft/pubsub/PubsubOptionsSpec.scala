@@ -69,6 +69,18 @@ class PubsubOptionsSpec extends AnyFunSuite with Matchers {
       "projects/p/topics/t"
   }
 
+  test("a fully-qualified topic path carries its own project id " +
+    "(reference alternate-constructor parity)") {
+    val o = PubsubOptions.writeOptions(
+      Map("topic" -> "projects/other/topics/full"))
+    o.projectId shouldBe "other"
+    o.topic shouldBe "full"
+    o.topicPath shouldBe "projects/other/topics/full"
+    // short form still requires project_id
+    an[IllegalArgumentException] should be thrownBy
+      PubsubOptions.writeOptions(Map("topic" -> "short"))
+  }
+
   test("read schema shape is fixed") {
     val f = PubsubOptions.ReadSchema.fields.map(f => f.name).toSeq
     f shouldBe Seq("subscription", "ack_id", "message_id", "ordering_key",
