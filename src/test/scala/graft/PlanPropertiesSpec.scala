@@ -111,6 +111,28 @@ class PlanPropertiesSpec extends AnyFunSuite with Matchers {
     (p should not).include("Exchange hashpartitioning")
   }
 
+  test("a35 full outer: both sides aggregate BELOW the join (the join " +
+    "runs at dimension cardinality)") {
+    val p = plan("a35_full_outer_join")
+    p should include("FullOuter")
+    // aggregates appear under the join: HashAggregate nodes on both
+    // input branches (4 = partial+final x 2 sides)
+    "HashAggregate".r.findAllIn(p).size should be >= 4
+  }
+
+  test("a39 lateral subquery: decorrelated, no per-row execution") {
+    val p = plan("a39_lateral_join")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("t06 top terms: aggregation is map-side partial and the top-k is " +
+    "a TakeOrdered, not a global sort") {
+    val p = plan("t06_top_terms")
+    "HashAggregate".r.findAllIn(p).size should be >= 2
+    p should include("TakeOrderedAndProject")
+  }
+
   test("b05 partitioned write round-trip: the partition column comes " +
     "from the directory layout, not the data files") {
     val p = plan("b05_partitioned_write")
