@@ -111,6 +111,11 @@ object StreamingOps {
       // otherwise. 8 x 50k covers the largest fixture (2 x 100k events).
       .option("num_partitions", "8")
       .option("max_messages_per_partition", "50000")
+      // Ack deadline sized far above worst-case drain time: on a loaded
+      // machine a >10s batch would otherwise get its pulled messages
+      // redelivered into the trailing batch, double-counting append-mode
+      // gate results (the exact failure ADVICE r1 predicted).
+      .option("ack_deadline_seconds", "600")
       .load()
 
   /** Drain the stream into a memory sink synchronously; returns the sink
