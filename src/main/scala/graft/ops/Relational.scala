@@ -648,6 +648,38 @@ object Relational {
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o " +
         "ORDER BY c_custkey, o_orderkey")),
 
+    Q("a40_recursive_cte",
+      // WITH RECURSIVE (new SQL surface in Spark 4): a 1995 month spine
+      // generated by recursion, left-joined to per-month order counts —
+      // months with zero orders appear, which a plain GROUP BY cannot
+      // produce. The recursion is 12 driver-side rows; the scan+agg side
+      // is the usual partial-agg shuffle.
+      (s, d) => {
+        t(s, d)("orders").createOrReplaceTempView("orders")
+        s.sql("WITH RECURSIVE m(mon) AS (" +
+          "SELECT DATE'1995-01-01' " +
+          "UNION ALL SELECT add_months(mon, 1) FROM m " +
+          "WHERE mon < DATE'1995-12-01'), " +
+          "o AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) " +
+          "AS mon, COUNT(*) AS n FROM orders " +
+          "WHERE o_orderdate >= '1995-01-01' AND " +
+          "o_orderdate < '1996-01-01' GROUP BY 1) " +
+          "SELECT CAST(m.mon AS STRING) AS month_start, " +
+          "COALESCE(o.n, CAST(0 AS BIGINT)) AS n_orders " +
+          "FROM m LEFT JOIN o ON m.mon = o.mon ORDER BY month_start")
+      },
+      Some("WITH RECURSIVE m(mon) AS (" +
+        "SELECT DATE '1995-01-01' " +
+        "UNION ALL SELECT CAST(mon + INTERVAL 1 MONTH AS DATE) FROM m " +
+        "WHERE mon < DATE '1995-12-01'), " +
+        "o AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) " +
+        "AS mon, COUNT(*) AS n FROM orders " +
+        "WHERE o_orderdate >= '1995-01-01' AND " +
+        "o_orderdate < '1996-01-01' GROUP BY 1) " +
+        "SELECT CAST(m.mon AS VARCHAR) AS month_start, " +
+        "COALESCE(o.n, 0) AS n_orders " +
+        "FROM m LEFT JOIN o ON m.mon = o.mon ORDER BY month_start")),
+
     Q("a27_approx_distinct",
       // HyperLogLog++ approximate distinct counts — the sketch every
       // 100 TB pipeline reaches for before an exact COUNT(DISTINCT).

@@ -21,7 +21,8 @@ class SqlParitySpec extends AnyFunSuite with Matchers {
   // DataFrame implementation.
   private val duckOnly = Set("a24_asof_join", "a25_session_window",
     "a28_percentiles", "a33_string_suite", "a34_date_suite",
-    "a36_stats_agg", "a18_date_funcs", "a23_events_time_agg")
+    "a36_stats_agg", "a18_date_funcs", "a23_events_time_agg",
+    "a40_recursive_cte")
 
   private lazy val spark = {
     val s = SparkSession.builder()
