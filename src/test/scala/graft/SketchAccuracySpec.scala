@@ -37,6 +37,21 @@ class SketchAccuracySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("approx_percentile tracks a28's exact percentiles (the documented " +
+    "100 TB swap)") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val approx = li.groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_quantity, 0.5, 10000)").as("ap"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("p"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (k, v) =>
+      withClue(s"median($k): ")(math.abs(approx(k) - v) should be <= 1.0)
+    }
+  }
+
   test("d06: LSH-candidate near-dup recovers most of d05's exact pairs") {
     val exact = run("d05_embed_cosine_dup").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
