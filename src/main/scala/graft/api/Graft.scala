@@ -1,0 +1,135 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reusable library surface for LLM-data-pipeline operators: every
+  * transform takes an arbitrary DataFrame plus column names and returns a
+  * DataFrame, so they compose with any schema — the gate queries in
+  * `graft.ops` are thin bindings of these onto the fixture tables (which
+  * keeps this whole API on the hash-checked path).
+  *
+  * Scale notes live with each operator; the common theme is that pair
+  * generation is always an equi-join on a bucket/band key (shuffle
+  * partitioned by bucket), never a cross product, and per-document ops
+  * are pure map work.
+  */
+object Graft {
+
+  // ---------------------------------------------------------------- text
+
+  /** Distinct word n-gram shingles: (id, s). Documents shorter than n
+    * words yield no rows. */
+  def shingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    df.select(col(idCol), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(w)-$n), " +
+          s"i -> concat_ws(' ', slice(w, i+1, $n)))")).as("s"))
+      .distinct()
+
+  /** Whitespace + BPE-ish regex token counts per row. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(split(col(textCol), "\\s+")).cast("bigint").as("n_ws"),
+      regexp_count(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+        .cast("bigint").as("n_bpe"))
+
+  /** Length/word-length/stopword-ratio quality signals per row. */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = size(split(col(textCol), " ")).cast("bigint")
+    val chars = length(col(textCol)).cast("bigint")
+    val stops = regexp_count(col(textCol), lit("\\b(the|a)\\b")).cast("bigint")
+    df.select(col(idCol),
+      chars.as("chars"), words.as("words"),
+      round((chars - words + lit(1)).cast("double") / words, 4).as("avg_wlen"),
+      round(stops.cast("double") / words, 4).as("stop_ratio"))
+  }
+
+  /** Stopword-profile language ID; profiles are (lang, regex-alternation)
+    * pairs scored by hit count, argmax in profile order. */
+  def langId(df: DataFrame, idCol: String, textCol: String,
+      profiles: Seq[(String, String)]): DataFrame = {
+    val scores = profiles.map { case (_, re) =>
+      regexp_count(col(textCol), lit(s"\\b($re)\\b"))
+    }
+    val pred = profiles.zipWithIndex.foldRight(
+      lit(profiles.last._1): Column) { case (((lang, _), i), els) =>
+      if (i == profiles.size - 1) els
+      else when(scores.drop(i + 1).map(scores(i) >= _).reduce(_ && _),
+        lang).otherwise(els)
+    }
+    df.select(col(idCol), pred.as("pred_lang"))
+  }
+
+  // --------------------------------------------------------------- dedup
+
+  /** Exact dedup groups: one row per distinct content digest with the
+    * kept id and duplicate count. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol).cast("binary"), 256).as("h"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("dups"))
+      .select("keep_id", "dups")
+
+  /** MinHash signature columns m0..m{k-1} per id: seeded-md5 slices
+    * (portable across engines; fixed-length hex min == numeric min). */
+  def minhashSignatures(sh: DataFrame, idCol: String,
+      k: Int = 32): DataFrame = {
+    val hashed = sh.select(col(idCol) +:
+      (0 until k).map { i =>
+        val (seed, slice) = (i / 4, i % 4)
+        expr(s"substring(md5(concat('$seed:', s)), ${8 * slice + 1}, 8)")
+          .as(s"h$i")
+      }: _*)
+    val minCols = (0 until k).map(i => min(s"h$i").as(s"m$i"))
+    hashed.groupBy(idCol).agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** Near-duplicate pairs by MinHash+LSH banding: (id_a, id_b, est_jac)
+    * for pairs whose estimated Jaccard clears `threshold`. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val sig = minhashSignatures(shingles(df, idCol, textCol), idCol, k)
+    val r = k / bands
+    val bandCols = (0 until bands).map { j =>
+      md5(concat_ws(",",
+        (0 until r).map(x => col(s"m${j * r + x}")) :+ lit(j.toString): _*))
+    }
+    val bandsDf = sig.select(col(idCol),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    val cand = bandsDf.as("a")
+      .join(bandsDf.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val agree = (0 until k)
+      .map(i => when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("sa"), col("id_a") === col(s"sa.$idCol"))
+      .join(sig.as("sb"), col("id_b") === col(s"sb.$idCol"))
+      .select(col("id_a"), col("id_b"),
+        (agree.cast("double") / k).as("est_jac"))
+      .filter(col("est_jac") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard pairs over shared shingles, thresholded. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val cnt = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") / (col("ca.n") + col("cb.n") - col("i"))
+    inter
+      .join(cnt.as("ca"), col("id_a") === col(s"ca.$idCol"))
+      .join(cnt.as("cb"), col("id_b") === col(s"cb.$idCol"))
+      .filter(jac >= threshold)
+      .select(col("id_a"), col("id_b"), jac.as("jac"))
+  }
+}

@@ -28,19 +28,11 @@ object Dedup {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
 
-  /** (doc_id, s): distinct word-3-shingles per document. Documents shorter
-    * than 3 words yield no shingles (and are filtered out, matching the
-    * oracle's generate_series(1, len-2), which is empty for len < 3 —
-    * without the guard Spark's sequence(0, size-3) goes DESCENDING for
-    * short docs and slice() throws). */
+  /** (doc_id, s): distinct word-3-shingles per document — see
+    * [[graft.api.Graft.shingles]] (documents shorter than 3 words yield
+    * no rows, matching the oracle's generate_series(1, len-2)). */
   private def shingles(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"))
-        .as("s"))
-      .distinct()
+    graft.api.Graft.shingles(docs(s, d), "doc_id", "text")
 
   /** Sequential-fold double dot product of two float arrays (native
     * codegen expression) — bit-identical to DuckDB's list_sum over the
@@ -59,10 +51,7 @@ object Dedup {
   val defs: Seq[Q] = Seq(
 
     Q("d01_exact_dedup",
-      (s, d) => docs(s, d)
-        .groupBy(sha2(col("text").cast("binary"), 256).as("h"))
-        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dups"))
-        .select("keep_id", "dups")
+      (s, d) => graft.api.Graft.exactDedup(docs(s, d), "doc_id", "text")
         .orderBy("keep_id"),
       Some("SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dups FROM documents " +
         "GROUP BY sha256(text) ORDER BY keep_id")),
@@ -83,41 +72,10 @@ object Dedup {
         // of distinct shingles, widen the slices to 15 hex chars and pay
         // 32 digests); codegen CSE shares each digest across its 4
         // slices.
-        val sh = shingles(s, d)
-        val hashed = sh.select(col("doc_id") +:
-          (0 until MinhashK).map { i =>
-            val (seed, slice) = (i / 4, i % 4)
-            expr(s"substring(md5(concat('$seed:', s)), ${8 * slice + 1}, 8)")
-              .as(s"h$i")
-          }: _*)
-        val minCols = (0 until MinhashK).map(i => min(s"h$i").as(s"m$i"))
-        val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-        // LSH banding: docs agreeing on all rows of any band collide.
-        val bandCols = (0 until Bands).map { j =>
-          val cols = (0 until MinhashK / Bands).map(r =>
-            col(s"m${j * (MinhashK / Bands) + r}"))
-          md5(concat_ws(",", cols :+ lit(j.toString): _*))
-        }
-        val bands = sig
-          .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
-        val cand = bands.as("a")
-          .join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        // Verify candidates on the full signatures: estimated Jaccard =
-        // fraction of agreeing minhashes.
-        val agree = (0 until MinhashK)
-          .map(i => when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0))
-          .reduce(_ + _)
-        cand
-          .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
-          .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
-          .select(col("doc_a"), col("doc_b"),
-            (agree.cast("double") / MinhashK).as("est_jac"))
-          .filter(col("est_jac") >= 0.5)
-          .select(col("doc_a"), col("doc_b"),
+        graft.api.Graft
+          .minhashLshPairs(docs(s, d), "doc_id", "text",
+            k = MinhashK, bands = Bands, threshold = 0.5)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
             round(col("est_jac"), 4).as("est_jac"))
           .orderBy("doc_a", "doc_b")
       },
@@ -219,23 +177,12 @@ object Dedup {
       }),
 
     Q("d04_ngram_jaccard",
-      (s, d) => {
-        val sh = shingles(s, d)
-        val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = sh.as("a")
-          .join(sh.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("i"))
-        val jac = col("i").cast("double") /
-          (col("ca.n") + col("cb.n") - col("i"))
-        inter
-          .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
-          .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
-          .filter(jac >= 0.5)
-          .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jac"))
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, d) => graft.api.Graft
+        .ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 3,
+          threshold = 0.5)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          round(col("jac"), 4).as("jac"))
+        .orderBy("doc_a", "doc_b"),
       Some("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w " +
         "FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, " +

@@ -24,11 +24,7 @@ object TextOps {
   val defs: Seq[Q] = Seq(
 
     Q("t01_token_count",
-      (s, d) => docs(s, d).select(
-        col("doc_id"),
-        size(split(col("text"), "\\s+")).cast("bigint").as("n_ws"),
-        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
-          .cast("bigint").as("n_bpe"))
+      (s, d) => graft.api.Graft.tokenCounts(docs(s, d), "doc_id", "text")
         .orderBy("doc_id"),
       Some("SELECT doc_id, " +
         "len(string_split_regex(text, '\\s+')) AS n_ws, " +
@@ -36,20 +32,8 @@ object TextOps {
         "AS n_bpe FROM documents ORDER BY doc_id")),
 
     Q("t02_quality",
-      (s, d) => {
-        val words = size(split(col("text"), " ")).cast("bigint")
-        val chars = length(col("text")).cast("bigint")
-        val stops = regexp_count(col("text"), lit("\\b(the|a)\\b"))
-          .cast("bigint")
-        docs(s, d).select(
-          col("doc_id"),
-          chars.as("chars"),
-          words.as("words"),
-          round((chars - words + lit(1)).cast("double") / words, 4)
-            .as("avg_wlen"),
-          round(stops.cast("double") / words, 4).as("stop_ratio"))
-          .orderBy("doc_id")
-      },
+      (s, d) => graft.api.Graft.qualityScore(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
       Some("SELECT doc_id, length(text) AS chars, " +
         "len(string_split(text, ' ')) AS words, " +
         "ROUND(CAST(length(text) - len(string_split(text, ' ')) + 1 " +
@@ -59,23 +43,11 @@ object TextOps {
         "FROM documents ORDER BY doc_id")),
 
     Q("t03_langid",
-      (s, d) => {
-        // N-gram/stopword language-ID heuristic: score each language by
-        // stopword hits, argmax with a fixed tie order. Deterministic and
-        // shuffle-free (per-row map only); the oracle rebuilds the same
-        // argmax from DuckDB's regexp_extract_all counts.
-        val scores = stopwords.map { case (lang, re) =>
-          lang -> regexp_count(col("text"), lit(s"\\b($re)\\b"))
-        }
-        val Seq(en, fr, es, de) = scores.map(_._2)
-        docs(s, d).select(
-          col("doc_id"),
-          when(en >= fr && en >= es && en >= de, "en")
-            .when(fr >= es && fr >= de, "fr")
-            .when(es >= de, "es")
-            .otherwise("de").as("pred_lang"))
-          .orderBy("doc_id")
-      },
+      // Stopword-profile language ID (argmax with fixed tie order); the
+      // oracle rebuilds the same argmax from DuckDB's regexp_extract_all
+      // counts.
+      (s, d) => graft.api.Graft.langId(docs(s, d), "doc_id", "text",
+        stopwords).orderBy("doc_id"),
       Some("WITH sc AS (SELECT doc_id, " +
         "len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b')) AS en, " +
         "len(regexp_extract_all(text, '\\b(le|la|les|et|de|un|une)\\b')) AS fr, " +

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.api.Graft
+
+/** The public API surface works on ARBITRARY schemas and column names —
+  * not just the fixture tables the gate binds it to. (The gate itself
+  * proves oracle correctness; this proves reusability.)
+  */
+class ApiSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def corpus = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      ("u1", "the quick brown fox jumps over the lazy dog"),
+      ("u2", "the quick brown fox jumps over the lazy cat"),
+      ("u3", "completely different content with nothing shared here"),
+      ("u4", "tiny"),
+      ("u5", "the quick brown fox jumps over the lazy dog"))
+      .toDF("uid", "body")
+  }
+
+  test("minhashLshPairs finds near-dups on custom column names") {
+    val pairs = Graft.minhashLshPairs(corpus, "uid", "body")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    pairs should contain(("u1", "u5")) // identical docs
+    pairs should contain(("u1", "u2")) // 8/9 shingles shared
+    (pairs.flatMap(p => Seq(p._1, p._2)) should not).contain("u3")
+    (pairs.flatMap(p => Seq(p._1, p._2)) should not).contain("u4") // short
+  }
+
+  test("ngramJaccardPairs matches hand-computed jaccard") {
+    val m = Graft.ngramJaccardPairs(corpus, "uid", "body", threshold = 0.1)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
+      .toMap
+    m(("u1", "u5")) shouldBe 1.0
+    // u1/u2: 7 word-3-shingles each, 6 shared -> 6/8
+    m(("u1", "u2")) shouldBe 0.75 +- 1e-9
+  }
+
+  test("exactDedup keeps the minimum id per content group") {
+    val groups = Graft.exactDedup(corpus, "uid", "body")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    groups("u1") shouldBe 2 // u1+u5 collapse
+    groups("u2") shouldBe 1
+  }
+
+  test("text stats and langId run on the custom schema") {
+    Graft.tokenCounts(corpus, "uid", "body").columns shouldBe
+      Array("uid", "n_ws", "n_bpe")
+    Graft.qualityScore(corpus, "uid", "body").count() shouldBe 5
+    val langs = Graft.langId(corpus, "uid", "body",
+      Seq("en" -> "the|a|of", "de" -> "der|die|das"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    langs("u1") shouldBe "en"
+  }
+}
