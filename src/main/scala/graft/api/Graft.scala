@@ -115,6 +115,129 @@ object Graft {
       .filter(col("est_jac") >= threshold)
   }
 
+  // ---------------------------------------------------------- similarity
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dotF32(a, b)
+
+  /** (id, vec, nrm): L2 norms via the native codegen dot product. */
+  def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), col(vecCol),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nrm"))
+
+  /** Exact cosine top-k: for every row matching `queryPred`, the k
+    * nearest neighbors by cosine. The query side is broadcast, so the
+    * corpus streams once with no shuffle — one map-side pass at scale. */
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    val n = normalized(df, idCol, vecCol)
+    val q = n.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qe"),
+        col("nrm").as("qn"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q)
+      .join(n, col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        (dot(col("qe"), col(vecCol)) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Exact all-pairs cosine near-dup (the O(n²) baseline; prefer
+    * [[lshCosinePairs]] beyond ~10⁴ vectors). */
+  def cosinePairsExact(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val n = normalized(df, idCol, vecCol)
+    n.as("a")
+      .join(n.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        (dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Deterministic random hyperplanes: NTables independent tables of
+    * BitsPerTable sign bits (AND within a table keeps candidate lists
+    * short, OR across tables recovers recall). */
+  private[graft] val LshTables = 4
+  private[graft] val LshBits = 6
+  private lazy val tablePlanes: Seq[Seq[String]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(LshTables, LshBits)(Array.fill(64)(rnd.nextGaussian())
+      .map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")"))
+  }
+
+  /** One bucket-code column per LSH table for `vecCol`. */
+  def lshCodeExprs(vecCol: String): Seq[Column] =
+    tablePlanes.map(_.zipWithIndex
+      .map { case (p, j) =>
+        when(dot(col(vecCol), expr(p)) > 0, lit(1 << j)).otherwise(lit(0)) }
+      .reduce(_ + _))
+
+  /** (id, tbl, code) inverted index over all tables. */
+  def lshIndex(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol),
+      posexplode(array(lshCodeExprs(vecCol): _*)).as(Seq("tbl", "code")))
+
+  /** Approximate top-k via multi-table LSH with hamming-1 multiprobe:
+    * narrow candidate equi-join on (table, code), exact-cosine rerank on
+    * the short list only. */
+  def annLshTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    val n = normalized(df, idCol, vecCol)
+    val codes = lshIndex(n, idCol, vecCol)
+    val probes = (0 until LshBits)
+      .map(i => col("code").bitwiseXOR(lit(1 << i))) :+ col("code")
+    val qProbes = codes.filter(queryPred)
+      .select(col(idCol).as("query_id"), col("tbl"),
+        explode(array(probes: _*)).as("probe"))
+    val cand = broadcast(qProbes).as("q")
+      .join(codes.as("c"),
+        col("q.tbl") === col("c.tbl") && col("q.probe") === col("c.code") &&
+          col("q.query_id") =!= col(s"c.$idCol"))
+      .select(col("q.query_id"), col(s"c.$idCol").as("neighbor_id"))
+      .distinct()
+    val qv = n.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qe"),
+        col("nrm").as("qn"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .join(broadcast(qv), "query_id")
+      .join(n, col("neighbor_id") === n(idCol))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qe"), col(vecCol)) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Approximate near-dup pairs: LSH candidates (any-table match with
+    * hamming-1 multiprobe), exact cosine + threshold on candidates only
+    * — no false positives, recall < 1 by construction. */
+  def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val n = normalized(df, idCol, vecCol)
+    val codes = lshIndex(n, idCol, vecCol)
+    val probes = (0 until LshBits)
+      .map(i => col("code").bitwiseXOR(lit(1 << i))) :+ col("code")
+    val probed = codes.select(col(idCol), col("tbl"),
+      explode(array(probes: _*)).as("probe"))
+    val cand = probed.as("a")
+      .join(codes.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.probe") === col("b.code") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    cand
+      .join(n.as("x"), col("id_a") === col(s"x.$idCol"))
+      .join(n.as("y"), col("id_b") === col(s"y.$idCol"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col(s"x.$vecCol"), col(s"y.$vecCol")) /
+          (col("x.nrm") * col("y.nrm"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Exact n-gram Jaccard pairs over shared shingles, thresholded. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {

@@ -199,18 +199,12 @@ object Dedup {
         "ORDER BY doc_a, doc_b")),
 
     Q("d05_embed_cosine_dup",
-      (s, d) => {
-        val n = normed(s, d)
-        val cos = (dot("a.embedding", "b.embedding") /
-          (col("a.nrm") * col("b.nrm")))
-        n.as("a")
-          .join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            cos.as("cos"))
-          .filter(col("cos") >= 0.45)
-          .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
-          .orderBy("vec_a", "vec_b")
-      },
+      (s, d) => graft.api.Graft
+        .cosinePairsExact(Tables.load(s, d, "embeddings"), "vec_id",
+          "embedding", threshold = 0.45)
+        .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("vec_a", "vec_b"),
       Some("WITH n AS (SELECT vec_id, embedding, " +
         "sqrt(list_sum(list_transform(list_zip(embedding, embedding), " +
         "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) AS nrm " +
@@ -232,31 +226,12 @@ object Dedup {
       // math runs on the short list. Approximate by construction
       // (candidate recall < 1), so rows-only in the gate; recall vs
       // d05's exact pairs is asserted in SketchAccuracySpec.
-      (s, d) => {
-        val n = normed(s, d)
-        val codes = n.select(col("vec_id"),
-          posexplode(array(Vector.lshCodeExprs: _*)).as(Seq("tbl", "code")))
-        val probes = (0 until Vector.BitsPerTable)
-          .map(i => col("code").bitwiseXOR(lit(1 << i))) :+ col("code")
-        val probed = codes.select(col("vec_id"), col("tbl"),
-          explode(array(probes: _*)).as("probe"))
-        val cand = probed.as("a")
-          .join(codes.as("b"),
-            col("a.tbl") === col("b.tbl") &&
-              col("a.probe") === col("b.code") &&
-              col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-          .distinct()
-        val cos = (dot("x.embedding", "y.embedding") /
-          (col("x.nrm") * col("y.nrm")))
-        cand
-          .join(n.as("x"), col("vec_a") === col("x.vec_id"))
-          .join(n.as("y"), col("vec_b") === col("y.vec_id"))
-          .select(col("vec_a"), col("vec_b"), cos.as("cos"))
-          .filter(col("cos") >= 0.45)
-          .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
-          .orderBy("vec_a", "vec_b")
-      },
+      (s, d) => graft.api.Graft
+        .lshCosinePairs(Tables.load(s, d, "embeddings"), "vec_id",
+          "embedding", threshold = 0.45)
+        .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("vec_a", "vec_b"),
       None)
   )
 }

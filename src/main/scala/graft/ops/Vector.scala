@@ -22,52 +22,15 @@ object Vector {
   private val K = 5        // neighbors per query
   private val NQueries = 8 // query vectors: vec_id < 8
 
-  /** Deterministic random hyperplanes for the LSH family (fixed seed),
-    * as ARRAY<FLOAT> literals so the native dot product applies.
-    * NTables independent tables of BitsPerTable sign bits each:
-    * AND-amplification within a table (all bits must match) keeps
-    * candidate lists short; OR-amplification across tables (a candidate
-    * needs to collide in ANY table) recovers recall — the standard LSH
-    * trade, and the only way to useful recall when true neighbors sit at
-    * cosine ~0.3 (as in this synthetic corpus). */
-  private val NTables = 4
-  private[ops] val BitsPerTable = 6
-  private lazy val tablePlanes: Seq[Seq[String]] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(NTables, BitsPerTable)(Array.fill(64)(rnd.nextGaussian())
-      .map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")"))
-  }
-
-  /** One bucket-code column per LSH table for an `embedding` column —
-    * shared by s02 (top-k ANN) and d06 (near-dup candidate generation). */
-  private[ops] def lshCodeExprs: Seq[Column] =
-    tablePlanes.map(_.zipWithIndex
-      .map { case (p, j) =>
-        when(graft.functions.VectorExpressions
-          .dotF32(col("embedding"), expr(p)) > 0, lit(1 << j))
-          .otherwise(lit(0)) }
-      .reduce(_ + _))
-
   val defs: Seq[Q] = Seq(
 
     Q("s01_cosine_topk",
-      (s, d) => {
-        val n = Dedup.normed(s, d)
-        val q = n.filter(col("vec_id") < NQueries)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-            col("nrm").as("qn"))
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("cos").desc, col("neighbor_id"))
-        broadcast(q)
-          .join(n, col("query_id") =!= col("vec_id"))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            (dot("qe", "embedding") / (col("qn") * col("nrm"))).as("cos"))
-          .withColumn("rnk", row_number().over(w).cast("bigint"))
-          .filter(col("rnk") <= K)
-          .select(col("query_id"), col("neighbor_id"), col("rnk"),
-            round(col("cos"), 4).as("cos"))
-          .orderBy("query_id", "rnk")
-      },
+      (s, d) => graft.api.Graft
+        .cosineTopK(Tables.load(s, d, "embeddings"), "vec_id", "embedding",
+          queryPred = col("vec_id") < NQueries, k = K)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("query_id", "rnk"),
       Some("WITH n AS (SELECT vec_id, embedding, " +
         "sqrt(list_sum(list_transform(list_zip(embedding, embedding), " +
         "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) AS nrm " +
@@ -94,34 +57,9 @@ object Vector {
         // what makes the shape hold when the corpus is 100 TB.
         // Approximate by construction, so no SQL oracle; recall vs the
         // exact top-k is asserted in SketchAccuracySpec.
-        val n = Dedup.normed(s, d)
-        // (vec_id, tbl, code): the inverted index, one row per table
-        val codes = n.select(col("vec_id"),
-          posexplode(array(lshCodeExprs: _*)).as(Seq("tbl", "code")))
-        val probes = (0 until BitsPerTable)
-          .map(i => col("code").bitwiseXOR(lit(1 << i))) :+ col("code")
-        val qProbes = codes.filter(col("vec_id") < NQueries)
-          .select(col("vec_id").as("query_id"), col("tbl"),
-            explode(array(probes: _*)).as("probe"))
-        val cand = broadcast(qProbes).as("q")
-          .join(codes.as("c"),
-            col("q.tbl") === col("c.tbl") &&
-              col("q.probe") === col("c.code") &&
-              col("q.query_id") =!= col("c.vec_id"))
-          .select(col("q.query_id"), col("c.vec_id").as("neighbor_id"))
-          .distinct()
-        val qv = n.filter(col("vec_id") < NQueries)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-            col("nrm").as("qn"))
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("cos").desc, col("neighbor_id"))
-        cand
-          .join(broadcast(qv), "query_id")
-          .join(n, col("neighbor_id") === n("vec_id"))
-          .select(col("query_id"), col("neighbor_id"),
-            (dot("qe", "embedding") / (col("qn") * col("nrm"))).as("cos"))
-          .withColumn("rnk", row_number().over(w).cast("bigint"))
-          .filter(col("rnk") <= K)
+        graft.api.Graft
+          .annLshTopK(Tables.load(s, d, "embeddings"), "vec_id",
+            "embedding", queryPred = col("vec_id") < NQueries, k = K)
           .select(col("query_id"), col("neighbor_id"), col("rnk"),
             round(col("cos"), 4).as("cos"))
           .orderBy("query_id", "rnk")

@@ -55,6 +55,25 @@ class ApiSpec extends AnyFunSuite with Matchers {
     groups("u2") shouldBe 1
   }
 
+  test("cosineTopK and cosinePairsExact run on custom vector columns") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val vecs = Seq(
+      ("a", Array(1f, 0f, 0f)),
+      ("b", Array(0.9f, 0.1f, 0f)),
+      ("c", Array(0f, 1f, 0f)),
+      ("d", Array(0f, 0f, 1f)))
+      .toDF("name", "v")
+    val top1 = Graft.cosineTopK(vecs, "name", "v",
+      queryPred = col("name") === "a", k = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    top1 shouldBe Array(("a", "b"))
+    val pairs = Graft.cosinePairsExact(vecs, "name", "v", threshold = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    pairs shouldBe Array(("a", "b"))
+  }
+
   test("text stats and langId run on the custom schema") {
     Graft.tokenCounts(corpus, "uid", "body").columns shouldBe
       Array("uid", "n_ws", "n_bpe")
