@@ -238,6 +238,29 @@ object Graft {
       .filter(col("cos") >= threshold)
   }
 
+  // ---------------------------------------------------------- multimodal
+
+  /** Binary-payload metadata pass (size + digest): the cheap first scan
+    * of any media pipeline — codegen'd, no decode. */
+  def mediaMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(col(idCol),
+      length(col(payloadCol)).cast("bigint").as("nbytes"),
+      md5(col(payloadCol)).as("digest"))
+
+  /** Frame sampling as a relational op: fixed-size frames from the
+    * opaque payload, every `every`-th kept, one digest row per sampled
+    * frame. Partition-local explode — the expansion never shuffles. */
+  def frameSample(df: DataFrame, idCol: String, payloadCol: String,
+      frameBytes: Int = 16, every: Int = 4): DataFrame =
+    df.select(col(idCol), col(payloadCol).as("payload"),
+      expr(s"CAST(length($payloadCol) DIV $frameBytes AS INT)").as("nf"))
+      .filter(col("nf") >= 1)
+      .select(col(idCol),
+        explode(expr(s"sequence(0, nf-1, $every)")).as("f"), col("payload"))
+      .select(col(idCol), col("f").cast("bigint").as("frame_idx"),
+        md5(expr(s"substring(payload, f*$frameBytes+1, $frameBytes)"))
+          .as("frame_digest"))
+
   /** Exact n-gram Jaccard pairs over shared shingles, thresholded. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {

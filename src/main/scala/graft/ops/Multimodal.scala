@@ -53,11 +53,10 @@ object Multimodal {
       // Metadata over the opaque binary column: all codegen'd built-ins,
       // no decode needed — this is the "cheap pass" a media pipeline runs
       // first (sizing, content hashing for dedup/caching).
-      (s, d) => Tables.load(s, d, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-        .select(col("doc_id"),
-          length(col("payload")).cast("bigint").as("nbytes"),
-          md5(col("payload")).as("digest"))
+      (s, d) => graft.api.Graft.mediaMeta(
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload")
         .orderBy("doc_id"),
       Some("SELECT doc_id, octet_length(encode(text)) AS nbytes, " +
         "md5(text) AS digest FROM documents ORDER BY doc_id")),
@@ -98,15 +97,10 @@ object Multimodal {
       // (no shuffle), so the expansion scales with the scan exactly like
       // a video-frame sampler would. All codegen'd built-ins; the oracle
       // slices the same (ASCII) payload as a string.
-      (s, d) => Tables.load(s, d, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-        .select(col("doc_id"), col("payload"),
-          expr("CAST(length(payload) DIV 16 AS INT)").as("nf"))
-        .filter(col("nf") >= 1)
-        .select(col("doc_id"),
-          explode(expr("sequence(0, nf-1, 4)")).as("f"), col("payload"))
-        .select(col("doc_id"), col("f").cast("bigint").as("frame_idx"),
-          md5(expr("substring(payload, f*16+1, 16)")).as("frame_digest"))
+      (s, d) => graft.api.Graft.frameSample(
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload", frameBytes = 16, every = 4)
         .orderBy("doc_id", "frame_idx"),
       Some("WITH p AS (SELECT doc_id, text, length(text)//16 AS nf " +
         "FROM documents) " +
