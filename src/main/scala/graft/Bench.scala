@@ -50,9 +50,37 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+
+    // Per-query regression tracking: diff against the committed local
+    // reference (BENCH_local.json) so a slowdown is attributed in-repo —
+    // per-query ratios survive machine-load noise that total-vs-total
+    // comparisons don't (round-2 lesson: a loaded driver VM inflated the
+    // total 2.14x with no plan change anywhere).
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_local.json")
+    val regressions: Seq[String] = {
+      val f = new java.io.File(refPath)
+      if (!f.exists()) Seq.empty
+      else {
+        val ref = """"([a-z0-9_]+)":([0-9.]+)""".r
+          .findAllMatchIn(scala.io.Source.fromFile(f).mkString)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        results.flatMap { case (name, v) =>
+          ref.get(name).collect {
+            // floor of 0.5s: ratios on sub-half-second queries are
+            // scheduler/JIT noise, not plan changes
+            case r if v >= 0 && v > 1.5 * r && v > 0.5 =>
+              System.err.println(
+                f"[bench] REGRESSION $name: $v%.2fs vs ref $r%.2fs " +
+                  f"(${v / r}%.2fx)")
+              f""""$name":${v / r}%.2f"""
+          }
+        }
+      }
+    }
+    val regs = regressions.mkString("{", ",", "}")
     // n_queries: totals across rounds are only comparable per-query — the
     // registered surface grew from 55 (r1) to 75 (r2).
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"regressions_vs_local":$regs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -90,6 +90,12 @@ object Graft {
     * for pairs whose estimated Jaccard clears `threshold`. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    // bands > k would make r = 0 (every band hashes only its index, so
+    // every document collides in every band and the candidate join
+    // silently degenerates to all-pairs O(n²)); k % bands != 0 would
+    // silently drop trailing signature columns from the banding.
+    require(bands > 0 && k >= bands && k % bands == 0,
+      s"minhashLshPairs: k ($k) must be a positive multiple of bands ($bands)")
     val sig = minhashSignatures(shingles(df, idCol, textCol), idCol, k)
     val r = k / bands
     val bandCols = (0 until bands).map { j =>

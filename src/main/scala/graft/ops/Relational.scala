@@ -19,6 +19,25 @@ object Relational {
   private def t(s: SparkSession, d: String)(name: String): DataFrame =
     Tables.load(s, d, name)
 
+  /** a36 argmin/argmax ordering key: (price-cents, orderkey, linenumber)
+    * zero-padded and concatenated, so lexicographic string order equals the
+    * numeric composite order, exactly, at any data scale — unlike a packed
+    * double key, whose tie-break terms collide with the price granularity
+    * once orderkey outgrows the packing factor. Both engines build the
+    * identical string: prices carry exactly 2 decimals, so ROUND(x*100) is
+    * an integral double on each and the BIGINT cast is exact.
+    */
+  private[ops] val a36Key: Column = concat(
+    lpad(round(col("l_extendedprice") * 100).cast("long").cast("string"),
+      12, "0"),
+    lpad(col("l_orderkey").cast("string"), 12, "0"),
+    lpad(col("l_linenumber").cast("string"), 4, "0"))
+
+  private[ops] val a36KeySql: String =
+    "LPAD(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 12, '0') || " +
+      "LPAD(CAST(l_orderkey AS VARCHAR), 12, '0') || " +
+      "LPAD(CAST(l_linenumber AS VARCHAR), 4, '0')"
+
   val defs: Seq[Q] = Seq(
 
     Q("a01_scan_project",
@@ -564,26 +583,27 @@ object Relational {
           round(var_samp(col("l_extendedprice")), 2).as("var_price"),
           round(corr(col("l_quantity"), col("l_extendedprice")), 4)
             .as("corr_qp"),
-          round(covar_pop(col("l_discount"), col("l_tax")), 6).as("cov_dt"),
-          // composite ordering key: unique per row, identical IEEE
-          // arithmetic on both engines (struct ordering isn't portable
-          // to DuckDB's ARG_MIN)
-          min_by(col("l_orderkey"), col("l_extendedprice") * lit(1e9)
-            + col("l_orderkey") * lit(10) + col("l_linenumber"))
+          // + 0.0 normalizes IEEE negative zero: ROUND can yield -0.0 in
+          // one engine and +0.0 in the other (numerically equal, but the
+          // gate hashes the sign bit); (-0.0) + 0.0 = +0.0 in both.
+          (round(covar_pop(col("l_discount"), col("l_tax")), 6) + lit(0.0))
+            .as("cov_dt"),
+          // composite ordering key as a zero-padded string: exact at any
+          // scale (no double-packing granularity collisions), unique per
+          // row, and portable to DuckDB's ARG_MIN (struct order keys are
+          // not). Price has exactly 2 decimals, so cents are integral.
+          min_by(col("l_orderkey"), Relational.a36Key)
             .as("cheapest_order"),
-          max_by(col("l_orderkey"), col("l_extendedprice") * lit(1e9)
-            + col("l_orderkey") * lit(10) + col("l_linenumber"))
+          max_by(col("l_orderkey"), Relational.a36Key)
             .as("dearest_order"))
         .orderBy("l_returnflag"),
       Some("SELECT l_returnflag, " +
         "ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty, " +
         "ROUND(VAR_SAMP(l_extendedprice), 2) AS var_price, " +
         "ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qp, " +
-        "ROUND(COVAR_POP(l_discount, l_tax), 6) AS cov_dt, " +
-        "ARG_MIN(l_orderkey, l_extendedprice * 1000000000 + " +
-        "l_orderkey * 10 + l_linenumber) AS cheapest_order, " +
-        "ARG_MAX(l_orderkey, l_extendedprice * 1000000000 + " +
-        "l_orderkey * 10 + l_linenumber) AS dearest_order " +
+        "ROUND(COVAR_POP(l_discount, l_tax), 6) + 0.0 AS cov_dt, " +
+        "ARG_MIN(l_orderkey, " + Relational.a36KeySql + ") AS cheapest_order, " +
+        "ARG_MAX(l_orderkey, " + Relational.a36KeySql + ") AS dearest_order " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
 
     Q("a37_null_funcs",

@@ -196,13 +196,30 @@ object ReplayCache {
       }
     } finally out.close()
     // First writer wins; a loser discards its pull and adopts the
-    // winner's (retrying the read until the winner's rename is visible).
-    // The exists() guard matters on local/POSIX filesystems where rename
-    // silently overwrites an existing destination; on HDFS-like stores
-    // rename onto an existing path already returns false.
-    if (!fs.exists(p) && fs.rename(tmp, p)) msgs
+    // winner's (retrying the read until the winner's file is visible).
+    // The claim must be ATOMIC: an exists() guard before rename is
+    // check-then-act, and POSIX rename silently overwrites — two racing
+    // writers could both "win" and serve divergent rows. On local
+    // filesystems the atomic no-overwrite primitive is a hard link
+    // (link(2) fails with EEXIST); on HDFS-like stores rename onto an
+    // existing path already fails atomically.
+    val won =
+      if (fs.getScheme == "file") {
+        val claimed =
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(p.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        fs.delete(tmp, false)
+        claimed
+      } else fs.rename(tmp, p)
+    if (won) msgs
     else {
-      fs.delete(tmp, false)
+      if (fs.exists(tmp)) fs.delete(tmp, false)
       var canonical: Option[Seq[(String, EmbeddedBroker.Message)]] = read(path)
       var attempts = 0
       while (canonical.isEmpty && attempts < 50) {

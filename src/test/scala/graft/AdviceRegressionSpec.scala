@@ -89,6 +89,41 @@ class AdviceRegressionSpec extends AnyFunSuite with Matchers {
     ReplayCache.read(path).get.map(_._1) shouldBe Seq("ack-w1", "ack-w2")
   }
 
+  test("replay cache: concurrent racing writers all adopt one canonical " +
+    "row set (atomic claim, no silent POSIX rename overwrite)") {
+    // Round-2 ADVICE: exists()-then-rename is check-then-act — two writers
+    // could both pass the guard, both renames succeed on POSIX, and each
+    // returns its OWN rows as canonical. The claim is now a hard link
+    // (atomic EEXIST on local filesystems). Race many writers through a
+    // start barrier and require a single canonical outcome.
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val dir = Files.createTempDirectory("graft-replay-race").toString
+    def msg(id: String) =
+      ("ack-" + id, EmbeddedBroker.Message(id, id.getBytes, Map.empty, "", 0L))
+    (1 to 20).foreach { round =>
+      val path = s"$dir/batch=$round/part=0"
+      val n = 8
+      val start = new CountDownLatch(1)
+      val pool = Executors.newFixedThreadPool(n)
+      val results = (0 until n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+          override def call(): Seq[String] = {
+            start.await()
+            ReplayCache.write(path, Seq(msg(s"w$i-a"), msg(s"w$i-b")))
+              .map(_._1)
+          }
+        })
+      }
+      start.countDown()
+      val outcomes = results.map(_.get(30, TimeUnit.SECONDS))
+      pool.shutdown()
+      // every writer returns the same canonical rows...
+      outcomes.distinct should have size 1
+      // ...and those rows are exactly what the file holds
+      ReplayCache.read(path).get.map(_._1) shouldBe outcomes.head
+    }
+  }
+
   test("ack_deadline_seconds option: parsed, validated positive") {
     val base = Map(
       PubsubOptions.ProjectId -> "p",

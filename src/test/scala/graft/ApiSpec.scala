@@ -39,6 +39,17 @@ class ApiSpec extends AnyFunSuite with Matchers {
     (pairs.flatMap(p => Seq(p._1, p._2)) should not).contain("u4") // short
   }
 
+  test("minhashLshPairs rejects banding parameters that would degenerate " +
+    "to all-pairs") {
+    // bands > k -> r = 0: every band hash would be md5 of the band index
+    // alone, every document collides in every band, O(n²).
+    an[IllegalArgumentException] should be thrownBy
+      Graft.minhashLshPairs(corpus, "uid", "body", k = 4, bands = 8)
+    // k % bands != 0 silently ignores trailing signature columns.
+    an[IllegalArgumentException] should be thrownBy
+      Graft.minhashLshPairs(corpus, "uid", "body", k = 32, bands = 5)
+  }
+
   test("ngramJaccardPairs matches hand-computed jaccard") {
     val m = Graft.ngramJaccardPairs(corpus, "uid", "body", threshold = 0.1)
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
