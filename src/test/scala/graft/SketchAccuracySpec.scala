@@ -52,6 +52,23 @@ class SketchAccuracySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("d02: k=24 minhash estimate tracks d04's exact n-gram jaccard") {
+    // d02 dropped from 32 to 24 permutations for the signature-stage cost;
+    // this is the re-validated estimation bound: the LSH pair set must
+    // still equal the exact-jaccard pair set on the fixture, and the
+    // estimate must stay within 0.15 of the true jaccard (observed max
+    // deviation 0.058; binomial std at k=24, j=0.5 is ~0.10).
+    val est = run("d02_minhash_lsh").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = run("d04_ngram_jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    est.keySet shouldBe exact.keySet
+    exact.foreach { case (pair, jac) =>
+      withClue(s"pair $pair est=${est(pair)} jac=$jac: ")(
+        math.abs(est(pair) - jac) should be < 0.15)
+    }
+  }
+
   test("d06: LSH-candidate near-dup recovers most of d05's exact pairs") {
     val exact = run("d05_embed_cosine_dup").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
