@@ -63,6 +63,40 @@ object Graft {
     df.select(col(idCol), pred.as("pred_lang"))
   }
 
+  /** Character-trigram language ID: explode every 3-char window of the
+    * lowercased text, count hits against a broadcast (lang, trigram)
+    * profile, argmax per document (score desc, then lang asc for a
+    * deterministic tie), `default` when no profile trigram occurs.
+    * Materially finer-grained than stopword regex counting ([[langId]])
+    * and still pure Catalyst: the explode is partition-local map work,
+    * the profile join is a broadcast, and only (id, lang, count) rows
+    * shuffle for the argmax. */
+  def trigramLangId(df: DataFrame, idCol: String, textCol: String,
+      profiles: Seq[(String, Seq[String])],
+      default: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prof = profiles
+      .flatMap { case (l, tgs) => tgs.distinct.map(t => (l, t)) }
+      .toDF("lang", "tg")
+    val tris = df
+      .select(col(idCol), lower(col(textCol)).as("lt"))
+      .filter(length(col("lt")) >= 3)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, length(lt)-2), i -> substring(lt, i, 3))"))
+        .as("tg"))
+    val scored = tris.join(broadcast(prof), "tg")
+      .groupBy(col(idCol), col("lang"))
+      .agg(count(lit(1)).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score").desc, col("lang").asc)
+    val winner = scored
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col("lang").as("pred"))
+    df.select(col(idCol)).join(winner, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("pred"), lit(default)).as("pred_lang"))
+  }
+
   // --------------------------------------------------------------- dedup
 
   /** Exact dedup groups: one row per distinct content digest with the
@@ -267,10 +301,32 @@ object Graft {
         md5(expr(s"substring(payload, f*$frameBytes+1, $frameBytes)"))
           .as("frame_digest"))
 
-  /** Exact n-gram Jaccard pairs over shared shingles, thresholded. */
+  /** Exact n-gram Jaccard pairs over shared shingles, thresholded.
+    *
+    * `maxShingleDf` caps the document frequency of shingles admitted to
+    * the pair space: at web scale a stop-shingle ("in the the") occurs in
+    * millions of documents and its self-join bucket alone is O(df²) rows —
+    * one hot shingle can dominate the whole shuffle. With a cap, shingles
+    * with df > maxShingleDf are dropped up front and the Jaccard is the
+    * exact similarity of the REDUCED shingle sets (standard stopword-
+    * removal semantics: pairs sharing only ultra-common shingles stop
+    * pairing, which is almost always the wanted behavior). The default
+    * admits everything, which is exact but only safe when no shingle is
+    * hot. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+      n: Int = 3, threshold: Double = 0.5,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val all = shingles(df, idCol, textCol, n)
+    val sh =
+      if (maxShingleDf == Int.MaxValue) all
+      else {
+        // df per shingle, then keep the quiet ones; the broadcast-ability
+        // of the hot-shingle list is not assumed — this is a plain
+        // equi-join on the shingle, shuffle-partitioned by shingle.
+        val quiet = all.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf).select("s")
+        all.join(quiet, "s")
+      }
     val cnt = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),

@@ -344,6 +344,71 @@ object StreamingOps {
         "WHERE e.event_type = 'error' AND c.event_type = 'click' " +
         "GROUP BY 1 ORDER BY user_id")),
 
+    Q("p11_stream_stream_left_join",
+      // Watermarked stream-stream LEFT OUTER join: like p07 but unmatched
+      // errors must ALSO emit, with null click columns. Outer rows only
+      // materialize when the watermark passes the point where a match is
+      // no longer possible (e_ts here, since c_ts <= e_ts) — which happens
+      // in the trailing AvailableNow batch, whose watermark derives from
+      // the final data batch's max event time. Errors inside the last
+      // watermark-delay of event time would stay withheld in state, so the
+      // error side is cut 30 s (3x the delay) before the fixture's max
+      // event time; the oracle applies the identical cutoff via a scalar
+      // subquery. The join state itself stays bounded by the watermark +
+      // time-range pair exactly as in p07.
+      (s, d) => {
+        val (ep, subE) = publishEvents(s, d)
+        val (_, subC) = publishEvents(s, d) // same topic, own subscription
+        // The cutoff must sit under the join's final watermark, and the
+        // watermark each side actually reaches is its own max event time
+        // minus the delay — Catalyst pushes the event-type filters below
+        // the EventTimeWatermark nodes, so each side's watermark derives
+        // from the FILTERED rows (an e_ts <= cutoff filter anywhere in
+        // the streaming plan gets pushed down too and pins the watermark
+        // at cutoff-10s, permanently withholding the newest kept errors).
+        // So: no cutoff inside the stream at all — the stream emits every
+        // matched row eagerly and evicts unmatched errors up to
+        // min(maxErrorTs, maxClickTs) - 10s in the trailing AvailableNow
+        // batch; the cutoff (same min - 30s, 3x the delay) is applied as
+        // a BATCH filter after the drain, keeping only rows the stream
+        // deterministically emitted. The oracle applies the identical
+        // cutoff via LEAST of two scalar subqueries.
+        val cutoffMicros = Tables.load(s, d, "events")
+          .filter(col("event_type").isin("error", "click"))
+          .groupBy("event_type").agg(max(expr("unix_micros(ts)")).as("m"))
+          .agg(min("m")).head().getLong(0) - 30000000L
+        def side(sub: String, prefix: String) =
+          sourceDF(s, ep, sub).selectExpr(
+            "CAST(data AS STRING) AS et",
+            s"timestamp_micros(CAST(attributes['ts'] AS BIGINT)) AS ${prefix}_ts",
+            s"CAST(attributes['uid'] AS BIGINT) AS ${prefix}_uid")
+        val errors = side(subE, "e")
+          .withWatermark("e_ts", "10 seconds")
+          .filter(col("et") === "error").drop("et")
+        val clicks = side(subC, "c")
+          .withWatermark("c_ts", "10 seconds")
+          .filter(col("et") === "click").drop("et")
+        val joined = errors.join(clicks, expr(
+          "e_uid = c_uid AND c_ts >= e_ts - INTERVAL 6 HOURS AND c_ts <= e_ts"),
+          "left_outer")
+        drain(joined.select(col("e_uid"), col("e_ts"), col("c_uid")), "append")
+          .filter(col("e_ts") <= timestamp_micros(lit(cutoffMicros)))
+          .groupBy(col("e_uid").as("user_id"))
+          .agg(count(lit(1)).as("n_rows"), count(col("c_uid")).as("n_matched"))
+          .orderBy("user_id")
+      },
+      Some("SELECT e.user_id AS user_id, COUNT(*) AS n_rows, " +
+        "COUNT(c.user_id) AS n_matched " +
+        "FROM (SELECT * FROM events WHERE event_type = 'error' AND " +
+        "ts <= LEAST(" +
+        "(SELECT MAX(ts) FROM events WHERE event_type = 'error'), " +
+        "(SELECT MAX(ts) FROM events WHERE event_type = 'click')) " +
+        "- INTERVAL 30 SECOND) e " +
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON e.user_id = c.user_id " +
+        "AND c.ts >= e.ts - INTERVAL 6 HOUR AND c.ts <= e.ts " +
+        "GROUP BY 1 ORDER BY user_id")),
+
     Q("p10_transform_with_state",
       // Spark 4's transformWithState — the successor to
       // flatMapGroupsWithState (p04): typed per-key ValueState managed by

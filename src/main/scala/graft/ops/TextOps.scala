@@ -21,6 +21,14 @@ object TextOps {
     "es" -> "el|los|las|y|que|un|una",
     "de" -> "der|die|das|und|ein|zu")
 
+  /** Character-trigram profiles for t07 (derived from each language's
+    * function words; shared verbatim with the oracle SQL). */
+  private val trigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "he ", " th", "and", " of", "is "),
+    "fr" -> Seq("le ", "les", " de", "de ", "et ", "une"),
+    "es" -> Seq("el ", "los", " qu", "que", " y ", "una"),
+    "de" -> Seq("der", "die", "und", " zu", "ein", "das"))
+
   val defs: Seq[Q] = Seq(
 
     Q("t01_token_count",
@@ -59,6 +67,30 @@ object TextOps {
         "WHEN fr >= es AND fr >= de THEN 'fr' " +
         "WHEN es >= de THEN 'es' ELSE 'de' END AS pred_lang " +
         "FROM sc ORDER BY doc_id")),
+
+    Q("t07_trigram_langid",
+      // Char-trigram language ID: finer-grained than t03's stopword
+      // regex argmax — a 3-char window catches morphology ("sch", "ión")
+      // that whole-word stopword lists miss. Explode is partition-local,
+      // the profile is broadcast, only (doc, lang, count) shuffles.
+      (s, d) => graft.api.Graft.trigramLangId(docs(s, d), "doc_id", "text",
+        trigramProfiles, default = "en").orderBy("doc_id"),
+      Some {
+        val profSql = trigramProfiles
+          .flatMap { case (l, tgs) => tgs.map(t => s"('$l', '$t')") }
+          .mkString(", ")
+        s"WITH prof(lang, tg) AS (VALUES $profSql), " +
+          "tri AS (SELECT doc_id, substring(lower(text), g, 3) AS tg " +
+          "FROM documents, UNNEST(generate_series(1, length(text)-2)) " +
+          "AS t(g)), " +
+          "sc AS (SELECT doc_id, lang, COUNT(*) AS score FROM tri " +
+          "JOIN prof USING (tg) GROUP BY 1, 2), " +
+          "w AS (SELECT doc_id, lang, ROW_NUMBER() OVER " +
+          "(PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM sc) " +
+          "SELECT d.doc_id, COALESCE(w.lang, 'en') AS pred_lang " +
+          "FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id " +
+          "AND w.rn = 1 ORDER BY d.doc_id"
+      }),
 
     Q("t06_top_terms",
       // Corpus-level term frequency: explode words, one hash-shuffle on

@@ -59,6 +59,40 @@ class ApiSpec extends AnyFunSuite with Matchers {
     m(("u1", "u2")) shouldBe 0.75 +- 1e-9
   }
 
+  test("ngramJaccardPairs maxShingleDf: a hot shingle no longer pairs " +
+    "every document that contains it") {
+    val s = spark
+    import s.implicits._
+    // Every doc ends with the same 3-word tail; docs 1..4 are otherwise
+    // unrelated, docs 5/6 are true near-duplicates of each other.
+    val tail = "common suffix tail"
+    val hot = Seq(
+      ("h1", s"alpha beta gamma $tail"),
+      ("h2", s"delta epsilon zeta $tail"),
+      ("h3", s"eta theta iota $tail"),
+      ("h4", s"kappa lambda mu $tail"),
+      ("h5", s"the same exact words here $tail"),
+      ("h6", s"the same exact words here $tail"))
+      .toDF("uid", "body")
+    // Uncapped with a low threshold: the hot tail shingle creates a
+    // candidate pair for EVERY document combination — 15 joined pairs.
+    val uncapped = Graft.ngramJaccardPairs(hot, "uid", "body",
+      threshold = 0.01)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    uncapped.size shouldBe 15
+    // Capped below the hot shingle's df=6: only genuinely similar docs
+    // keep pairing, on their remaining (quiet) shingles.
+    val capped = Graft.ngramJaccardPairs(hot, "uid", "body",
+      threshold = 0.01, maxShingleDf = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    capped shouldBe Set(("h5", "h6"))
+    // And the surviving pair's jaccard is exact over the reduced sets.
+    val jac = Graft.ngramJaccardPairs(hot, "uid", "body",
+      threshold = 0.01, maxShingleDf = 3)
+      .collect().head.getDouble(2)
+    jac shouldBe 1.0
+  }
+
   test("exactDedup keeps the minimum id per content group") {
     val groups = Graft.exactDedup(corpus, "uid", "body")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
