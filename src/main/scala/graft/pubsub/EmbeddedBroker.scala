@@ -26,13 +26,24 @@ import scala.collection.mutable
   */
 object EmbeddedBroker {
   private val brokers = new java.util.concurrent.ConcurrentHashMap[String, Broker]()
+  private val aliases = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   val DefaultEndpoint = "embedded:default"
 
-  def get(endpoint: String): Broker =
-    brokers.computeIfAbsent(endpoint, _ => new Broker)
+  /** Route `alias` to the broker behind `target` — the in-process analog
+    * of a regional endpoint: in the reference, a region's partitions pull
+    * through "$region-pubsub.googleapis.com:443" (package.scala:87-97) but
+    * reach the same logical topic data. Aliases resolve one level (no
+    * chains) and never shadow a broker already bound to the alias name. */
+  def aliasEndpoint(alias: String, target: String): Unit =
+    if (alias != target) aliases.putIfAbsent(alias, target)
 
-  def reset(): Unit = brokers.clear()
+  def get(endpoint: String): Broker = {
+    val resolved = aliases.getOrDefault(endpoint, endpoint)
+    brokers.computeIfAbsent(resolved, _ => new Broker)
+  }
+
+  def reset(): Unit = { brokers.clear(); aliases.clear() }
 
   final case class Message(
       messageId: String,

@@ -104,21 +104,31 @@ class PubsubMicroBatchStream(
     // expire and double-deliver into this batch.
     broker.extendLeases(opts.subscriptionPath)
     // Region-aware fan-out: when one region dominates the backlog, give
-    // each region its own slice of partitions (reference
-    // PubsubMicroBatchStream.scala:58-74); the labels only size the
-    // fan-out here — the embedded broker is a single process.
+    // each region its own slice of partitions AND its own regional
+    // endpoint (reference PubsubMicroBatchStream.scala:58-74 +
+    // package.scala:87-97: Region -> "$region-pubsub.googleapis.com:443",
+    // "global" keeps the base endpoint). In-process the regional endpoint
+    // is an alias onto the same broker — the honest analog of GCP's
+    // regional routes to one logical topic; on a real service it would be
+    // the regional host.
     val regions: Seq[(String, Int)] = monitor match {
       case Some(m) => m.regionPartitionCounts()
       case None => Seq("global" -> opts.numPartitions)
     }
-    val total = regions.map(_._2).sum
     var idx = -1
     regions.flatMap { case (region, n) =>
+      val regionEp =
+        if (region == "global") endpoint
+        else {
+          val ep = s"$region-$endpoint"
+          EmbeddedBroker.aliasEndpoint(ep, endpoint)
+          ep
+        }
       (0 until n).map { _ =>
         idx += 1
         PubsubInputPartition(
           subscriptionPath = opts.subscriptionPath,
-          endpoint = endpoint,
+          endpoint = regionEp,
           batchId = endBatch,
           partitionIdx = idx,
           maxMessages = opts.maxMessagesPerPartition,

@@ -72,7 +72,9 @@ class PubsubStreamingWrite(opts: PubsubWriteOptions, schema: StructType,
       queryId = queryId,
       dataIdx = schema.fieldIndex("data"),
       attrIdx = schema.fields.indexWhere(_.name == "attributes"),
-      keyIdx = opts.orderingKeyColumn.map(schema.fieldIndex).getOrElse(-1))
+      keyIdx = opts.orderingKeyColumn.map(schema.fieldIndex).getOrElse(-1),
+      timeoutNanos = opts.writerTimeoutSeconds * 1000000000L,
+      maxOutstandingBytes = opts.maxOutstandingBytes)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
@@ -84,7 +86,11 @@ final case class PubsubWriterFactory(
     queryId: String,
     dataIdx: Int,
     attrIdx: Int,
-    keyIdx: Int) extends StreamingDataWriterFactory {
+    keyIdx: Int,
+    timeoutNanos: Long =
+      PubsubOptions.DefaultWriterTimeoutSeconds * 1000000000L,
+    maxOutstandingBytes: Long = PubsubOptions.DefaultMaxOutstandingBytes)
+    extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
@@ -95,7 +101,13 @@ private case object PubsubCommitMessage extends WriterCommitMessage
 
 /** Publishes in chunks of 20 (the reference publisher's batching element
   * count, CachedPublishers.scala:27-31), each chunk idempotent under its
-  * (query, epoch, partition, chunk) key. */
+  * (query, epoch, partition, chunk) key. Two flow-control bounds mirror
+  * the reference publisher: a chunk also flushes once its buffered
+  * payload reaches `maxOutstandingBytes` (CachedPublishers.scala:21-25
+  * blocks at 20 MB outstanding — synchronous publish makes the buffer
+  * the only outstanding data, so capping it is the same bound), and a
+  * flush that exceeds the writer timeout fails the task
+  * (PubsubWriter.scala:96-100's publish-barrier await, 300 s default). */
 class PubsubDataWriter(f: PubsubWriterFactory, partitionId: Int,
     epochId: Long) extends DataWriter[InternalRow] {
 
@@ -103,6 +115,7 @@ class PubsubDataWriter(f: PubsubWriterFactory, partitionId: Int,
   private val broker = EmbeddedBroker.get(f.endpoint)
   private val buf =
     collection.mutable.ArrayBuffer[(Array[Byte], Map[String, String], String)]()
+  private var bufBytes = 0L
   private var chunkNo = 0L
 
   override def write(row: InternalRow): Unit = {
@@ -124,13 +137,21 @@ class PubsubDataWriter(f: PubsubWriterFactory, partitionId: Int,
       if (f.keyIdx < 0 || row.isNullAt(f.keyIdx)) ""
       else row.getUTF8String(f.keyIdx).toString
     buf += ((data.clone(), attrs, key))
-    if (buf.size >= ChunkSize) flush()
+    bufBytes += data.length
+    if (buf.size >= ChunkSize || bufBytes >= f.maxOutstandingBytes) flush()
   }
 
   private def flush(): Unit = if (buf.nonEmpty) {
+    val t0 = System.nanoTime()
     broker.publishChunk(f.topicPath,
       s"${f.queryId}/$epochId/$partitionId/$chunkNo", buf.toSeq)
+    if (System.nanoTime() - t0 > f.timeoutNanos)
+      throw new java.io.IOException(
+        s"pubsub sink: publish of chunk $chunkNo exceeded the " +
+          s"writer timeout (${f.timeoutNanos / 1000000000L} s); " +
+          "the task fails and the batch retries")
     buf.clear()
+    bufBytes = 0L
     chunkNo += 1
   }
 
@@ -139,6 +160,6 @@ class PubsubDataWriter(f: PubsubWriterFactory, partitionId: Int,
     PubsubCommitMessage
   }
 
-  override def abort(): Unit = buf.clear()
+  override def abort(): Unit = { buf.clear(); bufBytes = 0L }
   override def close(): Unit = ()
 }

@@ -20,9 +20,17 @@ object PubsubOptions {
   val DynamicPartitioning = "dynamic_partitioning"
   val OrderingKeyColumn = "ordering_key_column"
   val AckDeadlineSeconds = "ack_deadline_seconds"
+  val WriterTimeoutSeconds = "writer_timeout_seconds"
+  val MaxOutstandingBytes = "max_outstanding_bytes"
 
   val DefaultNumPartitions = 4
   val DefaultMaxMessagesPerPartition = 1000
+  // Reference publish-barrier timeout: 300 s
+  // (PubsubWriter.scala:96-100, spark.sql.pubsub.writer.timeout.seconds).
+  val DefaultWriterTimeoutSeconds = 300
+  // Reference publisher flow control blocks at 20 MB outstanding
+  // (CachedPublishers.scala:21-25).
+  val DefaultMaxOutstandingBytes = 20L * 1024 * 1024
 
   /** Fixed, non-inferred source schema
     * (reference: package.scala:174-186). */
@@ -85,7 +93,16 @@ object PubsubOptions {
       projectId = projectId,
       topic = topic,
       orderingKeyColumn = opts.get(OrderingKeyColumn),
-      endpoint = opts.get(Endpoint))
+      endpoint = opts.get(Endpoint),
+      writerTimeoutSeconds = positiveInt(opts, WriterTimeoutSeconds,
+        DefaultWriterTimeoutSeconds),
+      maxOutstandingBytes = {
+        val v = opts.get(MaxOutstandingBytes).map(_.toLong)
+          .getOrElse(DefaultMaxOutstandingBytes)
+        if (v <= 0) throw new IllegalArgumentException(
+          s"Option '$MaxOutstandingBytes' must be positive, got $v")
+        v
+      })
   }
 
   private val FullTopicPath = "^projects/([^/]+)/topics/([^/]+)$".r
@@ -107,6 +124,8 @@ final case class PubsubWriteOptions(
     projectId: String,
     topic: String,
     orderingKeyColumn: Option[String],
-    endpoint: Option[String]) {
+    endpoint: Option[String],
+    writerTimeoutSeconds: Int = PubsubOptions.DefaultWriterTimeoutSeconds,
+    maxOutstandingBytes: Long = PubsubOptions.DefaultMaxOutstandingBytes) {
   def topicPath: String = s"projects/$projectId/topics/$topic"
 }

@@ -323,4 +323,43 @@ class PubsubConnectorSpec extends AnyFunSuite with Matchers
     val counts = m.regionPartitionCounts()
     counts.map(_._1) shouldBe Seq("eu-west1", "global", "us-east1")
   }
+
+  test("region split assigns per-region endpoints and both resolve to " +
+    "the topic's data") {
+    spark.sparkContext // ensure an active session for the stream ctor
+    // 90/10 backlog across two regions -> split is active (share > 0.7).
+    (0 until 90).foreach(i => broker.publish(Topic, s"a$i".getBytes,
+      Map("region" -> "us-east1")))
+    (0 until 10).foreach(i => broker.publish(Topic, s"b$i".getBytes,
+      Map("region" -> "eu-west1")))
+    val opts = PubsubOptions.readOptions(Map(
+      PubsubOptions.ProjectId -> "p",
+      PubsubOptions.Subscription -> "in-sub",
+      PubsubOptions.Endpoint -> ep,
+      PubsubOptions.DynamicPartitioning -> "true"))
+    val chk = Files.createTempDirectory("graft-region").toString
+    val stream = new PubsubMicroBatchStream(opts, chk)
+    try {
+      val end = stream.latestOffset()
+      val parts = stream.planInputPartitions(PubsubOffset(-1L), end)
+        .map(_.asInstanceOf[PubsubInputPartition])
+      // one partition per region, each carrying ITS region's endpoint
+      // (reference PubsubMicroBatchStream.scala:58-74, package.scala:87-97)
+      parts.map(p => (p.region, p.endpoint)).toSeq.sorted shouldBe Seq(
+        ("eu-west1", s"eu-west1-$ep"), ("us-east1", s"us-east1-$ep"))
+      // the regional endpoints are aliases onto the broker that actually
+      // holds the subscription, so every partition's pull reaches the data
+      val factory = stream.createReaderFactory()
+      val pulled = parts.map { p =>
+        val r = factory.createReader(p)
+        var n = 0
+        while (r.next()) { r.get(); n += 1 }
+        r.close()
+        n
+      }
+      pulled.sum shouldBe 100
+      EmbeddedBroker.get(s"us-east1-$ep") should be theSameInstanceAs broker
+      EmbeddedBroker.get(s"eu-west1-$ep") should be theSameInstanceAs broker
+    } finally stream.stop()
+  }
 }

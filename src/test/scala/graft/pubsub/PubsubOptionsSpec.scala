@@ -62,6 +62,25 @@ class PubsubOptionsSpec extends AnyFunSuite with Matchers {
     PubsubOptions.writeOptions(writeBase).orderingKeyColumn shouldBe None
   }
 
+  test("writer flow-control options: defaults, explicit, non-positive " +
+    "rejected (reference PubsubWriter.scala:96-100, " +
+    "CachedPublishers.scala:21-25)") {
+    val o = PubsubOptions.writeOptions(writeBase)
+    o.writerTimeoutSeconds shouldBe 300
+    o.maxOutstandingBytes shouldBe 20L * 1024 * 1024
+    val e = PubsubOptions.writeOptions(writeBase +
+      ("writer_timeout_seconds" -> "60") +
+      ("max_outstanding_bytes" -> "1048576"))
+    e.writerTimeoutSeconds shouldBe 60
+    e.maxOutstandingBytes shouldBe 1048576L
+    an[IllegalArgumentException] should be thrownBy
+      PubsubOptions.writeOptions(writeBase +
+        ("writer_timeout_seconds" -> "0"))
+    an[IllegalArgumentException] should be thrownBy
+      PubsubOptions.writeOptions(writeBase +
+        ("max_outstanding_bytes" -> "-1"))
+  }
+
   test("fully qualified paths") {
     PubsubOptions.readOptions(readBase).subscriptionPath shouldBe
       "projects/p/subscriptions/s"

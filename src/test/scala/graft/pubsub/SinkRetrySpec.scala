@@ -105,4 +105,31 @@ class SinkRetrySpec extends AnyFunSuite with Matchers {
       SparkSession.clearDefaultSession()
     }
   }
+
+  test("max_outstanding_bytes flushes a chunk by size before the 20-row " +
+    "count is reached") {
+    val ep = s"flow-${System.nanoTime()}"
+    val b = EmbeddedBroker.get(ep)
+    b.createTopic("projects/p/topics/fc")
+    b.createSubscription("projects/p/subscriptions/fc-sub",
+      "projects/p/topics/fc")
+    val f = PubsubWriterFactory(
+      endpoint = ep, topicPath = "projects/p/topics/fc",
+      queryId = "q", dataIdx = 0, attrIdx = -1, keyIdx = -1,
+      maxOutstandingBytes = 256L)
+    val w = new PubsubDataWriter(f, partitionId = 0, epochId = 0L)
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    // 5 rows x 100 bytes: crosses the 256-byte cap on the 3rd row, well
+    // before the 20-row chunk count — the first chunk must already be on
+    // the broker before commit().
+    (0 until 5).foreach { _ =>
+      row.update(0, Array.fill[Byte](100)(7))
+      w.write(row)
+    }
+    val early = b.backlog("projects/p/subscriptions/fc-sub")
+    withClue("no chunk published before commit despite crossing the " +
+      "byte cap: ")(early should be >= 3L)
+    w.commit()
+    b.backlog("projects/p/subscriptions/fc-sub") shouldBe 5L
+  }
 }
