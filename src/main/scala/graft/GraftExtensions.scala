@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductF32, RollingMinHash64}
+import graft.functions.{DotProductF32, HexSliceToLong, RollingMinHash64}
 
 /** Library entry point for SQL users: registers the native expressions
   * under SQL names, so `spark.sql("SELECT dot_f32(a, b) ...")` works the
@@ -30,6 +30,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "rolling_min_hash64 takes exactly 1 argument")
         RollingMinHash64(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hex_slice_long"),
+      new ExpressionInfo(classOf[HexSliceToLong].getName, "hex_slice_long"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "hex_slice_long takes (string, start, len)")
+        def lit(e: Expression): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"hex_slice_long: start/len must be integer literals, got $other")
+        }
+        HexSliceToLong(args.head, lit(args(1)), lit(args(2)))
       }))
   }
 }

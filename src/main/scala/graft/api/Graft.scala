@@ -107,13 +107,20 @@ object Graft {
       .select("keep_id", "dups")
 
   /** MinHash signature columns m0..m{k-1} per id: seeded-md5 slices
-    * (portable across engines; fixed-length hex min == numeric min). */
+    * parsed to BIGINT (portable across engines — fixed-width hex order ==
+    * numeric order, and DuckDB parses the same slice via
+    * `('0x' || substring(...))::BIGINT`). Numeric slices matter twice at
+    * scale: the per-id MIN aggregation runs as a HashAggregate (string
+    * buffers force a SortAggregate — two extra sorts around the shuffle),
+    * and the shuffle carries 8-byte longs instead of hex strings. Codegen
+    * CSE shares each md5 digest across its 4 slices. */
   def minhashSignatures(sh: DataFrame, idCol: String,
       k: Int = 32): DataFrame = {
     val hashed = sh.select(col(idCol) +:
       (0 until k).map { i =>
         val (seed, slice) = (i / 4, i % 4)
-        expr(s"substring(md5(concat('$seed:', s)), ${8 * slice + 1}, 8)")
+        graft.functions.TextExpressions.hexSliceLong(
+          md5(concat(lit(s"$seed:"), col("s"))), 8 * slice + 1, 8)
           .as(s"h$i")
       }: _*)
     val minCols = (0 until k).map(i => min(s"h$i").as(s"m$i"))

@@ -73,9 +73,76 @@ object RollingMinHash64 {
   }
 }
 
+/** Parses `len` lowercase-hex digits of `child` starting at 1-indexed
+  * `start` into a LONG — the codegen replacement for
+  * `CAST(conv(substring(h, start, len), 16, 10) AS BIGINT)` on fixed-width
+  * digest strings. `conv` allocates a substring and runs a general-radix
+  * parse per call; at 24 slices per shingle row that conversion alone
+  * outweighed the md5 being sliced (measured 5.1 s vs 3.1 s on the d02
+  * signature stage at sf0.1). This walks the UTF8String bytes in place:
+  * zero allocation, 4 bits per digit, codegen'd.
+  *
+  * Digits outside the string or outside [0-9a-f] contribute 0 — inputs
+  * here are md5 hex (fixed 32 lowercase chars), so the lenient path never
+  * fires; it just keeps the expression total. `len` must be <= 15 so the
+  * result stays non-negative.
+  */
+case class HexSliceToLong(child: Expression, start: Int, len: Int)
+    extends UnaryExpression {
+  require(start >= 1 && len >= 1 && len <= 15,
+    s"hex_slice_long: need start >= 1 and 1 <= len <= 15, got ($start, $len)")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"hex_slice_long requires STRING input, got $t")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hex_slice_long"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HexSliceToLong.parse(input.asInstanceOf[UTF8String], start, len)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HexSliceToLong.parse($c, $start, $len)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object HexSliceToLong {
+  def parse(s: UTF8String, start: Int, len: Int): Long = {
+    val n = s.numBytes()
+    var v = 0L
+    var i = start - 1
+    val end = i + len
+    while (i < end) {
+      val d =
+        if (i >= 0 && i < n) {
+          val c = s.getByte(i)
+          if (c >= '0' && c <= '9') c - '0'
+          else if (c >= 'a' && c <= 'f') c - 'a' + 10
+          else 0
+        } else 0
+      v = (v << 4) | d
+      i += 1
+    }
+    v
+  }
+}
+
 object TextExpressions {
   /** Min-of-rolling-8-byte-window xxhash64 fingerprint of a STRING column. */
   def rollingMinHash64(c: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       RollingMinHash64(org.apache.spark.sql.graft.Bridge.expression(c)))
+
+  /** LONG value of `len` hex digits of `c` starting at 1-indexed `start`. */
+  def hexSliceLong(c: Column, start: Int, len: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      HexSliceToLong(org.apache.spark.sql.graft.Bridge.expression(c),
+        start, len))
 }

@@ -66,12 +66,12 @@ object Dedup {
       (s, d) => {
         // k minhashes in ONE aggregation: hash the shingle under k seeds,
         // take per-doc minima (map-side partial aggregation applies).
-        // The hash family is seeded md5, sliced into four 8-hex-char
-        // (32-bit) hashes per digest — fixed-length hex sorts
-        // lexicographically == numerically, so MIN over the strings IS
-        // the minhash, and md5 is bit-identical across engines, which
-        // makes the whole operator hash-checkable against the DuckDB
-        // oracle (murmur3 was Spark-only). Slicing 4 hashes per md5
+        // The hash family is seeded md5, each digest sliced into four
+        // 32-bit hashes parsed to BIGINT (native hex_slice_long; DuckDB
+        // parses the identical slice with '0x...'::BIGINT) — md5 is
+        // bit-identical across engines, which makes the whole operator
+        // hash-checkable against the DuckDB oracle (murmur3 was
+        // Spark-only). Slicing 4 hashes per md5
         // keeps it to 6 digests per shingle (32-bit slices collide with
         // ~1e-5 probability across a 45k-shingle corpus — noise next to
         // minhash's own estimation variance; at web scale with billions
@@ -89,8 +89,10 @@ object Dedup {
         val R = MinhashK / Bands
         val minCols = (0 until MinhashK).map { i =>
           val (seed, slice) = (i / 4, i % 4)
-          s"MIN(substring(md5(concat('$seed:', s)), ${8 * slice + 1}, 8)) " +
-            s"AS m$i"
+          // numeric min of the hex slice — same order as the string min,
+          // and the same BIGINT the Spark side's hex_slice_long parses
+          s"MIN(CAST(concat('0x', substring(md5(concat('$seed:', s)), " +
+            s"${8 * slice + 1}, 8)) AS BIGINT)) AS m$i"
         }.mkString(", ")
         val bandSelects = (0 until Bands).map { j =>
           val cols = (0 until R).map(r => s"m${j * R + r}").mkString(", ")
@@ -128,8 +130,10 @@ object Dedup {
         val words = docs(s, d)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
           .select(col("doc_id"),
-            expr("CAST(conv(substring(md5(word), 1, 15), 16, 10) AS BIGINT)")
-              .as("h"))
+            // native hex parse (same value as conv(...,16,10), without
+            // conv's per-call substring allocation + radix loop)
+            graft.functions.TextExpressions
+              .hexSliceLong(md5(col("word")), 1, 15).as("h"))
         val bitSums = (0 until 60).map(i =>
           sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
             .otherwise(-1)).as(s"b$i"))

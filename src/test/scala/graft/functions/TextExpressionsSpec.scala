@@ -68,4 +68,36 @@ class TextExpressionsSpec extends AnyFunSuite with Matchers {
       .select(TextExpressions.rollingMinHash64(col("t")))
       .collect().head.isNullAt(0) shouldBe true
   }
+
+  test("hex_slice_long equals conv(substring(...), 16, 10) on md5 output") {
+    import spark.implicits._
+    val df = Seq("alpha", "beta", "the quick brown fox", "").toDF("t")
+      .select(md5(col("t")).as("h"))
+    val viaConv = df.selectExpr(
+      "CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT)",
+      "CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val viaNative = df.select(
+      TextExpressions.hexSliceLong(col("h"), 1, 15),
+      TextExpressions.hexSliceLong(col("h"), 9, 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    viaNative shouldBe viaConv
+  }
+
+  test("hex_slice_long: codegen and interpreted paths agree, nulls " +
+    "propagate, lenient out-of-range digits read as 0") {
+    import spark.implicits._
+    def run() = Seq(Some("00000001cafebabe"), Some("ff"), None).toDF("h")
+      .select(TextExpressions.hexSliceLong(col("h"), 1, 8))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    val expected = Array(Some(1L), Some(0xff000000L), None)
+    run() shouldBe expected
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try run() shouldBe expected
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }
