@@ -84,8 +84,15 @@ object Bench {
     }
     val regs = regressions.mkString("{", ",", "}")
     // n_queries: totals across rounds are only comparable per-query — the
-    // registered surface grew from 55 (r1) to 75 (r2).
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"regressions_vs_local":$regs,"sf":"$sfDir"}""")
+    // registered surface grew from 55 (r1) to 75 (r2) to 77 (r3).
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"regressions_vs_local":$regs,"sf":"$sfDir"}"""
+    println(line)
+    // Optional file copy of the JSON line (tooling-friendly; the driver
+    // reads stdout).
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      val w = new java.io.PrintWriter(p, "UTF-8")
+      try w.println(line) finally w.close()
+    }
     spark.stop()
   }
 }
