@@ -63,6 +63,30 @@ object Graft {
     df.select(col(idCol), pred.as("pred_lang"))
   }
 
+  /** PII patterns shared by [[redactPii]] and its oracle: RE2-compatible
+    * (no backreferences/lookaround), so DuckDB applies them verbatim. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "phone" -> "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b",
+    "ipv4" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")
+
+  /** PII scrub for training corpora: every match of each pattern is
+    * replaced with `[<NAME>]` and counted. Pure codegen map work
+    * (regexp_count + regexp_replace), zero shuffle — the redaction pass
+    * rides the same scan as any other per-document op. Patterns apply in
+    * [[PiiPatterns]] order (email before ipv4 so `a@1.2.3.4`-style text
+    * redacts deterministically on both engines). */
+  def redactPii(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[(String, String)] = PiiPatterns): DataFrame = {
+    val counts = patterns.map { case (name, re) =>
+      regexp_count(col(textCol), lit(re)).cast("bigint").as(s"n_$name")
+    }
+    val redacted = patterns.foldLeft(col(textCol)) { case (c, (name, re)) =>
+      regexp_replace(c, re, s"[${name.toUpperCase}]")
+    }
+    df.select(col(idCol) +: counts :+ redacted.as("redacted"): _*)
+  }
+
   /** Character-trigram language ID: explode every 3-char window of the
     * lowercased text, count hits against a broadcast (lang, trigram)
     * profile, argmax per document (score desc, then lang asc for a
@@ -283,6 +307,57 @@ object Graft {
         (dot(col(s"x.$vecCol"), col(s"y.$vecCol")) /
           (col("x.nrm") * col("y.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  // ---------------------------------------------------------- clustering
+
+  /** Element-wise mean centroid per `list_id`: explode to (list, dim,
+    * value), ONE aggregation (map-side partial), re-assemble the array.
+    * The shuffle carries (list, dim, partial-sum) — never the vectors. */
+  private def meanCentroids(assigned: DataFrame, vecCol: String): DataFrame =
+    assigned
+      .select(col("list_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("list_id", "pos").agg(avg("v").as("m"))
+      .groupBy("list_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("list_id"),
+        expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("centroid"))
+
+  /** Assign every vector to its max-cosine centroid. The centroid table
+    * (nlist rows) broadcasts; assignment is one map-side pass over the
+    * corpus plus a per-id argmax — no shuffle of the vectors. */
+  def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val n = normalized(df, idCol, vecCol)
+    val cn = centroids.select(col("list_id"), col("centroid"),
+      sqrt(dot(col("centroid"), col("centroid"))).as("cnrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("cos").desc, col("list_id"))
+    n.join(broadcast(cn), lit(true))
+      .select(col(idCol), col(vecCol), col("list_id"),
+        (dot(col(vecCol), col("centroid")) / (col("nrm") * col("cnrm")))
+          .as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("list_id"))
+  }
+
+  /** Distributed Lloyd refinement for an IVF coarse quantizer:
+    * deterministic init (id % nlist), then `iters` rounds of
+    * assign-to-nearest + element-wise mean. Every step is joins and
+    * aggregations — no `collect()`, so the corpus never visits the
+    * driver and the shape holds at any scale. Returns
+    * (list_id, centroid). */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int): DataFrame = {
+    require(nlist > 0 && iters >= 0, s"kmeansCentroids($nlist, $iters)")
+    var cents = meanCentroids(
+      df.select((col(idCol) % nlist).as("list_id"), col(vecCol)), vecCol)
+    (0 until iters).foreach { _ =>
+      cents = meanCentroids(
+        assignToCentroids(df, idCol, vecCol, cents)
+          .select(col("list_id"), col(vecCol)), vecCol)
+    }
+    cents
   }
 
   // ---------------------------------------------------------- multimodal

@@ -409,6 +409,52 @@ object StreamingOps {
         "AND c.ts >= e.ts - INTERVAL 6 HOUR AND c.ts <= e.ts " +
         "GROUP BY 1 ORDER BY user_id")),
 
+    Q("p12_stream_session_window",
+      // Streaming sessionization: Spark's native session_window with a
+      // 10-minute inactivity gap under a watermark, append mode — the
+      // streaming twin of a25's batch gaps-and-islands. A session emits
+      // once the watermark passes its end (last event + gap), so sessions
+      // in the final stretch of event time are still open when
+      // AvailableNow stops; as in p11 the cutoff (session end <=
+      // max event time - 30 s) runs as a BATCH filter after the drain —
+      // inside the plan it would be pushed below the watermark node and
+      // pin the watermark under itself. The oracle rebuilds the same
+      // sessions with window SQL and applies the identical cutoff.
+      (s, d) => {
+        val (ep, sub) = publishEvents(s, d)
+        val maxTsMicros = Tables.load(s, d, "events")
+          .agg(max(expr("unix_micros(ts)"))).head().getLong(0)
+        val parsed = sourceDF(s, ep, sub).selectExpr(
+          "timestamp_micros(CAST(attributes['ts'] AS BIGINT)) AS ts",
+          "CAST(attributes['uid'] AS BIGINT) AS user_id")
+          .withWatermark("ts", "10 seconds")
+        val sessions = parsed
+          .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("user_id"),
+            col("session_window.start").as("ws"),
+            col("session_window.end").as("we"), col("cnt"))
+        drain(sessions, "append")
+          .filter(expr("unix_micros(we)") <= maxTsMicros - 30000000L)
+          .select(col("user_id"),
+            expr("unix_micros(ws)").as("session_start"), col("cnt"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("WITH o AS (SELECT user_id, ts, CASE WHEN " +
+        "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR " +
+        "ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= " +
+        "INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk FROM events), " +
+        "g AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id " +
+        "ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS grp FROM o), " +
+        "sess AS (SELECT user_id, MIN(ts) AS st, MAX(ts) AS en, " +
+        "COUNT(*) AS cnt FROM g GROUP BY user_id, grp) " +
+        "SELECT user_id, CAST(epoch_us(st) AS BIGINT) AS session_start, " +
+        "cnt FROM sess " +
+        "WHERE en + INTERVAL 10 MINUTE <= " +
+        "(SELECT MAX(ts) FROM events) - INTERVAL 30 SECOND " +
+        "ORDER BY user_id, session_start")),
+
     Q("p10_transform_with_state",
       // Spark 4's transformWithState — the successor to
       // flatMapGroupsWithState (p04): typed per-key ValueState managed by

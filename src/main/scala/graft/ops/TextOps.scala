@@ -110,6 +110,29 @@ object TextOps {
         "WHERE length(word) > 3) " +
         "GROUP BY word ORDER BY cnt DESC, word LIMIT 20")),
 
+    Q("t08_pii_redact",
+      // PII scrub: per-pattern match counts + the redacted text (emitted
+      // as an md5 so the gate compares content without dumping the
+      // corpus). The fixture text is clean, so counts are 0 and the
+      // digest equals the original's — the behavioral proof on text that
+      // DOES contain PII lives in ApiSpec; this binding keeps the
+      // operator's full expression pipeline on the hash-checked path.
+      (s, d) => graft.api.Graft.redactPii(docs(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_email"), col("n_phone"),
+          col("n_ipv4"), md5(col("redacted").cast("binary")).as("red_fp"))
+        .orderBy("doc_id"),
+      Some {
+        val Seq(em, ph, ip) = graft.api.Graft.PiiPatterns.map(_._2)
+        "SELECT doc_id, " +
+          s"CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_email, " +
+          s"CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS n_phone, " +
+          s"CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ipv4, " +
+          s"md5(regexp_replace(regexp_replace(regexp_replace(text, " +
+          s"'$em', '[EMAIL]', 'g'), '$ph', '[PHONE]', 'g'), " +
+          s"'$ip', '[IPV4]', 'g')) AS red_fp " +
+          "FROM documents ORDER BY doc_id"
+      }),
+
     Q("t04_fingerprint",
       (s, d) => docs(s, d)
         .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))

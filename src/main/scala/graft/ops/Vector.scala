@@ -22,6 +22,43 @@ object Vector {
   private val K = 5        // neighbors per query
   private val NQueries = 8 // query vectors: vec_id < 8
 
+  /** IVF probe + rerank shared by s03/s04: queries pick their nProbe
+    * max-cosine lists from the (broadcast) centroid table, then ONLY the
+    * probed lists are searched and reranked by exact cosine — the
+    * candidate join is an equi-join on the list id, never a cross
+    * product. `assignments` = (vec_id, list_id). */
+  private def ivfSearch(s: SparkSession, d: String,
+      centroids: DataFrame, assignments: DataFrame,
+      nProbe: Int): DataFrame = {
+    val n = Dedup.normed(s, d)
+    val q = n.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("cdist").desc, col("list_id"))
+    val probes = broadcast(q)
+      .join(broadcast(centroids), lit(true))
+      .select(col("query_id"), col("qe"), col("qn"), col("list_id"),
+        graft.functions.VectorExpressions
+          .dotF32(col("qe"), col("centroid")).as("cdist"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qe"), col("qn"), col("list_id"))
+    val listed = n.join(assignments, "vec_id")
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(probes)
+      .join(listed, probes("list_id") === listed("list_id") &&
+        col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot("qe", "embedding") / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(wRank).cast("bigint"))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("query_id", "rnk")
+  }
+
   val defs: Seq[Q] = Seq(
 
     Q("s01_cosine_topk",
@@ -91,34 +128,29 @@ object Vector {
         // quantizer's signal is weak and recall is bought by probing
         // wider (recall floor asserted in SketchAccuracySpec). On a real
         // clustered corpus nProbe/nlist would be far smaller.
-        val nProbe = 4
-        val q = n.filter(col("vec_id") < NQueries)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-            col("nrm").as("qn"))
-        val wProbe = Window.partitionBy("query_id")
-          .orderBy(col("cdist").desc, col("list_id"))
-        val probes = broadcast(q)
-          .join(broadcast(centroids), lit(true))
-          .select(col("query_id"), col("qe"), col("qn"), col("list_id"),
-            graft.functions.VectorExpressions
-              .dotF32(col("qe"), col("centroid")).as("cdist"))
-          .withColumn("pr", row_number().over(wProbe))
-          .filter(col("pr") <= nProbe)
-          .select(col("query_id"), col("qe"), col("qn"), col("list_id"))
-        // search only the probed lists, rerank by exact cosine
-        val listed = n.join(emb.select(col("vec_id"), col("label")), "vec_id")
-        val wRank = Window.partitionBy("query_id")
-          .orderBy(col("cos").desc, col("neighbor_id"))
-        broadcast(probes)
-          .join(listed, col("list_id") === col("label") &&
-            col("query_id") =!= col("vec_id"))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            (dot("qe", "embedding") / (col("qn") * col("nrm"))).as("cos"))
-          .withColumn("rnk", row_number().over(wRank).cast("bigint"))
-          .filter(col("rnk") <= K)
-          .select(col("query_id"), col("neighbor_id"), col("rnk"),
-            round(col("cos"), 4).as("cos"))
-          .orderBy("query_id", "rnk")
+        ivfSearch(s, d, centroids,
+          emb.select(col("vec_id"), col("label").as("list_id")), nProbe = 4)
+      },
+      None),
+
+    Q("s04_ann_ivf_trained",
+      // IVF with a TRAINED coarse quantizer: instead of trusting the
+      // label column (s03), the centroids come from two distributed
+      // Lloyd iterations — deterministic id%nlist init, then
+      // assign-to-nearest + element-wise mean, all joins/aggregations
+      // with no driver collect (graft.api.Graft.kmeansCentroids). The
+      // probe + rerank tail is identical to s03's. Approximate by
+      // construction -> rows-only; SketchAccuracySpec asserts the recall
+      // floor AND that training does not degrade the quantizer (mean
+      // assigned cosine >= the untrained init's).
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val cents = graft.api.Graft
+          .kmeansCentroids(emb, "vec_id", "embedding", nlist = 10, iters = 2)
+        val assigned = graft.api.Graft
+          .assignToCentroids(emb, "vec_id", "embedding", cents)
+          .select(col("vec_id"), col("list_id"))
+        ivfSearch(s, d, cents, assigned, nProbe = 4)
       },
       None)
   )

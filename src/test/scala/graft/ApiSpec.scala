@@ -93,6 +93,22 @@ class ApiSpec extends AnyFunSuite with Matchers {
     jac shouldBe 1.0
   }
 
+  test("redactPii scrubs emails, phones and IPs and counts each") {
+    val s = spark
+    import s.implicits._
+    val dirty = Seq(
+      ("r1", "contact bob.smith+x@example.co.uk or 555-123-4567 now"),
+      ("r2", "server at 10.0.0.1 and backup 192.168.1.254 ok"),
+      ("r3", "nothing sensitive here at all"))
+      .toDF("uid", "body")
+    val out = Graft.redactPii(dirty, "uid", "body")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    out("r1") shouldBe ((1L, 1L, 0L, "contact [EMAIL] or [PHONE] now"))
+    out("r2") shouldBe ((0L, 0L, 2L, "server at [IPV4] and backup [IPV4] ok"))
+    out("r3") shouldBe ((0L, 0L, 0L, "nothing sensitive here at all"))
+  }
+
   test("exactDedup keeps the minimum id per content group") {
     val groups = Graft.exactDedup(corpus, "uid", "body")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -81,14 +81,42 @@ class SketchAccuracySpec extends AnyFunSuite with Matchers {
     withClue(s"d06 recall vs exact near-dup pairs: ")(recall should be >= 0.5)
   }
 
-  test("s02/s03: approximate neighbors overlap the exact top-k") {
+  test("s02/s03/s04: approximate neighbors overlap the exact top-k") {
     val exact = run("s01_cosine_topk").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    for (name <- Seq("s02_ann_lsh", "s03_ann_ivf")) {
+    for (name <- Seq("s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivf_trained")) {
       val approx = run(name).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (approx & exact).size.toDouble / exact.size
       withClue(s"$name recall vs exact top-k: ")(recall should be >= 0.5)
     }
+  }
+
+  test("s04: Lloyd training does not degrade the quantizer") {
+    import graft.api.Graft
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // quantizer quality = mean cosine between each vector and its
+    // assigned centroid (higher is tighter lists -> better probes)
+    def quality(cents: org.apache.spark.sql.DataFrame): Double = {
+      val assigned = Graft.assignToCentroids(emb, "vec_id", "embedding",
+        cents)
+      val cn = cents.select(col("list_id").as("cl"), col("centroid"),
+        sqrt(graft.functions.VectorExpressions
+          .dotF32(col("centroid"), col("centroid"))).as("cnrm"))
+      assigned
+        .join(cn, col("list_id") === col("cl"))
+        .select((graft.functions.VectorExpressions
+          .dotF32(col("embedding"), col("centroid")) /
+          (sqrt(graft.functions.VectorExpressions
+            .dotF32(col("embedding"), col("embedding"))) * col("cnrm")))
+          .as("c"))
+        .agg(avg("c")).head().getDouble(0)
+    }
+    val untrained = quality(
+      Graft.kmeansCentroids(emb, "vec_id", "embedding", nlist = 10, iters = 0))
+    val trained = quality(
+      Graft.kmeansCentroids(emb, "vec_id", "embedding", nlist = 10, iters = 2))
+    withClue(s"untrained=$untrained trained=$trained: ")(
+      trained should be >= untrained - 1e-9)
   }
 }
