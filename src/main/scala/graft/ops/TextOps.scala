@@ -110,6 +110,53 @@ object TextOps {
         "WHERE length(word) > 3) " +
         "GROUP BY word ORDER BY cnt DESC, word LIMIT 20")),
 
+    Q("t09_corpus_curation",
+      // The end-to-end curation pass every training corpus goes through,
+      // composed ENTIRELY from the reusable API: quality gate (word
+      // count band) -> language filter (t03's stopword argmax) -> exact
+      // dedup (keep the min doc_id per content digest). Each stage is the
+      // same DataFrame transform users call directly, so this query
+      // proves the API composes; the oracle rebuilds the identical
+      // pipeline in SQL. All per-doc map work plus one digest shuffle.
+      (s, d) => {
+        val base = docs(s, d)
+        val quality = graft.api.Graft
+          .qualityScore(base, "doc_id", "text")
+          .filter(col("words").between(20, 1000))
+          .select(col("doc_id"), col("words"))
+        val english = graft.api.Graft
+          .langId(base, "doc_id", "text", stopwords)
+          .filter(col("pred_lang") === "en")
+          .select("doc_id")
+        val keepIds = graft.api.Graft
+          .exactDedup(base, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        base.select("doc_id")
+          .join(quality, "doc_id")
+          .join(english, "doc_id")
+          .join(keepIds, "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("WITH q AS (SELECT doc_id, len(string_split(text, ' ')) AS " +
+        "words FROM documents), " +
+        "sc AS (SELECT doc_id, " +
+        "len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b')) AS en, " +
+        "len(regexp_extract_all(text, '\\b(le|la|les|et|de|un|une)\\b')) AS fr, " +
+        "len(regexp_extract_all(text, '\\b(el|los|las|y|que|un|una)\\b')) AS es, " +
+        "len(regexp_extract_all(text, '\\b(der|die|das|und|ein|zu)\\b')) AS de " +
+        "FROM documents), " +
+        "l AS (SELECT doc_id, CASE " +
+        "WHEN en >= fr AND en >= es AND en >= de THEN 'en' " +
+        "WHEN fr >= es AND fr >= de THEN 'fr' " +
+        "WHEN es >= de THEN 'es' ELSE 'de' END AS pred_lang FROM sc), " +
+        "k AS (SELECT MIN(doc_id) AS doc_id FROM documents " +
+        "GROUP BY sha256(text)) " +
+        "SELECT d.doc_id, q.words FROM documents d " +
+        "JOIN q ON d.doc_id = q.doc_id AND q.words BETWEEN 20 AND 1000 " +
+        "JOIN l ON d.doc_id = l.doc_id AND l.pred_lang = 'en' " +
+        "JOIN k ON d.doc_id = k.doc_id " +
+        "ORDER BY d.doc_id")),
+
     Q("t08_pii_redact",
       // PII scrub: per-pattern match counts + the redacted text (emitted
       // as an md5 so the gate compares content without dumping the

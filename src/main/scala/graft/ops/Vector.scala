@@ -133,6 +133,47 @@ object Vector {
       },
       None),
 
+    Q("s05_embed_quantize",
+      // Int8 symmetric quantization of the embedding column — the
+      // storage/bandwidth step of a large-scale vector pipeline (4x
+      // smaller than float32). Per-vector max-abs scale, q = round(x *
+      // 127 / scale); emitted as exact integer summaries plus the max
+      // reconstruction error. Pure codegen higher-order functions, zero
+      // shuffle; hash-checked — the quantized values are integers, so
+      // parity is exact, and the float scale math is the same double
+      // sequence on both engines.
+      (s, d) => Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+            .as("mx"))
+        .filter(col("mx") > 0)
+        .select(col("vec_id"),
+          expr("transform(embedding, " +
+            "x -> CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT))")
+            .as("q"),
+          col("embedding"), col("mx"))
+        .select(col("vec_id"),
+          expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)")
+            .as("q_sum"),
+          expr("array_min(q)").as("q_min"),
+          expr("array_max(q)").as("q_max"),
+          round(expr("array_max(zip_with(q, embedding, " +
+            "(qq, x) -> abs(qq * mx / 127 - CAST(x AS DOUBLE))))"), 6)
+            .as("max_err"))
+        .orderBy("vec_id"),
+      Some("WITH m AS (SELECT vec_id, embedding, " +
+        "list_max(list_transform(embedding, " +
+        "x -> abs(CAST(x AS DOUBLE)))) AS mx FROM embeddings), " +
+        "qz AS (SELECT vec_id, embedding, mx, " +
+        "list_transform(embedding, " +
+        "x -> CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT)) AS q " +
+        "FROM m WHERE mx > 0) " +
+        "SELECT vec_id, CAST(list_sum(q) AS BIGINT) AS q_sum, " +
+        "list_min(q) AS q_min, list_max(q) AS q_max, " +
+        "ROUND(list_max(list_transform(list_zip(q, embedding), " +
+        "p -> abs(p[1] * mx / 127 - CAST(p[2] AS DOUBLE)))), 6) AS max_err " +
+        "FROM qz ORDER BY vec_id")),
+
     Q("s04_ann_ivf_trained",
       // IVF with a TRAINED coarse quantizer: instead of trusting the
       // label column (s03), the centroids come from two distributed

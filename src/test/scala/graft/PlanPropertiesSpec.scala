@@ -133,6 +133,35 @@ class PlanPropertiesSpec extends AnyFunSuite with Matchers {
     p should include("TakeOrderedAndProject")
   }
 
+  test("t07 trigram langid: the profile join broadcasts and the argmax " +
+    "uses a rank-pushdown group limit") {
+    val p = plan("t07_trigram_langid")
+    p should include("BroadcastHashJoin")
+    // row_number <= 1 runs as a WindowGroupLimit (partial top-1 before
+    // the shuffle), not a full per-doc sort + filter
+    p should include("WindowGroupLimit")
+  }
+
+  test("s04 trained IVF: training + search stay free of cartesian " +
+    "products (the tiny centroid cross is a broadcast)") {
+    val p = plan("s04_ann_ivf_trained")
+    (p should not).include("CartesianProduct")
+    p should include("BroadcastHashJoin")
+  }
+
+  test("t09 curation pipeline: every stage joins on doc_id — equi-joins " +
+    "only, digests shuffled instead of text") {
+    val p = plan("t09_corpus_curation")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("s05 quantization: pure map work, no shuffle before the output " +
+    "sort") {
+    val p = plan("s05_embed_quantize")
+    (p should not).include("Exchange hashpartitioning")
+  }
+
   test("b05 partitioned write round-trip: the partition column comes " +
     "from the directory layout, not the data files") {
     val p = plan("b05_partitioned_write")
