@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -107,6 +108,36 @@ class ApiSpec extends AnyFunSuite with Matchers {
     out("r1") shouldBe ((1L, 1L, 0L, "contact [EMAIL] or [PHONE] now"))
     out("r2") shouldBe ((0L, 0L, 2L, "server at [IPV4] and backup [IPV4] ok"))
     out("r3") shouldBe ((0L, 0L, 0L, "nothing sensitive here at all"))
+  }
+
+  test("redactPii is idempotent: redacting already-redacted text changes " +
+    "nothing") {
+    val s = spark
+    import s.implicits._
+    val dirty = Seq(("x", "mail a@b.co from 10.0.0.1 or 555-123-4567"))
+      .toDF("uid", "body")
+    val once = Graft.redactPii(dirty, "uid", "body")
+      .select(col("uid"), col("redacted").as("body"))
+    val twice = Graft.redactPii(once, "uid", "body")
+      .collect().head
+    (twice.getLong(1), twice.getLong(2), twice.getLong(3)) shouldBe
+      ((0L, 0L, 0L))
+    twice.getString(4) shouldBe "mail [EMAIL] from [IPV4] or [PHONE]"
+  }
+
+  test("kmeansCentroids: at most nlist centroids, assignment covers every " +
+    "vector exactly once") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L)
+      .map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vid", "v")
+    val cents = Graft.kmeansCentroids(vecs, "vid", "v", nlist = 5, iters = 2)
+    cents.count() should be <= 5L
+    val assigned = Graft.assignToCentroids(vecs, "vid", "v", cents)
+    assigned.count() shouldBe 40L
+    assigned.select("vid").distinct().count() shouldBe 40L
   }
 
   test("exactDedup keeps the minimum id per content group") {
