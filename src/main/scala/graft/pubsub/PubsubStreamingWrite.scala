@@ -101,21 +101,26 @@ private case object PubsubCommitMessage extends WriterCommitMessage
 
 /** Publishes in chunks of 20 (the reference publisher's batching element
   * count, CachedPublishers.scala:27-31), each chunk idempotent under its
-  * (query, epoch, partition, chunk) key. Two flow-control bounds mirror
+  * (query, epoch, partition, chunk) key. Three flow-control bounds mirror
   * the reference publisher: a chunk also flushes once its buffered
   * payload reaches `maxOutstandingBytes` (CachedPublishers.scala:21-25
   * blocks at 20 MB outstanding — synchronous publish makes the buffer
-  * the only outstanding data, so capping it is the same bound), and a
-  * flush that exceeds the writer timeout fails the task
-  * (PubsubWriter.scala:96-100's publish-barrier await, 300 s default). */
+  * the only outstanding data, so capping it is the same bound), a chunk
+  * older than the 10 ms max batching delay flushes on the next row (the
+  * reference's publishDelayThreshold — bounds how long a slow source can
+  * hold rows unpublished), and a flush that exceeds the writer timeout
+  * fails the task (PubsubWriter.scala:96-100's publish-barrier await,
+  * 300 s default). */
 class PubsubDataWriter(f: PubsubWriterFactory, partitionId: Int,
     epochId: Long) extends DataWriter[InternalRow] {
 
   private val ChunkSize = 20
+  private val MaxDelayNanos = 10000000L // 10 ms, CachedPublishers.scala:29
   private val broker = EmbeddedBroker.get(f.endpoint)
   private val buf =
     collection.mutable.ArrayBuffer[(Array[Byte], Map[String, String], String)]()
   private var bufBytes = 0L
+  private var firstBufferedAt = 0L
   private var chunkNo = 0L
 
   override def write(row: InternalRow): Unit = {
@@ -136,9 +141,11 @@ class PubsubDataWriter(f: PubsubWriterFactory, partitionId: Int,
     val key =
       if (f.keyIdx < 0 || row.isNullAt(f.keyIdx)) ""
       else row.getUTF8String(f.keyIdx).toString
+    if (buf.isEmpty) firstBufferedAt = System.nanoTime()
     buf += ((data.clone(), attrs, key))
     bufBytes += data.length
-    if (buf.size >= ChunkSize || bufBytes >= f.maxOutstandingBytes) flush()
+    if (buf.size >= ChunkSize || bufBytes >= f.maxOutstandingBytes ||
+      System.nanoTime() - firstBufferedAt >= MaxDelayNanos) flush()
   }
 
   private def flush(): Unit = if (buf.nonEmpty) {

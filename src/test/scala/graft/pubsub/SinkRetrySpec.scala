@@ -106,6 +106,28 @@ class SinkRetrySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("a buffered chunk older than the 10ms batching delay flushes on " +
+    "the next row, not at the 20-row count") {
+    val ep = s"delay-${System.nanoTime()}"
+    val b = EmbeddedBroker.get(ep)
+    b.createTopic("projects/p/topics/dl")
+    b.createSubscription("projects/p/subscriptions/dl-sub",
+      "projects/p/topics/dl")
+    val f = PubsubWriterFactory(
+      endpoint = ep, topicPath = "projects/p/topics/dl",
+      queryId = "q", dataIdx = 0, attrIdx = -1, keyIdx = -1)
+    val w = new PubsubDataWriter(f, partitionId = 0, epochId = 0L)
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    row.update(0, Array[Byte](1))
+    w.write(row)
+    Thread.sleep(50) // well past the 10 ms publishDelayThreshold mirror
+    row.update(0, Array[Byte](2))
+    w.write(row) // delay exceeded -> this write flushes the chunk
+    b.backlog("projects/p/subscriptions/dl-sub") shouldBe 2L
+    w.commit()
+    b.backlog("projects/p/subscriptions/dl-sub") shouldBe 2L
+  }
+
   test("max_outstanding_bytes flushes a chunk by size before the 20-row " +
     "count is reached") {
     val ep = s"flow-${System.nanoTime()}"
