@@ -383,6 +383,36 @@ object Graft {
         md5(expr(s"substring(payload, f*$frameBytes+1, $frameBytes)"))
           .as("frame_digest"))
 
+  /** Audio-frame energy over a PCM16LE binary payload: non-overlapping
+    * windows of `windowSamples` 16-bit little-endian samples, one row per
+    * COMPLETE window with the sum of absolute sample values — the
+    * voice-activity/loudness pass of an audio pipeline, computed honestly
+    * (no codec needed; PCM is just integers). Sample parsing goes through
+    * the payload's hex encoding and the native [[hex_slice_long]] parse,
+    * which DuckDB mirrors with '0x...'::BIGINT — so unlike a decoder stub
+    * the whole computation is oracle-checkable. Per-document explode is
+    * partition-local; only (id, window, partial-sum) rows shuffle. */
+  def pcm16WindowEnergy(df: DataFrame, idCol: String, payloadCol: String,
+      windowSamples: Int = 16): DataFrame = {
+    require(windowSamples > 0, s"pcm16WindowEnergy($windowSamples)")
+    val h = graft.functions.TextExpressions.hexSliceLong _
+    val raw = h(col("sh"), 1, 2) + h(col("sh"), 3, 2) * 256
+    df.select(col(idCol), lower(hex(col(payloadCol))).as("hx"),
+      (length(col(payloadCol)) / 2).cast("int").as("ns"))
+      .filter(col("ns") >= windowSamples)
+      .select(col(idCol), col("hx"),
+        explode(expr("sequence(0, ns - 1)")).as("s"))
+      .select(col(idCol), col("s"),
+        expr("substring(hx, s * 4 + 1, 4)").as("sh"))
+      .select(col(idCol), col("s"),
+        when(raw >= 32768, lit(65536) - raw).otherwise(raw).as("amp"))
+      .groupBy(col(idCol),
+        expr(s"CAST(s DIV $windowSamples AS BIGINT)").as("win_idx"))
+      .agg(sum("amp").as("energy"), count(lit(1)).as("n"))
+      .filter(col("n") === windowSamples)
+      .select(col(idCol), col("win_idx"), col("energy"))
+  }
+
   /** Exact n-gram Jaccard pairs over shared shingles, thresholded.
     *
     * `maxShingleDf` caps the document frequency of shingles admitted to

@@ -109,6 +109,34 @@ object Multimodal {
         "FROM p, UNNEST(generate_series(0, nf-1, 4)) t(f) " +
         "WHERE nf >= 1 ORDER BY doc_id, frame_idx")),
 
+    Q("m05_audio_energy",
+      // Audio-frame energy over the payload read as PCM16LE: real integer
+      // DSP (not a stub — PCM needs no codec), one energy row per
+      // complete 16-sample window. Sample parsing goes hex ->
+      // hex_slice_long on the Spark side and '0x..'::BIGINT in the
+      // oracle, so the whole computation hash-checks. Explode is
+      // partition-local; the only shuffle is the (doc, window) partial
+      // aggregation.
+      (s, d) => graft.api.Graft.pcm16WindowEnergy(
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload", windowSamples = 16)
+        .orderBy("doc_id", "win_idx"),
+      Some("WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS h, " +
+        "octet_length(encode(text))//2 AS ns FROM documents), " +
+        "s AS (SELECT doc_id, g AS s, " +
+        "CAST(concat('0x', substr(h, CAST(g*4+1 AS BIGINT), 2)) AS BIGINT) + " +
+        "256 * CAST(concat('0x', substr(h, CAST(g*4+3 AS BIGINT), 2)) " +
+        "AS BIGINT) AS raw " +
+        "FROM p, UNNEST(generate_series(0, ns-1)) t(g) WHERE ns >= 16), " +
+        "a AS (SELECT doc_id, s//16 AS win_idx, " +
+        "CASE WHEN raw >= 32768 THEN 65536 - raw ELSE raw END AS amp " +
+        "FROM s) " +
+        "SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx, " +
+        "CAST(SUM(amp) AS BIGINT) AS energy " +
+        "FROM a GROUP BY 1, 2 HAVING COUNT(*) = 16 " +
+        "ORDER BY doc_id, win_idx")),
+
     Q("m04_resize",
       // Resize path: STUB "decoder" downsamples the payload by a fixed
       // stride (a real codec would decode + bilinear-resample; the libs

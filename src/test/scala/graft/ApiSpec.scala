@@ -140,6 +140,24 @@ class ApiSpec extends AnyFunSuite with Matchers {
     assigned.select("vid").distinct().count() shouldBe 40L
   }
 
+  test("pcm16WindowEnergy: little-endian parse, negative samples, " +
+    "complete windows only") {
+    val s = spark
+    import s.implicits._
+    // 5 samples per window; 12 samples total -> exactly 2 complete
+    // windows, 2 trailing samples dropped. Samples alternate +1000 and
+    // -1000 (0xE8 0x03 and 0x18 0xFC little-endian).
+    val pos = Array[Byte](0xE8.toByte, 0x03)          // +1000
+    val neg = Array[Byte](0x18, 0xFC.toByte)          // -1000
+    val payload = (0 until 12).flatMap(i =>
+      if (i % 2 == 0) pos else neg).toArray
+    val out = Graft.pcm16WindowEnergy(
+      Seq((1L, payload)).toDF("mid", "blob"), "mid", "blob",
+      windowSamples = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted
+    out shouldBe Array((0L, 5000L), (1L, 5000L))
+  }
+
   test("exactDedup keeps the minimum id per content group") {
     val groups = Graft.exactDedup(corpus, "uid", "body")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
