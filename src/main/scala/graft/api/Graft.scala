@@ -186,6 +186,88 @@ object Graft {
       .filter(col("est_jac") >= threshold)
   }
 
+  /** Gopher-style repetition signals per row: word count, duplicate-word
+    * fraction (1 - distinct/total) and the fraction of word bigrams taken
+    * by the single most frequent bigram — the standard cheap screens for
+    * boilerplate/spam before a corpus reaches training. Explodes are
+    * partition-local; only (id, word) / (id, bigram) rows shuffle for the
+    * two aggregations, so the pass scales with the scan. */
+  def repetitionSignals(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val w = df.select(col(idCol), split(col(textCol), " ").as("w"))
+    val wordStats = w
+      .select(col(idCol), explode(col("w")).as("word"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("nw"), countDistinct("word").as("ndw"))
+    val bgStats = w
+      .filter(size(col("w")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(w)-2), " +
+          "i -> concat_ws(' ', w[i], w[i+1]))")).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(sum("c").as("nbg"), max("c").as("maxbg"))
+    wordStats.join(bgStats, Seq(idCol), "left")
+      .select(col(idCol),
+        col("nw").cast("bigint").as("words"),
+        round(lit(1.0) - col("ndw").cast("double") / col("nw"), 4)
+          .as("dup_word_frac"),
+        coalesce(round(col("maxbg").cast("double") / col("nbg"), 4),
+          lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** Top-`k` TF-IDF terms per document: tf = in-document occurrences,
+    * idf = ln((N+1)/(df+1)) with df = number of documents containing the
+    * term. The corpus size N stays a one-row broadcast (never a driver
+    * `collect`), document frequencies aggregate map-side, and the rank
+    * runs on the ROUNDED score so cross-engine float ordering is stable.
+    * One explode + three aggregations — every join is an equi-join on the
+    * term or the id. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minWordLen: Int = 4): DataFrame = {
+    val words = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) >= minWordLen)
+    val tf = words.groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val score = round(col("tf").cast("double") *
+      log((col("n_docs") + lit(1)).cast("double") /
+        (col("df") + lit(1)).cast("double")), 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score").desc, col("word"))
+    tf.join(dfreq, "word")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("word"), score.as("score"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Deterministic train/val/test assignment: the split depends only on
+    * md5(salt + id), so it is stable under corpus growth, re-runs, and
+    * re-partitioning — the property a training pipeline needs so that no
+    * eval document ever drifts into train. `weights` are integer percent
+    * slices of the 100 hash buckets, in order. Pure codegen map work
+    * (one digest per row, no shuffle), portable bit-for-bit to the
+    * oracle's `('0x' || substring(md5(...)))::BIGINT`. */
+  def deterministicSplit(df: DataFrame, idCol: String,
+      weights: Seq[(String, Int)] =
+        Seq("train" -> 80, "val" -> 10, "test" -> 10),
+      salt: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._2).sum == 100 &&
+      weights.forall(_._2 > 0),
+      s"deterministicSplit: weights must be positive and sum to 100: $weights")
+    val bucket = graft.functions.TextExpressions.hexSliceLong(
+      md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 8) % 100
+    val cuts = weights.map(_._2).scanLeft(0)(_ + _).tail
+    val split = weights.zip(cuts).init.foldRight(
+      lit(weights.last._1): Column) { case (((name, _), cut), els) =>
+      when(col("bucket") < cut, name).otherwise(els)
+    }
+    df.select(col(idCol), bucket.as("bucket"))
+      .select(col(idCol), col("bucket"), split.as("split"))
+  }
+
   // ---------------------------------------------------------- similarity
 
   private def dot(a: Column, b: Column): Column =
@@ -360,6 +442,64 @@ object Graft {
     cents
   }
 
+  /** Duplicate-cluster ids by connected components over a pair list:
+    * every node gets `cluster_id` = the minimum node id reachable through
+    * `pairs` (undirected); singletons keep their own id. This is the step
+    * that turns near-dup PAIRS (from [[minhashLshPairs]],
+    * [[ngramJaccardPairs]], [[lshCosinePairs]]…) into keep-one-per-group
+    * decisions.
+    *
+    * Algorithm: distributed min-label propagation — each round is one
+    * equi-join of the current labels with the (symmetrized) edge list
+    * plus a min-aggregation, all hash-partitioned by node id; the driver
+    * only ever sees the one-row "did any label change" count, never the
+    * data. Rounds needed = the graph diameter, and dup clusters are
+    * near-cliques (diameter 1-2 — LSH emits most intra-cluster pairs), so
+    * the loop converges in 2-3 rounds at any corpus size. For adversarial
+    * high-diameter graphs (long chains) the two-phase large-star/
+    * small-star contraction (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") drops rounds to O(log d); not needed for dup
+    * graphs.
+    *
+    * Every round materializes its labels with `localCheckpoint` — this
+    * TRUNCATES the logical plan, which is what makes iteration viable:
+    * under plain `cache()` the analyzer re-walks a plan that nests one
+    * union+aggregate+join deeper per round (measured minutes for a
+    * 10-round chain on a 10-row graph), and the upstream pair
+    * computation (an LSH join) would be re-planned every round too. On a
+    * real cluster substitute a reliable `checkpoint()` dir for
+    * executor-loss tolerance; the algorithm is unchanged. */
+  def dupClusters(nodes: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, maxIters: Int = 50): DataFrame = {
+    val sym = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true) // pair generation runs ONCE, not per round
+    var labels = nodes
+      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("lab"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val prop = labels.join(sym, col("id") === col("src"))
+        .select(col("dst").as("id"), col("lab"))
+      val next = labels.select("id", "lab").union(prop)
+        .groupBy("id").agg(min("lab").as("lab"))
+        .localCheckpoint(true)
+      // labels only ever decrease, so "no decrease" == fixpoint
+      val changed = next.as("n")
+        .join(labels.as("o"), "id")
+        .filter(col("n.lab") < col("o.lab"))
+        .count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels.select(col("id").as(idCol), col("lab").as("cluster_id"))
+  }
+
   // ---------------------------------------------------------- multimodal
 
   /** Binary-payload metadata pass (size + digest): the cheap first scan
@@ -411,6 +551,36 @@ object Graft {
       .agg(sum("amp").as("energy"), count(lit(1)).as("n"))
       .filter(col("n") === windowSamples)
       .select(col(idCol), col("win_idx"), col("energy"))
+  }
+
+  /** Shannon byte entropy (bits/byte) of a binary payload, plus size and
+    * distinct-byte count: the standard corrupt-vs-compressed-vs-text
+    * screen for opaque media columns (UTF-8 text sits ~4-5 bits/byte,
+    * compressed/encrypted media ~8, zero-padded corruption near 0) —
+    * no decode needed, so it runs ahead of any codec. Byte values are
+    * parsed from the payload's hex form via the native
+    * [[graft.functions.HexSliceToLong]], making the whole computation
+    * oracle-checkable; the per-document histogram aggregation shuffles
+    * (id, byte, count) rows only, never the payload. */
+  def byteEntropy(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val byteAt = graft.functions.TextExpressions.hexSliceLong(
+      expr("substring(hx, g * 2 + 1, 2)"), 1, 2)
+    val p = col("c").cast("double") / col("nb")
+    df.select(col(idCol), lower(hex(col(payloadCol))).as("hx"),
+      length(col(payloadCol)).cast("bigint").as("nb"))
+      .filter(col("nb") >= 1)
+      .select(col(idCol), col("nb"), col("hx"),
+        explode(expr("sequence(0, CAST(nb AS INT) - 1)")).as("g"))
+      .select(col(idCol), col("nb"), byteAt.as("b"))
+      .groupBy(col(idCol), col("nb"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol), col("nb"))
+      .agg(count(lit(1)).as("n_distinct"),
+        // -0.0 guard: a one-byte-alphabet payload sums to -0.0 exactly
+        round((-sum(p * log2(p))) + lit(0.0), 4).as("entropy"))
+      .select(col(idCol), col("nb").as("nbytes"), col("n_distinct"),
+        col("entropy"))
   }
 
   /** Exact n-gram Jaccard pairs over shared shingles, thresholded.

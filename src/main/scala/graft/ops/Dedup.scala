@@ -208,6 +208,42 @@ object Dedup {
         "WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.5 " +
         "ORDER BY doc_a, doc_b")),
 
+    Q("d07_dup_clusters",
+      // Pairs -> groups: connected components over the n-gram Jaccard
+      // near-dup pairs (d04's exact pair set), every document labeled
+      // with the min doc_id reachable through the pair graph (singletons
+      // label themselves) — the keep-one-per-cluster decision that
+      // follows any pair-producing dedup. Min-label propagation: each
+      // round is an equi-join + min-agg hash-partitioned by id, and dup
+      // clusters are near-cliques so it converges in 2-3 rounds at any
+      // scale; see [[graft.api.Graft.dupClusters]]. The oracle computes
+      // the same closure with a recursive CTE.
+      (s, d) => graft.api.Graft.dupClusters(
+        docs(s, d), "doc_id",
+        graft.api.Graft.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+          n = 3, threshold = 0.5),
+        "id_a", "id_b")
+        .orderBy("doc_id"),
+      Some("WITH RECURSIVE toks AS (SELECT doc_id, " +
+        "string_split(text, ' ') AS w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, " +
+        "array_to_string(list_slice(w, g, g+2), ' ') AS s FROM toks, " +
+        "UNNEST(generate_series(1, len(w)-2)) AS t(g)), " +
+        "cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) " +
+        "AS i FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2), " +
+        "pairs AS (SELECT doc_a, doc_b FROM inter " +
+        "JOIN cnt ca ON doc_a = ca.doc_id " +
+        "JOIN cnt cb ON doc_b = cb.doc_id " +
+        "WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.5), " +
+        "edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "reach(id, lab) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id) " +
+        "SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach " +
+        "GROUP BY id ORDER BY doc_id")),
+
     Q("d05_embed_cosine_dup",
       (s, d) => graft.api.Graft
         .cosinePairsExact(Tables.load(s, d, "embeddings"), "vec_id",

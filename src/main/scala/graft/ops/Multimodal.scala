@@ -137,6 +137,31 @@ object Multimodal {
         "FROM a GROUP BY 1, 2 HAVING COUNT(*) = 16 " +
         "ORDER BY doc_id, win_idx")),
 
+    Q("m06_byte_entropy",
+      // Shannon byte entropy of the opaque payload: the corrupt-vs-
+      // compressed-vs-text screen a media pipeline runs before spending
+      // any decode budget. Real computation (hex parse + histogram +
+      // -Σ p·log2 p), no codec, fully oracle-checked; only
+      // (id, byte, count) rows shuffle. See
+      // [[graft.api.Graft.byteEntropy]].
+      (s, d) => graft.api.Graft.byteEntropy(
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload")
+        .orderBy("doc_id"),
+      Some("WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS hx, " +
+        "octet_length(encode(text)) AS nb FROM documents), " +
+        "b AS (SELECT doc_id, nb, CAST(concat('0x', " +
+        "substring(hx, CAST(g*2+1 AS BIGINT), 2)) AS BIGINT) AS bv " +
+        "FROM p, UNNEST(generate_series(0, nb-1)) t(g) WHERE nb >= 1), " +
+        "h AS (SELECT doc_id, nb, bv, COUNT(*) AS c FROM b " +
+        "GROUP BY 1, 2, 3) " +
+        "SELECT doc_id, CAST(nb AS BIGINT) AS nbytes, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_distinct, " +
+        "ROUND(-SUM((CAST(c AS DOUBLE)/nb) * log2(CAST(c AS DOUBLE)/nb)) " +
+        "+ 0.0, 4) AS entropy " +
+        "FROM h GROUP BY doc_id, nb ORDER BY doc_id")),
+
     Q("m04_resize",
       // Resize path: STUB "decoder" downsamples the payload by a fixed
       // stride (a real codec would decode + bilinear-resample; the libs

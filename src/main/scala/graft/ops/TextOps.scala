@@ -180,6 +180,66 @@ object TextOps {
           "FROM documents ORDER BY doc_id"
       }),
 
+    Q("t10_repetition",
+      // Gopher-style repetition screens: duplicate-word fraction and the
+      // share of word bigrams held by the single most frequent bigram —
+      // the cheap boilerplate/spam filters every corpus pass runs. Two
+      // partition-local explodes + aggregations; see
+      // [[graft.api.Graft.repetitionSignals]].
+      (s, d) => graft.api.Graft.repetitionSignals(docs(s, d), "doc_id",
+        "text").orderBy("doc_id"),
+      Some("WITH w AS (SELECT doc_id, word FROM documents, " +
+        "UNNEST(string_split(text, ' ')) t(word)), " +
+        "ws AS (SELECT doc_id, COUNT(*) AS nw, COUNT(DISTINCT word) AS ndw " +
+        "FROM w GROUP BY 1), " +
+        "tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "bg AS (SELECT doc_id, concat(w[g], ' ', w[g+1]) AS b FROM tk, " +
+        "UNNEST(generate_series(1, len(w)-1)) t(g)), " +
+        "bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2), " +
+        "bs AS (SELECT doc_id, SUM(c) AS nbg, MAX(c) AS maxbg FROM bc " +
+        "GROUP BY 1) " +
+        "SELECT ws.doc_id, CAST(ws.nw AS BIGINT) AS words, " +
+        "ROUND(1.0 - CAST(ndw AS DOUBLE) / nw, 4) AS dup_word_frac, " +
+        "COALESCE(ROUND(CAST(maxbg AS DOUBLE) / nbg, 4), 0.0) " +
+        "AS top_bigram_frac " +
+        "FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id ORDER BY ws.doc_id")),
+
+    Q("t11_tfidf",
+      // Per-document top-3 TF-IDF terms: the keyword-extraction pass of
+      // a curation pipeline. Corpus size rides along as a one-row
+      // broadcast; document frequency is a map-side-partial aggregation;
+      // the rank runs on the ROUNDED score so float ordering matches the
+      // oracle bit-for-bit. See [[graft.api.Graft.tfidfTopTerms]].
+      (s, d) => graft.api.Graft.tfidfTopTerms(docs(s, d), "doc_id", "text",
+        k = 3, minWordLen = 4).orderBy("doc_id", "rnk"),
+      Some("WITH w AS (SELECT doc_id, word FROM documents, " +
+        "UNNEST(string_split(text, ' ')) t(word) WHERE length(word) >= 4), " +
+        "tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2), " +
+        "dfq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1), " +
+        "sc AS (SELECT doc_id, word, ROUND(CAST(tf AS DOUBLE) * " +
+        "ln(CAST((SELECT COUNT(*) FROM documents) + 1 AS DOUBLE) / " +
+        "(df + 1)), 4) AS score FROM tf JOIN dfq USING (word)), " +
+        "r AS (SELECT doc_id, word, score, ROW_NUMBER() OVER " +
+        "(PARTITION BY doc_id ORDER BY score DESC, word) AS rnk FROM sc) " +
+        "SELECT doc_id, word, score, CAST(rnk AS BIGINT) AS rnk FROM r " +
+        "WHERE rnk <= 3 ORDER BY doc_id, rnk")),
+
+    Q("t12_split_assign",
+      // Deterministic train/val/test assignment: split depends only on
+      // md5(salt + doc_id), so membership is stable under corpus growth
+      // and re-partitioning — no eval doc ever drifts into train. Pure
+      // per-row digest work, zero shuffle; the oracle parses the same
+      // hex slice. See [[graft.api.Graft.deterministicSplit]].
+      (s, d) => graft.api.Graft.deterministicSplit(docs(s, d), "doc_id")
+        .orderBy("doc_id"),
+      Some("WITH b AS (SELECT doc_id, " +
+        "CAST(concat('0x', substring(md5(concat('split:', " +
+        "CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS bucket " +
+        "FROM documents) " +
+        "SELECT doc_id, bucket, CASE WHEN bucket < 80 THEN 'train' " +
+        "WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split " +
+        "FROM b ORDER BY doc_id")),
+
     Q("t04_fingerprint",
       (s, d) => docs(s, d)
         .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))

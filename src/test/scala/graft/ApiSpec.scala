@@ -184,6 +184,104 @@ class ApiSpec extends AnyFunSuite with Matchers {
     pairs shouldBe Array(("a", "b"))
   }
 
+  test("dupClusters: pairs collapse into components, singletons keep " +
+    "their own id") {
+    val s = spark
+    import s.implicits._
+    // Chain 1-2-3 (never directly paired 1-3), pair 10-11, singleton 20:
+    // propagation must walk the chain, not just adopt direct neighbors.
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("nid")
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("x", "y")
+    val got = Graft.dupClusters(nodes, "nid", pairs, "x", "y")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L)
+  }
+
+  test("dupClusters walks a long chain to one component") {
+    val s = spark
+    import s.implicits._
+    // Worst-case diameter for label propagation: a 9-hop path. Every node
+    // must end at label 0, exercising the convergence loop (not just one
+    // round).
+    val n = 10
+    val nodes = (0L until n).toDF("nid")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("x", "y")
+    val got = Graft.dupClusters(nodes, "nid", pairs, "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.map(_._2).distinct shouldBe Array(0L)
+    got.length shouldBe n
+  }
+
+  test("repetitionSignals flags repeated text and leaves varied text low") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("rep", "spam spam spam spam"),
+      ("var", "all words here differ"),
+      ("one", "single"))
+      .toDF("uid", "body")
+    val m = Graft.repetitionSignals(df, "uid", "body")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    m("rep") shouldBe ((4L, 0.75, 1.0)) // 1 distinct of 4; all bigrams equal
+    m("var") shouldBe ((4L, 0.0, 0.3333)) // 3 distinct bigrams
+    m("one") shouldBe ((1L, 0.0, 0.0))   // no bigrams -> coalesced 0
+  }
+
+  test("tfidfTopTerms ranks a document-specific term above corpus-wide " +
+    "boilerplate") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("d1", "shared boilerplate words plus unicorn"),
+      ("d2", "shared boilerplate words plus dragon"),
+      ("d3", "shared boilerplate words plus dragon"))
+      .toDF("uid", "body")
+    val top1 = Graft.tfidfTopTerms(df, "uid", "body", k = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // "unicorn" (df=1) must beat "shared"/"boilerplate" (df=3) for d1;
+    // "dragon" (df=2) still beats the df=3 terms for d2/d3.
+    top1 shouldBe Map("d1" -> "unicorn", "d2" -> "dragon", "d3" -> "dragon")
+  }
+
+  test("deterministicSplit: assignment is stable, exhaustive, and " +
+    "validated") {
+    val s = spark
+    import s.implicits._
+    val a = (1L to 200L).toDF("uid")
+    val b = (101L to 300L).toDF("uid") // overlapping, different corpus
+    val sa = Graft.deterministicSplit(a, "uid")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val sb = Graft.deterministicSplit(b, "uid")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // Stability: ids present in both corpora land in the same split —
+    // the no-eval-drift property.
+    (101L to 200L).foreach(id => sa(id) shouldBe sb(id))
+    sa.values.toSet shouldBe Set("train", "val", "test")
+    an[IllegalArgumentException] should be thrownBy
+      Graft.deterministicSplit(a, "uid", weights = Seq("a" -> 50))
+  }
+
+  test("byteEntropy: constant payload is 0 bits, two equal halves are " +
+    "1 bit") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("zero", Array.fill[Byte](16)(7)),
+      ("coin", (Array.fill[Byte](8)(0) ++ Array.fill[Byte](8)(1))),
+      ("rich", (0 until 16).map(_.toByte).toArray))
+      .toDF("uid", "blob")
+    val m = Graft.byteEntropy(df, "uid", "blob")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    m("zero") shouldBe ((16L, 1L, 0.0))
+    m("coin") shouldBe ((16L, 2L, 1.0))
+    m("rich") shouldBe ((16L, 16L, 4.0))
+    // the -0.0 guard: a single-symbol histogram must not hash as -0.0
+    java.lang.Double.doubleToRawLongBits(m("zero")._3) shouldBe 0L
+  }
+
   test("text stats and langId run on the custom schema") {
     Graft.tokenCounts(corpus, "uid", "body").columns shouldBe
       Array("uid", "n_ws", "n_bpe")
