@@ -243,6 +243,61 @@ object Graft {
       .filter(col("rnk") <= k)
   }
 
+  /** Benchmark decontamination screen: for every corpus row, how many of
+    * its word n-gram shingles also occur in `evalDf` (the held-out /
+    * benchmark text whose leakage into training data must be detected),
+    * plus that count as a fraction of the row's shingles. Rows sharing
+    * nothing report (0, 0.0). Eval suites are tiny next to a training
+    * corpus, so the eval shingle set is BROADCAST and the overlap join
+    * never shuffles the corpus — one map-side pass plus the per-doc
+    * count aggregation. Callers typically drop rows above a
+    * `contam_frac` threshold and audit rows with any overlap at all. */
+  def contaminationFlags(df: DataFrame, idCol: String, textCol: String,
+      evalDf: DataFrame, evalTextCol: String, n: Int = 3): DataFrame = {
+    val corpusSh = shingles(df, idCol, textCol, n)
+    val evalSh = evalDf
+      .select(split(col(evalTextCol), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(0, size(w)-$n), " +
+          s"i -> concat_ws(' ', slice(w, i+1, $n)))")).as("s"))
+      .distinct()
+    val cnt = corpusSh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val shared = corpusSh.join(broadcast(evalSh), "s")
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+    df.select(col(idCol))
+      .join(cnt, Seq(idCol), "left")
+      .join(shared, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(round(col("n_shared").cast("double") / col("n_sh"), 4),
+          lit(0.0)).as("contam_frac"))
+  }
+
+  /** Sequence-pack assignment for training batches: each row gets a
+    * (shard, pack_id) so that consecutive rows within a shard fill packs
+    * of ~`capacity` tokens (`pack_id = prefix-sum-before-this-row DIV
+    * capacity` — the standard distributed approximation of greedy
+    * packing, which is inherently sequential). Sharding by id makes the
+    * prefix sum a PER-SHARD window, so shards pack in parallel and the
+    * only shuffle is one hash-partition on the shard key; the capacity
+    * utilization lost at shard boundaries is negligible once each
+    * shard's token mass >> capacity. Deterministic: depends only on
+    * (id, token count). */
+  def packAssignments(df: DataFrame, idCol: String, textCol: String,
+      capacity: Int = 2048, shards: Int = 8): DataFrame = {
+    require(capacity > 0 && shards > 0,
+      s"packAssignments($capacity, $shards)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(idCol)
+    df.select(col(idCol),
+      size(split(col(textCol), "\\s+")).cast("bigint").as("tokens"),
+      pmod(col(idCol).cast("long"), lit(shards.toLong)).as("shard"))
+      .withColumn("cum", sum("tokens").over(w))
+      .select(col(idCol), col("shard"), col("tokens"),
+        expr(s"CAST((cum - tokens) DIV $capacity AS BIGINT)").as("pack_id"))
+  }
+
   /** Deterministic train/val/test assignment: the split depends only on
     * md5(salt + id), so it is stable under corpus growth, re-runs, and
     * re-partitioning — the property a training pipeline needs so that no

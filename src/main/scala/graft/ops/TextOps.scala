@@ -240,6 +240,51 @@ object TextOps {
         "WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split " +
         "FROM b ORDER BY doc_id")),
 
+    Q("t13_decontaminate",
+      // Benchmark decontamination: flag corpus documents sharing word-3-
+      // shingles with a (deterministic) "eval suite" — here the doc_id %
+      // 97 == 0 slice stands in for a held-out benchmark. The eval
+      // shingle set broadcasts; the corpus is never shuffled for the
+      // overlap. See [[graft.api.Graft.contaminationFlags]].
+      (s, d) => graft.api.Graft.contaminationFlags(
+        docs(s, d), "doc_id", "text",
+        docs(s, d).filter(col("doc_id") % 97 === 0), "text")
+        .orderBy("doc_id"),
+      Some("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w " +
+        "FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, " +
+        "array_to_string(list_slice(w, g, g+2), ' ') AS s FROM toks, " +
+        "UNNEST(generate_series(1, len(w)-2)) AS t(g)), " +
+        "ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0), " +
+        "cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1), " +
+        "sha AS (SELECT sh.doc_id, COUNT(*) AS n_shared FROM sh " +
+        "JOIN ev USING (s) GROUP BY 1) " +
+        "SELECT d.doc_id, CAST(COALESCE(n_shared, 0) AS BIGINT) " +
+        "AS n_shared, " +
+        "COALESCE(ROUND(CAST(n_shared AS DOUBLE) / n_sh, 4), 0.0) " +
+        "AS contam_frac " +
+        "FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id " +
+        "LEFT JOIN sha ON d.doc_id = sha.doc_id ORDER BY d.doc_id")),
+
+    Q("t14_pack_assign",
+      // Sequence packing for training batches: per-shard prefix-sum of
+      // token counts, pack = cum-before DIV capacity — the distributed
+      // approximation of greedy packing (shards pack in parallel; one
+      // hash-partition shuffle total). See
+      // [[graft.api.Graft.packAssignments]].
+      (s, d) => graft.api.Graft.packAssignments(docs(s, d), "doc_id",
+        "text", capacity = 2048, shards = 8)
+        .orderBy("doc_id"),
+      Some("WITH t AS (SELECT doc_id, " +
+        "len(string_split_regex(text, '\\s+')) AS tokens, " +
+        "doc_id % 8 AS shard FROM documents), " +
+        "c AS (SELECT doc_id, shard, tokens, SUM(tokens) OVER " +
+        "(PARTITION BY shard ORDER BY doc_id) AS cum FROM t) " +
+        "SELECT doc_id, CAST(shard AS BIGINT) AS shard, " +
+        "CAST(tokens AS BIGINT) AS tokens, " +
+        "CAST((cum - tokens) // 2048 AS BIGINT) AS pack_id " +
+        "FROM c ORDER BY doc_id")),
+
     Q("t04_fingerprint",
       (s, d) => docs(s, d)
         .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))

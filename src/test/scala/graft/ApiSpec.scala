@@ -282,6 +282,47 @@ class ApiSpec extends AnyFunSuite with Matchers {
     java.lang.Double.doubleToRawLongBits(m("zero")._3) shouldBe 0L
   }
 
+  test("contaminationFlags: overlap with the eval set is counted, clean " +
+    "docs report zero") {
+    val s = spark
+    import s.implicits._
+    val evalSet = Seq("the capital of france is paris").toDF("q")
+    // u-corpus: u1 contains an eval 3-gram ("capital of france"), the
+    // rest share nothing 3-gram-long with the eval text.
+    val corpus = Seq(
+      ("c1", "we know the capital of france is paris obviously"),
+      ("c2", "completely unrelated text about sparkling databases"),
+      ("c3", "to"))  // shorter than 3 words -> no shingles at all
+      .toDF("uid", "body")
+    val m = Graft.contaminationFlags(corpus, "uid", "body", evalSet, "q")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    m("c1")._1 shouldBe 4L // 4 of the eval text's 3-grams appear in c1
+    m("c1")._2 shouldBe (4.0 / 7).round4
+    m("c2") shouldBe ((0L, 0.0))
+    m("c3") shouldBe ((0L, 0.0))
+  }
+
+  test("packAssignments: packs fill to capacity within a shard and " +
+    "never mix shards") {
+    val s = spark
+    import s.implicits._
+    // one shard (ids all ≡ 0 mod 1): 5 docs x 4 tokens, capacity 8 ->
+    // packs of 2 docs: [0,0,1,1,2]
+    val docs = (0L to 4L)
+      .map(i => (i, "a b c d")).toDF("uid", "body")
+    val got = Graft.packAssignments(docs, "uid", "body",
+      capacity = 8, shards = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    got shouldBe Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L)
+    an[IllegalArgumentException] should be thrownBy
+      Graft.packAssignments(docs, "uid", "body", capacity = 0)
+  }
+
+  private implicit class Round4(d: Double) {
+    def round4: Double = math.round(d * 1e4) / 1e4
+  }
+
   test("text stats and langId run on the custom schema") {
     Graft.tokenCounts(corpus, "uid", "body").columns shouldBe
       Array("uid", "n_ws", "n_bpe")

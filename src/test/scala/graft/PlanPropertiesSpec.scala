@@ -162,6 +162,37 @@ class PlanPropertiesSpec extends AnyFunSuite with Matchers {
     (p should not).include("Exchange hashpartitioning")
   }
 
+  test("t13 decontamination: the eval shingle set broadcasts; the corpus " +
+    "is never cartesian-joined") {
+    val p = plan("t13_decontaminate")
+    p should include("BroadcastHashJoin")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("t14 pack assignment: one shard-partition shuffle feeds the " +
+    "prefix-sum window — no join, no extra exchange") {
+    val p = plan("t14_pack_assign")
+    p should include("Window")
+    (p should not).include("Join")
+    // formatted mode puts the partitioning on an Arguments: line
+    "Arguments: hashpartitioning".r.findAllIn(p).size shouldBe 1
+  }
+
+  test("d07 dup clusters: the result reads a checkpointed RDD — lineage " +
+    "is truncated per propagation round, not accumulated") {
+    val p = plan("d07_dup_clusters")
+    p should include("Scan ExistingRDD")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("m06 byte entropy: the histogram shuffle carries (doc, byte) " +
+    "counts, never the payload") {
+    val p = plan("m06_byte_entropy")
+    "Exchange hashpartitioning[^\\n]*payload".r.findAllIn(p) shouldBe empty
+    (p should not).include("Join")
+  }
+
   test("b05 partitioned write round-trip: the partition column comes " +
     "from the directory layout, not the data files") {
     val p = plan("b05_partitioned_write")
