@@ -243,6 +243,21 @@ object Graft {
       .filter(col("rnk") <= k)
   }
 
+  /** Canonical text normalization for dedup keys and training input:
+    * lowercase, strip non-printable/control characters, collapse runs of
+    * whitespace to single spaces, trim. Returns the normalized text
+    * plus its length — callers typically fingerprint it (dedup on
+    * normalized content catches case/whitespace variants that byte-exact
+    * dedup misses). Pure codegen map work, zero shuffle. */
+  def normalizeText(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^\\x20-\\x7e]", " "),
+      "\\s+", " "))
+    df.select(col(idCol), norm.as("norm_text"),
+      length(norm).cast("bigint").as("norm_chars"))
+  }
+
   /** Benchmark decontamination screen: for every corpus row, how many of
     * its word n-gram shingles also occur in `evalDf` (the held-out /
     * benchmark text whose leakage into training data must be detected),

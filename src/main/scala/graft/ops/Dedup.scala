@@ -244,6 +244,56 @@ object Dedup {
         "SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach " +
         "GROUP BY id ORDER BY doc_id")),
 
+    Q("d08_dup_clusters_minhash",
+      // The composed 100 TB dedup path end-to-end: MinHash+LSH pair
+      // generation (d02) feeding connected-components clustering (d07)
+      // — pairs from the sketch, groups from propagation, one keep-id
+      // per group derivable downstream. Exercises the API composition
+      // users actually run; the oracle rebuilds the identical pipeline
+      // (d02's CTE chain + the recursive closure).
+      (s, d) => graft.api.Graft.dupClusters(
+        docs(s, d), "doc_id",
+        graft.api.Graft.minhashLshPairs(docs(s, d), "doc_id", "text",
+          k = MinhashK, bands = Bands, threshold = 0.5),
+        "id_a", "id_b")
+        .orderBy("doc_id"),
+      Some {
+        val R = MinhashK / Bands
+        val minCols = (0 until MinhashK).map { i =>
+          val (seed, slice) = (i / 4, i % 4)
+          s"MIN(CAST(concat('0x', substring(md5(concat('$seed:', s)), " +
+            s"${8 * slice + 1}, 8)) AS BIGINT)) AS m$i"
+        }.mkString(", ")
+        val bandSelects = (0 until Bands).map { j =>
+          val cols = (0 until R).map(r => s"m${j * R + r}").mkString(", ")
+          s"SELECT doc_id, $j AS band, md5(concat_ws(',', $cols, '$j')) " +
+            "AS bh FROM sig"
+        }.mkString(" UNION ALL ")
+        val agree = (0 until MinhashK).map(i =>
+          s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+        "WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') " +
+          "AS w FROM documents), " +
+          "sh AS (SELECT DISTINCT doc_id, " +
+          "array_to_string(list_slice(w, g, g+2), ' ') AS s FROM toks, " +
+          "UNNEST(generate_series(1, len(w)-2)) AS t(g)), " +
+          s"sig AS (SELECT doc_id, $minCols FROM sh GROUP BY doc_id), " +
+          s"bands AS ($bandSelects), " +
+          "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+          "FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh " +
+          "AND a.doc_id < b.doc_id), " +
+          s"pairs AS (SELECT doc_a, doc_b FROM cand " +
+          "JOIN sig sa ON doc_a = sa.doc_id " +
+          "JOIN sig sb ON doc_b = sb.doc_id " +
+          s"WHERE CAST(($agree) AS DOUBLE)/$MinhashK >= 0.5), " +
+          "edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs " +
+          "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+          "reach(id, lab) AS (SELECT doc_id, doc_id FROM documents " +
+          "UNION SELECT e.d, r.lab FROM reach r JOIN edges e " +
+          "ON e.s = r.id) " +
+          "SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach " +
+          "GROUP BY id ORDER BY doc_id"
+      }),
+
     Q("d05_embed_cosine_dup",
       (s, d) => graft.api.Graft
         .cosinePairsExact(Tables.load(s, d, "embeddings"), "vec_id",

@@ -285,6 +285,25 @@ object TextOps {
         "CAST((cum - tokens) // 2048 AS BIGINT) AS pack_id " +
         "FROM c ORDER BY doc_id")),
 
+    Q("t15_normalize",
+      // Canonical normalization (lowercase, control-strip, whitespace
+      // collapse, trim) fingerprinted for normalized-content dedup. The
+      // fixture text is already clean, so this mostly proves the full
+      // expression pipeline hash-exactly; the behavioral proof on dirty
+      // text lives in ApiSpec. See [[graft.api.Graft.normalizeText]].
+      (s, d) => graft.api.Graft.normalizeText(docs(s, d), "doc_id", "text")
+        .select(col("doc_id"),
+          md5(col("norm_text").cast("binary")).as("norm_fp"),
+          col("norm_chars"))
+        .orderBy("doc_id"),
+      Some("WITH n AS (SELECT doc_id, " +
+        "trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^\\x20-\\x7e]', ' ', 'g'), '\\s+', ' ', 'g')) AS nt " +
+        "FROM documents) " +
+        "SELECT doc_id, md5(nt) AS norm_fp, " +
+        "CAST(length(nt) AS BIGINT) AS norm_chars FROM n " +
+        "ORDER BY doc_id")),
+
     Q("t04_fingerprint",
       (s, d) => docs(s, d)
         .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))

@@ -323,6 +323,15 @@ class ApiSpec extends AnyFunSuite with Matchers {
     def round4: Double = math.round(d * 1e4) / 1e4
   }
 
+  test("normalizeText collapses case, control chars and whitespace runs") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("n1", "  Hello  WORLD\tfoo  ")).toDF("uid", "body")
+    val r = Graft.normalizeText(df, "uid", "body").collect().head
+    r.getString(1) shouldBe "hello world foo"
+    r.getLong(2) shouldBe 15L
+  }
+
   test("text stats and langId run on the custom schema") {
     Graft.tokenCounts(corpus, "uid", "body").columns shouldBe
       Array("uid", "n_ws", "n_bpe")
