@@ -213,6 +213,32 @@ class ApiSpec extends AnyFunSuite with Matchers {
     got.length shouldBe n
   }
 
+  test("dupClusters matches a union-find reference on seeded random " +
+    "graphs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260812)
+    (1 to 3).foreach { _ =>
+      val n = 30 + rnd.nextInt(20)
+      val edges = Seq.fill(n / 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // plain union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = Graft.dupClusters(
+        (0L until n.toLong).toDF("nid"), "nid",
+        edges.toDF("x", "y"), "x", "y")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got shouldBe expected
+    }
+  }
+
   test("repetitionSignals flags repeated text and leaves varied text low") {
     val s = spark
     import s.implicits._
