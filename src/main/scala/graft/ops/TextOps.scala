@@ -304,6 +304,31 @@ object TextOps {
         "CAST(length(nt) AS BIGINT) AS norm_chars FROM n " +
         "ORDER BY doc_id")),
 
+    Q("t16_corpus_stats",
+      // The corpus report card every curation run ends with: per-language
+      // document/token volumes and length distribution (exact
+      // percentiles — at 100 TB swap in approx_percentile, the a27
+      // sketch pattern). One map-side-partial aggregation; the shuffle
+      // carries one row per language.
+      (s, d) => docs(s, d)
+        .select(col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast("bigint").as("words"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("words").as("total_words"),
+          round(avg("n_chars"), 2).as("avg_chars"),
+          round(expr("percentile(words, 0.5)"), 2).as("p50_words"),
+          round(expr("percentile(words, 0.9)"), 2).as("p90_words"))
+        .orderBy("lang"),
+      Some("SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words, " +
+        "ROUND(AVG(n_chars), 2) AS avg_chars, " +
+        "ROUND(quantile_cont(len(string_split(text, ' ')), 0.5), 2) " +
+        "AS p50_words, " +
+        "ROUND(quantile_cont(len(string_split(text, ' ')), 0.9), 2) " +
+        "AS p90_words " +
+        "FROM documents GROUP BY lang ORDER BY lang")),
+
     Q("t04_fingerprint",
       (s, d) => docs(s, d)
         .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
