@@ -570,6 +570,67 @@ object Graft {
     labels.select(col("id").as(idCol), col("lab").as("cluster_id"))
   }
 
+  /** [[dupClusters]]' O(log d) counterpart: two-phase large-star /
+    * small-star contraction (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"). Label propagation needs one round per hop
+    * of graph diameter — fine for near-clique dup clusters, quadratic
+    * pain on chain-shaped graphs (mention graphs, link graphs). Each
+    * contraction round here HALVES long paths:
+    *
+    *  - large-star: every node's strictly-larger neighbors re-attach to
+    *    the minimum of its neighborhood (incl. itself);
+    *  - small-star: on hi→lo oriented edges, every node's smaller
+    *    neighbors (and the node) re-attach to the neighborhood minimum.
+    *
+    * Both phases are one groupBy(min) + one equi-join, hash-partitioned
+    * by node — same per-round shuffle discipline as propagation, just
+    * O(log d) rounds instead of O(d). At the fixpoint the edge set is a
+    * star per component centered on its minimum, so the labeling is a
+    * single left join. Same contract as [[dupClusters]]: every node
+    * labeled with its component's min id, singletons label themselves
+    * (equivalence on random graphs asserted in ApiSpec). */
+  def dupClustersLargeStar(nodes: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 50): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("u"), col("v")).as("hi"),
+        least(col("u"), col("v")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+    var edges = canon(pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = edges.isEmpty
+    while (!converged && it < maxIters) {
+      // large-star over the symmetric adjacency
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = canon(sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+        .localCheckpoint(true)
+      // small-star on the hi->lo orientation
+      val mins2 = large.groupBy("hi").agg(min("lo").as("m"))
+      val small = canon(large.join(mins2, "hi")
+        .select(col("lo").as("u"), col("m").as("v"))
+        .union(mins2.select(col("hi").as("u"), col("m").as("v"))))
+        .localCheckpoint(true)
+      val changed = small.except(edges).union(edges.except(small))
+        .limit(1).count()
+      edges = small
+      converged = changed == 0
+      it += 1
+    }
+    val labels = edges.select(col("hi").as("id"), col("lo").as("cl"))
+    nodes.select(col(idCol).cast("long").as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("cl"), col("id")).as("cluster_id"))
+  }
+
   // ---------------------------------------------------------- multimodal
 
   /** Binary-payload metadata pass (size + digest): the cheap first scan

@@ -236,7 +236,30 @@ class ApiSpec extends AnyFunSuite with Matchers {
         edges.toDF("x", "y"), "x", "y")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       got shouldBe expected
+      // the O(log d) contraction must agree with propagation exactly
+      val gotStar = Graft.dupClustersLargeStar(
+        (0L until n.toLong).toDF("nid"), "nid",
+        edges.toDF("x", "y"), "x", "y")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      gotStar shouldBe expected
     }
+  }
+
+  test("dupClustersLargeStar collapses a long chain (the shape built " +
+    "for) and handles the empty edge set") {
+    val s = spark
+    import s.implicits._
+    val n = 12
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("x", "y")
+    val got = Graft.dupClustersLargeStar(
+      (0L until n.toLong).toDF("nid"), "nid", chain, "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.map(_._2).distinct shouldBe Array(0L)
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    val singletons = Graft.dupClustersLargeStar(
+      (0L until 4L).toDF("nid"), "nid", empty, "x", "y")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    singletons shouldBe Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L)
   }
 
   test("repetitionSignals flags repeated text and leaves varied text low") {
