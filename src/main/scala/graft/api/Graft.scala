@@ -367,6 +367,25 @@ object Graft {
       .filter(col("rnk") <= k)
   }
 
+  /** Exact cosine range search: every neighbor with cosine >=
+    * `threshold` for each row matching `queryPred` — the radius twin of
+    * [[cosineTopK]] (top-k bounds the result count, range bounds the
+    * similarity; retrieval pipelines need both). Same scale shape: the
+    * query side broadcasts and the corpus streams once with no
+    * shuffle. */
+  def cosineRange(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, threshold: Double): DataFrame = {
+    val n = normalized(df, idCol, vecCol)
+    val q = n.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qe"),
+        col("nrm").as("qn"))
+    broadcast(q)
+      .join(n, col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        (dot(col("qe"), col(vecCol)) / (col("qn") * col("nrm"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Exact all-pairs cosine near-dup (the O(n²) baseline; prefer
     * [[lshCosinePairs]] beyond ~10⁴ vectors). */
   def cosinePairsExact(df: DataFrame, idCol: String, vecCol: String,

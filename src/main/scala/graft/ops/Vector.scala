@@ -83,6 +83,30 @@ object Vector {
         s"ROUND(cos, 4) AS cos FROM r WHERE rnk <= $K " +
         "ORDER BY query_id, rnk")),
 
+    Q("s06_cosine_range",
+      // Radius search: all neighbors above a similarity floor per query
+      // — the retrieval twin of s01's top-k (count-bounded vs
+      // similarity-bounded). Same broadcast-query single-corpus-pass
+      // shape. See [[graft.api.Graft.cosineRange]].
+      (s, d) => graft.api.Graft
+        .cosineRange(Tables.load(s, d, "embeddings"), "vec_id",
+          "embedding", queryPred = col("vec_id") < NQueries,
+          threshold = 0.3)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("query_id", "neighbor_id"),
+      Some("WITH n AS (SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(list_zip(embedding, embedding), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) AS nrm " +
+        "FROM embeddings), " +
+        "p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+        "(a.nrm * b.nrm) AS cos FROM n a JOIN n b " +
+        s"ON a.vec_id < $NQueries AND a.vec_id <> b.vec_id) " +
+        "SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM p " +
+        "WHERE cos >= 0.3 ORDER BY query_id, neighbor_id")),
+
     Q("s02_ann_lsh",
       (s, d) => {
         // Multi-table random-hyperplane LSH (4 tables x 6 sign bits),
