@@ -16,6 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object Graft {
 
+  /** The clustering/packing ops order and shard by the id NUMERICALLY
+    * (`cluster_id` = component min; shard = id mod shards); a
+    * non-numeric id would silently cast to null instead of failing, so
+    * reject it up front. Ops that only carry the id through (dedup,
+    * similarity, text stats) stay schema-agnostic. */
+  private def requireNumericId(df: DataFrame, idCol: String,
+      op: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$op: id column '$idCol' must be numeric (found $dt) — " +
+        "cluster/shard math is defined on numeric ids")
+  }
+
   // ---------------------------------------------------------------- text
 
   /** Distinct word n-gram shingles: (id, s). Documents shorter than n
@@ -303,6 +316,7 @@ object Graft {
       capacity: Int = 2048, shards: Int = 8): DataFrame = {
     require(capacity > 0 && shards > 0,
       s"packAssignments($capacity, $shards)")
+    requireNumericId(df, idCol, "packAssignments")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(idCol)
     df.select(col(idCol),
@@ -560,6 +574,7 @@ object Graft {
     * executor-loss tolerance; the algorithm is unchanged. */
   def dupClusters(nodes: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String, bCol: String, maxIters: Int = 50): DataFrame = {
+    requireNumericId(nodes, idCol, "dupClusters")
     val sym = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(pairs
@@ -611,6 +626,7 @@ object Graft {
   def dupClustersLargeStar(nodes: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 50): DataFrame = {
+    requireNumericId(nodes, idCol, "dupClustersLargeStar")
     def canon(e: DataFrame): DataFrame = e
       .select(greatest(col("u"), col("v")).as("hi"),
         least(col("u"), col("v")).as("lo"))

@@ -245,6 +245,21 @@ class ApiSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("clustering/packing ops reject non-numeric id columns up front " +
+    "instead of silently casting to null") {
+    val s = spark
+    import s.implicits._
+    val strNodes = Seq("a", "b").toDF("nid")
+    val pairs = Seq((1L, 2L)).toDF("x", "y")
+    an[IllegalArgumentException] should be thrownBy
+      Graft.dupClusters(strNodes, "nid", pairs, "x", "y")
+    an[IllegalArgumentException] should be thrownBy
+      Graft.dupClustersLargeStar(strNodes, "nid", pairs, "x", "y")
+    an[IllegalArgumentException] should be thrownBy
+      Graft.packAssignments(Seq(("a", "b c")).toDF("nid", "body"),
+        "nid", "body")
+  }
+
   test("dupClustersLargeStar collapses a long chain (the shape built " +
     "for) and handles the empty edge set") {
     val s = spark
