@@ -84,7 +84,7 @@ object Bench {
     }
     val regs = regressions.mkString("{", ",", "}")
     // n_queries: totals across rounds are only comparable per-query — the
-    // registered surface grew from 55 (r1) to 75 (r2) to 94 (r3).
+    // registered surface grew from 55 (r1) to 75 (r2) to 95 (r3).
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"regressions_vs_local":$regs,"sf":"$sfDir"}"""
     println(line)
     // Optional file copy of the JSON line (tooling-friendly; the driver

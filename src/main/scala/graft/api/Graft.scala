@@ -749,6 +749,40 @@ object Graft {
         col("entropy"))
   }
 
+  /** Multi-channel generalization of [[pcm16WindowEnergy]]: the payload
+    * is INTERLEAVED PCM16LE (sample s belongs to channel s mod
+    * `channels`), and energy windows are computed per channel — the
+    * deinterleave every stereo/multi-channel audio pipeline performs
+    * before per-channel analysis (VAD on the voice channel, music/noise
+    * split…). The deinterleave is arithmetic on the sample index, not a
+    * shuffle: rows group by (id, channel, window) with map-side partial
+    * sums, same as the mono path. Fully oracle-checkable (hex parse on
+    * both engines). */
+  def pcm16ChannelWindowEnergy(df: DataFrame, idCol: String,
+      payloadCol: String, windowSamples: Int = 16,
+      channels: Int = 2): DataFrame = {
+    require(windowSamples > 0 && channels > 0,
+      s"pcm16ChannelWindowEnergy($windowSamples, $channels)")
+    val h = graft.functions.TextExpressions.hexSliceLong _
+    val raw = h(col("sh"), 1, 2) + h(col("sh"), 3, 2) * 256
+    df.select(col(idCol), lower(hex(col(payloadCol))).as("hx"),
+      (length(col(payloadCol)) / 2).cast("int").as("ns"))
+      .filter(col("ns") >= windowSamples * channels)
+      .select(col(idCol), col("hx"),
+        explode(expr("sequence(0, ns - 1)")).as("s"))
+      .select(col(idCol), col("s"),
+        expr("substring(hx, s * 4 + 1, 4)").as("sh"))
+      .select(col(idCol), col("s"),
+        when(raw >= 32768, lit(65536) - raw).otherwise(raw).as("amp"))
+      .groupBy(col(idCol),
+        (col("s") % channels).cast("bigint").as("channel"),
+        expr(s"CAST((s DIV $channels) DIV $windowSamples AS BIGINT)")
+          .as("win_idx"))
+      .agg(sum("amp").as("energy"), count(lit(1)).as("n"))
+      .filter(col("n") === windowSamples)
+      .select(col(idCol), col("channel"), col("win_idx"), col("energy"))
+  }
+
   /** Exact n-gram Jaccard pairs over shared shingles, thresholded.
     *
     * `maxShingleDf` caps the document frequency of shingles admitted to

@@ -162,6 +162,34 @@ object Multimodal {
         "+ 0.0, 4) AS entropy " +
         "FROM h GROUP BY doc_id, nb ORDER BY doc_id")),
 
+    Q("m07_stereo_energy",
+      // Stereo deinterleave + per-channel window energy over the payload
+      // read as interleaved 2-channel PCM16LE — the step before any
+      // per-channel audio analysis. Channel membership is index
+      // arithmetic (s mod 2), so the deinterleave costs nothing beyond
+      // the (id, channel, window) aggregation. Fully oracle-checked like
+      // m05. See [[graft.api.Graft.pcm16ChannelWindowEnergy]].
+      (s, d) => graft.api.Graft.pcm16ChannelWindowEnergy(
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload", windowSamples = 16, channels = 2)
+        .orderBy("doc_id", "channel", "win_idx"),
+      Some("WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS h, " +
+        "octet_length(encode(text))//2 AS ns FROM documents), " +
+        "s AS (SELECT doc_id, g AS s, " +
+        "CAST(concat('0x', substr(h, CAST(g*4+1 AS BIGINT), 2)) AS BIGINT) + " +
+        "256 * CAST(concat('0x', substr(h, CAST(g*4+3 AS BIGINT), 2)) " +
+        "AS BIGINT) AS raw " +
+        "FROM p, UNNEST(generate_series(0, ns-1)) t(g) WHERE ns >= 32), " +
+        "a AS (SELECT doc_id, s % 2 AS channel, (s//2)//16 AS win_idx, " +
+        "CASE WHEN raw >= 32768 THEN 65536 - raw ELSE raw END AS amp " +
+        "FROM s) " +
+        "SELECT doc_id, CAST(channel AS BIGINT) AS channel, " +
+        "CAST(win_idx AS BIGINT) AS win_idx, " +
+        "CAST(SUM(amp) AS BIGINT) AS energy " +
+        "FROM a GROUP BY 1, 2, 3 HAVING COUNT(*) = 16 " +
+        "ORDER BY doc_id, channel, win_idx")),
+
     Q("m04_resize",
       // Resize path: STUB "decoder" downsamples the payload by a fixed
       // stride (a real codec would decode + bilinear-resample; the libs

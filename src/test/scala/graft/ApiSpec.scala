@@ -396,6 +396,21 @@ class ApiSpec extends AnyFunSuite with Matchers {
     r.getLong(2) shouldBe 15L
   }
 
+  test("pcm16ChannelWindowEnergy deinterleaves stereo: silent left " +
+    "channel, constant right channel") {
+    val s = spark
+    import s.implicits._
+    // 16 stereo frames of [L=0x0000, R=0x0101]: left window sums to 0,
+    // right to 16 * (0x01 + 0x01*256) = 16 * 257
+    val payload = Array.fill(16)(Array[Byte](0, 0, 1, 1)).flatten
+    val df = Seq(("a1", payload)).toDF("uid", "blob")
+    val got = Graft.pcm16ChannelWindowEnergy(df, "uid", "blob",
+      windowSamples = 16, channels = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    got shouldBe Map((0L, 0L) -> 0L, (1L, 0L) -> 16L * 257)
+  }
+
   test("text stats and langId run on the custom schema") {
     Graft.tokenCounts(corpus, "uid", "body").columns shouldBe
       Array("uid", "n_ws", "n_bpe")
