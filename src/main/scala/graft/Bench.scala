@@ -12,6 +12,18 @@ import org.apache.spark.sql.SparkSession
   * query measured.
   */
 object Bench {
+  /** Parse a bench JSON line (or pretty-printed variant) into
+    * name -> seconds. Whitespace-tolerant around the colon: the committed
+    * BENCH_local.json is pretty-printed with `": "`, which the original
+    * no-space regex silently failed to match — the regression gate then
+    * compared against an empty map and could never fire (round-3 verdict).
+    */
+  def parseRef(content: String): Map[String, Double] =
+    """"([a-z0-9_]+)"\s*:\s*(-?[0-9]+(?:\.[0-9]+)?)""".r
+      .findAllMatchIn(content)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .toMap
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -66,9 +78,16 @@ object Bench {
       val f = new java.io.File(refPath)
       if (!f.exists()) Seq.empty
       else {
-        val ref = """"([a-z0-9_]+)":([0-9.]+)""".r
-          .findAllMatchIn(scala.io.Source.fromFile(f).mkString)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val ref = parseRef(scala.io.Source.fromFile(f).mkString)
+        // Self-check that the gate is alive: a reference file that parses
+        // to zero query entries (or shares no names with this run) means
+        // the scan below is vacuously empty — fail loudly instead of
+        // reporting "no regressions" (that dead-gate state shipped in r3).
+        val shared = ref.keySet.intersect(results.map(_._1).toSet)
+        if (shared.isEmpty)
+          throw new IllegalStateException(
+            s"bench regression gate is dead: $refPath parsed to " +
+              s"${ref.size} entries, none matching a registered query")
         results.flatMap { case (name, v) =>
           ref.get(name).collect {
             // floor of 0.5s: ratios on sub-half-second queries are

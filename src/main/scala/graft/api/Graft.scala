@@ -509,21 +509,38 @@ object Graft {
         expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("centroid"))
 
   /** Assign every vector to its max-cosine centroid. The centroid table
-    * (nlist rows) broadcasts; assignment is one map-side pass over the
-    * corpus plus a per-id argmax — no shuffle of the vectors. */
+    * (nlist rows) collapses to ONE broadcast row holding an
+    * array<(list_id, centroid, cnrm)>, and each vector computes its
+    * argmax with a per-row fold over that array — purely map-side: no
+    * explode to n×nlist rows, no aggregate, no shuffle, no sort.
+    *
+    * The previous shape expanded to n×nlist rows and ranked them with a
+    * `row_number` window (hash shuffle + sort per call, ×(iters+1)
+    * inside [[kmeansCentroids]]) — the round-3 s04 bench outlier. The
+    * fold's winner condition (cos >, or cos = and list_id <) is
+    * order-independent, so the nondeterministic `collect_list` order
+    * cannot change the result; NaN cosines (zero-norm vectors) follow
+    * Spark's NaN-is-greatest comparison on both shapes. */
   def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
     val n = normalized(df, idCol, vecCol)
-    val cn = centroids.select(col("list_id"), col("centroid"),
-      sqrt(dot(col("centroid"), col("centroid"))).as("cnrm"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("cos").desc, col("list_id"))
-    n.join(broadcast(cn), lit(true))
-      .select(col(idCol), col(vecCol), col("list_id"),
-        (dot(col(vecCol), col("centroid")) / (col("nrm") * col("cnrm")))
-          .as("cos"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("list_id"))
+    val cn = centroids.agg(collect_list(struct(
+      col("list_id"), col("centroid"),
+      sqrt(dot(col("centroid"), col("centroid"))).as("cnrm"))).as("cents"))
+    n.join(broadcast(cn), lit(true)) // 1-row build side: adds one column
+      .select(col(idCol), col(vecCol),
+        aggregate(col("cents"),
+          struct(lit(Int.MaxValue).as("list_id"),
+            lit(-2.0).cast("double").as("cos")),
+          (acc, c) => {
+            val cos = (dot(col(vecCol), c("centroid")) /
+              (col("nrm") * c("cnrm"))).cast("double")
+            when(cos > acc("cos") ||
+                (cos === acc("cos") && c("list_id") < acc("list_id")),
+              struct(c("list_id").cast("int").as("list_id"),
+                cos.as("cos")))
+              .otherwise(acc)
+          })("list_id").as("list_id"))
   }
 
   /** Distributed Lloyd refinement for an IVF coarse quantizer:

@@ -124,6 +124,51 @@ class AdviceRegressionSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("bench ref parser handles the committed pretty-printed " +
+    "BENCH_local.json (round-3 dead-gate regression)") {
+    // The r3 gate regex required no space after the colon; the committed
+    // reference is pretty-printed with `": "` so the gate compared against
+    // an empty map and never fired. Parse the ACTUAL committed bytes.
+    val committed = scala.io.Source.fromFile("BENCH_local.json").mkString
+    val ref = Bench.parseRef(committed)
+    val queryNames = ref.keySet -- Set("value") // drop the total metric
+    // Every registered query must carry a committed reference time —
+    // otherwise the per-query regression scan silently skips it.
+    SparkEntry.allDefs.map(_.name).toSet.diff(queryNames) shouldBe empty
+    ref("a01_scan_project") should be > 0.0
+    ref.keySet should contain allOf
+      ("m01_media_meta", "m02_frame_features", "s04_ann_ivf_trained")
+    // Compact (no-space) form parses identically.
+    Bench.parseRef(""""m01_media_meta":0.215""") shouldBe
+      Map("m01_media_meta" -> 0.215)
+  }
+
+  test("m01/m02/s04 stay within the CI bench threshold vs BENCH_local.json " +
+    "(round-3: driver flagged them weak with the regression gate dead)") {
+    // Gross-regression tripwire, not a precision benchmark: a reintroduced
+    // window sort / cartesian / collect would blow these bars by 10x+,
+    // while shared-VM noise (documented in BASELINE.md) stays well under
+    // the generous 6x-or-3s bar — especially as a min over reps.
+    val ref = Bench.parseRef(
+      scala.io.Source.fromFile("BENCH_local.json").mkString)
+    val sfDir = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists())
+    val s = spark
+    Seq("m01_media_meta", "m02_frame_features", "s04_ann_ivf_trained")
+      .foreach { name =>
+        val secs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(s, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        val bar = math.max(6 * ref(name), 3.0)
+        withClue(f"$name took $secs%.2fs vs ref ${ref(name)} (bar $bar): ") {
+          secs should be <= bar
+        }
+      }
+  }
+
   test("ack_deadline_seconds option: parsed, validated positive") {
     val base = Map(
       PubsubOptions.ProjectId -> "p",

@@ -147,6 +147,19 @@ class PlanPropertiesSpec extends AnyFunSuite with Matchers {
     val p = plan("s04_ann_ivf_trained")
     (p should not).include("CartesianProduct")
     p should include("BroadcastHashJoin")
+    // Round-4: centroid assignment is a max_by HashAggregate (map-side
+    // partial argmax), not a row_number window — the window paid a full
+    // sort per Lloyd round (×(iters+1)) and was the r3 s04 bench
+    // outlier. Assert on the assignment subplan itself: the only windows
+    // left in s04 are ivfSearch's probe pick and final top-k rank.
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val cents = graft.api.Graft
+      .kmeansCentroids(emb, "vec_id", "embedding", nlist = 10, iters = 2)
+    val assignPlan = graft.api.Graft
+      .assignToCentroids(emb, "vec_id", "embedding", cents)
+      .queryExecution.executedPlan.toString
+    (assignPlan should not).include("Window")
+    assignPlan should include("HashAggregate")
   }
 
   test("t09 curation pipeline: every stage joins on doc_id — equi-joins " +
