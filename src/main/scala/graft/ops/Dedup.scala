@@ -319,15 +319,47 @@ object Dedup {
       // precision cosine + threshold. d05's all-pairs BNLJ is O(n²) in
       // dot products; here pair generation is an equi-join on
       // (table, code) — shuffle-partitioned by bucket — and the exact
-      // math runs on the short list. Approximate by construction
-      // (candidate recall < 1), so rows-only in the gate; recall vs
-      // d05's exact pairs is asserted in SketchAccuracySpec.
-      (s, d) => graft.api.Graft
-        .lshCosinePairs(Tables.load(s, d, "embeddings"), "vec_id",
-          "embedding", threshold = 0.45)
-        .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
-          round(col("cos"), 4).as("cos"))
-        .orderBy("vec_a", "vec_b"),
-      None)
+      // math runs on the short list.
+      //
+      // The pair list itself is approximate (candidate recall < 1), so
+      // it can't be hash-compared; the gate instead emits the accuracy
+      // contract rendered as one row DuckDB CAN check: n_exact (DuckDB
+      // recomputes d05's pair count), false_positives = 0 (the exact
+      // cosine filter runs on every candidate, so LSH pairs ⊆ exact
+      // pairs by construction — a drifted threshold or broken rerank
+      // makes this nonzero), and recall >= the 0.5 floor
+      // SketchAccuracySpec asserts. The user-facing pair list stays
+      // available via graft.api.Graft.lshCosinePairs.
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val lsh = graft.api.Graft
+          .lshCosinePairs(emb, "vec_id", "embedding", threshold = 0.45)
+          .select(col("id_a"), col("id_b"))
+        val exact = graft.api.Graft
+          .cosinePairsExact(emb, "vec_id", "embedding", threshold = 0.45)
+          .select(col("id_a"), col("id_b"))
+        val stats = lsh
+          .join(exact.withColumn("hit", lit(1L)), Seq("id_a", "id_b"),
+            "left")
+          .agg(
+            coalesce(sum(when(col("hit").isNull, 1L).otherwise(0L)),
+              lit(0L)).as("false_positives"),
+            coalesce(sum(col("hit")), lit(0L)).as("hits"))
+        stats.crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+          .select(col("n_exact"), col("false_positives"),
+            (col("hits") >= col("n_exact") * 0.5).as("recall_ok"))
+      },
+      Some("WITH n AS (SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(list_zip(embedding, embedding), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) AS nrm " +
+        "FROM embeddings), " +
+        "p AS (SELECT list_sum(list_transform(" +
+        "list_zip(a.embedding, b.embedding), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+        "(a.nrm * b.nrm) AS cos FROM n a JOIN n b " +
+        "ON a.vec_id < b.vec_id) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, " +
+        "CAST(0 AS BIGINT) AS false_positives, true AS recall_ok " +
+        "FROM p WHERE cos >= 0.45"))
   )
 }

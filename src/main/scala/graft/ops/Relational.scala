@@ -704,12 +704,27 @@ object Relational {
     Q("a27_approx_distinct",
       // HyperLogLog++ approximate distinct counts — the sketch every
       // 100 TB pipeline reaches for before an exact COUNT(DISTINCT).
-      // Deterministic for fixed input, but DuckDB's approx sketch differs
-      // -> rows-only check (the exact counterpart is a09).
+      // DuckDB's approx sketch differs, so the raw estimate can't be
+      // hash-compared; instead the gate emits the EXACT counts (DuckDB
+      // recomputes those) plus the HLL accuracy contract as booleans:
+      // |approx - exact| <= 15% of exact — 3x the default 5% rsd, the
+      // same bound SketchAccuracySpec asserts. A broken sketch flips a
+      // boolean and the hash check goes red.
       (s, d) => t(s, d)("lineitem")
         .agg(
           approx_count_distinct(col("l_partkey")).as("apd_parts"),
-          approx_count_distinct(col("l_suppkey")).as("apd_supps")),
-      None)
+          approx_count_distinct(col("l_suppkey")).as("apd_supps"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_suppkey")).as("exact_supps"))
+        .select(col("exact_parts"), col("exact_supps"),
+          (abs(col("apd_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.15).as("parts_within_3rsd"),
+          (abs(col("apd_supps") - col("exact_supps")) <=
+            col("exact_supps") * 0.15).as("supps_within_3rsd")),
+      Some("SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) " +
+        "AS exact_parts, " +
+        "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supps, " +
+        "true AS parts_within_3rsd, true AS supps_within_3rsd " +
+        "FROM lineitem"))
   )
 }

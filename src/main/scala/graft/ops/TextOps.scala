@@ -342,12 +342,38 @@ object TextOps {
       // single O(len) pass per document (the HOF formulation re-sliced
       // the string per position, O(len^2)); see
       // [[graft.functions.RollingMinHash64]].
-      // xxhash64 has no DuckDB counterpart -> rows-only check.
-      (s, d) => docs(s, d)
-        .select(col("doc_id"),
-          graft.functions.TextExpressions.rollingMinHash64(col("text"))
-            .as("fp"))
-        .orderBy("doc_id"),
-      None)
+      //
+      // xxhash64 has no DuckDB counterpart, so the fingerprint VALUE
+      // can't be hash-compared; the gate instead emits per-doc
+      // invariants DuckDB can check: n_bytes (recomputed exactly) plus
+      // two structural bounds that hold for ANY correct min-over-
+      // rolling-windows implementation — windows(text || text) ⊇
+      // windows(text) so fp(text||text) <= fp(text), and the windows of
+      // a >=8-byte prefix are a subset of windows(text) so fp(prefix)
+      // >= fp(text). A broken rolling update (stale packed byte, wrong
+      // window bounds) flips a boolean on some doc and the 500-row hash
+      // goes red. The raw fingerprint stays available via
+      // graft.functions.TextExpressions.rollingMinHash64.
+      (s, d) => {
+        def fp(c: org.apache.spark.sql.Column) =
+          graft.functions.TextExpressions.rollingMinHash64(c)
+        val nBytes = octet_length(col("text"))
+        docs(s, d)
+          .select(col("doc_id"),
+            nBytes.cast("bigint").as("n_bytes"),
+            when(nBytes >= 8,
+              fp(concat(col("text"), col("text"))) <= fp(col("text")))
+              .otherwise(lit(true)).as("concat_bound_ok"),
+            // drop the last CHARACTER (<=4 bytes); the >=12-byte guard
+            // keeps the prefix >=8 bytes so its windows are a subset
+            when(nBytes >= 12,
+              fp(expr("substring(text, 1, length(text) - 1)")) >=
+                fp(col("text")))
+              .otherwise(lit(true)).as("prefix_bound_ok"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, " +
+        "true AS concat_bound_ok, true AS prefix_bound_ok " +
+        "FROM documents ORDER BY doc_id"))
   )
 }

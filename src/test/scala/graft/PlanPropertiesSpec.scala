@@ -100,7 +100,14 @@ class PlanPropertiesSpec extends AnyFunSuite with Matchers {
   }
 
   test("d06 LSH near-dup: candidate + rerank joins are equi-joins") {
-    val p = plan("d06_embed_cosine_lsh")
+    // Target the API operator's plan: the d06 GATE query now also runs
+    // the exact all-pairs baseline (deliberately a BNLJ) to render the
+    // recall contract, so the gate plan is no longer BNLJ-free — the
+    // operator a user calls at scale still must be.
+    val p = graft.api.Graft
+      .lshCosinePairs(graft.Tables.load(spark, sfDir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.45)
+      .queryExecution.executedPlan.toString
     (p should not).include("CartesianProduct")
     (p should not).include("BroadcastNestedLoopJoin")
   }
@@ -147,11 +154,13 @@ class PlanPropertiesSpec extends AnyFunSuite with Matchers {
     val p = plan("s04_ann_ivf_trained")
     (p should not).include("CartesianProduct")
     p should include("BroadcastHashJoin")
-    // Round-4: centroid assignment is a max_by HashAggregate (map-side
-    // partial argmax), not a row_number window — the window paid a full
-    // sort per Lloyd round (×(iters+1)) and was the r3 s04 bench
-    // outlier. Assert on the assignment subplan itself: the only windows
-    // left in s04 are ivfSearch's probe pick and final top-k rank.
+    // Round-4: centroid assignment is a per-row fold over the broadcast
+    // centroid array, not a row_number window — the window paid a full
+    // sort + shuffle per Lloyd round (×(iters+1)) and was the r3 s04
+    // bench outlier. Assert on the assignment subplan itself: the only
+    // windows left in s04 are ivfSearch's probe pick and final top-k
+    // rank. (The HashAggregates below are centroid training's, which
+    // feeds the assignment plan.)
     val emb = graft.Tables.load(spark, sfDir, "embeddings")
     val cents = graft.api.Graft
       .kmeansCentroids(emb, "vec_id", "embedding", nlist = 10, iters = 2)

@@ -25,16 +25,22 @@ class SketchAccuracySpec extends AnyFunSuite with Matchers {
     SparkEntry.allDefs.find(_.name == name).get.run(spark, sfDir)
 
   test("a27: HLL approx distinct within 3x the default 5% rsd of exact") {
-    val approx = run("a27_approx_distinct").collect().head
-    val exact = Tables.load(spark, sfDir, "lineitem")
-      .agg(countDistinct(col("l_partkey")), countDistinct(col("l_suppkey")))
+    // Independent recomputation (the a27 gate query now folds this bound
+    // into its own output as oracle-checked booleans).
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val both = li.agg(
+      approx_count_distinct(col("l_partkey")), countDistinct(col("l_partkey")),
+      approx_count_distinct(col("l_suppkey")), countDistinct(col("l_suppkey")))
       .collect().head
-    for (i <- 0 to 1) {
-      val rel = math.abs(approx.getLong(i).toDouble - exact.getLong(i)) /
-        exact.getLong(i)
-      withClue(s"col $i approx=${approx.getLong(i)} exact=${exact.getLong(i)}: ")(
-        rel should be < 0.15)
+    for (i <- Seq(0, 2)) {
+      val (a, e) = (both.getLong(i).toDouble, both.getLong(i + 1))
+      withClue(s"col $i approx=$a exact=$e: ")(
+        math.abs(a - e) / e should be < 0.15)
     }
+    // and the gate row agrees: both contract booleans true
+    val gate = run("a27_approx_distinct").collect().head
+    gate.getBoolean(2) shouldBe true
+    gate.getBoolean(3) shouldBe true
   }
 
   test("approx_percentile tracks a28's exact percentiles (the documented " +
@@ -72,13 +78,22 @@ class SketchAccuracySpec extends AnyFunSuite with Matchers {
   test("d06: LSH-candidate near-dup recovers most of d05's exact pairs") {
     val exact = run("d05_embed_cosine_dup").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = run("d06_embed_cosine_lsh").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // The pair set now comes from the API (the d06 gate query emits the
+    // aggregated contract row instead of the listing).
+    val approx = graft.api.Graft
+      .lshCosinePairs(Tables.load(spark, sfDir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // LSH candidates are a subset of all pairs: no false positives
     // (the exact cosine filter runs on candidates), only missed recall.
     (approx -- exact) shouldBe empty
     val recall = (approx & exact).size.toDouble / exact.size
     withClue(s"d06 recall vs exact near-dup pairs: ")(recall should be >= 0.5)
+    // and the gate contract row agrees
+    val gate = run("d06_embed_cosine_lsh").collect().head
+    gate.getLong(0) shouldBe exact.size.toLong // n_exact
+    gate.getLong(1) shouldBe 0L                // false_positives
+    gate.getBoolean(2) shouldBe true           // recall_ok
   }
 
   test("s02/s03/s04: approximate neighbors overlap the exact top-k") {
