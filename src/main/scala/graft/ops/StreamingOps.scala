@@ -101,6 +101,43 @@ object StreamingOps {
       (ep, sub)
     }
 
+  private val regionalBrokers = mutable.Map[String, String]()
+
+  /** Publish events once per fixture dir with a skewed `region` attribute
+    * (event_id % 10 == 0 -> eu-west1, else us-east1: a 90/10 split, above
+    * the 0.7 region-split threshold) so the backlog monitor's per-region
+    * metrics see a dominant region. Deterministic from event_id, so the
+    * DuckDB oracle recomputes the same assignment with a CASE. */
+  private def publishEventsRegional(s: SparkSession, d: String): (String, String) =
+    synchronized {
+      val topic = "projects/p/topics/events-regional"
+      val ep = regionalBrokers.getOrElseUpdate(d, {
+        val ep = s"regional-${UUID.randomUUID()}"
+        EmbeddedBroker.get(ep).createTopic(topic)
+        Tables.load(s, d, "events")
+          .select(col("event_type"), col("event_id"), col("value"))
+          .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+            val b = EmbeddedBroker.get(ep)
+            rows.grouped(5000).foreach { group =>
+              val batch = group.map { r =>
+                val eid = r.getLong(1)
+                val region =
+                  if (eid % 10 == 0) "eu-west1" else "us-east1"
+                (r.getString(0).getBytes,
+                  Map("region" -> region, "eid" -> eid.toString,
+                    "value" -> r.getDouble(2).toString), "")
+              }
+              b.publishBatch(topic, batch.toSeq)
+            }
+          }
+        ep
+      })
+      val sub = s"regional-sub-${UUID.randomUUID().toString.take(8)}"
+      EmbeddedBroker.get(ep).createSubscription(
+        s"projects/p/subscriptions/$sub", topic, backfill = true)
+      (ep, sub)
+    }
+
   private def sourceDF(s: SparkSession, ep: String, sub: String): DataFrame =
     s.readStream.format("pubsub")
       .option("project_id", "p")
@@ -543,6 +580,44 @@ object StreamingOps {
       },
       Some("SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sv " +
         "FROM events GROUP BY event_type ORDER BY event_type")),
+
+    Q("p13_dynamic_partitioning",
+      // Backlog-driven dynamic partitioning end-to-end (reference
+      // PubsubSubscriptionMonitor.scala:136-187 feeding
+      // PubsubMicroBatchStream.scala:58-74): events carry a skewed region
+      // attribute (90/10), the source runs with dynamic_partitioning=true,
+      // so the backlog monitor sizes the batch from live backlog counts
+      // and the dominant region trips the per-region partition split —
+      // each region's partitions pull through its own regional endpoint
+      // alias. The require() proves the split path actually planned
+      // regional endpoints (a static plan would pass the counts alone);
+      // the per-region totals are then exact and DuckDB-checkable because
+      // region is a pure function of event_id.
+      (s, d) => {
+        val (ep, sub) = publishEventsRegional(s, d)
+        val src = s.readStream.format("pubsub")
+          .option("project_id", "p")
+          .option("subscription", sub)
+          .option("endpoint", ep)
+          .option("dynamic_partitioning", "true")
+          .option("max_messages_per_partition", "50000")
+          .option("ack_deadline_seconds", "600")
+          .load()
+        val sunk = drain(src.selectExpr(
+          "attributes['region'] AS region",
+          "CAST(attributes['value'] AS DOUBLE) AS value"), "append")
+        require(EmbeddedBroker.isAliased(s"us-east1-$ep") &&
+          EmbeddedBroker.isAliased(s"eu-west1-$ep"),
+          "dynamic partitioning did not engage the region split: no " +
+            "regional endpoint aliases were planned")
+        sunk.groupBy("region")
+          .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sv"))
+          .orderBy("region")
+      },
+      Some("SELECT CASE WHEN event_id % 10 = 0 THEN 'eu-west1' " +
+        "ELSE 'us-east1' END AS region, COUNT(*) AS cnt, " +
+        "ROUND(SUM(value), 2) AS sv FROM events GROUP BY 1 " +
+        "ORDER BY region")),
 
     Q("b03_json_scalar",
       // JSON scalar extraction over events.props (B3).

@@ -38,6 +38,11 @@ object EmbeddedBroker {
   def aliasEndpoint(alias: String, target: String): Unit =
     if (alias != target) aliases.putIfAbsent(alias, target)
 
+  /** Whether `endpoint` is a registered alias — i.e. some stream actually
+    * routed a regional endpoint here (lets tests assert the region-split
+    * path engaged without `get`'s create-on-miss side effect). */
+  def isAliased(endpoint: String): Boolean = aliases.containsKey(endpoint)
+
   def get(endpoint: String): Broker = {
     val resolved = aliases.getOrDefault(endpoint, endpoint)
     brokers.computeIfAbsent(resolved, _ => new Broker)

@@ -307,6 +307,55 @@ class PubsubConnectorSpec extends AnyFunSuite with Matchers
     } finally q1.stop()
   }
 
+  test("executor loss: a rescheduled task replays the cached pull " +
+    "identically, and losing the cache file itself still converges " +
+    "with no double-ack") {
+    val FastSub = "projects/p/subscriptions/loss-sub"
+    broker.createSubscription(FastSub, Topic, ackDeadlineMs = 500)
+    publish100()
+    val cacheDir = Files.createTempDirectory("graft-loss").toString
+    val part = PubsubInputPartition(FastSub, ep, batchId = 0,
+      partitionIdx = 0, maxMessages = 1000,
+      cachePath = s"$cacheDir/batch=0/part=0", region = "global")
+    def evaluate(): Seq[(String, String)] = {
+      // fresh reader object = the task re-run on another executor
+      val r = new PubsubPartitionReaderFactory().createReader(part)
+      val out = collection.mutable.ArrayBuffer[(String, String)]()
+      while (r.next()) {
+        val row = r.get()
+        out += ((row.getString(1), row.getString(2))) // (ack_id, message_id)
+      }
+      r.close()
+      out.toSeq
+    }
+    val first = evaluate()
+    first should have size 100
+    // Phase 1 — executor lost, checkpoint cache intact: the rescheduled
+    // task replays the persisted pull byte-for-byte (same ack ids, same
+    // order), never touching the broker again.
+    evaluate() shouldBe first
+    // Phase 2 — cache file ALSO lost (disk wiped with the executor).
+    val fs = new org.apache.hadoop.fs.Path(part.cachePath)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.delete(new org.apache.hadoop.fs.Path(part.cachePath), false) shouldBe true
+    Thread.sleep(800) // first pull's leases lapse -> broker redelivers
+    val second = evaluate()
+    // redelivery is the same messages in the same (seq) order — new
+    // leases, so new ack ids, but identical payload identity
+    second.map(_._2) shouldBe first.map(_._2)
+    second.map(_._1) should not be first.map(_._1)
+    // Commit acks only what the (current) cache file holds: the stale
+    // first-evaluation ack ids are gone with their leases, and acking
+    // them anyway is a harmless no-op — no double-ack, backlog drains.
+    val ackIds = ReplayCache.ackIds(
+      new org.apache.hadoop.fs.Path(s"$cacheDir/batch=0"))
+    ackIds.sorted shouldBe second.map(_._1).sorted
+    broker.acknowledge(FastSub, first.map(_._1)) // stale ids: no-op
+    broker.acknowledge(FastSub, ackIds)
+    broker.backlog(FastSub) shouldBe 0
+    broker.pull(FastSub, 1000) shouldBe empty // nothing redelivers later
+  }
+
   test("backlog monitor math: clamp and region split") {
     val conf = new org.apache.spark.SparkConf()
     val m = new PubsubBacklogMonitor(broker, Sub, conf)
