@@ -710,94 +710,63 @@ object Graft {
     * windows of `windowSamples` 16-bit little-endian samples, one row per
     * COMPLETE window with the sum of absolute sample values — the
     * voice-activity/loudness pass of an audio pipeline, computed honestly
-    * (no codec needed; PCM is just integers). Sample parsing goes through
-    * the payload's hex encoding and the native [[hex_slice_long]] parse,
-    * which DuckDB mirrors with '0x...'::BIGINT — so unlike a decoder stub
-    * the whole computation is oracle-checkable. Per-document explode is
-    * partition-local; only (id, window, partial-sum) rows shuffle. */
+    * (no codec needed; PCM is just integers). One pass per row via the
+    * native codegen [[graft.functions.Pcm16WindowEnergy]], which emits
+    * one struct per window; the explode is partition-local and the
+    * operator is map-only — ZERO shuffle (the earlier hex-parse
+    * formulation exploded a row per SAMPLE — 2 input bytes — and
+    * hash-aggregated them back into windows). */
   def pcm16WindowEnergy(df: DataFrame, idCol: String, payloadCol: String,
       windowSamples: Int = 16): DataFrame = {
     require(windowSamples > 0, s"pcm16WindowEnergy($windowSamples)")
-    val h = graft.functions.TextExpressions.hexSliceLong _
-    val raw = h(col("sh"), 1, 2) + h(col("sh"), 3, 2) * 256
-    df.select(col(idCol), lower(hex(col(payloadCol))).as("hx"),
-      (length(col(payloadCol)) / 2).cast("int").as("ns"))
-      .filter(col("ns") >= windowSamples)
-      .select(col(idCol), col("hx"),
-        explode(expr("sequence(0, ns - 1)")).as("s"))
-      .select(col(idCol), col("s"),
-        expr("substring(hx, s * 4 + 1, 4)").as("sh"))
-      .select(col(idCol), col("s"),
-        when(raw >= 32768, lit(65536) - raw).otherwise(raw).as("amp"))
-      .groupBy(col(idCol),
-        expr(s"CAST(s DIV $windowSamples AS BIGINT)").as("win_idx"))
-      .agg(sum("amp").as("energy"), count(lit(1)).as("n"))
-      .filter(col("n") === windowSamples)
-      .select(col(idCol), col("win_idx"), col("energy"))
+    df.select(col(idCol),
+      explode(graft.functions.MediaExpressions.pcm16WindowEnergy(
+        col(payloadCol), windowSamples, channels = 1)).as("w"))
+      .select(col(idCol), col("w.win_idx").as("win_idx"),
+        col("w.energy").as("energy"))
   }
 
   /** Shannon byte entropy (bits/byte) of a binary payload, plus size and
     * distinct-byte count: the standard corrupt-vs-compressed-vs-text
     * screen for opaque media columns (UTF-8 text sits ~4-5 bits/byte,
     * compressed/encrypted media ~8, zero-padded corruption near 0) —
-    * no decode needed, so it runs ahead of any codec. Byte values are
-    * parsed from the payload's hex form via the native
-    * [[graft.functions.HexSliceToLong]], making the whole computation
-    * oracle-checkable; the per-document histogram aggregation shuffles
-    * (id, byte, count) rows only, never the payload. */
+    * no decode needed, so it runs ahead of any codec. One histogram
+    * pass per row via the native codegen
+    * [[graft.functions.ByteEntropyStats]]: map-only, ZERO shuffle
+    * (the earlier explode-per-byte + double-aggregation formulation
+    * materialized a row per input byte — 10^14 rows at 100 TB — before
+    * the first combine). */
   def byteEntropy(df: DataFrame, idCol: String,
-      payloadCol: String): DataFrame = {
-    val byteAt = graft.functions.TextExpressions.hexSliceLong(
-      expr("substring(hx, g * 2 + 1, 2)"), 1, 2)
-    val p = col("c").cast("double") / col("nb")
-    df.select(col(idCol), lower(hex(col(payloadCol))).as("hx"),
-      length(col(payloadCol)).cast("bigint").as("nb"))
-      .filter(col("nb") >= 1)
-      .select(col(idCol), col("nb"), col("hx"),
-        explode(expr("sequence(0, CAST(nb AS INT) - 1)")).as("g"))
-      .select(col(idCol), col("nb"), byteAt.as("b"))
-      .groupBy(col(idCol), col("nb"), col("b"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol), col("nb"))
-      .agg(count(lit(1)).as("n_distinct"),
+      payloadCol: String): DataFrame =
+    df.filter(length(col(payloadCol)) >= 1)
+      .select(col(idCol),
+        graft.functions.TextExpressions.byteEntropyStats(col(payloadCol))
+          .as("st"))
+      .select(col(idCol),
+        col("st.nbytes").as("nbytes"),
+        col("st.n_distinct").as("n_distinct"),
         // -0.0 guard: a one-byte-alphabet payload sums to -0.0 exactly
-        round((-sum(p * log2(p))) + lit(0.0), 4).as("entropy"))
-      .select(col(idCol), col("nb").as("nbytes"), col("n_distinct"),
-        col("entropy"))
-  }
+        round(col("st.entropy") + lit(0.0), 4).as("entropy"))
 
   /** Multi-channel generalization of [[pcm16WindowEnergy]]: the payload
     * is INTERLEAVED PCM16LE (sample s belongs to channel s mod
     * `channels`), and energy windows are computed per channel — the
     * deinterleave every stereo/multi-channel audio pipeline performs
     * before per-channel analysis (VAD on the voice channel, music/noise
-    * split…). The deinterleave is arithmetic on the sample index, not a
-    * shuffle: rows group by (id, channel, window) with map-side partial
-    * sums, same as the mono path. Fully oracle-checkable (hex parse on
-    * both engines). */
+    * split…). The deinterleave is index arithmetic inside the same
+    * single-pass native expression as the mono path: one struct per
+    * (channel, window), partition-local explode, map-only, ZERO
+    * shuffle. */
   def pcm16ChannelWindowEnergy(df: DataFrame, idCol: String,
       payloadCol: String, windowSamples: Int = 16,
       channels: Int = 2): DataFrame = {
     require(windowSamples > 0 && channels > 0,
       s"pcm16ChannelWindowEnergy($windowSamples, $channels)")
-    val h = graft.functions.TextExpressions.hexSliceLong _
-    val raw = h(col("sh"), 1, 2) + h(col("sh"), 3, 2) * 256
-    df.select(col(idCol), lower(hex(col(payloadCol))).as("hx"),
-      (length(col(payloadCol)) / 2).cast("int").as("ns"))
-      .filter(col("ns") >= windowSamples * channels)
-      .select(col(idCol), col("hx"),
-        explode(expr("sequence(0, ns - 1)")).as("s"))
-      .select(col(idCol), col("s"),
-        expr("substring(hx, s * 4 + 1, 4)").as("sh"))
-      .select(col(idCol), col("s"),
-        when(raw >= 32768, lit(65536) - raw).otherwise(raw).as("amp"))
-      .groupBy(col(idCol),
-        (col("s") % channels).cast("bigint").as("channel"),
-        expr(s"CAST((s DIV $channels) DIV $windowSamples AS BIGINT)")
-          .as("win_idx"))
-      .agg(sum("amp").as("energy"), count(lit(1)).as("n"))
-      .filter(col("n") === windowSamples)
-      .select(col(idCol), col("channel"), col("win_idx"), col("energy"))
+    df.select(col(idCol),
+      explode(graft.functions.MediaExpressions.pcm16WindowEnergy(
+        col(payloadCol), windowSamples, channels)).as("w"))
+      .select(col(idCol), col("w.channel").as("channel"),
+        col("w.win_idx").as("win_idx"), col("w.energy").as("energy"))
   }
 
   /** Exact n-gram Jaccard pairs over shared shingles, thresholded.

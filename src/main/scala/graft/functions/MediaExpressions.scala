@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StructField, StructType}
+
+/** Single-pass PCM16LE window-energy over a BINARY payload: returns
+  * ARRAY<STRUCT<channel BIGINT, win_idx BIGINT, energy BIGINT>> with one
+  * element per COMPLETE window of `windowSamples` samples per channel
+  * (samples interleave round-robin across `channels`; mono is
+  * channels=1), ordered (channel, win_idx).
+  *
+  * The relational formulation (hex-encode the payload — 2× its size as a
+  * string — then explode one row PER SAMPLE and hash-aggregate
+  * per (doc, channel, window)) shuffles sample-count rows and builds a
+  * row per 2 input bytes. This expression reads the little-endian
+  * samples directly off the byte array in one pass and emits one struct
+  * per WINDOW: windowSamples× fewer rows, no hex blow-up, and the
+  * aggregation disappears entirely — the caller just explodes the
+  * per-row array (partition-local), so the whole operator is map-only.
+  */
+case class Pcm16WindowEnergy(child: Expression, windowSamples: Int,
+    channels: Int) extends UnaryExpression {
+  require(windowSamples > 0 && channels > 0,
+    s"pcm16_window_energy: need positive windowSamples/channels, " +
+      s"got ($windowSamples, $channels)")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"pcm16_window_energy requires BINARY input, got $t")
+    }
+  override def dataType: DataType =
+    ArrayType(Pcm16WindowEnergy.ElementSchema, containsNull = false)
+  override def prettyName: String = "pcm16_window_energy"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Pcm16WindowEnergy.compute(input.asInstanceOf[Array[Byte]],
+      windowSamples, channels)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Pcm16WindowEnergy.compute($c, $windowSamples, " +
+        s"$channels)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object Pcm16WindowEnergy {
+  val ElementSchema: StructType = StructType(Seq(
+    StructField("channel", LongType, nullable = false),
+    StructField("win_idx", LongType, nullable = false),
+    StructField("energy", LongType, nullable = false)))
+
+  def compute(bytes: Array[Byte], windowSamples: Int,
+      channels: Int): ArrayData = {
+    val ns = bytes.length / 2 // trailing odd byte ignored, as the hex
+                              // formulation's fixed-width slicing did
+    // complete windows per channel; channel c holds the samples with
+    // s % channels == c, i.e. ceil((ns - c) / channels) of them
+    val winsPerChannel = new Array[Int](channels)
+    var c = 0
+    var total = 0
+    while (c < channels) {
+      val inChannel = if (ns > c) (ns - c + channels - 1) / channels else 0
+      winsPerChannel(c) = inChannel / windowSamples
+      total += winsPerChannel(c)
+      c += 1
+    }
+    if (total == 0) return new GenericArrayData(Array.empty[Any])
+    // offsets of each channel's window block in the flat accumulator
+    val offset = new Array[Int](channels)
+    c = 1
+    while (c < channels) {
+      offset(c) = offset(c - 1) + winsPerChannel(c - 1); c += 1
+    }
+    val energy = new Array[Long](total)
+    var s = 0
+    while (s < ns) {
+      val ch = s % channels
+      val w = (s / channels) / windowSamples
+      if (w < winsPerChannel(ch)) {
+        val raw = (bytes(2 * s) & 0xff) | ((bytes(2 * s + 1) & 0xff) << 8)
+        val amp = if (raw >= 32768) 65536 - raw else raw
+        energy(offset(ch) + w) += amp
+      }
+      s += 1
+    }
+    val out = new Array[Any](total)
+    c = 0
+    while (c < channels) {
+      var w = 0
+      while (w < winsPerChannel(c)) {
+        out(offset(c) + w) = new GenericInternalRow(
+          Array[Any](c.toLong, w.toLong, energy(offset(c) + w)))
+        w += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+object MediaExpressions {
+  /** Per-window PCM16LE energy array of a BINARY column, one pass. */
+  def pcm16WindowEnergy(c: Column, windowSamples: Int,
+      channels: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      Pcm16WindowEnergy(
+        org.apache.spark.sql.graft.Bridge.expression(c),
+        windowSamples, channels))
+}

@@ -112,11 +112,11 @@ object Multimodal {
     Q("m05_audio_energy",
       // Audio-frame energy over the payload read as PCM16LE: real integer
       // DSP (not a stub — PCM needs no codec), one energy row per
-      // complete 16-sample window. Sample parsing goes hex ->
-      // hex_slice_long on the Spark side and '0x..'::BIGINT in the
-      // oracle, so the whole computation hash-checks. Explode is
-      // partition-local; the only shuffle is the (doc, window) partial
-      // aggregation.
+      // complete 16-sample window. Computed in a single byte-level pass
+      // by the native codegen Pcm16WindowEnergy expression (one struct
+      // per window, partition-local explode, zero shuffle); the oracle
+      // recomputes the same windows via hex parse + '0x..'::BIGINT, so
+      // the whole computation hash-checks.
       (s, d) => graft.api.Graft.pcm16WindowEnergy(
         Tables.load(s, d, "documents")
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
@@ -140,10 +140,10 @@ object Multimodal {
     Q("m06_byte_entropy",
       // Shannon byte entropy of the opaque payload: the corrupt-vs-
       // compressed-vs-text screen a media pipeline runs before spending
-      // any decode budget. Real computation (hex parse + histogram +
-      // -Σ p·log2 p), no codec, fully oracle-checked; only
-      // (id, byte, count) rows shuffle. See
-      // [[graft.api.Graft.byteEntropy]].
+      // any decode budget. Real computation (single-pass histogram +
+      // -Σ p·log2 p in a native codegen expression), no codec, fully
+      // oracle-checked; map-only — the payload never shuffles and no
+      // per-byte rows exist. See [[graft.api.Graft.byteEntropy]].
       (s, d) => graft.api.Graft.byteEntropy(
         Tables.load(s, d, "documents")
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
@@ -166,9 +166,9 @@ object Multimodal {
       // Stereo deinterleave + per-channel window energy over the payload
       // read as interleaved 2-channel PCM16LE — the step before any
       // per-channel audio analysis. Channel membership is index
-      // arithmetic (s mod 2), so the deinterleave costs nothing beyond
-      // the (id, channel, window) aggregation. Fully oracle-checked like
-      // m05. See [[graft.api.Graft.pcm16ChannelWindowEnergy]].
+      // arithmetic (s mod 2) inside the same single-pass native
+      // expression as m05: map-only, zero shuffle. Fully oracle-checked
+      // like m05. See [[graft.api.Graft.pcm16ChannelWindowEnergy]].
       (s, d) => graft.api.Graft.pcm16ChannelWindowEnergy(
         Tables.load(s, d, "documents")
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
@@ -180,7 +180,11 @@ object Multimodal {
         "CAST(concat('0x', substr(h, CAST(g*4+1 AS BIGINT), 2)) AS BIGINT) + " +
         "256 * CAST(concat('0x', substr(h, CAST(g*4+3 AS BIGINT), 2)) " +
         "AS BIGINT) AS raw " +
-        "FROM p, UNNEST(generate_series(0, ns-1)) t(g) WHERE ns >= 32), " +
+        // no doc-level sample floor: window completeness is enforced
+        // per (channel, window) by the HAVING below, so a doc whose
+        // channel 0 alone holds a complete window still reports it
+        // (the old ns >= 2*16 pre-filter silently dropped those docs)
+        "FROM p, UNNEST(generate_series(0, ns-1)) t(g) WHERE ns >= 1), " +
         "a AS (SELECT doc_id, s % 2 AS channel, (s//2)//16 AS win_idx, " +
         "CASE WHEN raw >= 32768 THEN 65536 - raw ELSE raw END AS amp " +
         "FROM s) " +

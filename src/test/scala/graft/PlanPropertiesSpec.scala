@@ -208,11 +208,24 @@ class PlanPropertiesSpec extends AnyFunSuite with Matchers {
     (p should not).include("SortMergeJoin")
   }
 
-  test("m06 byte entropy: the histogram shuffle carries (doc, byte) " +
-    "counts, never the payload") {
+  test("m06 byte entropy: map-only — no aggregation shuffle, no join, " +
+    "no per-byte explode; the only exchange is the output sort's") {
     val p = plan("m06_byte_entropy")
-    "Exchange hashpartitioning[^\\n]*payload".r.findAllIn(p) shouldBe empty
+    (p should not).include("Exchange hashpartitioning")
+    (p should not).include("Generate") // the old explode-per-byte shape
     (p should not).include("Join")
+  }
+
+  test("m05/m07 PCM window energy: map-only — the native expression " +
+    "emits one struct per window, so no aggregation shuffle exists") {
+    Seq("m05_audio_energy", "m07_stereo_energy").foreach { n =>
+      val p = plan(n)
+      withClue(s"$n: ") {
+        (p should not).include("Exchange hashpartitioning")
+        (p should not).include("HashAggregate")
+        (p should not).include("Join")
+      }
+    }
   }
 
   test("b05 partitioned write round-trip: the partition column comes " +
