@@ -228,6 +228,70 @@ object Graft {
           lit(0.0)).as("top_bigram_frac"))
   }
 
+  /** Duplicated-passage statistics per document (the C4/RefinedWeb
+    * passage-dedup signal): the text splits into tumbling `unitWords`-word
+    * passages, each passage is md5-keyed, and a passage counts as
+    * DUPLICATED when its exact content occurs more than once corpus-wide
+    * (in another document or repeated within one). Returns per document
+    * the passage count, duplicated-passage count, and duplicated
+    * fraction — the quality screen pipelines threshold on before
+    * training, and the unit a passage-level deduper would drop.
+    *
+    * Scale shape: passage construction is a per-row HOF (map-only,
+    * partition-local explode); the corpus-wide occurrence count is one
+    * hash aggregation over (passage-md5) rows — map-side combined, the
+    * payload never shuffles, keys are fixed-width digests; the join back
+    * is an equi-join on the digest. Full md5 keys (not truncated longs):
+    * at 10^12 passages a 64-bit key WOULD birthday-collide and
+    * overcount duplication. */
+  def duplicatePassageStats(df: DataFrame, idCol: String, textCol: String,
+      unitWords: Int = 10): DataFrame = {
+    require(unitWords > 0, s"duplicatePassageStats($unitWords)")
+    val units = df
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, CAST((size(w) + $unitWords - 1) " +
+          s"DIV $unitWords AS INT) - 1), " +
+          s"i -> md5(concat_ws(' ', slice(w, i * $unitWords + 1, " +
+          s"$unitWords))))")).as("uh"))
+    val occ = units.groupBy("uh").agg(count(lit(1)).as("occ"))
+    units.join(occ, "uh")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_units"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_units"))
+      .select(col(idCol), col("n_units"), col("n_dup_units"),
+        round(col("n_dup_units").cast("double") / col("n_units"), 4)
+          .as("dup_frac"))
+  }
+
+  /** Corpus-wide adjacent-symbol-pair counts at the character level —
+    * the statistic the first BPE merge iteration maximizes (pair counts
+    * weighted by word frequency). Returns the `topK` pairs by count
+    * (ties broken by pair value, deterministic).
+    *
+    * The classic tokenizer-training shape: one pass builds the word
+    * vocabulary (map-side-combined count per word — the only shuffle
+    * that scales with the corpus, and it carries (word, count) rows,
+    * not text); pair expansion then runs over DISTINCT words only —
+    * at web scale the vocabulary is millions of rows where the corpus
+    * is trillions — and the final pair aggregation is bounded by the
+    * symbol alphabet squared. */
+  def bpePairCounts(df: DataFrame, textCol: String,
+      topK: Int = 20): DataFrame = {
+    require(topK > 0, s"bpePairCounts($topK)")
+    val vocab = df
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    vocab
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(word) - 1), " +
+          "i -> substring(word, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum("wc").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topK)
+  }
+
   /** Top-`k` TF-IDF terms per document: tf = in-document occurrences,
     * idf = ln((N+1)/(df+1)) with df = number of documents containing the
     * term. The corpus size N stays a one-row broadcast (never a driver

@@ -374,6 +374,46 @@ object TextOps {
       },
       Some("SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, " +
         "true AS concat_bound_ok, true AS prefix_bound_ok " +
-        "FROM documents ORDER BY doc_id"))
+        "FROM documents ORDER BY doc_id")),
+
+    Q("t17_passage_dedup",
+      // Duplicated-passage statistics (C4/RefinedWeb passage dedup):
+      // tumbling 10-word passages, md5-keyed, a passage is duplicated
+      // when its exact content occurs >1 time corpus-wide. Passage
+      // construction is a per-row HOF; only (digest) rows shuffle. See
+      // [[graft.api.Graft.duplicatePassageStats]].
+      (s, d) => graft.api.Graft.duplicatePassageStats(
+        docs(s, d), "doc_id", "text", unitWords = 10)
+        .orderBy("doc_id"),
+      Some("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws " +
+        "FROM documents), " +
+        "u AS (SELECT doc_id, md5(array_to_string(" +
+        "ws[(i*10+1):(i*10+10)], ' ')) AS uh FROM w, " +
+        "UNNEST(generate_series(0, CAST((len(ws) + 9) // 10 AS BIGINT) " +
+        "- 1)) t(i)), " +
+        "f AS (SELECT uh, COUNT(*) AS occ FROM u GROUP BY 1) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_units, " +
+        "CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_dup_units, " +
+        "ROUND(CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) " +
+        "/ COUNT(*), 4) AS dup_frac " +
+        "FROM u JOIN f USING (uh) GROUP BY doc_id ORDER BY doc_id")),
+
+    Q("t18_bpe_pairs",
+      // First BPE merge iteration: corpus-wide adjacent char-pair counts
+      // weighted by word frequency, top-20 deterministic. Pair expansion
+      // runs over the DISTINCT vocabulary, not the corpus. See
+      // [[graft.api.Graft.bpePairCounts]].
+      (s, d) => graft.api.Graft.bpePairCounts(docs(s, d), "text",
+        topK = 20),
+      Some("WITH wds AS (SELECT UNNEST(string_split(text, ' ')) AS word " +
+        "FROM documents), " +
+        "v AS (SELECT word, COUNT(*) AS wc FROM wds " +
+        "WHERE length(word) >= 2 GROUP BY 1), " +
+        "p AS (SELECT substring(word, CAST(g AS INT), 2) AS pair, " +
+        "SUM(wc) AS cnt FROM v, " +
+        "UNNEST(generate_series(1, length(word) - 1)) t(g) GROUP BY 1) " +
+        "SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM p " +
+        "ORDER BY cnt DESC, pair LIMIT 20"))
   )
 }

@@ -346,6 +346,37 @@ class ApiSpec extends AnyFunSuite with Matchers {
     java.lang.Double.doubleToRawLongBits(m("zero")._3) shouldBe 0L
   }
 
+  test("duplicatePassageStats: corpus-wide repeated passages are flagged, " +
+    "unique ones are not") {
+    val s = spark
+    import s.implicits._
+    // 3-word passages: d1 = [A, B], d2 = [A, C], d3 = [D] (+ d1's A
+    // repeats in d2) -> A is duplicated (occurs 2x), B/C/D unique.
+    val df = Seq(
+      (1L, "a b c x y z"),       // units: "a b c"(A), "x y z"(B)
+      (2L, "a b c q r s"),       // units: "a b c"(A), "q r s"(C)
+      (3L, "m n"))               // single short unit "m n"(D)
+      .toDF("id", "body")
+    val got = Graft.duplicatePassageStats(df, "id", "body", unitWords = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    got(1L) shouldBe ((2L, 1L, 0.5))
+    got(2L) shouldBe ((2L, 1L, 0.5))
+    got(3L) shouldBe ((1L, 0L, 0.0))
+  }
+
+  test("bpePairCounts: pair counts weight by word frequency and rank " +
+    "deterministically") {
+    val s = spark
+    import s.implicits._
+    // "ab" occurs in 'ab' (x3 rows) and 'abc' (x1): pair "ab" count 4;
+    // 'abc' adds "bc" count 1; single-char words are excluded.
+    val df = Seq("ab ab c", "ab abc").toDF("body")
+    val got = Graft.bpePairCounts(df, "body", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    got shouldBe Array(("ab", 4L), ("bc", 1L))
+  }
+
   test("contaminationFlags: overlap with the eval set is counted, clean " +
     "docs report zero") {
     val s = spark
