@@ -100,39 +100,22 @@ object Graft {
     df.select(col(idCol) +: counts :+ redacted.as("redacted"): _*)
   }
 
-  /** Character-trigram language ID: explode every 3-char window of the
-    * lowercased text, count hits against a broadcast (lang, trigram)
-    * profile, argmax per document (score desc, then lang asc for a
-    * deterministic tie), `default` when no profile trigram occurs.
-    * Materially finer-grained than stopword regex counting ([[langId]])
-    * and still pure Catalyst: the explode is partition-local map work,
-    * the profile join is a broadcast, and only (id, lang, count) rows
-    * shuffle for the argmax. */
+  /** Character-trigram language ID: count every 3-char window of the
+    * lowercased text against the (lang, trigram) profile, argmax per
+    * document (count desc, then lang asc for a deterministic tie),
+    * `default` when no profile trigram occurs. Materially finer-grained
+    * than stopword regex counting ([[langId]]), and as of r4 a single
+    * native codegen pass per row ([[graft.functions.TrigramLangIdExpr]]
+    * — the profile compiles into the expression): map-only, ZERO
+    * shuffle (the earlier formulation exploded one row per text
+    * position, broadcast-joined the profile and ran a window argmax —
+    * two shuffles and a per-window string allocation). */
   def trigramLangId(df: DataFrame, idCol: String, textCol: String,
       profiles: Seq[(String, Seq[String])],
-      default: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val prof = profiles
-      .flatMap { case (l, tgs) => tgs.distinct.map(t => (l, t)) }
-      .toDF("lang", "tg")
-    val tris = df
-      .select(col(idCol), lower(col(textCol)).as("lt"))
-      .filter(length(col("lt")) >= 3)
-      .select(col(idCol), explode(expr(
-        "transform(sequence(1, length(lt)-2), i -> substring(lt, i, 3))"))
-        .as("tg"))
-    val scored = tris.join(broadcast(prof), "tg")
-      .groupBy(col(idCol), col("lang"))
-      .agg(count(lit(1)).as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("score").desc, col("lang").asc)
-    val winner = scored
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col(idCol), col("lang").as("pred"))
-    df.select(col(idCol)).join(winner, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("pred"), lit(default)).as("pred_lang"))
-  }
+      default: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.TextExpressions.trigramLangId(
+        lower(col(textCol)), profiles, default).as("pred_lang"))
 
   // --------------------------------------------------------------- dedup
 

@@ -200,6 +200,109 @@ object ByteEntropyStats {
   }
 }
 
+/** Single-pass character-trigram language scorer: counts every 3-char
+  * window of the (pre-lowercased) text against a compiled (lang,
+  * trigram) profile and returns the argmax language (count desc, lang
+  * asc on ties; `default` when nothing matches or the text is shorter
+  * than 3 chars).
+  *
+  * The relational formulation (transform+explode one row per window,
+  * broadcast-join the profile, per-(doc, lang) count, window argmax,
+  * join back) shuffles twice and allocates a 3-char string per text
+  * position. This walks the chars once with the profile packed into a
+  * ~24-entry long array (3 UTF-16 chars -> one long key, linear scan —
+  * smaller than any hash overhead): zero shuffle, zero per-window
+  * allocation, whole-operator map-only. Windows are UTF-16 char
+  * based — identical to `substring(text, i, 3)` for BMP text, which is
+  * what trigram profiles are in practice.
+  */
+case class TrigramLangIdExpr(child: Expression,
+    profiles: Seq[(String, Seq[String])], default: String)
+    extends UnaryExpression {
+  require(profiles.nonEmpty && profiles.forall(_._2.forall(_.length == 3)),
+    "trigram_lang_id: profiles must be non-empty 3-char trigrams")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"trigram_lang_id requires STRING input, got $t")
+    }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "trigram_lang_id"
+
+  @transient private lazy val compiled =
+    TrigramLangIdExpr.compile(profiles, default)
+
+  override protected def nullSafeEval(input: Any): Any =
+    compiled.predict(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("trigramProfiles", compiled,
+      classOf[TrigramLangIdExpr.Compiled].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.predict($c)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object TrigramLangIdExpr {
+
+  def compile(profiles: Seq[(String, Seq[String])],
+      default: String): Compiled = {
+    // languages in ascending order so argmax strict-> keeps the
+    // smallest lang on count ties (the join+window formulation's
+    // ORDER BY score DESC, lang ASC)
+    val langs = profiles.map(_._1).distinct.sorted
+    val langIdx = langs.zipWithIndex.toMap
+    val entries = for {
+      (l, tgs) <- profiles
+      tg <- tgs.distinct
+    } yield (pack(tg), langIdx(l))
+    new Compiled(entries.map(_._1).toArray, entries.map(_._2).toArray,
+      langs.map(UTF8String.fromString).toArray,
+      UTF8String.fromString(default))
+  }
+
+  private def pack(tg: String): Long =
+    (tg.charAt(0).toLong << 32) | (tg.charAt(1).toLong << 16) |
+      tg.charAt(2).toLong
+
+  final class Compiled(keys: Array[Long], langOf: Array[Int],
+      langs: Array[UTF8String], default: UTF8String)
+      extends Serializable {
+    def predict(text: UTF8String): UTF8String = {
+      val s = text.toString
+      val n = s.length
+      if (n < 3) return default
+      val counts = new Array[Int](langs.length)
+      var c0 = s.charAt(0).toLong
+      var c1 = s.charAt(1).toLong
+      var i = 2
+      while (i < n) {
+        val c2 = s.charAt(i).toLong
+        val key = (c0 << 32) | (c1 << 16) | c2
+        var j = 0
+        while (j < keys.length) {
+          if (keys(j) == key) counts(langOf(j)) += 1
+          j += 1
+        }
+        c0 = c1; c1 = c2; i += 1
+      }
+      var best = -1
+      var bestCount = 0
+      var l = 0
+      while (l < counts.length) {
+        if (counts(l) > bestCount) { best = l; bestCount = counts(l) }
+        l += 1
+      }
+      if (best < 0) default else langs(best)
+    }
+  }
+}
+
 object TextExpressions {
   /** Min-of-rolling-8-byte-window xxhash64 fingerprint of a STRING column. */
   def rollingMinHash64(c: Column): Column =
@@ -216,4 +319,11 @@ object TextExpressions {
   def byteEntropyStats(c: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       ByteEntropyStats(org.apache.spark.sql.graft.Bridge.expression(c)))
+
+  /** Argmax profile language of a pre-lowercased STRING column. */
+  def trigramLangId(c: Column, profiles: Seq[(String, Seq[String])],
+      default: String): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      TrigramLangIdExpr(org.apache.spark.sql.graft.Bridge.expression(c),
+        profiles, default))
 }

@@ -71,8 +71,8 @@ object TextOps {
     Q("t07_trigram_langid",
       // Char-trigram language ID: finer-grained than t03's stopword
       // regex argmax — a 3-char window catches morphology ("sch", "ión")
-      // that whole-word stopword lists miss. Explode is partition-local,
-      // the profile is broadcast, only (doc, lang, count) shuffles.
+      // that whole-word stopword lists miss. Single native codegen pass
+      // per row with the profile compiled in: map-only, zero shuffle.
       (s, d) => graft.api.Graft.trigramLangId(docs(s, d), "doc_id", "text",
         trigramProfiles, default = "en").orderBy("doc_id"),
       Some {

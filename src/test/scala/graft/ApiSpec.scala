@@ -346,6 +346,24 @@ class ApiSpec extends AnyFunSuite with Matchers {
     java.lang.Double.doubleToRawLongBits(m("zero")._3) shouldBe 0L
   }
 
+  test("trigramLangId: compiled-profile argmax counts overlapping " +
+    "windows, breaks ties by lang, defaults when nothing matches") {
+    val s = spark
+    import s.implicits._
+    val profiles = Seq("aa" -> Seq("aaa"), "bb" -> Seq("bbb"))
+    val df = Seq(
+      (1L, "AAAABBB"),  // aaa x2 (overlapping), bbb x1 -> aa
+      (2L, "abbbb"),    // bbb x2 -> bb
+      (3L, "aaabbb"),   // 1-1 tie -> smallest lang wins: aa
+      (4L, "xyz"),      // no hits -> default
+      (5L, "ab"))       // shorter than a window -> default
+      .toDF("k", "t")
+    val got = Graft.trigramLangId(df, "k", "t", profiles, default = "zz")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got shouldBe Map(1L -> "aa", 2L -> "bb", 3L -> "aa",
+      4L -> "zz", 5L -> "zz")
+  }
+
   test("duplicatePassageStats: corpus-wide repeated passages are flagged, " +
     "unique ones are not") {
     val s = spark

@@ -140,13 +140,13 @@ class PlanPropertiesSpec extends AnyFunSuite with Matchers {
     p should include("TakeOrderedAndProject")
   }
 
-  test("t07 trigram langid: the profile join broadcasts and the argmax " +
-    "uses a rank-pushdown group limit") {
+  test("t07 trigram langid: map-only — the compiled-profile native " +
+    "expression replaces the explode/join/window argmax entirely") {
     val p = plan("t07_trigram_langid")
-    p should include("BroadcastHashJoin")
-    // row_number <= 1 runs as a WindowGroupLimit (partial top-1 before
-    // the shuffle), not a full per-doc sort + filter
-    p should include("WindowGroupLimit")
+    (p should not).include("Exchange hashpartitioning")
+    (p should not).include("Join")
+    (p should not).include("Window")
+    (p should not).include("Generate")
   }
 
   test("s04 trained IVF: training + search stay free of cartesian " +
