@@ -795,6 +795,50 @@ object Graft {
         // -0.0 guard: a one-byte-alphabet payload sums to -0.0 exactly
         round(col("st.entropy") + lit(0.0), 4).as("entropy"))
 
+  /** 60-bit byte-level average-hash per row (perceptual-hash
+    * construction over raw bytes — see [[graft.functions.AHash60]]):
+    * the content fingerprint a media pipeline computes ahead of any
+    * decode, stable under small byte-level perturbations (re-encodes,
+    * metadata patches) where exact digests flip. Map-only, zero
+    * shuffle. */
+  def mediaAHash(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.MediaExpressions.ahash60(col(payloadCol))
+        .as("ahash"))
+
+  /** Near-duplicate payload pairs by aHash hamming distance: pairs of
+    * rows whose [[mediaAHash]] values differ in at most `radius` of the
+    * 60 bits, found by exact pigeonhole banding — the hash splits into
+    * radius+1 contiguous bit bands, and any pair within the radius
+    * must agree exactly on at least one band, so the banded EQUI-join
+    * finds every qualifying pair without an all-pairs compare (the d03
+    * SimHash discipline applied to media bytes). Candidates dedup and
+    * verify with one bit_count; the hashes are map-side, the join is
+    * bucketed by (band, band-bits). */
+  def ahashNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+      radius: Int = 3): DataFrame = {
+    require(radius >= 0 && radius < graft.functions.AHash60.Bits,
+      s"ahashNearDupPairs($radius)")
+    val bands = radius + 1
+    val width = (graft.functions.AHash60.Bits + bands - 1) / bands
+    val mask = (1L << width) - 1
+    val sig = mediaAHash(df, idCol, payloadCol)
+    val bandCols = (0 until bands).map(j =>
+      shiftright(col("ahash"), width * j).bitwiseAND(lit(mask)))
+    val banded = sig.select(col(idCol), col("ahash"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bits")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash")))
+          .cast("bigint").as("dist"))
+      .distinct()
+      .filter(col("dist") <= radius)
+  }
+
   /** Multi-channel generalization of [[pcm16WindowEnergy]]: the payload
     * is INTERLEAVED PCM16LE (sample s belongs to channel s mod
     * `channels`), and energy windows are computed per channel — the

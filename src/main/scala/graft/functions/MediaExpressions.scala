@@ -107,6 +107,73 @@ object Pcm16WindowEnergy {
   }
 }
 
+/** 60-bit average-hash (aHash) of a BINARY payload: the payload splits
+  * into 60 contiguous chunks (byte g -> chunk g*60/nb), and bit i is set
+  * when chunk i's mean byte value exceeds the payload's global mean —
+  * the classic perceptual-hash construction, applied to raw bytes so it
+  * needs no codec and runs ahead of any decode. 60 bits (not 64) keep
+  * the value positive in a signed BIGINT on every engine, and split
+  * evenly into 4 x 15-bit chunks for exact pigeonhole banding at
+  * hamming radius 3 (the d03 SimHash pattern).
+  *
+  * Mean comparisons run as exact integer cross-products
+  * (chunkSum * nb > totalSum * chunkLen) — no float rounding to
+  * diverge between engines; exact while chunkSum * nb fits a long,
+  * i.e. payloads up to ~1 GB. One pass, zero allocation beyond two
+  * 60-slot arrays, codegen'd.
+  */
+case class AHash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"ahash60 requires BINARY input, got $t")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ahash60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AHash60.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.AHash60.compute($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object AHash60 {
+  val Bits = 60
+
+  def compute(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val chunkSum = new Array[Long](Bits)
+    val chunkLen = new Array[Int](Bits)
+    var g = 0
+    var total = 0L
+    while (g < n) {
+      val v = (bytes(g) & 0xff).toLong
+      val c = (g.toLong * Bits / n).toInt
+      chunkSum(c) += v
+      chunkLen(c) += 1
+      total += v
+      g += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < Bits) {
+      if (chunkLen(i) > 0 && chunkSum(i) * n > total * chunkLen(i)) {
+        hash |= 1L << i
+      }
+      i += 1
+    }
+    hash
+  }
+}
+
 object MediaExpressions {
   /** Per-window PCM16LE energy array of a BINARY column, one pass. */
   def pcm16WindowEnergy(c: Column, windowSamples: Int,
@@ -115,4 +182,9 @@ object MediaExpressions {
       Pcm16WindowEnergy(
         org.apache.spark.sql.graft.Bridge.expression(c),
         windowSamples, channels))
+
+  /** 60-bit byte-level average-hash of a BINARY column, one pass. */
+  def ahash60(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      AHash60(org.apache.spark.sql.graft.Bridge.expression(c)))
 }

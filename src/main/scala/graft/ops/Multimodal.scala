@@ -194,6 +194,44 @@ object Multimodal {
         "FROM a GROUP BY 1, 2, 3 HAVING COUNT(*) = 16 " +
         "ORDER BY doc_id, channel, win_idx")),
 
+    Q("m08_ahash",
+      // 60-bit byte-level average-hash (perceptual-hash construction):
+      // the pre-decode content fingerprint that survives small byte
+      // perturbations where exact digests flip, and the input to
+      // hamming-banded media near-dup (Graft.ahashNearDupPairs — exact
+      // pigeonhole banding, property-tested in ApiSpec; this fixture's
+      // word-soup payloads are hamming-far apart, so the PAIR list
+      // would be vacuously tiny here and the gate checks the 500 hash
+      // VALUES instead). Bit criteria are exact integer cross-products,
+      // so DuckDB reproduces every bit. Map-only, zero shuffle.
+      (s, d) => graft.api.Graft.mediaAHash(
+        Tables.load(s, d, "documents")
+          .filter(length(col("text")) >= 1)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload")
+        .orderBy("doc_id"),
+      Some {
+        val bits = (0 until 60).map(i =>
+          s"BOOL_OR(chunk = $i) AND SUM(CASE WHEN chunk = $i THEN bv " +
+            s"ELSE 0 END) * MAX(nb) > MAX(total) * " +
+            s"SUM(CASE WHEN chunk = $i THEN 1 ELSE 0 END) AS b$i")
+          .mkString(", ")
+        val packed = (0 until 60).map(i =>
+          s"CASE WHEN b$i THEN ${1L << i} ELSE 0 END").mkString(" + ")
+        "WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS hx, " +
+          "octet_length(encode(text)) AS nb FROM documents " +
+          "WHERE length(text) >= 1), " +
+          "b AS (SELECT doc_id, nb, CAST(concat('0x', " +
+          "substring(hx, CAST(g*2+1 AS BIGINT), 2)) AS BIGINT) AS bv, " +
+          "(g * 60) // nb AS chunk " +
+          "FROM p, UNNEST(generate_series(0, nb-1)) t(g)), " +
+          "tot AS (SELECT doc_id, SUM(bv) AS total FROM b GROUP BY 1), " +
+          s"sig AS (SELECT b.doc_id, $bits FROM b JOIN tot " +
+          "ON b.doc_id = tot.doc_id GROUP BY b.doc_id) " +
+          s"SELECT doc_id, CAST($packed AS BIGINT) AS ahash FROM sig " +
+          "ORDER BY doc_id"
+      }),
+
     Q("m04_resize",
       // Resize path: STUB "decoder" downsamples the payload by a fixed
       // stride (a real codec would decode + bilinear-resample; the libs

@@ -395,6 +395,30 @@ class ApiSpec extends AnyFunSuite with Matchers {
     got shouldBe Array(("ab", 4L), ("bc", 1L))
   }
 
+  test("ahashNearDupPairs: perturbed payloads pair up within the radius, " +
+    "unrelated payloads do not") {
+    val s = spark
+    import s.implicits._
+    // base: a strong block pattern (half low, half high bytes) so the
+    // aHash has structure; 'near' flips a few bytes (re-encode noise);
+    // 'far' inverts the pattern entirely.
+    val base = Array.tabulate[Byte](600)(i => if (i < 300) 10 else 120)
+    val near = base.clone(); (0 until 5).foreach(i => near(i * 60) = 65)
+    val far = base.map(b => (130 - b).toByte)
+    val df = Seq((1L, base), (2L, near), (3L, far))
+      .toDF("mid", "payload")
+    val pairs = Graft.ahashNearDupPairs(df, "mid", "payload", radius = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L))
+    (pairs.flatMap(p => Seq(p._1, p._2)) should not).contain(3L)
+    // identical payloads: distance 0, found through every band
+    val dup = Graft.ahashNearDupPairs(
+      Seq((7L, base), (8L, base)).toDF("mid", "payload"),
+      "mid", "payload", radius = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    dup shouldBe Array((7L, 8L, 0L))
+  }
+
   test("contaminationFlags: overlap with the eval set is counted, clean " +
     "docs report zero") {
     val s = spark

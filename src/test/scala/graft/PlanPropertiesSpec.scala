@@ -216,9 +216,9 @@ class PlanPropertiesSpec extends AnyFunSuite with Matchers {
     (p should not).include("Join")
   }
 
-  test("m05/m07 PCM window energy: map-only — the native expression " +
-    "emits one struct per window, so no aggregation shuffle exists") {
-    Seq("m05_audio_energy", "m07_stereo_energy").foreach { n =>
+  test("m05/m07/m08 media expressions: map-only — no aggregation " +
+    "shuffle, no join; the native expressions do the per-row work") {
+    Seq("m05_audio_energy", "m07_stereo_energy", "m08_ahash").foreach { n =>
       val p = plan(n)
       withClue(s"$n: ") {
         (p should not).include("Exchange hashpartitioning")
