@@ -303,6 +303,64 @@ object Graft {
       .filter(col("rnk") <= k)
   }
 
+  /** Deterministic stratified sampling — the data-mixing step of a
+    * training pipeline (sampling weights per language/source/quality
+    * bucket). A row survives when the 60-bit value of
+    * md5(salt:id) falls under its stratum's rate: membership is a pure
+    * function of (salt, id), so re-runs, re-partitioning and corpus
+    * growth never flip a row in or out (the t12 split discipline applied
+    * to rates). Strata missing from `rates` drop (rate 0). Pure map
+    * work, zero shuffle — the sample rides the scan. Rate thresholds
+    * are FLOOR'd to integers on both engines, so the comparison is
+    * exact (a raw double->int cast truncates on one engine and rounds
+    * on the other). */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Seq[(String, Double)],
+      salt: String = "sample"): DataFrame = {
+    require(rates.nonEmpty && rates.forall(r => r._2 >= 0 && r._2 <= 1),
+      s"stratifiedSample: rates must be in [0, 1]")
+    val h = graft.functions.TextExpressions.hexSliceLong(
+      md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 15)
+    val rate = rates.tail
+      .foldLeft(when(col(strataCol) === rates.head._1,
+        lit(rates.head._2))) { case (acc, (k, r)) =>
+        acc.when(col(strataCol) === k, lit(r))
+      }.otherwise(lit(0.0))
+    df.filter(h < floor(rate * lit((1L << 60).toDouble)).cast("long"))
+  }
+
+  /** Unigram log-probability score per document — the in-corpus stand-in
+    * for CCNet-style LM-perplexity filtering: build the corpus unigram
+    * model (top-`vocabSize` words by frequency; out-of-vocabulary words
+    * score at a 0.5-count floor), then score each document by its mean
+    * token log-probability. Boilerplate and natural text score high,
+    * gibberish and rare-token spam score low — the standard cheap
+    * fluency screen when no trained LM is available at corpus scale.
+    *
+    * Scale shape: the vocabulary aggregation is the only corpus-scale
+    * shuffle and carries (word, count) rows; the top-`vocabSize` cut is
+    * a distributed TakeOrdered, the vocab + total broadcast, and the
+    * per-doc score is one map-side-combined aggregation. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 50000): DataFrame = {
+    require(vocabSize > 0, s"unigramLogProb($vocabSize)")
+    val words = df.select(col(idCol),
+      explode(split(col(textCol), " ")).as("word"))
+    val counts = words.groupBy("word").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").as("total"))
+    val vocab = counts.orderBy(col("c").desc, col("word")).limit(vocabSize)
+    words
+      .join(broadcast(vocab), Seq("word"), "left")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        when(col("c").isNotNull,
+          log(col("c").cast("double") / col("total")))
+          .otherwise(log(lit(0.5) / col("total"))).as("lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg("lp"), 4).as("avg_logp"))
+  }
+
   /** Canonical text normalization for dedup keys and training input:
     * lowercase, strip non-printable/control characters, collapse runs of
     * whitespace to single spaces, trim. Returns the normalized text

@@ -414,6 +414,46 @@ object TextOps {
         "SUM(wc) AS cnt FROM v, " +
         "UNNEST(generate_series(1, length(word) - 1)) t(g) GROUP BY 1) " +
         "SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM p " +
-        "ORDER BY cnt DESC, pair LIMIT 20"))
+        "ORDER BY cnt DESC, pair LIMIT 20")),
+
+    Q("t19_stratified_sample",
+      // Data mixing: deterministic per-language sampling rates (the
+      // upweight/downweight step every training mix applies). Membership
+      // is md5(salt:id)-driven, so both engines compute the identical
+      // sample. Map-only. See [[graft.api.Graft.stratifiedSample]].
+      (s, d) => graft.api.Graft.stratifiedSample(
+        docs(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", "lang",
+        rates = Seq("en" -> 0.5, "fr" -> 0.25, "es" -> 1.0,
+          "de" -> 0.1, "zh" -> 0.75))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, lang FROM documents WHERE " +
+        "CAST(concat('0x', substring(md5(concat('sample:', " +
+        "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) < " +
+        "CAST(FLOOR(CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25 " +
+        "WHEN 'es' THEN 1.0 WHEN 'de' THEN 0.1 WHEN 'zh' THEN 0.75 " +
+        "ELSE 0.0 END * 1152921504606846976.0) AS BIGINT) " +
+        "ORDER BY doc_id")),
+
+    Q("t20_unigram_logprob",
+      // LM-filter stand-in: corpus unigram model (top-20 vocab, 0.5-count
+      // OOV floor), mean token log-prob per document — the cheap fluency
+      // screen where CCNet runs a trained LM. vocabSize=20 leaves 11 of
+      // the fixture's 31 words OOV, so both scoring paths are on the
+      // hash-checked path. See [[graft.api.Graft.unigramLogProb]].
+      (s, d) => graft.api.Graft.unigramLogProb(docs(s, d), "doc_id",
+        "text", vocabSize = 20)
+        .orderBy("doc_id"),
+      Some("WITH w AS (SELECT doc_id, UNNEST(string_split(text, ' ')) " +
+        "AS word FROM documents), " +
+        "c AS (SELECT word, COUNT(*) AS c FROM w GROUP BY 1), " +
+        "tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM c), " +
+        "v AS (SELECT word, c FROM c ORDER BY c DESC, word LIMIT 20) " +
+        "SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+        "ROUND(AVG(CASE WHEN v.c IS NOT NULL THEN " +
+        "ln(CAST(v.c AS DOUBLE) / total) " +
+        "ELSE ln(0.5 / total) END), 4) AS avg_logp " +
+        "FROM w LEFT JOIN v USING (word) CROSS JOIN tot " +
+        "GROUP BY w.doc_id ORDER BY doc_id"))
   )
 }

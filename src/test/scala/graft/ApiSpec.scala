@@ -395,6 +395,42 @@ class ApiSpec extends AnyFunSuite with Matchers {
     got shouldBe Array(("ab", 4L), ("bc", 1L))
   }
 
+  test("stratifiedSample: deterministic, rate-monotone, missing strata " +
+    "drop, rate 1.0 keeps everything") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 400L).map(i =>
+      (i, if (i % 2 == 0) "big" else "small")).toDF("k", "grp")
+    def run(rates: Seq[(String, Double)]) =
+      Graft.stratifiedSample(df, "k", "grp", rates)
+        .collect().map(_.getLong(0)).toSet
+    val half = run(Seq("big" -> 0.5, "small" -> 1.0))
+    half shouldBe run(Seq("big" -> 0.5, "small" -> 1.0)) // deterministic
+    (0L until 400L by 2).filter(i => half(i)).size should
+      (be > 50 and be < 150) // ~100 of 200 at rate 0.5
+    half.count(_ % 2 == 1) shouldBe 200 // rate 1.0: all small rows
+    // a lower rate samples a SUBSET of a higher rate (nested samples)
+    val fifth = run(Seq("big" -> 0.2, "small" -> 1.0))
+    fifth.filter(_ % 2 == 0).subsetOf(half.filter(_ % 2 == 0)) shouldBe true
+    // strata without a rate drop entirely
+    run(Seq("big" -> 1.0)).count(_ % 2 == 1) shouldBe 0
+  }
+
+  test("unigramLogProb: in-vocab text outscores OOV-heavy text") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "common common common words words"),
+      (2L, "zzyx qqzz vvxx common words"))
+      .toDF("k", "t")
+    val got = Graft.unigramLogProb(df, "k", "t", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    got(1L)._1 shouldBe 5L
+    got(2L)._1 shouldBe 5L
+    got(1L)._2 should be > got(2L)._2 // fluency beats rare-token spam
+  }
+
   test("ahashNearDupPairs: perturbed payloads pair up within the radius, " +
     "unrelated payloads do not") {
     val s = spark
