@@ -114,8 +114,12 @@ object Graft {
       profiles: Seq[(String, Seq[String])],
       default: String): DataFrame =
     df.select(col(idCol),
-      graft.functions.TextExpressions.trigramLangId(
-        lower(col(textCol)), profiles, default).as("pred_lang"))
+      // coalesce: a NULL text row still reports the default (the old
+      // left-join formulation did; a null-intolerant expression alone
+      // would propagate the NULL)
+      coalesce(graft.functions.TextExpressions.trigramLangId(
+        lower(col(textCol)), profiles, default), lit(default))
+        .as("pred_lang"))
 
   // --------------------------------------------------------------- dedup
 

@@ -358,10 +358,12 @@ class ApiSpec extends AnyFunSuite with Matchers {
       (4L, "xyz"),      // no hits -> default
       (5L, "ab"))       // shorter than a window -> default
       .toDF("k", "t")
+      .unionAll(Seq((6L, Option.empty[String])) // NULL text -> default
+        .toDF("k", "t"))
     val got = Graft.trigramLangId(df, "k", "t", profiles, default = "zz")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     got shouldBe Map(1L -> "aa", 2L -> "bb", 3L -> "aa",
-      4L -> "zz", 5L -> "zz")
+      4L -> "zz", 5L -> "zz", 6L -> "zz")
   }
 
   test("duplicatePassageStats: corpus-wide repeated passages are flagged, " +
