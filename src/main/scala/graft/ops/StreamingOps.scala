@@ -664,6 +664,49 @@ object StreamingOps {
         "CAST(json_extract_string(props, '$.k') AS BIGINT) AS kval " +
         "FROM events ORDER BY event_id")),
 
+    Q("b07_bucketed_join",
+      // Bucketed co-located fact-to-fact join: both sides pre-hash into
+      // the same bucket count on the join key, so the join runs
+      // bucket-to-bucket with NO Exchange — at 100 TB this is the
+      // difference between a partition-local merge and a full-cluster
+      // shuffle of both fact tables every nightly run. The require()
+      // puts the no-shuffle property itself on the hash-checked path
+      // (checked with broadcast disabled, since the fixture-sized dim
+      // would otherwise broadcast and hide a missing co-location); the
+      // aggregate result is oracle-checked against the plain join.
+      (s, d) => {
+        val tag = UUID.randomUUID().toString.take(8)
+        val dir = Files.createTempDirectory("graft-bucket").toString
+        Tables.load(s, d, "lineitem")
+          .select("l_orderkey", "l_extendedprice")
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$dir/li").saveAsTable(s"li_bkt_$tag")
+        Tables.load(s, d, "orders")
+          .select("o_orderkey", "o_orderstatus")
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$dir/ord").saveAsTable(s"ord_bkt_$tag")
+        val joined = s.table(s"li_bkt_$tag")
+          .join(s.table(s"ord_bkt_$tag"),
+            col("l_orderkey") === col("o_orderkey"))
+        val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val plan = joined.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          require(plan.contains("SortMergeJoin") &&
+            !plan.contains("Exchange"),
+            "bucketed join is not co-located: plan has a shuffle")
+        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        joined.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"),
+            round(sum("l_extendedprice"), 2).as("rev"))
+          .orderBy("o_orderstatus")
+      },
+      Some("SELECT o_orderstatus, COUNT(*) AS cnt, " +
+        "ROUND(SUM(l_extendedprice), 2) AS rev " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1 ORDER BY 1")),
+
     Q("b05_partitioned_write",
       // Partitioned-parquet output round-trip: the layout a training-data
       // pipeline actually ships (hive-style lang=<v> directories so
