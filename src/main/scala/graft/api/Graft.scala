@@ -637,19 +637,26 @@ object Graft {
       col("list_id"), col("centroid"),
       sqrt(dot(col("centroid"), col("centroid"))).as("cnrm"))).as("cents"))
     n.join(broadcast(cn), lit(true)) // 1-row build side: adds one column
+      // collect_list over zero centroid rows yields an empty array, and
+      // the fold would then "assign" every vector to the Int.MaxValue
+      // sentinel — an empty centroid table must mean zero assignments
+      .filter(size(col("cents")) > 0)
       .select(col(idCol), col(vecCol),
-        aggregate(col("cents"),
+        aggregate(
+          // cosine computed ONCE per (vector, centroid): HOF lambdas run
+          // interpreted with no common-subexpression elimination, so a
+          // fold that embeds the dot product in both comparisons and the
+          // winner struct evaluates it 3x in the Lloyd hot loop
+          transform(col("cents"), c => struct(
+            c("list_id").cast("int").as("list_id"),
+            (dot(col(vecCol), c("centroid")) / (col("nrm") * c("cnrm")))
+              .cast("double").as("cos"))),
           struct(lit(Int.MaxValue).as("list_id"),
             lit(-2.0).cast("double").as("cos")),
-          (acc, c) => {
-            val cos = (dot(col(vecCol), c("centroid")) /
-              (col("nrm") * c("cnrm"))).cast("double")
-            when(cos > acc("cos") ||
-                (cos === acc("cos") && c("list_id") < acc("list_id")),
-              struct(c("list_id").cast("int").as("list_id"),
-                cos.as("cos")))
-              .otherwise(acc)
-          })("list_id").as("list_id"))
+          (acc, e) =>
+            when(e("cos") > acc("cos") ||
+                (e("cos") === acc("cos") && e("list_id") < acc("list_id")),
+              e).otherwise(acc))("list_id").as("list_id"))
   }
 
   /** Distributed Lloyd refinement for an IVF coarse quantizer:

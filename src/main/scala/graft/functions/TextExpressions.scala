@@ -257,10 +257,15 @@ object TrigramLangIdExpr {
     // ORDER BY score DESC, lang ASC)
     val langs = profiles.map(_._1).distinct.sorted
     val langIdx = langs.zipWithIndex.toMap
-    val entries = for {
+    // sorted by packed key so lookup is a binary search: a realistic
+    // caller-supplied model (dozens of languages x hundreds of
+    // trigrams) would make a linear scan O(len x |profile|) per row;
+    // duplicate keys (one trigram in several languages) sit adjacent
+    // and are walked from the first match
+    val entries = (for {
       (l, tgs) <- profiles
       tg <- tgs.distinct
-    } yield (pack(tg), langIdx(l))
+    } yield (pack(tg), langIdx(l))).sortBy(_._1)
     new Compiled(entries.map(_._1).toArray, entries.map(_._2).toArray,
       langs.map(UTF8String.fromString).toArray,
       UTF8String.fromString(default))
@@ -284,10 +289,15 @@ object TrigramLangIdExpr {
       while (i < n) {
         val c2 = s.charAt(i).toLong
         val key = (c0 << 32) | (c1 << 16) | c2
-        var j = 0
-        while (j < keys.length) {
-          if (keys(j) == key) counts(langOf(j)) += 1
-          j += 1
+        var j = java.util.Arrays.binarySearch(keys, key)
+        if (j >= 0) {
+          // binarySearch lands on ANY matching slot; rewind to the first
+          // (a trigram shared by several languages counts for each)
+          while (j > 0 && keys(j - 1) == key) j -= 1
+          while (j < keys.length && keys(j) == key) {
+            counts(langOf(j)) += 1
+            j += 1
+          }
         }
         c0 = c1; c1 = c2; i += 1
       }

@@ -141,6 +141,13 @@ class AdviceRegressionSpec extends AnyFunSuite with Matchers {
     // Compact (no-space) form parses identically.
     Bench.parseRef(""""m01_media_meta":0.215""") shouldBe
       Map("m01_media_meta" -> 0.215)
+    // A reference captured verbatim from a run that FLAGGED regressions
+    // carries a ratio map after the queries object; the ratios must not
+    // clobber the seconds (toMap keeps the last binding).
+    Bench.parseRef("""{"metric":"total","value":9.99,""" +
+      """"queries":{"d02_minhash_lsh":1.80,"a01_scan_project":0.30},""" +
+      """"regressions_vs_local":{"d02_minhash_lsh":1.62},"sf":"x"}""") shouldBe
+      Map("d02_minhash_lsh" -> 1.80, "a01_scan_project" -> 0.30)
   }
 
   test("m01/m02/s04 stay within the CI bench threshold vs BENCH_local.json " +
