@@ -107,6 +107,48 @@ object Vector {
         "SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM p " +
         "WHERE cos >= 0.3 ORDER BY query_id, neighbor_id")),
 
+    Q("s08_matryoshka_topk",
+      // Matryoshka two-stage retrieval: shortlist on the 16-dim prefix
+      // cosine (1/4 of the flops per corpus row), full-dim rerank on the
+      // 20-row shortlist. Deterministic end to end — unlike LSH/IVF the
+      // whole pipeline is exactly reproducible in SQL, so this is the
+      // one ANN-shaped query that hash-checks instead of recall-gating.
+      // See [[graft.api.Graft.matryoshkaTopK]].
+      (s, d) => graft.api.Graft
+        .matryoshkaTopK(Tables.load(s, d, "embeddings"), "vec_id",
+          "embedding", queryPred = col("vec_id") < NQueries,
+          prefixDim = 16, shortlist = 20, k = K)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("query_id", "rnk"),
+      Some("WITH n AS (SELECT vec_id, embedding, " +
+        "embedding[1:16] AS pv, " +
+        "sqrt(list_sum(list_transform(list_zip(embedding, embedding), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) AS nrm, " +
+        "sqrt(list_sum(list_transform(list_zip(embedding[1:16], " +
+        "embedding[1:16]), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) AS pn " +
+        "FROM embeddings), " +
+        "p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        "a.embedding AS qe, a.nrm AS qn, b.embedding AS ne, " +
+        "b.nrm AS nn, " +
+        "list_sum(list_transform(list_zip(a.pv, b.pv), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+        "(a.pn * b.pn) AS pcos FROM n a JOIN n b " +
+        s"ON a.vec_id < $NQueries AND a.vec_id <> b.vec_id), " +
+        "sh AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY pcos DESC, neighbor_id) AS srnk FROM p), " +
+        "rr AS (SELECT query_id, neighbor_id, " +
+        "list_sum(list_transform(list_zip(qe, ne), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+        "(qn * nn) AS cos FROM sh WHERE srnk <= 20), " +
+        "r AS (SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER " +
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk " +
+        "FROM rr) " +
+        "SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, " +
+        s"ROUND(cos, 4) AS cos FROM r WHERE rnk <= $K " +
+        "ORDER BY query_id, rnk")),
+
     Q("s02_ann_lsh",
       (s, d) => {
         // Multi-table random-hyperplane LSH (4 tables x 6 sign bits),
