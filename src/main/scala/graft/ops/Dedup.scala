@@ -62,6 +62,24 @@ object Dedup {
       Some("SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dups FROM documents " +
         "GROUP BY sha256(text) ORDER BY keep_id")),
 
+    Q("d09_normalized_dedup",
+      // Normalized-content exact dedup: the t15 canonicalization
+      // (lowercase, strip non-printables, collapse whitespace, trim)
+      // feeding d01's digest-group dedup — catches the case/whitespace
+      // re-encode variants byte-exact dedup misses, which in practice
+      // is MOST web-duplicate mass. Pure composition of the public API
+      // (normalizeText -> exactDedup); normalization is map work riding
+      // the scan, the dedup shuffle carries (digest, id) only.
+      (s, d) => graft.api.Graft.exactDedup(
+        graft.api.Graft.normalizeText(docs(s, d), "doc_id", "text"),
+        "doc_id", "norm_text")
+        .orderBy("keep_id"),
+      Some("WITH nm AS (SELECT doc_id, trim(regexp_replace(" +
+        "regexp_replace(lower(text), '[^\\x20-\\x7e]', ' ', 'g'), " +
+        "'\\s+', ' ', 'g')) AS norm_text FROM documents) " +
+        "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dups FROM nm " +
+        "GROUP BY sha256(norm_text) ORDER BY keep_id")),
+
     Q("d02_minhash_lsh",
       (s, d) => {
         // k minhashes in ONE aggregation: hash the shingle under k seeds,
