@@ -148,6 +148,49 @@ class AdviceRegressionSpec extends AnyFunSuite with Matchers {
       """"queries":{"d02_minhash_lsh":1.80,"a01_scan_project":0.30},""" +
       """"regressions_vs_local":{"d02_minhash_lsh":1.62},"sf":"x"}""") shouldBe
       Map("d02_minhash_lsh" -> 1.80, "a01_scan_project" -> 0.30)
+    // Truncation tripwire: parsed count must satisfy the declared count.
+    Bench.declaredQueryCount(committed) shouldBe Some(ref.size)
+    Bench.declaredQueryCount(""""n_queries": 105,""") shouldBe Some(105)
+    Bench.declaredQueryCount("""{"queries":{}}""") shouldBe None
+  }
+
+  test("bench regression gate adjudicates a flag by in-session retry " +
+    "(round-4: three rounds of noise-only findings)") {
+    val ref = Map("q_slow" -> 1.0, "q_noise" -> 1.0, "q_fast" -> 1.0,
+      "q_tiny" -> 0.1, "q_dead" -> 1.0)
+    val retried = scala.collection.mutable.ArrayBuffer.empty[String]
+    def retry(times: Map[String, Double])(name: String): Double = {
+      retried += name
+      times(name)
+    }
+
+    // Reproducible breach: retry confirms -> flagged at the min ratio.
+    val (f1, imp1) = Bench.detectRegressions(
+      Seq("q_slow" -> 2.4), ref, retry(Map("q_slow" -> 2.2)))
+    f1 shouldBe Seq("q_slow" -> 2.2)
+    imp1 shouldBe Map("q_slow" -> 2.2)
+
+    // Transient breach: retry lands under 1.5x -> NOT flagged, and the
+    // improved reading is surfaced for the merged per-query report.
+    val (f2, imp2) = Bench.detectRegressions(
+      Seq("q_noise" -> 2.4), ref, retry(Map("q_noise" -> 1.1)))
+    f2 shouldBe empty
+    imp2 shouldBe Map("q_noise" -> 1.1)
+
+    // No breach / sub-floor timings: retry must never run.
+    retried.clear()
+    val (f3, _) = Bench.detectRegressions(
+      Seq("q_fast" -> 1.2, "q_tiny" -> 0.4, "unknown_query" -> 9.9),
+      ref, retry(Map.empty))
+    f3 shouldBe empty
+    retried shouldBe empty
+
+    // Retry itself failing (-1) keeps the original flag — a query that
+    // stops running under retry is reportable, not adjudicated away.
+    val (f4, imp4) = Bench.detectRegressions(
+      Seq("q_dead" -> 3.0), ref, retry(Map("q_dead" -> -1.0)))
+    f4 shouldBe Seq("q_dead" -> 3.0)
+    imp4 shouldBe empty
   }
 
   test("m01/m02/s04 stay within the CI bench threshold vs BENCH_local.json " +
