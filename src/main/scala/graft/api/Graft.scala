@@ -317,7 +317,10 @@ object Graft {
     * work, zero shuffle — the sample rides the scan. Rate thresholds
     * are FLOOR'd to integers on both engines, so the comparison is
     * exact (a raw double->int cast truncates on one engine and rounds
-    * on the other). */
+    * on the other) — PROVIDED the cross-engine oracle also computes
+    * the product in binary DOUBLE (CAST the rate literal): DECIMAL
+    * arithmetic floors a few units away from Spark's
+    * `rate * 2^60` double for non-dyadic rates like 0.1. */
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
       rates: Seq[(String, Double)],
       salt: String = "sample"): DataFrame = {

@@ -212,15 +212,18 @@ object ByteEntropyStats {
   * position. This walks the chars once with the profile packed into a
   * ~24-entry long array (3 UTF-16 chars -> one long key, linear scan —
   * smaller than any hash overhead): zero shuffle, zero per-window
-  * allocation, whole-operator map-only. Windows are UTF-16 char
-  * based — identical to `substring(text, i, 3)` for BMP text, which is
-  * what trigram profiles are in practice.
+  * allocation, whole-operator map-only. Windows are CODE POINT based —
+  * identical to the codepoint `substring(text, i, 3)` formulation (and
+  * the DuckDB oracle) on all of Unicode: a UTF-16 char walk would see
+  * phantom trigrams around surrogate pairs in non-BMP text (round-4
+  * ADVICE). Three 21-bit code points pack into one 63-bit long key.
   */
 case class TrigramLangIdExpr(child: Expression,
     profiles: Seq[(String, Seq[String])], default: String)
     extends UnaryExpression {
-  require(profiles.nonEmpty && profiles.forall(_._2.forall(_.length == 3)),
-    "trigram_lang_id: profiles must be non-empty 3-char trigrams")
+  require(profiles.nonEmpty && profiles.forall(_._2.forall(
+      t => t.codePointCount(0, t.length) == 3)),
+    "trigram_lang_id: profiles must be non-empty 3-codepoint trigrams")
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -271,9 +274,14 @@ object TrigramLangIdExpr {
       UTF8String.fromString(default))
   }
 
-  private def pack(tg: String): Long =
-    (tg.charAt(0).toLong << 32) | (tg.charAt(1).toLong << 16) |
-      tg.charAt(2).toLong
+  // three code points (each <= 0x10FFFF < 2^21) in 63 bits
+  private def pack(tg: String): Long = {
+    val cp0 = tg.codePointAt(0)
+    val i1 = tg.offsetByCodePoints(0, 1)
+    val cp1 = tg.codePointAt(i1)
+    val cp2 = tg.codePointAt(tg.offsetByCodePoints(i1, 1))
+    (cp0.toLong << 42) | (cp1.toLong << 21) | cp2.toLong
+  }
 
   final class Compiled(keys: Array[Long], langOf: Array[Int],
       langs: Array[UTF8String], default: UTF8String)
@@ -281,26 +289,35 @@ object TrigramLangIdExpr {
     def predict(text: UTF8String): UTF8String = {
       val s = text.toString
       val n = s.length
-      if (n < 3) return default
       val counts = new Array[Int](langs.length)
-      var c0 = s.charAt(0).toLong
-      var c1 = s.charAt(1).toLong
-      var i = 2
+      // rolling 3-codepoint window; surrogate pairs advance by 2 chars
+      // but contribute ONE window position (codepoint semantics)
+      var c0 = 0L; var c1 = 0L
+      var filled = 0
+      var i = 0
       while (i < n) {
-        val c2 = s.charAt(i).toLong
-        val key = (c0 << 32) | (c1 << 16) | c2
-        var j = java.util.Arrays.binarySearch(keys, key)
-        if (j >= 0) {
-          // binarySearch lands on ANY matching slot; rewind to the first
-          // (a trigram shared by several languages counts for each)
-          while (j > 0 && keys(j - 1) == key) j -= 1
-          while (j < keys.length && keys(j) == key) {
-            counts(langOf(j)) += 1
-            j += 1
+        val cp = s.codePointAt(i)
+        i += Character.charCount(cp)
+        if (filled < 2) {
+          if (filled == 0) c0 = cp.toLong else c1 = cp.toLong
+          filled += 1
+        } else {
+          val key = (c0 << 42) | (c1 << 21) | cp.toLong
+          var j = java.util.Arrays.binarySearch(keys, key)
+          if (j >= 0) {
+            // binarySearch lands on ANY matching slot; rewind to the first
+            // (a trigram shared by several languages counts for each)
+            while (j > 0 && keys(j - 1) == key) j -= 1
+            while (j < keys.length && keys(j) == key) {
+              counts(langOf(j)) += 1
+              j += 1
+            }
           }
+          c0 = c1; c1 = cp.toLong
         }
-        c0 = c1; c1 = c2; i += 1
       }
+      // short text (< 3 codepoints) counts nothing -> argmax falls
+      // through to default below
       var best = -1
       var bestCount = 0
       var l = 0

@@ -673,7 +673,10 @@ object StreamingOps {
         // and two catalog tables every bench rep / gate re-run
         val (liTbl, ordTbl) = StreamingOps.synchronized {
           bucketedTables.getOrElseUpdate(d, {
-            val tag = s"${math.abs(d.hashCode)}"
+            // session-unique tag: abs(hashCode) can collide across
+            // distinct dirs (and abs(Int.MinValue) is negative), which
+            // would fail the second saveAsTable with "already exists"
+            val tag = s"${bucketedTables.size}"
             val dir = Files.createTempDirectory("graft-bucket").toString
             Tables.load(s, d, "lineitem")
               .select("l_orderkey", "l_extendedprice")

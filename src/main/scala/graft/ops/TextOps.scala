@@ -427,12 +427,16 @@ object TextOps {
         rates = Seq("en" -> 0.5, "fr" -> 0.25, "es" -> 1.0,
           "de" -> 0.1, "zh" -> 0.75))
         .orderBy("doc_id"),
+      // the CASE rate is CAST to DOUBLE before the multiply: DuckDB
+      // would otherwise run the arithmetic in DECIMAL, whose FLOOR can
+      // differ from Spark's binary-double product by a few units for
+      // non-dyadic rates like 0.1 (round-4 ADVICE)
       Some("SELECT doc_id, lang FROM documents WHERE " +
         "CAST(concat('0x', substring(md5(concat('sample:', " +
         "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) < " +
-        "CAST(FLOOR(CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25 " +
+        "CAST(FLOOR(CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25 " +
         "WHEN 'es' THEN 1.0 WHEN 'de' THEN 0.1 WHEN 'zh' THEN 0.75 " +
-        "ELSE 0.0 END * 1152921504606846976.0) AS BIGINT) " +
+        "ELSE 0.0 END AS DOUBLE) * 1152921504606846976.0) AS BIGINT) " +
         "ORDER BY doc_id")),
 
     Q("t20_unigram_logprob",

@@ -219,6 +219,16 @@ object EmbeddedBroker {
       s.synchronized { s.ackDeadlineMs = deadlineMs }
     }
 
+    /** TEST HOOK: expires every outstanding lease immediately, so the
+      * next pull redelivers the whole in-flight set. Deterministic
+      * stand-in for waiting out the ack deadline on a wall clock —
+      * tests that sleep past a deadline flake under CI load; this
+      * doesn't (expiry reclamation itself is lazy, inside pull). */
+    def expireLeases(subscription: String): Unit = {
+      val s = synchronized(subs.getOrElse(subscription, return))
+      s.synchronized { s.leased.valuesIterator.foreach(_.leaseExpiry = 0L) }
+    }
+
     /** Extends the lease of every currently-outstanding message by the
       * subscription's deadline from now (ModifyAckDeadline over the whole
       * in-flight set — the streaming source calls this per planned batch

@@ -137,19 +137,29 @@ class MediaExpressionsSpec extends AnyFunSuite with Matchers {
     "texts, and codegen agrees") {
     val s = spark
     import s.implicits._
+    val clef = new String(Character.toChars(0x1D11E)) // non-BMP, 2 chars
     val profiles = Seq(
       "aa" -> Seq("abc", "bca"),
       "bb" -> Seq("cab", "abc"), // "abc" shared: counts for both langs
-      "cc" -> Seq("ccc"))
+      "cc" -> Seq("ccc"),
+      "dd" -> Seq(s"a${clef}b")) // astral trigram: 3 codepoints, 4 chars
     val rnd = new java.util.Random(7)
+    val alphabet = Seq("a", "b", "c", clef) // astral chars in the stream
     val texts = (0 until 60).map { _ =>
       val n = rnd.nextInt(30)
-      (0 until n).map(_ => "abc" (rnd.nextInt(3))).mkString
+      (0 until n).map(_ => alphabet(rnd.nextInt(4))).mkString
     }
+    // codepoint-based brute force: windows must NOT split surrogate
+    // pairs (the round-4 ADVICE divergence — a UTF-16 char walk counts
+    // phantom trigrams around astral chars)
     def reference(t: String): String = {
+      val cps = t.codePoints().toArray
       val counts = profiles.map { case (l, tgs) =>
-        l -> tgs.distinct.map(tg =>
-          (0 to t.length - 3).count(i => t.substring(i, i + 3) == tg)).sum
+        l -> tgs.distinct.map { tg =>
+          val w = tg.codePoints().toArray
+          (0 to cps.length - 3).count(i =>
+            cps(i) == w(0) && cps(i + 1) == w(1) && cps(i + 2) == w(2))
+        }.sum
       }.toMap
       val best = counts.filter(_._2 > 0)
       if (best.isEmpty) "zz"

@@ -338,7 +338,10 @@ class PubsubConnectorSpec extends AnyFunSuite with Matchers
     val fs = new org.apache.hadoop.fs.Path(part.cachePath)
       .getFileSystem(new org.apache.hadoop.conf.Configuration())
     fs.delete(new org.apache.hadoop.fs.Path(part.cachePath), false) shouldBe true
-    Thread.sleep(800) // first pull's leases lapse -> broker redelivers
+    // first pull's leases lapse -> broker redelivers; forced via the
+    // deterministic hook instead of sleeping past the 500ms deadline
+    // (a fixed sleep flakes when a loaded CI machine stalls the JVM)
+    broker.expireLeases(FastSub)
     val second = evaluate()
     // redelivery is the same messages in the same (seq) order — new
     // leases, so new ack ids, but identical payload identity
