@@ -739,8 +739,9 @@ object Graft {
     * Algorithm: distributed min-label propagation — each round is one
     * equi-join of the current labels with the (symmetrized) edge list
     * plus a min-aggregation, all hash-partitioned by node id; the driver
-    * only ever sees the one-row "did any label change" count, never the
-    * data. Rounds needed = the graph diameter, and dup clusters are
+    * only ever sees a "did any label decrease" accumulator (populated
+    * while the round's labels materialize — ONE Spark job per round),
+    * never the data. Rounds needed = the graph diameter, and dup clusters are
     * near-cliques (diameter 1-2 — LSH emits most intra-cluster pairs), so
     * the loop converges in 2-3 rounds at any corpus size. For adversarial
     * high-diameter graphs (long chains) the two-phase large-star/
@@ -768,21 +769,36 @@ object Graft {
     var labels = nodes
       .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("lab"))
       .localCheckpoint(true)
+    val spark = nodes.sparkSession
+    import spark.implicits._
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
       val prop = labels.join(sym, col("id") === col("src"))
-        .select(col("dst").as("id"), col("lab"))
-      val next = labels.select("id", "lab").union(prop)
-        .groupBy("id").agg(min("lab").as("lab"))
-        .localCheckpoint(true)
-      // labels only ever decrease, so "no decrease" == fixpoint
-      val changed = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.lab") < col("o.lab"))
-        .count()
-      labels = next
-      converged = changed == 0
+        .select(col("dst").as("id"), col("lab"), lit(false).as("self"))
+      // One Spark job per round, not two: the old-label row rides the
+      // same aggregation tagged `self` (each id has exactly ONE self
+      // row, so min-over-self recovers it), and convergence is counted
+      // by an accumulator DURING the checkpoint materialization — the
+      // separate join+count job doubled per-round driver latency and
+      // was d07's main scheduler-jitter amplifier (round-4 verdict).
+      // Labels only ever decrease, so "no decrease" == fixpoint; a task
+      // retry can only over-count decreases (costing at most one extra
+      // round), never under-count a materialized one.
+      val merged = labels.select(col("id"), col("lab"), lit(true).as("self"))
+        .union(prop)
+        .groupBy("id").agg(min("lab").as("lab"),
+          // ids appearing only in pairs have no self row: treat as
+          // unchanged (the old join-based check never counted them)
+          coalesce(min(when(col("self"), col("lab"))), min("lab"))
+            .as("old_lab"))
+      val acc = spark.sparkContext.longAccumulator("labelDecreases")
+      labels = merged.rdd.map { r =>
+        val lab = r.getLong(1)
+        if (lab < r.getLong(2)) acc.add(1L)
+        (r.getLong(0), lab)
+      }.toDF("id", "lab").localCheckpoint(true)
+      converged = acc.value == 0
       it += 1
     }
     labels.select(col("id").as(idCol), col("lab").as("cluster_id"))
@@ -816,11 +832,16 @@ object Graft {
         least(col("u"), col("v")).as("lo"))
       .filter(col("hi") =!= col("lo"))
       .distinct()
+    val spark = nodes.sparkSession
+    import spark.implicits._
     var edges = canon(pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")))
       .localCheckpoint(true)
     var it = 0
     var converged = edges.isEmpty
+    // |edges| after the previous round; -1 = unknown (before round 1),
+    // which just defers a converged-on-arrival detection by one round
+    var prevCount = -1L
     while (!converged && it < maxIters) {
       // large-star over the symmetric adjacency
       val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
@@ -833,14 +854,28 @@ object Graft {
         .localCheckpoint(true)
       // small-star on the hi->lo orientation
       val mins2 = large.groupBy("hi").agg(min("lo").as("m"))
-      val small = canon(large.join(mins2, "hi")
+      val smallCand = canon(large.join(mins2, "hi")
         .select(col("lo").as("u"), col("m").as("v"))
         .union(mins2.select(col("hi").as("u"), col("m").as("v"))))
-        .localCheckpoint(true)
-      val changed = small.except(edges).union(edges.except(small))
-        .limit(1).count()
+      // Fixpoint = edge set unchanged. Instead of a third per-round job
+      // (the old except-union count), tag each candidate edge with
+      // whether it already existed and count the new ones by
+      // accumulator during the checkpoint materialization: small==edges
+      // iff no new edge AND the sizes match (both are distinct sets).
+      // Over-counting on task retry only defers convergence one round.
+      val accNew = spark.sparkContext.longAccumulator("newEdges")
+      val accTotal = spark.sparkContext.longAccumulator("totalEdges")
+      val flagged = smallCand.join(
+        edges.select(col("hi"), col("lo"), lit(true).as("was")),
+        Seq("hi", "lo"), "left")
+      val small = flagged.rdd.map { r =>
+        accTotal.add(1L)
+        if (r.isNullAt(2)) accNew.add(1L)
+        (r.getLong(0), r.getLong(1))
+      }.toDF("hi", "lo").localCheckpoint(true)
+      converged = accNew.value == 0 && accTotal.value == prevCount
+      prevCount = accTotal.value
       edges = small
-      converged = changed == 0
       it += 1
     }
     val labels = edges.select(col("hi").as("id"), col("lo").as("cl"))

@@ -54,6 +54,31 @@ object Dedup {
   private val MinhashK = 24 // permutations
   private val Bands = 8     // 8 bands x 3 rows
 
+  /** Min-id-per-component closure over the d04 n-gram Jaccard pair set,
+    * as a DuckDB recursive CTE. Shared by d07 (label propagation) and
+    * d10 (large-star contraction): both algorithms compute the same
+    * function, so they share one oracle. */
+  private val JaccardClustersOracle: String =
+    "WITH RECURSIVE toks AS (SELECT doc_id, " +
+      "string_split(text, ' ') AS w FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, " +
+      "array_to_string(list_slice(w, g, g+2), ' ') AS s FROM toks, " +
+      "UNNEST(generate_series(1, len(w)-2)) AS t(g)), " +
+      "cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) " +
+      "AS i FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2), " +
+      "pairs AS (SELECT doc_a, doc_b FROM inter " +
+      "JOIN cnt ca ON doc_a = ca.doc_id " +
+      "JOIN cnt cb ON doc_b = cb.doc_id " +
+      "WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.5), " +
+      "edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs " +
+      "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+      "reach(id, lab) AS (SELECT doc_id, doc_id FROM documents " +
+      "UNION SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id) " +
+      "SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach " +
+      "GROUP BY id ORDER BY doc_id"
+
   val defs: Seq[Q] = Seq(
 
     Q("d01_exact_dedup",
@@ -242,25 +267,25 @@ object Dedup {
           n = 3, threshold = 0.5),
         "id_a", "id_b")
         .orderBy("doc_id"),
-      Some("WITH RECURSIVE toks AS (SELECT doc_id, " +
-        "string_split(text, ' ') AS w FROM documents), " +
-        "sh AS (SELECT DISTINCT doc_id, " +
-        "array_to_string(list_slice(w, g, g+2), ' ') AS s FROM toks, " +
-        "UNNEST(generate_series(1, len(w)-2)) AS t(g)), " +
-        "cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
-        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) " +
-        "AS i FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
-        "GROUP BY 1, 2), " +
-        "pairs AS (SELECT doc_a, doc_b FROM inter " +
-        "JOIN cnt ca ON doc_a = ca.doc_id " +
-        "JOIN cnt cb ON doc_b = cb.doc_id " +
-        "WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.5), " +
-        "edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs " +
-        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
-        "reach(id, lab) AS (SELECT doc_id, doc_id FROM documents " +
-        "UNION SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id) " +
-        "SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach " +
-        "GROUP BY id ORDER BY doc_id")),
+      Some(JaccardClustersOracle)),
+
+    Q("d10_dup_clusters_largestar",
+      // The SAME clustering contract as d07 (min-id per component over
+      // d04's pair set) computed by the O(log d) large-star/small-star
+      // contraction instead of O(d) label propagation — the variant for
+      // chain-shaped graphs where propagation's round count explodes.
+      // Identical results by definition, so it shares d07's recursive-
+      // CTE oracle; this puts the contraction path on the hash-checked
+      // gate (round-4 verdict: it was the one public API entry point
+      // with no CORRECTNESS row). See
+      // [[graft.api.Graft.dupClustersLargeStar]].
+      (s, d) => graft.api.Graft.dupClustersLargeStar(
+        docs(s, d), "doc_id",
+        graft.api.Graft.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+          n = 3, threshold = 0.5),
+        "id_a", "id_b")
+        .orderBy("doc_id"),
+      Some(JaccardClustersOracle)),
 
     Q("d08_dup_clusters_minhash",
       // The composed 100 TB dedup path end-to-end: MinHash+LSH pair
