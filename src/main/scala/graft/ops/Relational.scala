@@ -413,6 +413,43 @@ object Relational {
         "ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS price_p90 " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
 
+    Q("a28b_approx_percentile",
+      // The 100 TB percentile path: approx_percentile's mergeable GK
+      // sketch (one pass, bounded memory, partial-aggregable) instead of
+      // a28's per-group exact sort. The sketch value itself isn't
+      // oracle-comparable (DuckDB has no GK), so — a27's pattern — the
+      // gate emits EXACT rank bands (DuckDB recomputes those) plus the
+      // accuracy contract as booleans: the sketch value must land inside
+      // the exact [p-0.05, p+0.05] quantile band, far looser than the
+      // 1/accuracy = 1e-4 rank-error guarantee, so it never flaps, but a
+      // broken sketch (wrong rank math, lost merge) blows it instantly.
+      (s, d) => t(s, d)("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)")
+            .as("ap"),
+          expr("percentile(l_extendedprice, 0.45)").as("lo50"),
+          expr("percentile(l_extendedprice, 0.55)").as("hi50"),
+          expr("percentile(l_extendedprice, 0.85)").as("lo90"),
+          expr("percentile(l_extendedprice, 0.95)").as("hi90"))
+        .select(col("l_returnflag"),
+          round(col("lo50"), 2).as("lo50"),
+          round(col("hi50"), 2).as("hi50"),
+          round(col("lo90"), 2).as("lo90"),
+          round(col("hi90"), 2).as("hi90"),
+          (col("ap")(0) >= col("lo50") && col("ap")(0) <= col("hi50"))
+            .as("p50_in_band"),
+          (col("ap")(1) >= col("lo90") && col("ap")(1) <= col("hi90"))
+            .as("p90_in_band"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, " +
+        "ROUND(quantile_cont(l_extendedprice, 0.45), 2) AS lo50, " +
+        "ROUND(quantile_cont(l_extendedprice, 0.55), 2) AS hi50, " +
+        "ROUND(quantile_cont(l_extendedprice, 0.85), 2) AS lo90, " +
+        "ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS hi90, " +
+        "true AS p50_in_band, true AS p90_in_band " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
     Q("a29_salted_join",
       // Skew-mitigation pattern: the probe side is salted N ways and the
       // build side replicated per salt, so one hot join key spreads over N

@@ -359,6 +359,58 @@ class PubsubConnectorSpec extends AnyFunSuite with Matchers
     broker.pull(FastSub, 1000) shouldBe empty // nothing redelivers later
   }
 
+  test("at-least-once window: mid-batch ack-deadline expiry redelivers, " +
+    "and the documented dropDuplicates(message_id) recipe restores " +
+    "exact counts") {
+    // SURVEY §7.4 item 2: the connector promises at-least-once, with
+    // duplicates possible exactly when a lease lapses while its batch
+    // is still in flight. Force that window deterministically and show
+    // the user-side recipe (B6/p03) closes it.
+    val LossSub = "projects/p/subscriptions/expiry-sub"
+    broker.createSubscription(LossSub, Topic)
+    publish100()
+    val cacheDir = Files.createTempDirectory("graft-expiry").toString
+    def readBatch(batchId: Int, max: Int): Seq[(String, String)] = {
+      val part = PubsubInputPartition(LossSub, ep, batchId = batchId,
+        partitionIdx = 0, maxMessages = max,
+        cachePath = s"$cacheDir/batch=$batchId/part=0", region = "global")
+      val r = new PubsubPartitionReaderFactory().createReader(part)
+      val out = collection.mutable.ArrayBuffer[(String, String)]()
+      while (r.next()) {
+        val row = r.get()
+        out += ((row.getString(1), row.getString(2))) // (ack_id, message_id)
+      }
+      r.close()
+      out.toSeq
+    }
+    // Batch 0 takes 60 messages in flight; its leases expire BEFORE the
+    // batch commits (slow batch, crashed commit — the at-least-once
+    // window).
+    val first = readBatch(0, 60)
+    first should have size 60
+    broker.expireLeases(LossSub)
+    // Batch 1 sees the 60 redelivered PLUS the 40 never-delivered.
+    val second = readBatch(1, 1000)
+    second should have size 100
+    // Redelivery happened: batch 1 contains every batch-0 message again.
+    first.map(_._2).toSet.subsetOf(second.map(_._2).toSet) shouldBe true
+    // The duplicate surface across the two delivered batches is exactly
+    // the in-flight set...
+    val delivered = first ++ second
+    delivered.size shouldBe 160
+    delivered.map(_._2).distinct.size shouldBe 100
+    // ...and the documented recipe — dropDuplicates("message_id") on the
+    // source DataFrame (B6/p03) — restores exact-once counts.
+    val s = spark
+    import s.implicits._
+    val dedup = delivered.map(_._2).toDF("message_id")
+      .dropDuplicates("message_id")
+    dedup.count() shouldBe 100
+    // acking batch 1's ids drains the backlog for good
+    broker.acknowledge(LossSub, second.map(_._1))
+    broker.backlog(LossSub) shouldBe 0
+  }
+
   test("backlog monitor math: clamp and region split") {
     val conf = new org.apache.spark.SparkConf()
     val m = new PubsubBacklogMonitor(broker, Sub, conf)
