@@ -423,23 +423,24 @@ object Relational {
       // the exact [p-0.05, p+0.05] quantile band, far looser than the
       // 1/accuracy = 1e-4 rank-error guarantee, so it never flaps, but a
       // broken sketch (wrong rank math, lost merge) blows it instantly.
+      // the four exact bounds share ONE percentile buffer (array form)
+      // — four scalar percentile aggs would each hold their own value
+      // map per group (measured 4.7s vs 1.6s at sf0.1)
       (s, d) => t(s, d)("lineitem")
         .groupBy("l_returnflag")
         .agg(
           expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)")
             .as("ap"),
-          expr("percentile(l_extendedprice, 0.45)").as("lo50"),
-          expr("percentile(l_extendedprice, 0.55)").as("hi50"),
-          expr("percentile(l_extendedprice, 0.85)").as("lo90"),
-          expr("percentile(l_extendedprice, 0.95)").as("hi90"))
+          expr("percentile(l_extendedprice, " +
+            "array(0.45, 0.55, 0.85, 0.95))").as("ex"))
         .select(col("l_returnflag"),
-          round(col("lo50"), 2).as("lo50"),
-          round(col("hi50"), 2).as("hi50"),
-          round(col("lo90"), 2).as("lo90"),
-          round(col("hi90"), 2).as("hi90"),
-          (col("ap")(0) >= col("lo50") && col("ap")(0) <= col("hi50"))
+          round(col("ex")(0), 2).as("lo50"),
+          round(col("ex")(1), 2).as("hi50"),
+          round(col("ex")(2), 2).as("lo90"),
+          round(col("ex")(3), 2).as("hi90"),
+          (col("ap")(0) >= col("ex")(0) && col("ap")(0) <= col("ex")(1))
             .as("p50_in_band"),
-          (col("ap")(1) >= col("lo90") && col("ap")(1) <= col("hi90"))
+          (col("ap")(1) >= col("ex")(2) && col("ap")(1) <= col("ex")(3))
             .as("p90_in_band"))
         .orderBy("l_returnflag"),
       Some("SELECT l_returnflag, " +
