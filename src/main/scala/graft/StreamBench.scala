@@ -71,9 +71,18 @@ object StreamBench {
       N / sec
     }
 
-    val defaults = run("defaults", 4, 1000)
-    val tuned = run("tuned", 8, 16000)
-    println(f"""{"metric":"stream_roundtrip_msgs_per_sec","n":$N,""" +
+    // Min-of-3 per config (fresh broker endpoint + checkpoint per rep,
+    // same JVM): single-shot readings fold one-time JVM/codegen warm-up
+    // and shared-VM contention into what is supposed to be a steady-state
+    // throughput number — the same methodology the query bench uses
+    // (BASELINE.md). The FIRST rep of the first config still pays the full
+    // cold start; the min is the engine's actual per-batch cost.
+    val reps = 3
+    def best(name: String, partitions: Int, maxPerPull: Int): Double =
+      (1 to reps).map(r => run(s"$name-r$r", partitions, maxPerPull)).max
+    val defaults = best("defaults", 4, 1000)
+    val tuned = best("tuned", 8, 16000)
+    println(f"""{"metric":"stream_roundtrip_msgs_per_sec","n":$N,"reps":$reps,""" +
       f""""defaults_4x1000":${defaults}%.0f,"tuned_8x16000":${tuned}%.0f}""")
     spark.stop()
   }

@@ -2,7 +2,6 @@ package graft.pubsub
 
 import scala.collection.mutable
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
@@ -147,42 +146,31 @@ class PubsubMicroBatchStream(
     // Ack ids come from the replay-cache files of every still-cached batch
     // up to `end` (dedup in case of racing re-pulls), acknowledged in
     // groups of 1500 (reference: PubsubMicroBatchStream.scala:93-107).
+    // ONE directory sweep serves both the ack read and the eviction —
+    // commit runs between micro-batches, so every filesystem call here
+    // is per-batch latency.
+    val t0 = System.nanoTime()
     try {
-      val fs = cacheRoot.getFileSystem(new Configuration())
-      if (fs.exists(cacheRoot)) {
-        fs.listStatus(cacheRoot).foreach { st =>
-          val name = st.getPath.getName // batch=N
-          if (name.startsWith("batch=") &&
-            name.stripPrefix("batch=").toLong <= endBatch) {
-            ReplayCache.ackIds(st.getPath).distinct.grouped(1500).foreach(
-              g => broker.acknowledge(opts.subscriptionPath, g))
-          }
+      ReplayCache.batchDirs(cacheRoot).foreach { case (id, dir) =>
+        if (id <= endBatch) {
+          ReplayCache.ackIds(dir).distinct.grouped(1500).foreach(
+            g => broker.acknowledge(opts.subscriptionPath, g))
+          // The committed batch can never be re-planned: drop its cache.
+          ReplayCache.deleteBatchDir(dir)
         }
       }
     } catch { case _: java.io.IOException => () } // redelivery covers us
-    // The committed batch can never be re-planned: drop its replay cache.
-    dropCaches(_ <= endBatch)
+    if (sys.env.contains("GRAFT_TIMING")) System.err.println(
+      f"[timing] source.commit batch=$endBatch " +
+        f"${(System.nanoTime() - t0) / 1e6}%.1fms")
   }
 
   override def stop(): Unit = {
     PubsubStreamRegistry.deregister(registryKey)
     monitor.foreach(_.stop())
-    dropCaches(_ => true)
-  }
-
-  private def dropCaches(pred: Long => Boolean): Unit = {
-    try {
-      val fs = cacheRoot.getFileSystem(new Configuration())
-      if (fs.exists(cacheRoot)) {
-        fs.listStatus(cacheRoot).foreach { st =>
-          val name = st.getPath.getName // batch=N
-          if (name.startsWith("batch=") &&
-            pred(name.stripPrefix("batch=").toLong)) {
-            fs.delete(st.getPath, true)
-          }
-        }
-      }
-    } catch { case _: java.io.IOException => () } // best-effort eviction
+    try ReplayCache.batchDirs(cacheRoot)
+      .foreach(d => ReplayCache.deleteBatchDir(d._2))
+    catch { case _: java.io.IOException => () } // best-effort eviction
   }
 
   override def toString: String =

@@ -103,8 +103,30 @@ class PubsubPartitionReader(p: PubsubInputPartition)
 /** Pulled-batch persistence under the checkpoint location: one file per
   * (batch, partition), written once by the first evaluation, replayed by
   * any later one, read by the driver at commit time for the ack ids, and
-  * deleted after commit. */
+  * deleted after commit.
+  *
+  * Local paths (scheme `file` or none) go through java.nio directly:
+  * Hadoop's default LocalFileSystem is a ChecksumFileSystem — every
+  * cache write would also write a `.crc` sidecar and every read would
+  * re-verify it, and each call paid a fresh `new Configuration()`. The
+  * cache runs once per (batch, partition) INSIDE the micro-batch loop,
+  * so that overhead is pure per-batch latency (measured ~20 ms of the
+  * ~35 ms reader cost at defaults). Non-local schemes keep the Hadoop
+  * path (HDFS rename-no-overwrite is already atomic there). */
 object ReplayCache {
+
+  /** One Configuration for all non-local calls — constructing one per
+    * read/write re-parses the default resources. */
+  private lazy val hadoopConf = new Configuration()
+
+  private def isLocal(p: Path): Boolean =
+    p.toUri.getScheme match {
+      case null | "file" => true
+      case _ => false
+    }
+
+  private def nioPath(p: Path): java.nio.file.Path =
+    java.nio.file.Paths.get(p.toUri.getPath)
 
   // Compact length-prefixed binary layout (java serialization of many
   // small Maps was measurable at 100k+ messages per partition). Strings
@@ -129,17 +151,24 @@ object ReplayCache {
   // payload only to extract ack ids measurably delayed the next batch
   // (it runs inside Spark's between-batch source.commit call).
 
-  def read(path: String): Option[Seq[(String, EmbeddedBroker.Message)]] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
-    if (!fs.exists(p)) None
-    else {
-      val in = new DataInputStream(
-        new BufferedInputStream(fs.open(p), 1 << 16))
+  /** Opens `p` for reading, None when absent — nio for local paths. */
+  private def openFor(p: Path): Option[java.io.InputStream] =
+    if (isLocal(p)) {
+      val np = nioPath(p)
+      try Some(java.nio.file.Files.newInputStream(np))
+      catch { case _: java.nio.file.NoSuchFileException => None }
+    } else {
+      val fs = p.getFileSystem(hadoopConf)
+      if (fs.exists(p)) Some(fs.open(p)) else None
+    }
+
+  def read(path: String): Option[Seq[(String, EmbeddedBroker.Message)]] =
+    openFor(new Path(path)).map { raw =>
+      val in = new DataInputStream(new BufferedInputStream(raw, 1 << 16))
       try {
         val count = in.readInt()
         val ids = Seq.fill(count)(readStr(in))
-        Some(ids.map { ackId =>
+        ids.map { ackId =>
           val messageId = readStr(in)
           val orderingKey = readStr(in)
           val ts = in.readLong()
@@ -149,20 +178,19 @@ object ReplayCache {
           val attrs = Seq.fill(nAttrs)(readStr(in) -> readStr(in)).toMap
           (ackId,
             EmbeddedBroker.Message(messageId, data, attrs, orderingKey, ts))
-        })
+        }
       } finally in.close()
     }
-  }
 
   /** Just the ack ids of one cache file — reads the header only. */
-  private def ackIdsOf(path: Path, fs: org.apache.hadoop.fs.FileSystem): Seq[String] = {
-    val in = new DataInputStream(
-      new BufferedInputStream(fs.open(path), 1 << 16))
-    try {
-      val count = in.readInt()
-      Seq.fill(count)(readStr(in))
-    } finally in.close()
-  }
+  private def ackIdsOf(path: Path): Seq[String] =
+    openFor(path).map { raw =>
+      val in = new DataInputStream(new BufferedInputStream(raw, 1 << 16))
+      try {
+        val count = in.readInt()
+        Seq.fill(count)(readStr(in))
+      } finally in.close()
+    }.getOrElse(Seq.empty)
 
   /** Persists `msgs` and returns the CANONICAL row set for this slot:
     * the argument when this writer's rename wins, the winner's file when
@@ -175,11 +203,18 @@ object ReplayCache {
       msgs: Seq[(String, EmbeddedBroker.Message)])
       : Seq[(String, EmbeddedBroker.Message)] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val local = isLocal(p)
     val tmp = new Path(path + s".tmp-${java.util.UUID.randomUUID()}")
-    fs.mkdirs(p.getParent)
-    val out = new DataOutputStream(
-      new BufferedOutputStream(fs.create(tmp, true), 1 << 16))
+    val raw: java.io.OutputStream =
+      if (local) {
+        java.nio.file.Files.createDirectories(nioPath(p).getParent)
+        java.nio.file.Files.newOutputStream(nioPath(tmp))
+      } else {
+        val fs = p.getFileSystem(hadoopConf)
+        fs.mkdirs(p.getParent)
+        fs.create(tmp, true)
+      }
+    val out = new DataOutputStream(new BufferedOutputStream(raw, 1 << 16))
     try {
       out.writeInt(msgs.size)
       msgs.foreach { case (ackId, _) => writeStr(out, ackId) }
@@ -204,22 +239,23 @@ object ReplayCache {
     // (link(2) fails with EEXIST); on HDFS-like stores rename onto an
     // existing path already fails atomically.
     val won =
-      if (fs.getScheme == "file") {
+      if (local) {
         val claimed =
           try {
-            java.nio.file.Files.createLink(
-              java.nio.file.Paths.get(p.toUri.getPath),
-              java.nio.file.Paths.get(tmp.toUri.getPath))
+            java.nio.file.Files.createLink(nioPath(p), nioPath(tmp))
             true
           } catch {
             case _: java.nio.file.FileAlreadyExistsException => false
           }
-        fs.delete(tmp, false)
+        java.nio.file.Files.deleteIfExists(nioPath(tmp))
         claimed
-      } else fs.rename(tmp, p)
+      } else p.getFileSystem(hadoopConf).rename(tmp, p)
     if (won) msgs
     else {
-      if (fs.exists(tmp)) fs.delete(tmp, false)
+      if (!local) {
+        val fs = p.getFileSystem(hadoopConf)
+        if (fs.exists(tmp)) fs.delete(tmp, false)
+      }
       var canonical: Option[Seq[(String, EmbeddedBroker.Message)]] = read(path)
       var attempts = 0
       while (canonical.isEmpty && attempts < 50) {
@@ -235,13 +271,72 @@ object ReplayCache {
 
   /** All ack ids recorded under a batch directory (driver side) —
     * header-only reads, the payloads stay on disk. */
-  def ackIds(batchDir: Path): Seq[String] = {
-    val fs = batchDir.getFileSystem(new Configuration())
-    if (!fs.exists(batchDir)) Seq.empty
-    else fs.listStatus(batchDir).toSeq
-      .filter(st => !st.getPath.getName.contains(".tmp-"))
-      .flatMap(st =>
-        try ackIdsOf(st.getPath, fs)
-        catch { case _: java.io.IOException => Seq.empty })
-  }
+  def ackIds(batchDir: Path): Seq[String] =
+    partFiles(batchDir).flatMap(f =>
+      try ackIdsOf(f)
+      catch { case _: java.io.IOException => Seq.empty })
+
+  private def partFiles(batchDir: Path): Seq[Path] =
+    if (isLocal(batchDir)) {
+      val d = nioPath(batchDir)
+      if (!java.nio.file.Files.isDirectory(d)) Seq.empty
+      else {
+        val s = java.nio.file.Files.list(d)
+        try {
+          val out = Seq.newBuilder[Path]
+          s.forEach { c =>
+            val name = c.getFileName.toString
+            if (!name.contains(".tmp-")) out += new Path(batchDir, name)
+          }
+          out.result()
+        } finally s.close()
+      }
+    } else {
+      val fs = batchDir.getFileSystem(hadoopConf)
+      if (!fs.exists(batchDir)) Seq.empty
+      else fs.listStatus(batchDir).toSeq.map(_.getPath)
+        .filter(p => !p.getName.contains(".tmp-"))
+    }
+
+  /** Batch directories (`batch=N`) under the cache root with their ids —
+    * ONE listing serves both the commit-time ack sweep and eviction. */
+  def batchDirs(cacheRoot: Path): Seq[(Long, Path)] =
+    if (isLocal(cacheRoot)) {
+      val d = nioPath(cacheRoot)
+      if (!java.nio.file.Files.isDirectory(d)) Seq.empty
+      else {
+        val s = java.nio.file.Files.list(d)
+        try {
+          val out = Seq.newBuilder[(Long, Path)]
+          s.forEach { c =>
+            val name = c.getFileName.toString
+            if (name.startsWith("batch="))
+              out += ((name.stripPrefix("batch=").toLong,
+                new Path(cacheRoot, name)))
+          }
+          out.result()
+        } finally s.close()
+      }
+    } else {
+      val fs = cacheRoot.getFileSystem(hadoopConf)
+      if (!fs.exists(cacheRoot)) Seq.empty
+      else fs.listStatus(cacheRoot).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("batch="))
+        .map(p => (p.getName.stripPrefix("batch=").toLong, p))
+    }
+
+  /** Recursively deletes one batch directory (commit-time eviction). */
+  def deleteBatchDir(dir: Path): Unit =
+    if (isLocal(dir)) {
+      val d = nioPath(dir)
+      if (java.nio.file.Files.isDirectory(d)) {
+        val s = java.nio.file.Files.list(d)
+        try s.forEach(c => java.nio.file.Files.deleteIfExists(c))
+        finally s.close()
+        java.nio.file.Files.deleteIfExists(d)
+      }
+    } else {
+      val fs = dir.getFileSystem(hadoopConf)
+      if (fs.exists(dir)) { fs.delete(dir, true); () }
+    }
 }

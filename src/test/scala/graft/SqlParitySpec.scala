@@ -20,9 +20,9 @@ class SqlParitySpec extends AnyFunSuite with Matchers {
   // ARG_MIN/ARG_MAX, bare VARCHAR casts) — their Spark form is the
   // DataFrame implementation.
   private val duckOnly = Set("a24_asof_join", "a25_session_window",
-    "a28_percentiles", "a33_string_suite", "a34_date_suite",
-    "a36_stats_agg", "a18_date_funcs", "a23_events_time_agg",
-    "a40_recursive_cte")
+    "a28_percentiles", "a28b_approx_percentile", "a33_string_suite",
+    "a34_date_suite", "a36_stats_agg", "a18_date_funcs",
+    "a23_events_time_agg", "a40_recursive_cte")
 
   private lazy val spark = {
     val s = SparkSession.builder()
