@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Synthesizes an N-fold `documents`/`embeddings` slice from an existing
+  * fixture dir (same schemas as FIXTURES.md) for empirical scale checks:
+  * run the scale-critical query family at sf0.1 and at N x sf0.1 and
+  * compare per-query growth against the plan-shape arguments in SCALE.md.
+  *
+  * Replication preserves the DISTRIBUTION, not the bytes: each replica
+  * keeps the original's duplicate structure and word statistics but is
+  * made disjoint from the others (every word suffixed with the replica
+  * tag; embeddings jittered deterministically per (vec_id, replica,
+  * component)). Naive byte-copies would pair every document with its 9
+  * clones across replicas and the dedup-pair count would grow N^2-fold
+  * BY CONSTRUCTION — that would measure the synthetic data, not the
+  * engine. With disjoint replicas, pair counts, cluster sizes and
+  * vocabulary-per-replica stay proportional, so ~linear runtime growth
+  * is the correct expectation for a well-partitioned plan.
+  *
+  * Usage: ScaleDataGen <srcSfDir> <outDir> <factor>
+  */
+object ScaleDataGen {
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, factorStr) = args.take(3)
+    val factor = factorStr.toInt
+    require(factor >= 1, s"factor must be >= 1: $factor")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val IdStride = 10000000L
+    val replicas = spark.range(0, factor).select(col("id").as("r"))
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+      .crossJoin(broadcast(replicas))
+      .select(
+        (col("doc_id") + col("r") * IdStride).as("doc_id"),
+        // replica 0 keeps the original text; others suffix every word
+        // with the replica tag, which keeps word/shingle counts and the
+        // in-replica duplicate structure while making shingle sets
+        // disjoint across replicas
+        when(col("r") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1_"), col("r")))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+    docs.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      .crossJoin(broadcast(replicas))
+      .select(
+        (col("vec_id") + col("r") * IdStride).as("vec_id"),
+        // replica 0 stays pristine (the s07 query set lives there);
+        // other replicas get deterministic per-(vec_id, replica,
+        // component) jitter — geometrically distinct replicas without
+        // moving the distribution (|delta| <= 0.005 per component)
+        when(col("r") === 0, col("embedding"))
+          .otherwise(expr("transform(embedding, (x, i) -> CAST(x + " +
+            "(pmod(hash(vec_id, r, i), 1000) / 1000.0 - 0.5) * 0.01 " +
+            "AS FLOAT))")).as("embedding"),
+        col("label"))
+    emb.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+
+    val nd = spark.read.parquet(s"$out/documents.parquet").count()
+    val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
+    println(s"""{"out":"$out","factor":$factor,"documents":$nd,"embeddings":$ne}""")
+    spark.stop()
+  }
+}
