@@ -368,6 +368,51 @@ object Graft {
         round(avg("lp"), 4).as("avg_logp"))
   }
 
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much more likely its hashed word features are under the
+    * TARGET slice (`targetPred` — the high-quality subset you want more
+    * of) than under the raw corpus. `log_weight` is the per-doc sum of
+    * log(p_target(bucket) / p_raw(bucket)) over its words, with hashed
+    * n-gram features folded into `buckets` buckets and add-`alpha`
+    * smoothing on both distributions; resample the corpus proportional
+    * to exp(log_weight) to tilt it toward the target domain. Feature
+    * hashing uses the md5 slice shared with t12/t19, so the weights are
+    * exactly reproducible cross-engine.
+    *
+    * Scale shape: both distributions come from ONE aggregation over the
+    * exploded words (map-side combined, `buckets`-bounded output); the
+    * log-ratio table is `buckets` rows and BROADCASTS; the per-doc sum
+    * is one map-side-combined aggregation on the id. No corpus-sized
+    * shuffle anywhere — the heavy rows ride the scan. */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 64,
+      alpha: Double = 0.5): DataFrame = {
+    require(buckets > 0 && alpha > 0,
+      s"importanceWeights(buckets=$buckets, alpha=$alpha)")
+    val words = df.select(col(idCol), targetPred.as("is_target"),
+      explode(split(col(textCol), " ")).as("word"))
+      .withColumn("bucket",
+        graft.functions.TextExpressions.hexSliceLong(
+          md5(col("word")), 1, 15) % buckets)
+    val counts = words.groupBy("bucket").agg(
+      count(lit(1)).as("c_raw"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("c_tgt"))
+    val totals = counts.agg(
+      sum("c_raw").cast("double").as("n_raw"),
+      sum("c_tgt").cast("double").as("n_tgt"))
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("c_tgt") + alpha) / (col("n_tgt") + alpha * buckets)) -
+          log((col("c_raw") + alpha) / (col("n_raw") + alpha * buckets)))
+          .as("lr"))
+    words
+      .join(broadcast(ratios), "bucket")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum("lr"), 4).as("log_weight"))
+  }
+
   /** Canonical text normalization for dedup keys and training input:
     * lowercase, strip non-printable/control characters, collapse runs of
     * whitespace to single spaces, trim. Returns the normalized text
@@ -568,6 +613,32 @@ object Graft {
     n.as("a")
       .join(n.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        (dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Blocked cosine near-dup: exact pairs computed only WITHIN a
+    * blocking key (language, source, shard, cluster id…) — the classic
+    * record-linkage candidate cutter. With K balanced blocks the pair
+    * space drops from n²/2 to n²/(2K), and — unlike LSH — the result is
+    * deterministic and exactly verifiable: it IS the definition "pairs
+    * that agree on the block and clear the threshold". Physically one
+    * equi-join on the block key (shuffle partitioned by block, no
+    * cartesian), then the native dot product on the co-located rows —
+    * the same shape at 100 TB with blocks as the shuffle keys. Skewed
+    * blocks (one language dominating) are the known failure mode; cap
+    * or sub-block the hot key the way d04's maxShingleDf does. */
+  def blockedCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val n = df.select(col(idCol), col(vecCol), col(blockCol),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nrm"))
+    n.as("a")
+      .join(n.as("b"),
+        col(s"a.$blockCol") === col(s"b.$blockCol") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$blockCol").as("block"),
+        col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         (dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
           (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)

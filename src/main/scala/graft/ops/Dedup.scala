@@ -355,6 +355,37 @@ object Dedup {
         "SELECT vec_a, vec_b, ROUND(cos, 4) AS cos FROM p " +
         "WHERE cos >= 0.45 ORDER BY vec_a, vec_b")),
 
+    Q("d11_blocked_dedup",
+      // Blocking, the third candidate-cutting strategy next to LSH (d06)
+      // and banding (d02): exact cosine pairs computed only WITHIN a
+      // blocking key — here the embedding `label` (in practice language,
+      // source, cluster id). With K balanced blocks the pair space drops
+      // K-fold while staying exact and deterministic ON the blocked
+      // definition; cross-block dups are the accepted miss, which is why
+      // pipelines block on keys dups can't straddle. Physically one
+      // equi-join shuffle-partitioned by block — no cartesian; the
+      // oracle is the literal within-block definition. See
+      // [[graft.api.Graft.blockedCosinePairs]].
+      (s, d) => graft.api.Graft
+        .blockedCosinePairs(Tables.load(s, d, "embeddings"), "vec_id",
+          "embedding", "label", threshold = 0.45)
+        .select(col("block").cast("bigint").as("block"),
+          col("id_a").as("vec_a"), col("id_b").as("vec_b"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("vec_a", "vec_b"),
+      Some("WITH n AS (SELECT vec_id, label, embedding, " +
+        "sqrt(list_sum(list_transform(list_zip(embedding, embedding), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) AS nrm " +
+        "FROM embeddings), " +
+        "p AS (SELECT CAST(a.label AS BIGINT) AS block, " +
+        "a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+        "(a.nrm * b.nrm) AS cos FROM n a JOIN n b " +
+        "ON a.label = b.label AND a.vec_id < b.vec_id) " +
+        "SELECT block, vec_a, vec_b, ROUND(cos, 4) AS cos FROM p " +
+        "WHERE cos >= 0.45 ORDER BY vec_a, vec_b")),
+
     Q("d06_embed_cosine_lsh",
       // The 100 TB version of d05: candidate pairs come from the
       // multi-table LSH index (match in ANY table on the exact code or a

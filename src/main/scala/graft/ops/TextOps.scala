@@ -458,6 +458,35 @@ object TextOps {
         "ln(CAST(v.c AS DOUBLE) / total) " +
         "ELSE ln(0.5 / total) END), 4) AS avg_logp " +
         "FROM w LEFT JOIN v USING (word) CROSS JOIN tot " +
-        "GROUP BY w.doc_id ORDER BY doc_id"))
+        "GROUP BY w.doc_id ORDER BY doc_id")),
+
+    Q("t21_importance_weights",
+      // DSIR-style domain tilting: hashed-unigram importance weights of
+      // every document against the English slice as the target domain —
+      // the data-mixing step that upsamples target-like text. Feature
+      // hashing is the shared md5 slice, so DuckDB reproduces the exact
+      // bucket assignment, distributions and log-ratios. See
+      // [[graft.api.Graft.importanceWeights]].
+      (s, d) => graft.api.Graft.importanceWeights(docs(s, d), "doc_id",
+        "text", targetPred = col("lang") === "en", buckets = 64)
+        .orderBy("doc_id"),
+      Some("WITH w AS (SELECT doc_id, lang = 'en' AS is_target, " +
+        "UNNEST(string_split(text, ' ')) AS word FROM documents), " +
+        "b AS (SELECT doc_id, is_target, " +
+        "CAST(concat('0x', substring(md5(word), 1, 15)) AS BIGINT) % 64 " +
+        "AS bucket FROM w), " +
+        "c AS (SELECT bucket, COUNT(*) AS c_raw, " +
+        "SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_tgt " +
+        "FROM b GROUP BY 1), " +
+        "t AS (SELECT CAST(SUM(c_raw) AS DOUBLE) AS n_raw, " +
+        "CAST(SUM(c_tgt) AS DOUBLE) AS n_tgt FROM c), " +
+        "r AS (SELECT bucket, " +
+        "ln((c_tgt + 0.5) / (n_tgt + 0.5 * 64)) - " +
+        "ln((c_raw + 0.5) / (n_raw + 0.5 * 64)) AS lr " +
+        "FROM c CROSS JOIN t) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+        "ROUND(SUM(lr), 4) AS log_weight " +
+        "FROM b JOIN r USING (bucket) " +
+        "GROUP BY doc_id ORDER BY doc_id"))
   )
 }

@@ -184,6 +184,45 @@ class ApiSpec extends AnyFunSuite with Matchers {
     pairs shouldBe Array(("a", "b"))
   }
 
+  test("blockedCosinePairs: identical vectors pair within a block, " +
+    "never across blocks") {
+    val s = spark
+    import s.implicits._
+    val v = Seq(1.0f, 0.0f)
+    val vecs = Seq(
+      (1L, v, "en"), (2L, v, "en"),   // same block, identical -> pair
+      (3L, v, "fr"),                  // identical but other block -> no pair
+      (4L, Seq(0.0f, 1.0f), "en"))    // same block, orthogonal -> no pair
+      .toDF("vid", "vec", "blk")
+    val got = Graft.blockedCosinePairs(vecs, "vid", "vec", "blk", 0.9)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got shouldBe Array(("en", 1L, 2L))
+  }
+
+  test("importanceWeights: target-like documents score above " +
+    "raw-typical documents, weights are deterministic") {
+    val s = spark
+    import s.implicits._
+    // target = the "wiki" rows; "alpha beta" is target vocabulary,
+    // "spam junk" is raw-only vocabulary
+    val df = Seq(
+      (1L, "alpha beta alpha beta", "wiki"),
+      (2L, "spam junk spam junk", "web"),
+      (3L, "alpha beta spam junk", "web"))
+      .toDF("id", "body", "src")
+    def run() = Graft.importanceWeights(df, "id", "body",
+      targetPred = col("src") === "wiki", buckets = 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val got = run()
+    got(1L)._1 shouldBe 4L
+    // target-vocabulary doc outranks raw-only doc; the mixed doc sits
+    // between them
+    got(1L)._2 should be > got(3L)._2
+    got(3L)._2 should be > got(2L)._2
+    run() shouldBe got // deterministic
+  }
+
   test("dupClusters: pairs collapse into components, singletons keep " +
     "their own id") {
     val s = spark

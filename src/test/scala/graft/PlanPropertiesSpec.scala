@@ -51,6 +51,20 @@ class PlanPropertiesSpec extends AnyFunSuite with Matchers {
     "HashAggregate".r.findAllIn(p).size should be >= 2
   }
 
+  test("d11 blocked dedup: the within-block pair join is an equi-join " +
+    "on the block key, never a cartesian product") {
+    val p = plan("d11_blocked_dedup")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("t21 importance weights: the log-ratio table broadcasts (bounded " +
+    "by the bucket count), the corpus is never nest-loop joined") {
+    val p = plan("t21_importance_weights")
+    p should include("BroadcastHashJoin")
+    (p should not).include("CartesianProduct")
+  }
+
   test("d02 minhash-LSH: candidate generation is an equi-join, never a " +
     "cartesian product") {
     val p = plan("d02_minhash_lsh")
