@@ -251,6 +251,48 @@ object Graft {
           .as("dup_frac"))
   }
 
+  /** The transform counterpart of [[duplicatePassageStats]]: REMOVES
+    * every tumbling `unitWords`-word passage whose exact content occurs
+    * more than `maxOcc` times corpus-wide and reassembles each document
+    * from its surviving passages in original order (the
+    * C4/RefinedWeb-style boilerplate scrub — repeated navigation
+    * blocks, cookie banners, licence footers). Returns (id, n_units,
+    * n_dropped, scrubbed_text); a fully-boilerplate document comes back
+    * as the empty string, not NULL.
+    *
+    * Scale shape: passage construction is a per-row HOF; the occurrence
+    * count shuffles fixed-width digests with map-side combine; only the
+    * digests that BREACH `maxOcc` survive the filter, so the drop-set
+    * join is against the (small) boilerplate table; the one
+    * corpus-sized shuffle is the per-doc reassembly — unavoidable, the
+    * output IS the text — and it carries each passage exactly once. */
+  def scrubDuplicatePassages(df: DataFrame, idCol: String,
+      textCol: String, unitWords: Int = 10, maxOcc: Int = 1): DataFrame = {
+    require(unitWords > 0 && maxOcc >= 1,
+      s"scrubDuplicatePassages($unitWords, $maxOcc)")
+    val units = df
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, CAST((size(w) + $unitWords - 1) " +
+          s"DIV $unitWords AS INT) - 1), " +
+          s"i -> concat_ws(' ', slice(w, i * $unitWords + 1, " +
+          s"$unitWords)))")).as(Seq("pos", "unit")))
+      .withColumn("uh", md5(col("unit")))
+    val hot = units.groupBy("uh").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxOcc)
+    units.join(hot, Seq("uh"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_units"),
+        sum(when(col("occ").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        // order-stable reassembly: collect (pos, unit) structs of the
+        // surviving passages, sort by pos, join — collect_list order is
+        // nondeterministic, the sort is what makes the text exact
+        array_join(expr(
+          "transform(array_sort(collect_list(" +
+            "CASE WHEN occ IS NULL THEN struct(pos, unit) END)), " +
+            "x -> x.unit)"), " ").as("scrubbed_text"))
+  }
+
   /** Corpus-wide adjacent-symbol-pair counts at the character level —
     * the statistic the first BPE merge iteration maximizes (pair counts
     * weighted by word frequency). Returns the `topK` pairs by count
@@ -968,6 +1010,40 @@ object Graft {
     df.select(col(idCol),
       length(col(payloadCol)).cast("bigint").as("nbytes"),
       md5(col(payloadCol)).as("digest"))
+
+  /** Chunk-level duplication across binary payloads — t17's passage
+    * signal applied to the byte domain (content-defined-storage /
+    * CDC-style dedup): each payload splits into tumbling `chunkBytes`
+    * chunks (trailing partial chunk included), each chunk is md5-keyed,
+    * and a chunk counts as duplicated when its exact bytes occur more
+    * than once corpus-wide. Per file: chunk count, duplicated-chunk
+    * count, duplicated fraction — the signal a media pipeline uses to
+    * find re-encoded copies, shared intros/watermarks, and storage
+    * dedup opportunities without decoding anything.
+    *
+    * Scale shape: chunking is a per-row HOF emitting DIGESTS (the
+    * payload bytes never leave the scan); the occurrence count and the
+    * join back both move fixed-width digest rows only, map-side
+    * combined. Empty payloads yield no chunks and drop out. */
+  def chunkDedupStats(df: DataFrame, idCol: String, payloadCol: String,
+      chunkBytes: Int = 16): DataFrame = {
+    require(chunkBytes > 0, s"chunkDedupStats($chunkBytes)")
+    val chunks = df.select(col(idCol), col(payloadCol).as("p"))
+      .filter(length(col("p")) >= 1)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, CAST((length(p) + $chunkBytes - 1) " +
+          s"DIV $chunkBytes AS INT) - 1), " +
+          s"i -> md5(substring(p, i * $chunkBytes + 1, $chunkBytes)))"))
+        .as("ch"))
+    val occ = chunks.groupBy("ch").agg(count(lit(1)).as("occ"))
+    chunks.join(occ, "ch")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col(idCol), col("n_chunks"), col("n_dup_chunks"),
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 4)
+          .as("dup_frac"))
+  }
 
   /** Frame sampling as a relational op: fixed-size frames from the
     * opaque payload, every `every`-th kept, one digest row per sampled

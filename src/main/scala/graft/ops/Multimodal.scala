@@ -194,6 +194,32 @@ object Multimodal {
         "FROM a GROUP BY 1, 2, 3 HAVING COUNT(*) = 16 " +
         "ORDER BY doc_id, channel, win_idx")),
 
+    Q("m09_chunk_dedup",
+      // Chunk-level duplication across binary payloads (the byte-domain
+      // t17 — CDC-style storage dedup / shared-intro detection): 16-byte
+      // tumbling chunks, md5-keyed, duplicated when the exact bytes
+      // occur >1 time corpus-wide. Payload bytes never shuffle — the
+      // chunker emits digests straight off the scan. The fixture payload
+      // is ASCII, so the oracle chunks the text directly (same bytes).
+      // See [[graft.api.Graft.chunkDedupStats]].
+      (s, d) => graft.api.Graft.chunkDedupStats(
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload", chunkBytes = 16)
+        .orderBy("doc_id"),
+      Some("WITH u AS (SELECT doc_id, " +
+        "md5(substring(text, CAST(i*16+1 AS BIGINT), 16)) AS ch " +
+        "FROM documents, " +
+        "UNNEST(generate_series(0, CAST((length(text) + 15) // 16 " +
+        "AS BIGINT) - 1)) t(i)), " +
+        "f AS (SELECT ch, COUNT(*) AS occ FROM u GROUP BY 1) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, " +
+        "CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_dup_chunks, " +
+        "ROUND(CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) " +
+        "/ COUNT(*), 4) AS dup_frac " +
+        "FROM u JOIN f USING (ch) GROUP BY doc_id ORDER BY doc_id")),
+
     Q("m08_ahash",
       // 60-bit byte-level average-hash (perceptual-hash construction):
       // the pre-decode content fingerprint that survives small byte

@@ -487,6 +487,32 @@ object TextOps {
         "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
         "ROUND(SUM(lr), 4) AS log_weight " +
         "FROM b JOIN r USING (bucket) " +
+        "GROUP BY doc_id ORDER BY doc_id")),
+
+    Q("t22_passage_scrub",
+      // The transform counterpart of t17: REMOVE every corpus-duplicated
+      // 10-word passage and reassemble each document from the survivors
+      // in original order (RefinedWeb-style boilerplate scrubbing). The
+      // reassembled text is hash-checked byte-for-byte against the
+      // oracle's ordered string_agg. See
+      // [[graft.api.Graft.scrubDuplicatePassages]].
+      (s, d) => graft.api.Graft.scrubDuplicatePassages(
+        docs(s, d), "doc_id", "text", unitWords = 10, maxOcc = 1)
+        .orderBy("doc_id"),
+      Some("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws " +
+        "FROM documents), " +
+        "u AS (SELECT doc_id, i AS pos, " +
+        "array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS unit FROM w, " +
+        "UNNEST(generate_series(0, CAST((len(ws) + 9) // 10 AS BIGINT) " +
+        "- 1)) t(i)), " +
+        "f AS (SELECT md5(unit) AS uh, COUNT(*) AS occ FROM u " +
+        "GROUP BY 1) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_units, " +
+        "CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_dropped, " +
+        "COALESCE(string_agg(CASE WHEN occ <= 1 THEN unit END, ' ' " +
+        "ORDER BY pos), '') AS scrubbed_text " +
+        "FROM u JOIN f ON md5(u.unit) = f.uh " +
         "GROUP BY doc_id ORDER BY doc_id"))
   )
 }

@@ -184,6 +184,52 @@ class ApiSpec extends AnyFunSuite with Matchers {
     pairs shouldBe Array(("a", "b"))
   }
 
+  test("scrubDuplicatePassages: corpus-duplicated passages drop, " +
+    "survivors reassemble in original order") {
+    val s = spark
+    import s.implicits._
+    // 2-word passages: "a b" appears in docs 1 and 2 (boilerplate);
+    // doc 1 = [a b][c d][e f], doc 2 = [a b][g h], doc 3 unique.
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b g h"),
+      (3L, "x y z"))
+      .toDF("id", "body")
+    val got = Graft.scrubDuplicatePassages(df, "id", "body",
+      unitWords = 2, maxOcc = 1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    got(1L) shouldBe ((3L, 1L, "c d e f")) // order preserved
+    got(2L) shouldBe ((2L, 1L, "g h"))
+    got(3L) shouldBe ((2L, 0L, "x y z"))   // [x y][z] untouched
+    // fully-boilerplate doc -> empty string, not NULL
+    val all = Graft.scrubDuplicatePassages(
+      Seq((1L, "a b"), (2L, "a b")).toDF("id", "body"),
+      "id", "body", unitWords = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    all shouldBe Map(1L -> "", 2L -> "")
+  }
+
+  test("chunkDedupStats: shared byte chunks count as duplicated, " +
+    "unique payloads report zero") {
+    val s = spark
+    import s.implicits._
+    val shared = Array.fill[Byte](16)(7)
+    val df = Seq(
+      (1L, shared ++ Array.fill[Byte](16)(1)), // chunk A + unique
+      (2L, shared ++ Array.fill[Byte](16)(2)), // chunk A + unique
+      (3L, Array.fill[Byte](8)(9)))            // single partial chunk
+      .toDF("id", "p")
+    val got = Graft.chunkDedupStats(df, "id", "p", chunkBytes = 16)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    got(1L) shouldBe ((2L, 1L, 0.5))
+    got(2L) shouldBe ((2L, 1L, 0.5))
+    got(3L) shouldBe ((1L, 0L, 0.0))
+  }
+
   test("blockedCosinePairs: identical vectors pair within a block, " +
     "never across blocks") {
     val s = spark
