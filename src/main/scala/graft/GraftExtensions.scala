@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductF32, HexSliceToLong, RollingMinHash64}
+import graft.functions.{AHash60, ByteEntropyStats, DotProductF32, HexSliceToLong, Pcm16WindowEnergy, RollingMinHash64}
 
 /** Library entry point for SQL users: registers the native expressions
   * under SQL names, so `spark.sql("SELECT dot_f32(a, b) ...")` works the
@@ -37,13 +37,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 3,
           "hex_slice_long takes (string, start, len)")
-        def lit(e: Expression): Int = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-            v.toString.toInt
-          case other => throw new IllegalArgumentException(
-            s"hex_slice_long: start/len must be integer literals, got $other")
-        }
-        HexSliceToLong(args.head, lit(args(1)), lit(args(2)))
+        HexSliceToLong(args.head, intLit("hex_slice_long", args(1)),
+          intLit("hex_slice_long", args(2)))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("byte_entropy_stats"),
+      new ExpressionInfo(classOf[ByteEntropyStats].getName,
+        "byte_entropy_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "byte_entropy_stats takes exactly 1 argument")
+        ByteEntropyStats(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("ahash60"),
+      new ExpressionInfo(classOf[AHash60].getName, "ahash60"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "ahash60 takes exactly 1 argument")
+        AHash60(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("pcm16_window_energy"),
+      new ExpressionInfo(classOf[Pcm16WindowEnergy].getName,
+        "pcm16_window_energy"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "pcm16_window_energy takes (binary, windowSamples, channels)")
+        Pcm16WindowEnergy(args.head,
+          intLit("pcm16_window_energy", args(1)),
+          intLit("pcm16_window_energy", args(2)))
+      }))
+  }
+
+  // Sizing parameters must be literals: they shape the output schema,
+  // which Catalyst resolves before any row exists.
+  private def intLit(fn: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+      v.toString.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: sizing arguments must be integer literals, got $other")
   }
 }

@@ -38,6 +38,28 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
           org.apache.spark.sql.functions.col("t")))
         .collect().head.getLong(0)
       fp shouldBe viaColumn
+      // round-4/5 natives: entropy struct, perceptual hash, PCM energy
+      val ent = s.sql("SELECT byte_entropy_stats(encode('aabb', 'UTF-8')) AS e")
+        .selectExpr("e.nbytes", "e.n_distinct", "e.entropy")
+        .collect().head
+      ent.getLong(0) shouldBe 4L
+      ent.getLong(1) shouldBe 2L
+      ent.getDouble(2) shouldBe 1.0 +- 1e-9
+      val ah = s.sql("SELECT ahash60(encode('abcdef', 'UTF-8')) AS h")
+        .collect().head.getLong(0)
+      val ahCol = s.range(1)
+        .selectExpr("encode('abcdef', 'UTF-8') AS p")
+        .select(graft.functions.MediaExpressions.ahash60(
+          org.apache.spark.sql.functions.col("p")))
+        .collect().head.getLong(0)
+      ah shouldBe ahCol
+      // 4 samples of value 1 little-endian (01 00 x4), window of 2:
+      // two windows with |1|+|1| = 2 energy each
+      val pcm = s.sql("SELECT pcm16_window_energy(" +
+        "unhex('0100010001000100'), 2, 1) AS w")
+        .selectExpr("inline(w)") // (channel, win_idx, energy)
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      pcm shouldBe Array((0L, 2L), (1L, 2L))
     } finally {
       s.sparkContext.stop()
       SparkSession.clearActiveSession()
