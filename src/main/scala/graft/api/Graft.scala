@@ -647,6 +647,39 @@ object Graft {
       .filter(col("rnk") <= k)
   }
 
+  /** Reciprocal-rank fusion of retrieval rankings (Cormack et al.; the
+    * hybrid-search combiner in Elasticsearch/OpenSearch/Vespa): each
+    * input carries (query_id, neighbor_id, `rankCol`) and a candidate's
+    * fused score is Σ 1/(k0 + rank) over the rankings that surfaced it —
+    * rank-based, so wildly different scorers (cosine, BM25, a prefix
+    * index) fuse without score calibration. Returns the `topK` fused
+    * results per query (score desc, neighbor asc — deterministic, so
+    * the whole operator is exactly hash-checkable, unlike score-weighted
+    * fusion of floating scorers).
+    *
+    * Scale shape: inputs are already per-query top-k lists (bounded
+    * rows), so the union + per-(query, neighbor) sum + per-query window
+    * all run on candidate-sized data — the corpus was paid for by the
+    * upstream rankers. */
+  def rrfFuse(rankings: Seq[DataFrame], rankCol: String = "rnk",
+      k0: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty && k0 > 0 && topK > 0,
+      s"rrfFuse(n=${rankings.size}, k0=$k0, topK=$topK)")
+    val scored = rankings
+      .map(_.select(col("query_id"), col("neighbor_id"),
+        (lit(1.0) / (lit(k0.toDouble) + col(rankCol))).as("c")))
+      .reduce(_.unionAll(_))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("c").as("score"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score"), 6).as("rrf_score"), col("rnk"))
+  }
+
   /** Exact all-pairs cosine near-dup (the O(n²) baseline; prefer
     * [[lshCosinePairs]] beyond ~10⁴ vectors). */
   def cosinePairsExact(df: DataFrame, idCol: String, vecCol: String,

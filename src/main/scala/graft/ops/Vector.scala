@@ -149,6 +149,64 @@ object Vector {
         s"ROUND(cos, 4) AS cos FROM r WHERE rnk <= $K " +
         "ORDER BY query_id, rnk")),
 
+    Q("s09_rrf_fusion",
+      // Hybrid retrieval: reciprocal-rank fusion of two rankers — the
+      // full-dim exact cosine top-10 and the 16-dim prefix cosine
+      // top-10 — Σ 1/(60 + rank), top-5 fused per query. Rank-based, so
+      // no score calibration; deterministic end to end, so the fused
+      // list hash-checks exactly (the property score-weighted fusion of
+      // floating scorers wouldn't have). See [[graft.api.Graft.rrfFuse]].
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val full = graft.api.Graft.cosineTopK(emb, "vec_id", "embedding",
+          queryPred = col("vec_id") < NQueries, k = 10)
+        val prefix = graft.api.Graft.cosineTopK(
+          emb.select(col("vec_id"),
+            expr("slice(embedding, 1, 16)").as("embedding")),
+          "vec_id", "embedding",
+          queryPred = col("vec_id") < NQueries, k = 10)
+        graft.api.Graft.rrfFuse(Seq(full, prefix), k0 = 60, topK = K)
+          .orderBy("query_id", "rnk")
+      },
+      Some("WITH n AS (SELECT vec_id, embedding, " +
+        "embedding[1:16] AS pv, " +
+        "sqrt(list_sum(list_transform(list_zip(embedding, embedding), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) AS nrm, " +
+        "sqrt(list_sum(list_transform(list_zip(embedding[1:16], " +
+        "embedding[1:16]), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) AS pn " +
+        "FROM embeddings), " +
+        "p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+        "(a.nrm * b.nrm) AS cos, " +
+        "list_sum(list_transform(list_zip(a.pv, b.pv), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+        "(a.pn * b.pn) AS pcos FROM n a JOIN n b " +
+        s"ON a.vec_id < $NQueries AND a.vec_id <> b.vec_id), " +
+        "rf AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER " +
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk " +
+        "FROM p), " +
+        "rp AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER " +
+        "(PARTITION BY query_id ORDER BY pcos DESC, neighbor_id) AS rnk " +
+        "FROM p), " +
+        // CAST to DOUBLE: DuckDB would otherwise divide in DECIMAL and
+        // round differently from Spark's binary double (the t19 lesson)
+        "u AS (SELECT query_id, neighbor_id, " +
+        "CAST(1.0 AS DOUBLE)/(60 + rnk) AS c " +
+        "FROM rf WHERE rnk <= 10 " +
+        "UNION ALL SELECT query_id, neighbor_id, " +
+        "CAST(1.0 AS DOUBLE)/(60 + rnk) " +
+        "FROM rp WHERE rnk <= 10), " +
+        "f AS (SELECT query_id, neighbor_id, SUM(c) AS score " +
+        "FROM u GROUP BY 1, 2), " +
+        "r AS (SELECT query_id, neighbor_id, score, ROW_NUMBER() OVER " +
+        "(PARTITION BY query_id ORDER BY score DESC, neighbor_id) " +
+        "AS rnk FROM f) " +
+        "SELECT query_id, neighbor_id, ROUND(score, 6) AS rrf_score, " +
+        s"CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= $K " +
+        "ORDER BY query_id, rnk")),
+
     Q("s02_ann_lsh",
       (s, d) => {
         // Multi-table random-hyperplane LSH (4 tables x 6 sign bits),

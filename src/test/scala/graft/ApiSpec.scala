@@ -184,6 +184,26 @@ class ApiSpec extends AnyFunSuite with Matchers {
     pairs shouldBe Array(("a", "b"))
   }
 
+  test("rrfFuse: candidates surfaced by both rankers outrank " +
+    "single-ranker candidates; ranks beat raw scores") {
+    val s = spark
+    import s.implicits._
+    // ranker A: n1 > n2 > n3; ranker B: n3 > n1. n1 appears in both
+    // (ranks 1+2), n3 in both (3+1), n2 only in A (2).
+    val a = Seq((7L, 101L, 1L), (7L, 102L, 2L), (7L, 103L, 3L))
+      .toDF("query_id", "neighbor_id", "rnk")
+    val b = Seq((7L, 103L, 1L), (7L, 101L, 2L))
+      .toDF("query_id", "neighbor_id", "rnk")
+    val got = Graft.rrfFuse(Seq(a, b), k0 = 60, topK = 3)
+      .orderBy("rnk")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    got.map(_._1) shouldBe Array(101L, 103L, 102L)
+    // fused scores are the exact reciprocal-rank sums
+    got(0)._2 shouldBe (1.0 / 61 + 1.0 / 62) +- 1e-6
+    got(1)._2 shouldBe (1.0 / 63 + 1.0 / 61) +- 1e-6
+    got(2)._2 shouldBe (1.0 / 62) +- 1e-6
+  }
+
   test("scrubDuplicatePassages: corpus-duplicated passages drop, " +
     "survivors reassemble in original order") {
     val s = spark
