@@ -53,6 +53,10 @@ object StreamBench {
         .option("endpoint", ep)
         .option("num_partitions", partitions.toString)
         .option("max_messages_per_partition", maxPerPull.toString)
+        // Pin static partitioning: this bench measures FIXED fan-out
+        // configs (4x1000 / 8x16k); the dynamic default would override
+        // num_partitions with the backlog-derived count.
+        .option("dynamic_partitioning", "false")
         .load()
         .select("data", "attributes")
         .writeStream.format("pubsub")

@@ -141,6 +141,9 @@ object StreamingOps {
       // otherwise. 8 x 50k covers the largest fixture (2 x 100k events).
       .option("num_partitions", "8")
       .option("max_messages_per_partition", "50000")
+      // dynamic_partitioning now defaults ON (reference parity); pin it
+      // off here so the tuned 8 x 50k drain sizing above stays in force.
+      .option("dynamic_partitioning", "false")
       // Ack deadline sized far above worst-case drain time: on a loaded
       // machine a >10s batch would otherwise get its pulled messages
       // redelivered into the trailing batch, double-counting append-mode

@@ -59,6 +59,85 @@ object Vector {
       .orderBy("query_id", "rnk")
   }
 
+  /** The three approximate listings, shared by their gate entries and the
+    * s07 recall contract. Approximate by construction — which neighbors
+    * they return depends on the index — so the GATE checks two
+    * complementary oracle-backed invariants instead of the raw listing:
+    * [[annContract]] (per-query structural contract, hash-checked) and
+    * s07 (pooled recall vs the exact top-k, hash-checked). */
+  private[graft] def lshListing(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft
+      .annLshTopK(Tables.load(s, d, "embeddings"), "vec_id",
+        "embedding", queryPred = col("vec_id") < NQueries, k = K)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("query_id", "rnk")
+
+  private[graft] def ivfLabelListing(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.load(s, d, "embeddings")
+    // element-wise centroid per label
+    val centroids = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(avg("v").as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label").as("list_id"),
+        expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("centroid"))
+    // Queries probe their nProbe nearest centroids. nProbe=4 of 10
+    // lists here: this synthetic corpus is nearly unclustered, so the
+    // quantizer's signal is weak and recall is bought by probing
+    // wider (recall floor asserted in SketchAccuracySpec). On a real
+    // clustered corpus nProbe/nlist would be far smaller.
+    ivfSearch(s, d, centroids,
+      emb.select(col("vec_id"), col("label").as("list_id")), nProbe = 4)
+  }
+
+  private[graft] def ivfTrainedListing(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.load(s, d, "embeddings")
+    val cents = graft.api.Graft
+      .kmeansCentroids(emb, "vec_id", "embedding", nlist = 10, iters = 2)
+    val assigned = graft.api.Graft
+      .assignToCentroids(emb, "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("list_id"))
+    ivfSearch(s, d, cents, assigned, nProbe = 4)
+  }
+
+  /** Per-query structural contract over an ANN listing — every invariant
+    * here is DETERMINISTIC for a correct index regardless of which
+    * neighbors it picked, so DuckDB can recompute the expected rows
+    * exactly and the gate hash-checks (the raw listing could not:
+    * neighbor choice is approximate by construction). One row per query:
+    * exactly k results, ranks 1..k (sum k(k+1)/2), k distinct non-self
+    * neighbors, cosines in [-1, 1] and non-increasing with rank. Recall
+    * — the one property this can't see — is s07's oracle row. */
+  private def annContract(listing: DataFrame): DataFrame =
+    listing
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n_ret"),
+        sum(col("rnk")).as("rnk_sum"),
+        countDistinct(col("neighbor_id")).as("n_distinct"),
+        // min over booleans = AND (false < true)
+        min(col("neighbor_id") =!= col("query_id")).as("self_excluded"),
+        min(col("cos") >= -1.0001 && col("cos") <= 1.0001)
+          .as("cos_bounded"),
+        // cos non-increasing in rank: the rank-ordered cos sequence must
+        // equal the descending sort of the same values
+        (expr("transform(array_sort(collect_list(struct(rnk, cos))), " +
+          "x -> x.cos)") === expr("reverse(array_sort(collect_list(cos)))"))
+          .as("ranked_desc"))
+      .orderBy("query_id")
+
+  /** The DuckDB side of [[annContract]]: the expected contract row for
+    * every query id, recomputed from the embeddings table alone. */
+  private def annContractSql: String =
+    s"SELECT vec_id AS query_id, CAST($K AS BIGINT) AS n_ret, " +
+      s"CAST(${K * (K + 1) / 2} AS BIGINT) AS rnk_sum, " +
+      s"CAST($K AS BIGINT) AS n_distinct, " +
+      "true AS self_excluded, true AS cos_bounded, true AS ranked_desc " +
+      s"FROM embeddings WHERE vec_id < $NQueries ORDER BY query_id"
+
   val defs: Seq[Q] = Seq(
 
     Q("s01_cosine_topk",
@@ -208,54 +287,29 @@ object Vector {
         "ORDER BY query_id, rnk")),
 
     Q("s02_ann_lsh",
-      (s, d) => {
-        // Multi-table random-hyperplane LSH (4 tables x 6 sign bits),
-        // hamming-1 multiprobe per table. Candidate generation is a
-        // NARROW equi-join on (table, code) — only (vec_id, tbl, code)
-        // rows cross the wire, never embeddings; the exact-cosine rerank
-        // re-joins embeddings for the surviving candidates only. That
-        // split (narrow index join, then fat rerank on the short list) is
-        // what makes the shape hold when the corpus is 100 TB.
-        // Approximate by construction, so no SQL oracle; recall vs the
-        // exact top-k is asserted in SketchAccuracySpec.
-        graft.api.Graft
-          .annLshTopK(Tables.load(s, d, "embeddings"), "vec_id",
-            "embedding", queryPred = col("vec_id") < NQueries, k = K)
-          .select(col("query_id"), col("neighbor_id"), col("rnk"),
-            round(col("cos"), 4).as("cos"))
-          .orderBy("query_id", "rnk")
-      },
-      None),
+      // Multi-table random-hyperplane LSH (4 tables x 6 sign bits),
+      // hamming-1 multiprobe per table. Candidate generation is a
+      // NARROW equi-join on (table, code) — only (vec_id, tbl, code)
+      // rows cross the wire, never embeddings; the exact-cosine rerank
+      // re-joins embeddings for the surviving candidates only. That
+      // split (narrow index join, then fat rerank on the short list) is
+      // what makes the shape hold when the corpus is 100 TB.
+      // Gate row = the hash-checked per-query contract over the listing
+      // (annContract); recall is s07's oracle row.
+      (s, d) => annContract(lshListing(s, d)),
+      Some(annContractSql)),
 
     Q("s03_ann_ivf",
       // IVF-style ANN: the label column plays the coarse quantizer's
       // inverted-list id. Centroids are computed distributedly (explode to
       // (label, dim, value), one aggregation), queries probe their
-      // nProbe=2 nearest lists, and only those lists are reranked by
+      // nProbe=4 nearest lists, and only those lists are reranked by
       // exact cosine — the candidate join is an equi-join on the list id,
       // which is what makes IVF the 100 TB path (no cross product).
-      // Approximate by construction -> rows-only check.
-      (s, d) => {
-        val n = Dedup.normed(s, d)
-        val emb = Tables.load(s, d, "embeddings")
-        // element-wise centroid per label
-        val centroids = emb
-          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy("label", "pos")
-          .agg(avg("v").as("m"))
-          .groupBy("label")
-          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-          .select(col("label").as("list_id"),
-            expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("centroid"))
-        // Queries probe their nProbe nearest centroids. nProbe=4 of 10
-        // lists here: this synthetic corpus is nearly unclustered, so the
-        // quantizer's signal is weak and recall is bought by probing
-        // wider (recall floor asserted in SketchAccuracySpec). On a real
-        // clustered corpus nProbe/nlist would be far smaller.
-        ivfSearch(s, d, centroids,
-          emb.select(col("vec_id"), col("label").as("list_id")), nProbe = 4)
-      },
-      None),
+      // Gate row = hash-checked per-query contract (annContract); recall
+      // is s07's oracle row.
+      (s, d) => annContract(ivfLabelListing(s, d)),
+      Some(annContractSql)),
 
     Q("s05_embed_quantize",
       // Int8 symmetric quantization of the embedding column — the
@@ -304,20 +358,13 @@ object Vector {
       // Lloyd iterations — deterministic id%nlist init, then
       // assign-to-nearest + element-wise mean, all joins/aggregations
       // with no driver collect (graft.api.Graft.kmeansCentroids). The
-      // probe + rerank tail is identical to s03's. Approximate by
-      // construction -> rows-only; SketchAccuracySpec asserts the recall
-      // floor AND that training does not degrade the quantizer (mean
-      // assigned cosine >= the untrained init's).
-      (s, d) => {
-        val emb = Tables.load(s, d, "embeddings")
-        val cents = graft.api.Graft
-          .kmeansCentroids(emb, "vec_id", "embedding", nlist = 10, iters = 2)
-        val assigned = graft.api.Graft
-          .assignToCentroids(emb, "vec_id", "embedding", cents)
-          .select(col("vec_id"), col("list_id"))
-        ivfSearch(s, d, cents, assigned, nProbe = 4)
-      },
-      None),
+      // probe + rerank tail is identical to s03's. SketchAccuracySpec
+      // additionally asserts that training does not degrade the
+      // quantizer (mean assigned cosine >= the untrained init's).
+      // Gate row = hash-checked per-query contract (annContract); recall
+      // is s07's oracle row.
+      (s, d) => annContract(ivfTrainedListing(s, d)),
+      Some(annContractSql)),
 
     Q("s07_ann_recall",
       // The recall CONTRACT for every ANN variant, promoted from
@@ -335,8 +382,8 @@ object Vector {
       // queries entirely fails here), n_exact (DuckDB recomputes the
       // exact pair count), recall_ok (the committed floor). A recall
       // regression in any index flips its boolean and the hash goes
-      // red — the rows-only s02/s03/s04 listings are thereby covered by
-      // an oracle-checked invariant.
+      // red — together with the s02/s03/s04 per-query contract rows
+      // (annContract) every ANN gate entry is fully oracle-checked.
       (s, d) => {
         val emb = Tables.load(s, d, "embeddings")
         val exact = graft.api.Graft
@@ -344,10 +391,9 @@ object Vector {
             queryPred = col("vec_id") < NQueries, k = K)
           .select(col("query_id"), col("neighbor_id"))
         val approx = Seq(
-          "lsh" -> graft.SparkEntry.queries("s02_ann_lsh")(s, d),
-          "ivf" -> graft.SparkEntry.queries("s03_ann_ivf")(s, d),
-          "ivf_trained" ->
-            graft.SparkEntry.queries("s04_ann_ivf_trained")(s, d))
+          "lsh" -> lshListing(s, d),
+          "ivf" -> ivfLabelListing(s, d),
+          "ivf_trained" -> ivfTrainedListing(s, d))
           .map { case (m, df) =>
             df.select(lit(m).as("method"), col("query_id"),
               col("neighbor_id"))

@@ -18,6 +18,10 @@ object PubsubOptions {
   val NumPartitions = "num_partitions"
   val MaxMessagesPerPartition = "max_messages_per_partition"
   val DynamicPartitioning = "dynamic_partitioning"
+  // The reference names this option `ordering_key` (package.scala:21);
+  // `ordering_key_column` is kept as an accepted alias for configs
+  // written against earlier rounds of this library.
+  val OrderingKey = "ordering_key"
   val OrderingKeyColumn = "ordering_key_column"
   val AckDeadlineSeconds = "ack_deadline_seconds"
   val WriterTimeoutSeconds = "writer_timeout_seconds"
@@ -71,8 +75,11 @@ object PubsubOptions {
       numPartitions = positiveInt(opts, NumPartitions, DefaultNumPartitions),
       maxMessagesPerPartition = positiveInt(opts, MaxMessagesPerPartition,
         DefaultMaxMessagesPerPartition),
+      // Defaults ON, matching the reference (package.scala:145:
+      // `.map(_.toBoolean).getOrElse(true)`): an unset option means
+      // backlog-proportional planning, not static partitioning.
       dynamicPartitioning =
-        opts.get(DynamicPartitioning).exists(_.toBoolean),
+        opts.get(DynamicPartitioning).map(_.toBoolean).getOrElse(true),
       ackDeadlineSeconds = opts.get(AckDeadlineSeconds).map { v =>
         val n = v.toInt
         if (n <= 0) throw new IllegalArgumentException(
@@ -92,7 +99,8 @@ object PubsubOptions {
     PubsubWriteOptions(
       projectId = projectId,
       topic = topic,
-      orderingKeyColumn = opts.get(OrderingKeyColumn),
+      orderingKeyColumn =
+        opts.get(OrderingKey).orElse(opts.get(OrderingKeyColumn)),
       endpoint = opts.get(Endpoint),
       writerTimeoutSeconds = positiveInt(opts, WriterTimeoutSeconds,
         DefaultWriterTimeoutSeconds),

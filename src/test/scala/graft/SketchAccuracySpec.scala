@@ -5,10 +5,10 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
-/** The approximate queries have no DuckDB oracle (rows-only in the gate),
-  * so their accuracy contracts are asserted here instead: HLL distinct
-  * within its rsd bound, and the ANN variants' recall against the exact
-  * brute-force top-k.
+/** Accuracy contracts for the approximate queries, asserted on the raw
+  * listings (the gate entries emit oracle-checked contract rows instead):
+  * HLL distinct within its rsd bound, and the ANN variants' recall
+  * against the exact brute-force top-k.
   */
 class SketchAccuracySpec extends AnyFunSuite with Matchers {
 
@@ -96,14 +96,34 @@ class SketchAccuracySpec extends AnyFunSuite with Matchers {
     gate.getBoolean(2) shouldBe true           // recall_ok
   }
 
-  test("s02/s03/s04: approximate neighbors overlap the exact top-k") {
+  test("s02/s03/s04: approximate neighbors overlap the exact top-k, " +
+    "and the gate contract rows hold") {
     val exact = run("s01_cosine_topk").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    for (name <- Seq("s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivf_trained")) {
-      val approx = run(name).collect()
+    val listings = Seq(
+      "s02_ann_lsh" -> graft.ops.Vector.lshListing(spark, sfDir),
+      "s03_ann_ivf" -> graft.ops.Vector.ivfLabelListing(spark, sfDir),
+      "s04_ann_ivf_trained" ->
+        graft.ops.Vector.ivfTrainedListing(spark, sfDir))
+    for ((name, df) <- listings) {
+      val approx = df.collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (approx & exact).size.toDouble / exact.size
       withClue(s"$name recall vs exact top-k: ")(recall should be >= 0.5)
+      // The gate entry now emits the per-query structural contract; it
+      // must hold for every query (one row each, all invariants true).
+      val gate = run(name).collect()
+      withClue(s"$name contract rows: ")(gate.length shouldBe 8)
+      for (r <- gate) {
+        withClue(s"$name query ${r.getLong(0)}: ") {
+          r.getLong(1) shouldBe 5L  // n_ret
+          r.getLong(2) shouldBe 15L // rnk_sum = 1+..+5
+          r.getLong(3) shouldBe 5L  // n_distinct
+          r.getBoolean(4) shouldBe true // self_excluded
+          r.getBoolean(5) shouldBe true // cos_bounded
+          r.getBoolean(6) shouldBe true // ranked_desc
+        }
+      }
     }
   }
 

@@ -27,21 +27,22 @@ class PubsubOptionsSpec extends AnyFunSuite with Matchers {
       PubsubOptions.writeOptions(Map("project_id" -> "p"))
   }
 
-  test("read defaults: 4 partitions, 1000 messages") {
+  test("read defaults: 4 partitions, 1000 messages, dynamic ON " +
+    "(reference package.scala:145 defaults dynamic_partitioning true)") {
     val o = PubsubOptions.readOptions(readBase)
     o.numPartitions shouldBe 4
     o.maxMessagesPerPartition shouldBe 1000
-    o.dynamicPartitioning shouldBe false
+    o.dynamicPartitioning shouldBe true
     o.endpoint shouldBe None
   }
 
   test("explicit values respected") {
     val o = PubsubOptions.readOptions(readBase ++ Map(
       "num_partitions" -> "7", "max_messages_per_partition" -> "50",
-      "dynamic_partitioning" -> "true", "endpoint" -> "e1"))
+      "dynamic_partitioning" -> "false", "endpoint" -> "e1"))
     o.numPartitions shouldBe 7
     o.maxMessagesPerPartition shouldBe 50
-    o.dynamicPartitioning shouldBe true
+    o.dynamicPartitioning shouldBe false
     o.endpoint shouldBe Some("e1")
   }
 
@@ -60,6 +61,15 @@ class PubsubOptionsSpec extends AnyFunSuite with Matchers {
     PubsubOptions.writeOptions(writeBase + ("ordering_key_column" -> "k"))
       .orderingKeyColumn shouldBe Some("k")
     PubsubOptions.writeOptions(writeBase).orderingKeyColumn shouldBe None
+  }
+
+  test("ordering_key is the reference's option name (package.scala:21) " +
+    "and wins over the ordering_key_column alias") {
+    PubsubOptions.writeOptions(writeBase + ("ordering_key" -> "k"))
+      .orderingKeyColumn shouldBe Some("k")
+    PubsubOptions.writeOptions(writeBase ++
+      Map("ordering_key" -> "a", "ordering_key_column" -> "b"))
+      .orderingKeyColumn shouldBe Some("a")
   }
 
   test("writer flow-control options: defaults, explicit, non-positive " +

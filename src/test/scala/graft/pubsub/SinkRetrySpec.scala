@@ -57,6 +57,7 @@ class SinkRetrySpec extends AnyFunSuite with Matchers {
         .option("subscription", "in-sub")
         .option("endpoint", ep)
         .option("num_partitions", "4")
+        .option("dynamic_partitioning", "false")
         .load()
         .selectExpr("data", "attributes")
         .as[(Array[Byte], Map[String, String])]
