@@ -416,7 +416,7 @@ object Graft {
     * TARGET slice (`targetPred` — the high-quality subset you want more
     * of) than under the raw corpus. `log_weight` is the per-doc sum of
     * log(p_target(bucket) / p_raw(bucket)) over its words, with hashed
-    * n-gram features folded into `buckets` buckets and add-`alpha`
+    * unigram features folded into `buckets` buckets and add-`alpha`
     * smoothing on both distributions; resample the corpus proportional
     * to exp(log_weight) to tilt it toward the target domain. Feature
     * hashing uses the md5 slice shared with t12/t19, so the weights are
@@ -662,28 +662,41 @@ object Graft {
     * all run on candidate-sized data — the corpus was paid for by the
     * upstream rankers. */
   def rrfFuse(rankings: Seq[DataFrame], rankCol: String = "rnk",
-      k0: Int = 60, topK: Int = 10): DataFrame = {
+      k0: Int = 60, topK: Int = 10, queryCol: String = "query_id",
+      neighborCol: String = "neighbor_id"): DataFrame = {
     require(rankings.nonEmpty && k0 > 0 && topK > 0,
       s"rrfFuse(n=${rankings.size}, k0=$k0, topK=$topK)")
     val scored = rankings
-      .map(_.select(col("query_id"), col("neighbor_id"),
+      .map(_.select(col(queryCol), col(neighborCol),
         (lit(1.0) / (lit(k0.toDouble) + col(rankCol))).as("c")))
-      .reduce(_.unionAll(_))
-      .groupBy("query_id", "neighbor_id")
+      .reduce(_.union(_))
+      .groupBy(queryCol, neighborCol)
       .agg(sum("c").as("score"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(queryCol)
+      .orderBy(col("score").desc, col(neighborCol))
     scored
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= topK)
-      .select(col("query_id"), col("neighbor_id"),
+      .select(col(queryCol), col(neighborCol),
         round(col("score"), 6).as("rrf_score"), col("rnk"))
   }
 
-  /** Exact all-pairs cosine near-dup (the O(n²) baseline; prefer
-    * [[lshCosinePairs]] beyond ~10⁴ vectors). */
+  /** Exact all-pairs cosine near-dup — the O(n²) baseline; prefer
+    * [[lshCosinePairs]] or [[blockedCosinePairs]] beyond ~10⁴ vectors.
+    *
+    * Guarded: refuses inputs larger than `maxRows` (default 2²⁰ ≈ 10⁶,
+    * already half a trillion candidate pairs) so the quadratic join
+    * can't be pointed at a corpus by accident — pass a larger `maxRows`
+    * to opt in explicitly. The guard is one narrow COUNT of the id
+    * column, noise next to the join it fences. */
   def cosinePairsExact(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxRows: Long = 1L << 20): DataFrame = {
+    val rows = df.select(col(idCol)).count()
+    require(rows <= maxRows,
+      s"cosinePairsExact over $rows rows would build ~${rows * rows / 2} " +
+        s"candidate pairs (O(n²)); this is the exact BASELINE, not the " +
+        s"scale path. Use lshCosinePairs/blockedCosinePairs, or pass " +
+        s"maxRows >= $rows to force the quadratic join.")
     val n = normalized(df, idCol, vecCol)
     n.as("a")
       .join(n.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
@@ -895,26 +908,43 @@ object Graft {
     * MapReduce and Beyond") drops rounds to O(log d); not needed for dup
     * graphs.
     *
-    * Every round materializes its labels with `localCheckpoint` — this
+    * Every round materializes its labels with [[iterCheckpoint]] — this
     * TRUNCATES the logical plan, which is what makes iteration viable:
     * under plain `cache()` the analyzer re-walks a plan that nests one
     * union+aggregate+join deeper per round (measured minutes for a
     * 10-round chain on a 10-row graph), and the upstream pair
-    * computation (an LSH join) would be re-planned every round too. On a
-    * real cluster substitute a reliable `checkpoint()` dir for
-    * executor-loss tolerance; the algorithm is unchanged. */
+    * computation (an LSH join) would be re-planned every round too.
+    * Set a checkpoint dir (`sparkContext.setCheckpointDir`) to make the
+    * per-round materialization executor-loss-proof; the algorithm is
+    * unchanged. */
+  /** Eagerly materialize one iteration's result with a truncated plan.
+    * When the session has a checkpoint dir configured
+    * (`sparkContext.setCheckpointDir` — every long-lived cluster
+    * deployment should), this is a RELIABLE checkpoint: blocks live in
+    * the checkpoint filesystem and survive executor loss, so a
+    * 1000-executor clustering run doesn't restart from nothing when one
+    * executor dies mid-round. Without one it falls back to
+    * `localCheckpoint` (executor-resident blocks — fine for local/test
+    * runs, where the only executor dying means the job is gone anyway).
+    * Note the reliable path recomputes the plan once to write the
+    * checkpoint files, so accumulators populated during materialization
+    * may double-count — callers must treat accumulator values as
+    * over-counts (both clustering loops do). */
+  private def iterCheckpoint(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
   def dupClusters(nodes: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String, bCol: String, maxIters: Int = 50): DataFrame = {
     requireNumericId(nodes, idCol, "dupClusters")
-    val sym = pairs
+    val sym = iterCheckpoint(pairs // pair generation runs ONCE, not per round
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(pairs
         .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
-      .distinct()
-      .localCheckpoint(true) // pair generation runs ONCE, not per round
-    var labels = nodes
-      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("lab"))
-      .localCheckpoint(true)
+      .distinct())
+    var labels = iterCheckpoint(nodes
+      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("lab")))
     val spark = nodes.sparkSession
     import spark.implicits._
     var converged = false
@@ -939,11 +969,14 @@ object Graft {
           coalesce(min(when(col("self"), col("lab"))), min("lab"))
             .as("old_lab"))
       val acc = spark.sparkContext.longAccumulator("labelDecreases")
-      labels = merged.rdd.map { r =>
+      labels = iterCheckpoint(merged.rdd.map { r =>
         val lab = r.getLong(1)
         if (lab < r.getLong(2)) acc.add(1L)
         (r.getLong(0), lab)
-      }.toDF("id", "lab").localCheckpoint(true)
+      }.toDF("id", "lab"))
+      // Task retries (and the reliable checkpoint's write pass) can only
+      // ADD accumulator counts, so a nonzero value when the labels are
+      // actually at fixpoint costs one extra round; zero is trustworthy.
       converged = acc.value == 0
       it += 1
     }
@@ -980,14 +1013,10 @@ object Graft {
       .distinct()
     val spark = nodes.sparkSession
     import spark.implicits._
-    var edges = canon(pairs
-      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")))
-      .localCheckpoint(true)
+    var edges = iterCheckpoint(canon(pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))))
     var it = 0
     var converged = edges.isEmpty
-    // |edges| after the previous round; -1 = unknown (before round 1),
-    // which just defers a converged-on-arrival detection by one round
-    var prevCount = -1L
     while (!converged && it < maxIters) {
       // large-star over the symmetric adjacency. `large` IS eagerly
       // materialized: small-star consumes it twice under DIFFERENT
@@ -998,33 +1027,35 @@ object Graft {
         .union(edges.select(col("lo").as("u"), col("hi").as("v")))
       val mins = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val large = canon(sym.join(mins, "u")
+      val large = iterCheckpoint(canon(sym.join(mins, "u")
         .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v")))
-        .localCheckpoint(true)
+        .select(col("v").as("u"), col("m").as("v"))))
       // small-star on the hi->lo orientation
       val mins2 = large.groupBy("hi").agg(min("lo").as("m"))
       val smallCand = canon(large.join(mins2, "hi")
         .select(col("lo").as("u"), col("m").as("v"))
         .union(mins2.select(col("hi").as("u"), col("m").as("v"))))
-      // Fixpoint = edge set unchanged. Instead of a third per-round job
-      // (the old except-union count), tag each candidate edge with
-      // whether it already existed and count the new ones by
-      // accumulator during the checkpoint materialization: small==edges
-      // iff no new edge AND the sizes match (both are distinct sets).
-      // Over-counting on task retry only defers convergence one round.
+      // Fixpoint = edge set unchanged. Tag each candidate edge with
+      // whether it already existed and count the new ones by accumulator
+      // during the checkpoint materialization: accNew == 0 means
+      // small ⊆ edges (both are distinct sets), so equality needs only
+      // the sizes to match. Accumulators can over-count (task retries,
+      // the reliable checkpoint's write pass) — safe for accNew, whose
+      // inflation merely defers convergence one round, but NOT for a
+      // size equality (an inflated total that lands on the old size by
+      // coincidence would declare a shrunk edge set converged). So the
+      // sizes come from exact count() jobs on the two already-
+      // materialized DataFrames, run only on candidate-convergence
+      // rounds (accNew == 0) — every other round stays one job.
       val accNew = spark.sparkContext.longAccumulator("newEdges")
-      val accTotal = spark.sparkContext.longAccumulator("totalEdges")
       val flagged = smallCand.join(
         edges.select(col("hi"), col("lo"), lit(true).as("was")),
         Seq("hi", "lo"), "left")
-      val small = flagged.rdd.map { r =>
-        accTotal.add(1L)
+      val small = iterCheckpoint(flagged.rdd.map { r =>
         if (r.isNullAt(2)) accNew.add(1L)
         (r.getLong(0), r.getLong(1))
-      }.toDF("hi", "lo").localCheckpoint(true)
-      converged = accNew.value == 0 && accTotal.value == prevCount
-      prevCount = accTotal.value
+      }.toDF("hi", "lo"))
+      converged = accNew.value == 0 && small.count() == edges.count()
       edges = small
       it += 1
     }

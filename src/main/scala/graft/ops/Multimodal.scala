@@ -207,9 +207,18 @@ object Multimodal {
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
         "doc_id", "payload", chunkBytes = 16)
         .orderBy("doc_id"),
-      Some("WITH u AS (SELECT doc_id, " +
+      // The oracle chunks with char-based substring while the framework
+      // chunks UTF-8 bytes; d0 asserts the bytes==chars premise (pure
+      // ASCII) so a fixture refresh with non-ASCII text fails with a
+      // clear message instead of a confusing digest mismatch.
+      Some("WITH d0 AS (SELECT doc_id, CASE WHEN length(text) = " +
+        "octet_length(encode(text)) THEN text ELSE error('m09 oracle assumes " +
+        "pure-ASCII documents.text (char chunking == byte chunking); " +
+        "the fixture now has non-ASCII text') END AS text " +
+        "FROM documents), " +
+        "u AS (SELECT doc_id, " +
         "md5(substring(text, CAST(i*16+1 AS BIGINT), 16)) AS ch " +
-        "FROM documents, " +
+        "FROM d0, " +
         "UNNEST(generate_series(0, CAST((length(text) + 15) // 16 " +
         "AS BIGINT) - 1)) t(i)), " +
         "f AS (SELECT ch, COUNT(*) AS occ FROM u GROUP BY 1) " +

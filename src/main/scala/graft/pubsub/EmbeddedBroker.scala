@@ -79,6 +79,8 @@ object EmbeddedBroker {
     private val msgId = new AtomicLong(0)
     private val ackId = new AtomicLong(0)
     private val seenChunks = mutable.Set[String]()
+    // streamKey -> count of ordered-publish rows already accepted
+    private val orderedHwm = mutable.Map[String, Long]()
 
     def createTopic(topic: String): Unit = synchronized {
       topics += topic
@@ -148,7 +150,10 @@ object EmbeddedBroker {
     }
 
     /** Idempotent batch publish: the whole chunk is dropped if `dedupKey`
-      * was seen before (sink effectively-once under task retry). */
+      * was seen before (effectively-once for fixed, deterministic
+      * chunks). The STREAMING SINK does not use this — its chunk
+      * boundaries are timing-dependent (the 10 ms delay flush), so it
+      * publishes through [[publishOrdered]] instead. */
     def publishChunk(topic: String, dedupKey: String,
         msgs: Seq[(Array[Byte], Map[String, String], String)]): Unit = {
       val fresh = synchronized {
@@ -157,6 +162,33 @@ object EmbeddedBroker {
       }
       if (fresh) publishBatch(topic, msgs)
     }
+
+    /** Idempotent ORDERED publish for exactly-once sinks: rows of one
+      * `streamKey` (query/epoch/partition) carry deterministic ordinals
+      * `[startOrdinal, startOrdinal + msgs.size)`; only ordinals at or
+      * above the stream's high-water mark are accepted. Chunk boundaries
+      * therefore don't matter: a retried attempt that re-publishes the
+      * same deterministic row sequence chunked DIFFERENTLY (the sink's
+      * 10 ms delay flush moves boundaries under load) neither loses nor
+      * duplicates rows — chunk-index dedup couldn't guarantee that (an
+      * already-seen index arriving with a shorter chunk silently dropped
+      * the tail rows). Ordinal claim and append run under one broker
+      * lock, so a zombie attempt racing the retry can't double-publish:
+      * each ordinal is accepted exactly once regardless of interleaving.
+      */
+    def publishOrdered(topic: String, streamKey: String,
+        startOrdinal: Long,
+        msgs: Seq[(Array[Byte], Map[String, String], String)]): Unit =
+      synchronized {
+        val hwm = orderedHwm.getOrElse(streamKey, 0L)
+        val skip = math.min(math.max(hwm - startOrdinal, 0L),
+          msgs.size.toLong).toInt
+        val fresh = msgs.drop(skip)
+        // publish BEFORE advancing the mark: if the append throws, the
+        // rows stay unclaimed and a retry re-publishes them (no loss)
+        if (fresh.nonEmpty) publishBatch(topic, fresh)
+        orderedHwm(streamKey) = math.max(hwm, startOrdinal + msgs.size)
+      }
 
     /** Leased pull honoring per-key FIFO. Returns (ackId, message). */
     def pull(subscription: String, maxMessages: Int): Seq[(String, Message)] = {

@@ -7,12 +7,19 @@ import org.apache.spark.sql.types.{BinaryType, MapType, StringType, StructType}
 
 /** Streaming sink: validates the incoming schema once at planning time
   * (reference validated per-batch, PubsubSink.scala:23-35), then publishes
-  * from the executors through the embedded broker's idempotent chunked
-  * publish — a chunk is keyed (queryId, epoch, partition, chunk#), so a
-  * retried task republishes the same keys and the broker drops the
-  * duplicates. That upgrades the reference's batch-level at-least-once
-  * (PubsubSink.scala:17-18) to effectively-once per partition-chunk while
-  * keeping the publish on the executors (reference PubsubWriter.scala:29).
+  * from the executors through the embedded broker's idempotent ORDERED
+  * publish — each row of a (queryId, epoch, partition) stream carries its
+  * deterministic ordinal (the source's checkpoint replay makes row order
+  * identical across attempts), and the broker accepts each ordinal
+  * exactly once. A retried task therefore republishes the same row
+  * sequence and the broker drops exactly the already-delivered prefix —
+  * even when the retry's chunk BOUNDARIES differ from the first
+  * attempt's (the 10 ms delay flush is timing-dependent; keying dedup on
+  * the chunk index lost rows whenever a retry re-chunked: an
+  * already-seen index with a shorter chunk dropped its tail). That
+  * upgrades the reference's batch-level at-least-once
+  * (PubsubSink.scala:17-18) to effectively-once per row while keeping
+  * the publish on the executors (reference PubsubWriter.scala:29).
   */
 class PubsubWriteBuilder(opts: PubsubWriteOptions, info: LogicalWriteInfo)
     extends WriteBuilder {
@@ -100,8 +107,9 @@ final case class PubsubWriterFactory(
 private case object PubsubCommitMessage extends WriterCommitMessage
 
 /** Publishes in chunks of 20 (the reference publisher's batching element
-  * count, CachedPublishers.scala:27-31), each chunk idempotent under its
-  * (query, epoch, partition, chunk) key. Three flow-control bounds mirror
+  * count, CachedPublishers.scala:27-31), each chunk idempotent under the
+  * (query, epoch, partition) stream's row ordinals — boundary-proof, see
+  * [[EmbeddedBroker.Broker.publishOrdered]]. Three flow-control bounds mirror
   * the reference publisher: a chunk also flushes once its buffered
   * payload reaches `maxOutstandingBytes` (CachedPublishers.scala:21-25
   * blocks at 20 MB outstanding — synchronous publish makes the buffer
@@ -124,6 +132,10 @@ class PubsubDataWriter(f: PubsubWriterFactory, partitionId: Int,
   private var bufBytes = 0L
   private var firstBufferedAt = 0L
   private var chunkNo = 0L
+  /** Ordinal of the first buffered row = rows already flushed. Row order
+    * is deterministic across attempts (checkpoint-replayed source), so
+    * this is the broker-side exactly-once dedup coordinate. */
+  private var flushedRows = 0L
 
   override def write(row: InternalRow): Unit = {
     if (row.isNullAt(f.dataIdx)) throw new IllegalArgumentException(
@@ -153,13 +165,14 @@ class PubsubDataWriter(f: PubsubWriterFactory, partitionId: Int,
 
   private def flush(): Unit = if (buf.nonEmpty) {
     val t0 = System.nanoTime()
-    broker.publishChunk(f.topicPath,
-      s"${f.queryId}/$epochId/$partitionId/$chunkNo", buf.toSeq)
+    broker.publishOrdered(f.topicPath,
+      s"${f.queryId}/$epochId/$partitionId", flushedRows, buf.toSeq)
     if (System.nanoTime() - t0 > f.timeoutNanos)
       throw new java.io.IOException(
         s"pubsub sink: publish of chunk $chunkNo exceeded the " +
           s"writer timeout (${f.timeoutNanos / 1000000000L} s); " +
           "the task fails and the batch retries")
+    flushedRows += buf.size
     buf.clear()
     bufBytes = 0L
     chunkNo += 1

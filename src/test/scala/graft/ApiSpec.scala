@@ -184,6 +184,21 @@ class ApiSpec extends AnyFunSuite with Matchers {
     pairs shouldBe Array(("a", "b"))
   }
 
+  test("cosinePairsExact refuses inputs above maxRows (the O(n²) guard) " +
+    "unless the caller opts in") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 10).map(i => (i.toLong, Array(i.toFloat, 1f)))
+      .toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Graft.cosinePairsExact(vecs, "id", "v", threshold = 0.5, maxRows = 5)
+    }
+    e.getMessage should include("O(n²)")
+    // explicit opt-in runs
+    Graft.cosinePairsExact(vecs, "id", "v", threshold = 0.99,
+      maxRows = 10).count() should be >= 0L
+  }
+
   test("rrfFuse: candidates surfaced by both rankers outrank " +
     "single-ranker candidates; ranks beat raw scores") {
     val s = spark

@@ -133,4 +133,34 @@ class BrokerPropertiesSpec extends AnyFunSuite with Matchers {
       b.backlog(s) == count.toLong
     })
   }
+
+  test("property: ordered publish delivers a row sequence exactly once " +
+    "under ANY sequence of re-chunked retry attempts") {
+    val gen = for {
+      n <- Gen.choose(1, 50)
+      attempts <- Gen.choose(1, 4)
+      // each attempt replays a prefix (or all) of the sequence, split at
+      // random chunk boundaries — the delay-flush drift the sink's
+      // ordinal dedup must absorb
+      plans <- Gen.listOfN(attempts, for {
+        upto <- Gen.choose(1, n)
+        cuts <- Gen.listOf(Gen.choose(1, math.max(1, upto - 1)))
+      } yield (upto, cuts.distinct.sorted))
+    } yield (n, plans :+ (n, List(n / 2).filter(_ > 0))) // last attempt completes
+    check(Prop.forAll(gen) { case (n, plans) =>
+      val (b, t, s) = fresh()
+      val rows = (0 until n).map(i =>
+        (s"m$i".getBytes, Map.empty[String, String], ""))
+      plans.foreach { case (upto, cuts) =>
+        val bounds = (0 +: cuts.filter(_ < upto) :+ upto).distinct.sorted
+        bounds.sliding(2).foreach { case Seq(a, c) =>
+          b.publishOrdered(t, "q/7/3", a.toLong, rows.slice(a, c))
+        case _ => ()
+        }
+      }
+      val got = Iterator.continually(b.pull(s, n + 10))
+        .takeWhile(_.nonEmpty).flatten.map(p => new String(p._2.data)).toVector
+      got.sorted == (0 until n).map(i => s"m$i").sorted.toVector
+    }, minTests = 30)
+  }
 }

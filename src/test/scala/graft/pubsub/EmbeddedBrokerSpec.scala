@@ -113,6 +113,31 @@ class EmbeddedBrokerSpec extends AnyFunSuite with Matchers {
     b.pull(s, 100) should have size 4
   }
 
+  test("publishOrdered is exactly-once even when a retry re-chunks the " +
+    "row sequence at different boundaries") {
+    val (b, t, s) = freshBroker()
+    def rows(r: Range): Seq[(Array[Byte], Map[String, String], String)] =
+      r.map(i => (s"m$i".getBytes, Map.empty[String, String], ""))
+    // attempt 0: flushes [0,20) and [20,32), then dies
+    b.publishOrdered(t, "q/0/0", 0, rows(0 until 20))
+    b.publishOrdered(t, "q/0/0", 20, rows(20 until 32))
+    // retry: same deterministic row sequence, but the 10ms delay flush
+    // fired at different moments -> different chunk boundaries. The
+    // chunk-INDEX dedup this replaces dropped the [0,12) re-publish as
+    // "chunk 0 already seen" and then lost rows at the shifted
+    // boundaries; ordinal dedup accepts exactly the unseen suffix.
+    b.publishOrdered(t, "q/0/0", 0, rows(0 until 12))
+    b.publishOrdered(t, "q/0/0", 12, rows(12 until 24))
+    b.publishOrdered(t, "q/0/0", 24, rows(24 until 44))
+    b.publishOrdered(t, "q/0/0", 44, rows(44 until 50))
+    // every row delivered exactly once despite overlapping re-publishes
+    val got = b.pull(s, 1000).map(p => new String(p._2.data)).sorted
+    got shouldBe (0 until 50).map(i => s"m$i").sorted
+    // an unrelated stream key has its own ordinal space
+    b.publishOrdered(t, "q/0/1", 0, rows(0 until 3))
+    b.pull(s, 1000) should have size 3
+  }
+
   test("property: pull-ack loop drains any publish sequence exactly once " +
     "when every pull is acked (100 seeded cases)") {
     val rnd = new scala.util.Random(42)
