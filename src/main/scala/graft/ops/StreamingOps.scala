@@ -615,6 +615,62 @@ object StreamingOps {
         "ROUND(SUM(value), 2) AS sv FROM events GROUP BY 1 " +
         "ORDER BY region")),
 
+    Q("p14_admission_control",
+      // ReadLimit-based admission control end-to-end
+      // (max_messages_per_trigger -> Spark ReadLimit.maxRows ->
+      // per-partition pull budgets): the whole events fixture drains
+      // under Trigger.AvailableNow with a per-trigger cap sized to force
+      // several micro-batches. Each batch lands in its own parquet
+      // partition, so the per-batch sizes are exact; the require() proves
+      // the cap bound EVERY batch and that the drain really split into
+      // >= ceil(N/cap) of them, then the aggregate over all batches is
+      // DuckDB-checkable (complete + exactly-once under the cap).
+      (s, d) => {
+        val (ep, sub) = publishEvents(s, d)
+        val nEvents = Tables.load(s, d, "events").count()
+        // >= 4 batches at every fixture scale without making the sf0.1
+        // bench pay hundreds of micro-batch round-trips
+        val cap = math.max(2500L, nEvents / 4)
+        val outDir = Files.createTempDirectory("graft-p14").toString
+        val q = s.readStream.format("pubsub")
+          .option("project_id", "p")
+          .option("subscription", sub)
+          .option("endpoint", ep)
+          .option("max_messages_per_trigger", cap.toString)
+          .option("max_messages_per_partition", "50000")
+          .option("dynamic_partitioning", "false")
+          .option("ack_deadline_seconds", "600")
+          .load()
+          .selectExpr("CAST(data AS STRING) AS event_type",
+            "CAST(attributes['value'] AS DOUBLE) AS value")
+          .writeStream
+          .foreachBatch {
+            (ds: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             id: Long) =>
+              ds.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+              ()
+          }
+          .option("checkpointLocation", tmpCheckpoint("graft-p14"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(300000)
+        val all = s.read.option("basePath", outDir)
+          .parquet(s"$outDir/batch=*")
+        val sizes = all.groupBy("batch").count()
+          .collect().map(_.getLong(1))
+        require(sizes.forall(_ <= cap),
+          s"admission control violated: batch sizes ${sizes.toSeq} " +
+            s"exceed the $cap-row trigger cap")
+        require(sizes.count(_ > 0) >= (nEvents + cap - 1) / cap,
+          s"cap $cap did not split the $nEvents-row drain: " +
+            s"batch sizes ${sizes.toSeq}")
+        all.groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sv"))
+          .orderBy("event_type")
+      },
+      Some("SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sv " +
+        "FROM events GROUP BY event_type ORDER BY event_type")),
+
     Q("b03_json_scalar",
       // JSON scalar extraction over events.props (B3).
       (s, d) => Tables.load(s, d, "events")

@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 
 /** Micro-batch streaming source over the embedded broker.
   *
@@ -26,6 +26,9 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, 
   *    streams is rejected (reference companion registry,
   *    PubsubMicroBatchStream.scala:166-180)
   *  - Trigger.AvailableNow snapshots a batch budget from the backlog
+  *  - admission control: `max_messages_per_trigger` flows through
+  *    Spark's ReadLimit.maxRows and caps each batch's pull budget,
+  *    spread across the planned partitions
   */
 class PubsubMicroBatchStream(
     opts: PubsubReadOptions,
@@ -45,6 +48,10 @@ class PubsubMicroBatchStream(
   private var current = -1L
   /** Remaining batch budget under Trigger.AvailableNow. */
   private var availableNowBudget: Option[Long] = None
+  /** Per-trigger row cap from the last latestOffset's ReadLimit; the
+    * next planInputPartitions spreads it across its partitions. */
+  @volatile private var triggerMaxRows: Option[Long] =
+    opts.maxMessagesPerTrigger
 
   // Registry key includes the endpoint: the same subscription name on two
   // different brokers is two different subscriptions.
@@ -64,14 +71,31 @@ class PubsubMicroBatchStream(
   override def deserializeOffset(json: String): Offset =
     PubsubOffset(json.toLong)
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit =
+    opts.maxMessagesPerTrigger
+      .map(ReadLimit.maxRows)
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** The per-trigger row cap inside `limit`, if any (AvailableNow wraps
+    * the default limit in a composite). */
+  private def maxRowsOf(limit: ReadLimit): Option[Long] = limit match {
+    case r: ReadMaxRows => Some(r.maxRows())
+    case c: CompositeReadLimit =>
+      c.getReadLimits.collectFirst { case r: ReadMaxRows => r.maxRows() }
+    case _ => None
+  }
 
   override def prepareForTriggerAvailableNow(): Unit = synchronized {
     val backlog = broker.backlog(opts.subscriptionPath)
     val parts = plannedPartitionCount()
     // Batch-count estimate from the reference's AvailableNow sizing
     // (PubsubSubscriptionMonitor.scala:96-113): backlog/(partitions*500).
-    availableNowBudget = Some(math.max(backlog / (parts * 500L), 1L))
+    // Under a per-trigger cap each batch admits at most `n` rows, so the
+    // budget must be ceil(backlog / n) to drain the snapshot fully.
+    availableNowBudget = Some(opts.maxMessagesPerTrigger match {
+      case Some(n) => math.max((backlog + n - 1) / n, 1L)
+      case None => math.max(backlog / (parts * 500L), 1L)
+    })
   }
 
   override def latestOffset(): Offset =
@@ -79,6 +103,7 @@ class PubsubMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
     synchronized {
+      triggerMaxRows = maxRowsOf(limit)
       current = math.max(current, start.asInstanceOf[PubsubOffset].batchId)
       val backlog = broker.backlog(opts.subscriptionPath)
       val mayAdvance = availableNowBudget match {
@@ -114,6 +139,18 @@ class PubsubMicroBatchStream(
       case Some(m) => m.regionPartitionCounts()
       case None => Seq("global" -> opts.numPartitions)
     }
+    // Admission control: spread the trigger's row cap over the planned
+    // partitions (first `cap % P` partitions take one extra) and clamp
+    // by the per-partition pull bound. Replay of a planned batch reads
+    // the checkpoint cache, so the cap never affects determinism.
+    val totalParts = regions.map(_._2).sum
+    def partitionBudget(i: Int): Int = triggerMaxRows match {
+      case Some(cap) =>
+        val base = cap / totalParts
+        val extra = if (i < cap % totalParts) 1L else 0L
+        math.min(base + extra, opts.maxMessagesPerPartition.toLong).toInt
+      case None => opts.maxMessagesPerPartition
+    }
     var idx = -1
     regions.flatMap { case (region, n) =>
       val regionEp =
@@ -130,7 +167,7 @@ class PubsubMicroBatchStream(
           endpoint = regionEp,
           batchId = endBatch,
           partitionIdx = idx,
-          maxMessages = opts.maxMessagesPerPartition,
+          maxMessages = partitionBudget(idx),
           cachePath = new Path(cacheRoot,
             s"batch=$endBatch/part=$idx").toString,
           region = region)

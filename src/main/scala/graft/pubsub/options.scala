@@ -17,6 +17,9 @@ object PubsubOptions {
   val Endpoint = "endpoint"
   val NumPartitions = "num_partitions"
   val MaxMessagesPerPartition = "max_messages_per_partition"
+  // Admission control: cap on messages admitted per micro-batch trigger
+  // (Spark's ReadLimit.maxRows path). Unset = all available.
+  val MaxMessagesPerTrigger = "max_messages_per_trigger"
   val DynamicPartitioning = "dynamic_partitioning"
   // The reference names this option `ordering_key` (package.scala:21);
   // `ordering_key_column` is kept as an accepted alias for configs
@@ -80,6 +83,12 @@ object PubsubOptions {
       // backlog-proportional planning, not static partitioning.
       dynamicPartitioning =
         opts.get(DynamicPartitioning).map(_.toBoolean).getOrElse(true),
+      maxMessagesPerTrigger = opts.get(MaxMessagesPerTrigger).map { v =>
+        val n = v.toLong
+        if (n <= 0) throw new IllegalArgumentException(
+          s"Option '$MaxMessagesPerTrigger' must be positive, got $n")
+        n
+      },
       ackDeadlineSeconds = opts.get(AckDeadlineSeconds).map { v =>
         val n = v.toInt
         if (n <= 0) throw new IllegalArgumentException(
@@ -123,6 +132,7 @@ final case class PubsubReadOptions(
     numPartitions: Int,
     maxMessagesPerPartition: Int,
     dynamicPartitioning: Boolean,
+    maxMessagesPerTrigger: Option[Long] = None,
     ackDeadlineSeconds: Option[Int] = None) {
   def subscriptionPath: String =
     s"projects/$projectId/subscriptions/$subscription"

@@ -82,6 +82,37 @@ class PubsubConnectorSpec extends AnyFunSuite with Matchers
     // trigger test below asserts the ack flow.
   }
 
+  test("max_messages_per_trigger caps each batch and AvailableNow still " +
+    "drains the whole backlog exactly once") {
+    publish100()
+    val batchSizes = collection.mutable.ArrayBuffer[Long]()
+    val payloads = collection.mutable.Set[String]()
+    val q = spark.readStream.format("pubsub")
+      .option("project_id", "p")
+      .option("subscription", "in-sub")
+      .option("endpoint", ep)
+      .option("max_messages_per_trigger", "30")
+      .load()
+      .selectExpr("CAST(data AS STRING) AS text")
+      .writeStream
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val rows = ds.collect()
+        batchSizes.synchronized { batchSizes += rows.length.toLong }
+        payloads.synchronized { rows.foreach(r => payloads += r.getString(0)) }
+        ()
+      }
+      .option("checkpointLocation", tmpDir())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000) shouldBe true
+    payloads should have size 100 // complete, no loss
+    batchSizes.sum shouldBe 100L  // and exactly once
+    // admission control held on every batch: never more than the cap
+    all(batchSizes) should be <= 30L
+    // and the cap actually split the drain into several batches
+    batchSizes.count(_ > 0) should be >= 4
+  }
+
   test("messages are acknowledged once the following batch commits") {
     publish100()
     val q = sourceDF.writeStream

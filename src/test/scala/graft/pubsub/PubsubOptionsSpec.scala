@@ -46,6 +46,17 @@ class PubsubOptionsSpec extends AnyFunSuite with Matchers {
     o.endpoint shouldBe Some("e1")
   }
 
+  test("max_messages_per_trigger: unset means all-available, explicit " +
+    "value parses, non-positive rejected") {
+    PubsubOptions.readOptions(readBase).maxMessagesPerTrigger shouldBe None
+    PubsubOptions.readOptions(
+      readBase + ("max_messages_per_trigger" -> "2500"))
+      .maxMessagesPerTrigger shouldBe Some(2500L)
+    an[IllegalArgumentException] should be thrownBy
+      PubsubOptions.readOptions(
+        readBase + ("max_messages_per_trigger" -> "0"))
+  }
+
   test("non-positive num_partitions throws") {
     an[IllegalArgumentException] should be thrownBy
       PubsubOptions.readOptions(readBase + ("num_partitions" -> "0"))
