@@ -732,6 +732,43 @@ object Graft {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embedding space with the distributed
+    * k-means quantizer ([[kmeansCentroids]] — deterministic init, no
+    * driver collect), assign each vector to its `probes` nearest
+    * clusters ([[assignToCentroidsTopN]] — multi-probe assignment
+    * recovers the near-dups that sit just across a cluster boundary;
+    * probes=1 is the paper's plain single-assignment), then compute
+    * EXACT cosine pairs only WITHIN a shared cluster
+    * ([[blockedCosinePairs]] on the assigned list id, de-duplicated
+    * across shared probes). The cluster step cuts the pair space from
+    * n²/2 to ~probes²·n²/(2K) while keeping the near-dups — semantic
+    * duplicates co-cluster when the quantizer is any good, which is the
+    * paper's premise — and the within-cluster filter is the exact
+    * cosine, so the output has NO false positives against the
+    * threshold; the only loss is cross-cluster recall, gated d06-style
+    * by the d12 contract.
+    *
+    * Scale shape: k-means is `iters` rounds of map-side assignment
+    * against a broadcast nlist-row centroid table plus one aggregation;
+    * multi-probe assignment is a map-side sorted slice; the pair join
+    * is an equi-join shuffled by list id. Same skew caveat as every
+    * blocked dedup: a dominant cluster degenerates toward the quadratic
+    * baseline — raise `nlist` or sub-cluster hot lists. */
+  def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int, threshold: Double,
+      probes: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(df, idCol, vecCol, nlist, iters)
+    val assigned =
+      if (probes <= 1) assignToCentroids(df, idCol, vecCol, cents)
+      else assignToCentroidsTopN(df, idCol, vecCol, cents, probes)
+    blockedCosinePairs(assigned, idCol, vecCol, "list_id", threshold)
+      // a pair sharing two probed clusters appears once per shared list;
+      // cos is the identical arithmetic both times, so DISTINCT dedupes
+      .select(col("id_a"), col("id_b"), col("cos")).distinct()
+  }
+
   /** Deterministic random hyperplanes: NTables independent tables of
     * BitsPerTable sign bits (AND within a table keeps candidate lists
     * short, OR across tables recovers recall). */
@@ -867,6 +904,32 @@ object Graft {
             when(e("cos") > acc("cos") ||
                 (e("cos") === acc("cos") && e("list_id") < acc("list_id")),
               e).otherwise(acc))("list_id").as("list_id"))
+  }
+
+  /** Multi-probe assignment: each vector joins its `probes` nearest
+    * centroids (cos desc, list asc tie-break) instead of only the
+    * argmax. Map-only like [[assignToCentroids]] — the per-vector
+    * centroid ranking is a sorted array slice inside the row, no window,
+    * no shuffle — at the cost of a ≤`probes`× row amplification
+    * downstream. This is the spill-tree/overlapping-clusters recall fix
+    * for cluster-blocked operations: near-dups sitting just across a
+    * cluster boundary share a probe with high probability. */
+  def assignToCentroidsTopN(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, probes: Int): DataFrame = {
+    require(probes > 0, s"assignToCentroidsTopN(probes=$probes)")
+    val n = normalized(df, idCol, vecCol)
+    val cn = centroids.agg(collect_list(struct(
+      col("list_id"), col("centroid"),
+      sqrt(dot(col("centroid"), col("centroid"))).as("cnrm"))).as("cents"))
+    n.join(broadcast(cn), lit(true))
+      .filter(size(col("cents")) > 0)
+      .select(col(idCol), col(vecCol),
+        explode(slice(array_sort(transform(col("cents"), c => struct(
+          (-(dot(col(vecCol), c("centroid")) / (col("nrm") * c("cnrm"))))
+            .cast("double").as("negcos"),
+          c("list_id").cast("int").as("list_id")))), 1, probes))
+          .as("probe"))
+      .select(col(idCol), col(vecCol), col("probe.list_id").as("list_id"))
   }
 
   /** Distributed Lloyd refinement for an IVF coarse quantizer:

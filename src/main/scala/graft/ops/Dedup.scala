@@ -386,6 +386,57 @@ object Dedup {
         "SELECT block, vec_a, vec_b, ROUND(cos, 4) AS cos FROM p " +
         "WHERE cos >= 0.45 ORDER BY vec_a, vec_b")),
 
+    Q("d12_semantic_dedup",
+      // SemDeDup (Abbas et al. 2023): k-means clusters as the candidate
+      // cutter, exact cosine only within clusters — the fourth candidate
+      // strategy next to LSH (d06), banding (d02) and static blocking
+      // (d11), and the one that works when no blocking key exists and
+      // near-dups are SEMANTIC (paraphrases with high embedding cosine).
+      // The pair list depends on the learned clustering, so like d06 the
+      // gate emits the accuracy contract as one DuckDB-checkable row:
+      // n_exact (DuckDB recomputes d05's pair count), false_positives=0
+      // (within-cluster pairs get the exact cosine + threshold, so
+      // semantic pairs ⊆ exact pairs by construction), and recall >= the
+      // 0.6 floor. Gate parameters: nlist=5 with 2-probe assignment —
+      // this synthetic corpus is nearly unclustered, so single-probe
+      // SemDeDup loses boundary pairs (measured ~0.2-0.6 recall);
+      // 2-probe lifts it to ~0.86-0.93 across fixtures (real corpora
+      // cluster far better). The floor is the regression tripwire;
+      // SketchAccuracySpec asserts the measured value.
+      // See [[graft.api.Graft.semanticDedupPairs]].
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val sem = graft.api.Graft
+          .semanticDedupPairs(emb, "vec_id", "embedding",
+            nlist = 5, iters = 2, threshold = 0.45)
+          .select(col("id_a"), col("id_b"))
+        val exact = graft.api.Graft
+          .cosinePairsExact(emb, "vec_id", "embedding", threshold = 0.45)
+          .select(col("id_a"), col("id_b"))
+        val stats = sem
+          .join(exact.withColumn("hit", lit(1L)), Seq("id_a", "id_b"),
+            "left")
+          .agg(
+            coalesce(sum(when(col("hit").isNull, 1L).otherwise(0L)),
+              lit(0L)).as("false_positives"),
+            coalesce(sum(col("hit")), lit(0L)).as("hits"))
+        stats.crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+          .select(col("n_exact"), col("false_positives"),
+            (col("hits") >= col("n_exact") * 0.6).as("recall_ok"))
+      },
+      Some("WITH n AS (SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(list_zip(embedding, embedding), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) AS nrm " +
+        "FROM embeddings), " +
+        "p AS (SELECT list_sum(list_transform(" +
+        "list_zip(a.embedding, b.embedding), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+        "(a.nrm * b.nrm) AS cos FROM n a JOIN n b " +
+        "ON a.vec_id < b.vec_id) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, " +
+        "CAST(0 AS BIGINT) AS false_positives, true AS recall_ok " +
+        "FROM p WHERE cos >= 0.45")),
+
     Q("d06_embed_cosine_lsh",
       // The 100 TB version of d05: candidate pairs come from the
       // multi-table LSH index (match in ANY table on the exact code or a

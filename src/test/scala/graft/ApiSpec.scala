@@ -184,6 +184,22 @@ class ApiSpec extends AnyFunSuite with Matchers {
     pairs shouldBe Array(("a", "b"))
   }
 
+  test("semanticDedupPairs on custom columns: co-clustered near-dups " +
+    "pair up, multi-probe dedupes shared-cluster pairs") {
+    val s = spark
+    import s.implicits._
+    // two tight groups on opposite axes + one far-off singleton
+    val vecs = Seq(
+      (1L, Array(1f, 0.02f, 0f)), (2L, Array(0.99f, 0f, 0.01f)),
+      (10L, Array(0f, 1f, 0.02f)), (11L, Array(0.01f, 0.98f, 0f)),
+      (99L, Array(0f, 0f, 1f)))
+      .toDF("doc", "emb")
+    val pairs = Graft.semanticDedupPairs(vecs, "doc", "emb",
+      nlist = 3, iters = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((1L, 2L), (10L, 11L)) // exactly once each
+  }
+
   test("cosinePairsExact refuses inputs above maxRows (the O(n²) guard) " +
     "unless the caller opts in") {
     val s = spark

@@ -96,6 +96,27 @@ class SketchAccuracySpec extends AnyFunSuite with Matchers {
     gate.getBoolean(2) shouldBe true           // recall_ok
   }
 
+  test("d12: semantic-dedup pairs are a subset of exact pairs and " +
+    "2-probe clustering recovers most of them") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val exact = graft.api.Graft
+      .cosinePairsExact(emb, "vec_id", "embedding", threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = graft.api.Graft
+      .semanticDedupPairs(emb, "vec_id", "embedding",
+        nlist = 5, iters = 2, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // within-cluster exact cosine -> no false positives, ever
+    (sem -- exact) shouldBe empty
+    val recall = (sem & exact).size.toDouble / exact.size
+    withClue(s"d12 recall vs exact pairs: ")(recall should be >= 0.6)
+    // and the gate contract row agrees
+    val gate = run("d12_semantic_dedup").collect().head
+    gate.getLong(0) shouldBe exact.size.toLong // n_exact
+    gate.getLong(1) shouldBe 0L                // false_positives
+    gate.getBoolean(2) shouldBe true           // recall_ok
+  }
+
   test("s02/s03/s04: approximate neighbors overlap the exact top-k, " +
     "and the gate contract rows hold") {
     val exact = run("s01_cosine_topk").collect()
