@@ -130,6 +130,44 @@ object Graft {
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("dups"))
       .select("keep_id", "dups")
 
+  /** Incremental exact dedup: dedup a NEW batch of documents against an
+    * existing digest index WITHOUT rescanning the corpus — the shape
+    * production pipelines actually run (the corpus is deduped once;
+    * every later crawl shard arrives incrementally). `priorIndex` is
+    * (digestCol, keeperCol): one row per already-kept content digest.
+    * Returns one row per new doc: its digest, its verdict — 'kept' (new
+    * content), 'dup_of_index' (bytes already in the corpus),
+    * 'dup_in_batch' (duplicate within the new batch; minimum id wins) —
+    * and `dup_of` (the id it duplicates, NULL when kept). Append the
+    * kept rows' (digest, id) to the index and the pipeline is ready for
+    * the next shard.
+    *
+    * Scale shape: the batch's digests are map work on the scan; the
+    * within-batch keeper is one aggregation and the index probe one
+    * equi-join, BOTH hash-partitioned by digest so the planner reuses
+    * one exchange of the shard. Store the index bucketed by digest and
+    * the probe is co-located: the corpus-sized side never reshuffles
+    * for a shard-sized batch — that asymmetry is the whole point of
+    * incremental dedup at 100 TB. */
+  def incrementalDedup(newDocs: DataFrame, idCol: String, textCol: String,
+      priorIndex: DataFrame, digestCol: String = "digest",
+      keeperCol: String = "keep_id"): DataFrame = {
+    val d = newDocs.select(col(idCol),
+      sha2(col(textCol).cast("binary"), 256).as("digest"))
+    val batchKeeper = d.groupBy("digest")
+      .agg(min(col(idCol)).as("batch_keeper"))
+    d.join(priorIndex.select(col(digestCol).as("digest"),
+        col(keeperCol).as("index_keeper")), Seq("digest"), "left")
+      .join(batchKeeper, Seq("digest"))
+      .select(col(idCol), col("digest"),
+        when(col("index_keeper").isNotNull, lit("dup_of_index"))
+          .when(col(idCol) =!= col("batch_keeper"), lit("dup_in_batch"))
+          .otherwise(lit("kept")).as("status"),
+        when(col("index_keeper").isNotNull, col("index_keeper"))
+          .when(col(idCol) =!= col("batch_keeper"), col("batch_keeper"))
+          .as("dup_of"))
+  }
+
   /** MinHash signature columns m0..m{k-1} per id: seeded-md5 slices
     * parsed to BIGINT (portable across engines — fixed-width hex order ==
     * numeric order, and DuckDB parses the same slice via

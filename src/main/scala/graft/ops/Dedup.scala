@@ -87,6 +87,42 @@ object Dedup {
       Some("SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dups FROM documents " +
         "GROUP BY sha256(text) ORDER BY keep_id")),
 
+    Q("d13_incremental_dedup",
+      // Incremental dedup — the production shape: the corpus is deduped
+      // ONCE into a digest index; each new shard probes the index and
+      // dedups within itself, so per-shard cost is shard-sized, never
+      // corpus-sized. Fixture split: even doc_ids play the existing
+      // corpus (their digest index = min id per digest), odd doc_ids
+      // are the arriving shard. Every verdict is deterministic and the
+      // oracle recomputes the whole thing relationally.
+      // See [[graft.api.Graft.incrementalDedup]].
+      (s, d) => {
+        val all = docs(s, d)
+        val prior = all.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"),
+            sha2(col("text").cast("binary"), 256).as("digest"))
+          .groupBy("digest").agg(min("doc_id").as("keep_id"))
+        graft.api.Graft.incrementalDedup(
+          all.filter(col("doc_id") % 2 === 1), "doc_id", "text", prior)
+          .orderBy("doc_id")
+      },
+      Some("WITH d AS (SELECT doc_id, sha256(text) AS digest " +
+        "FROM documents), " +
+        "prior AS (SELECT digest, MIN(doc_id) AS index_keeper FROM d " +
+        "WHERE doc_id % 2 = 0 GROUP BY digest), " +
+        "nb AS (SELECT doc_id, digest FROM d WHERE doc_id % 2 = 1), " +
+        "bk AS (SELECT digest, MIN(doc_id) AS batch_keeper FROM nb " +
+        "GROUP BY digest) " +
+        "SELECT nb.doc_id, nb.digest, " +
+        "CASE WHEN p.index_keeper IS NOT NULL THEN 'dup_of_index' " +
+        "WHEN nb.doc_id <> bk.batch_keeper THEN 'dup_in_batch' " +
+        "ELSE 'kept' END AS status, " +
+        "CASE WHEN p.index_keeper IS NOT NULL THEN p.index_keeper " +
+        "WHEN nb.doc_id <> bk.batch_keeper THEN bk.batch_keeper " +
+        "END AS dup_of " +
+        "FROM nb LEFT JOIN prior p USING (digest) JOIN bk USING (digest) " +
+        "ORDER BY doc_id")),
+
     Q("d09_normalized_dedup",
       // Normalized-content exact dedup: the t15 canonicalization
       // (lowercase, strip non-printables, collapse whitespace, trim)

@@ -165,6 +165,41 @@ class ApiSpec extends AnyFunSuite with Matchers {
     groups("u2") shouldBe 1
   }
 
+  test("incrementalDedup: new-shard verdicts against a prior index, and " +
+    "the kept rows extend the index for the next shard") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, sha2}
+    // prior corpus kept "alpha" (id 1) and "beta" (id 2)
+    val prior = Seq((1L, "alpha"), (2L, "beta")).toDF("pid", "ptext")
+      .select(sha2(col("ptext").cast("binary"), 256).as("digest"),
+        col("pid").as("keep_id"))
+    // shard 1: an index dup, an in-batch dup pair, and fresh content
+    val shard1 = Seq((10L, "alpha"), (11L, "gamma"), (12L, "gamma"),
+      (13L, "delta")).toDF("nid", "body")
+    val v1 = Graft.incrementalDedup(shard1, "nid", "body", prior)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .toMap
+    v1(10L) shouldBe ("dup_of_index", Some(1L))
+    v1(11L) shouldBe ("kept", None)
+    v1(12L) shouldBe ("dup_in_batch", Some(11L))
+    v1(13L) shouldBe ("kept", None)
+    // fold shard 1's kept rows into the index; shard 2 sees them
+    val extended = prior.union(
+      Graft.incrementalDedup(shard1, "nid", "body", prior)
+        .filter(col("status") === "kept")
+        .select(col("digest"), col("nid").as("keep_id")))
+    val v2 = Graft.incrementalDedup(
+      Seq((20L, "gamma"), (21L, "epsilon")).toDF("nid", "body"),
+      "nid", "body", extended)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .toMap
+    v2(20L) shouldBe ("dup_of_index", Some(11L))
+    v2(21L) shouldBe ("kept", None)
+  }
+
   test("cosineTopK and cosinePairsExact run on custom vector columns") {
     val s = spark
     import s.implicits._
