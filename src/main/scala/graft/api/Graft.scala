@@ -1343,6 +1343,41 @@ object Graft {
     * pairing, which is almost always the wanted behavior). The default
     * admits everything, which is exact but only safe when no shingle is
     * hot. */
+  /** Shingle containment pairs — the ASYMMETRIC near-dup signal:
+    * how much of document a's shingle set lies inside document b,
+    * |S(a)∩S(b)| / |S(a)|. Jaccard ([[ngramJaccardPairs]]) misses
+    * wholesale INCLUSION: a short document quoted verbatim inside a
+    * long one scores near zero on the union but 1.0 on containment,
+    * which is exactly the boilerplate/quotation/aggregator-page signal
+    * a corpus pipeline needs (Broder's resemblance-vs-containment
+    * distinction). Emits ORDERED pairs (id_a contained-in id_b, both
+    * directions when both clear the threshold). Same
+    * shingle-equi-join shuffle discipline as [[ngramJaccardPairs]],
+    * including the optional hot-shingle document-frequency cap. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val all = shingles(df, idCol, textCol, n)
+    val sh =
+      if (maxShingleDf == Int.MaxValue) all
+      else {
+        val quiet = all.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf).select("s")
+        all.join(quiet, "s")
+      }
+    val cnt = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    val cont = col("i").cast("double") / col("ca.n")
+    inter
+      .join(cnt.as("ca"), col("id_a") === col(s"ca.$idCol"))
+      .filter(cont >= threshold)
+      .select(col("id_a"), col("id_b"), cont.as("containment"))
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5,
       maxShingleDf: Int = Int.MaxValue): DataFrame = {

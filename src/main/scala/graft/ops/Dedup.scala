@@ -287,6 +287,34 @@ object Dedup {
         "WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.5 " +
         "ORDER BY doc_a, doc_b")),
 
+    Q("d14_containment",
+      // Asymmetric inclusion detection (Broder's containment, vs d04's
+      // symmetric resemblance): |S(a)∩S(b)| / |S(a)| — a short document
+      // quoted wholesale inside a long one scores ~0 Jaccard but 1.0
+      // containment, which is the quote/boilerplate/aggregator-page
+      // signal. Ordered pairs, exact and fully relational, so the
+      // oracle recomputes it verbatim. Same shingle equi-join shuffle
+      // as d04. See [[graft.api.Graft.containmentPairs]].
+      (s, d) => graft.api.Graft
+        .containmentPairs(docs(s, d), "doc_id", "text", n = 3,
+          threshold = 0.8)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          round(col("containment"), 4).as("containment"))
+        .orderBy("doc_a", "doc_b"),
+      Some("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w " +
+        "FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, " +
+        "array_to_string(list_slice(w, g, g+2), ' ') AS s FROM toks, " +
+        "UNNEST(generate_series(1, len(w)-2)) AS t(g)), " +
+        "cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) " +
+        "AS i FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id " +
+        "GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE)/ca.n, 4) " +
+        "AS containment FROM inter JOIN cnt ca ON doc_a = ca.doc_id " +
+        "WHERE CAST(i AS DOUBLE)/ca.n >= 0.8 " +
+        "ORDER BY doc_a, doc_b")),
+
     Q("d07_dup_clusters",
       // Pairs -> groups: connected components over the n-gram Jaccard
       // near-dup pairs (d04's exact pair set), every document labeled

@@ -165,6 +165,26 @@ class ApiSpec extends AnyFunSuite with Matchers {
     groups("u2") shouldBe 1
   }
 
+  test("containmentPairs: a doc quoted inside a longer one scores 1.0 " +
+    "containment while Jaccard stays below its threshold") {
+    val s = spark
+    import s.implicits._
+    val quote = "the quick brown fox jumps over the lazy dog"
+    val page = ("unrelated preamble text " * 10) + quote +
+      (" trailing commentary words" * 10)
+    val docs = Seq((1L, quote), (2L, page), (3L, "nothing shared at all " * 5))
+      .toDF("did", "body")
+    val cont = Graft.containmentPairs(docs, "did", "body", n = 3,
+      threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    cont((1L, 2L)) shouldBe 1.0 // every quote shingle is in the page
+    (cont.keySet should not).contain((2L, 1L)) // page ⊄ quote
+    // the symmetric signal misses this entirely
+    Graft.ngramJaccardPairs(docs, "did", "body", n = 3, threshold = 0.5)
+      .collect() shouldBe empty
+  }
+
   test("incrementalDedup: new-shard verdicts against a prior index, and " +
     "the kept rows extend the index for the next shard") {
     val s = spark
