@@ -685,6 +685,172 @@ object Graft {
       .filter(col("rnk") <= k)
   }
 
+  // ------------------------------------------------ product quantization
+
+  /** Per-subspace codebooks for product quantization (Jégou et al.,
+    * "Product Quantization for Nearest Neighbor Search"): the `dim`-dim
+    * vector splits into `m` contiguous `dim/m`-dim subvectors, and each
+    * subspace trains its own `ksub`-centroid quantizer with the
+    * distributed Lloyd loop ([[kmeansCentroids]] — deterministic init,
+    * no driver collect). Returns (m, list_id, centroid, cnrm). At
+    * corpus scale codebooks are trained on a SAMPLE (they are a few KB
+    * of state describing the space, not the data); encoding the full
+    * corpus is then one map pass. */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame = {
+    require(m > 0 && dim % m == 0 && ksub > 1 && iters >= 0,
+      s"pqCodebooks(dim=$dim, m=$m, ksub=$ksub, iters=$iters)")
+    val dsub = dim / m
+    // ALL subspaces train in one Lloyd loop over the exploded
+    // (id, mi, subvector) rows — one aggregation job per round for the
+    // whole codebook, instead of m independent trainings each paying
+    // per-job driver latency (measured: the m-sequential version spent
+    // most of its wall clock scheduling its ~3m tiny jobs).
+    val sub = df.select(col(idCol), expr(
+      s"""explode(transform(sequence(0, ${m - 1}), mi ->
+         |  struct(mi AS mi, slice($vecCol, mi * $dsub + 1, $dsub)
+         |    AS sub)))""".stripMargin).as("e"))
+      .select(col(idCol), col("e.mi").as("mi"), col("e.sub").as("sub"))
+    def means(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("mi"), col("list_id"),
+          posexplode(col("sub")).as(Seq("pos", "v")))
+        .groupBy("mi", "list_id", "pos")
+        .agg(avg("v").as("mv"))
+        .groupBy("mi", "list_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv"))))
+          .as("pm"))
+        .select(col("mi"), col("list_id"),
+          expr("transform(pm, x -> CAST(x.mv AS FLOAT))").as("centroid"))
+    var cents = means(
+      sub.withColumn("list_id", (col(idCol) % ksub).cast("int")))
+    (0 until iters).foreach { _ =>
+      val cn = cents.agg(collect_list(struct(col("mi"), col("list_id"),
+        col("centroid"),
+        sqrt(dot(col("centroid"), col("centroid"))).as("cnrm"))).as("cs"))
+      val assigned = sub.join(broadcast(cn), lit(true))
+        .filter(size(col("cs")) > 0)
+        .withColumn("list_id", expr(
+          """array_min(transform(filter(cs, c -> c.mi = mi), c ->
+            |  struct(-aggregate(zip_with(sub, c.centroid,
+            |      (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+            |      CAST(0 AS DOUBLE), (a, v) -> a + v) / c.cnrm AS negd,
+            |    c.list_id AS list_id))).list_id""".stripMargin))
+        .drop("cs")
+      cents = means(assigned)
+    }
+    cents.select(col("mi").as("m"), col("list_id"), col("centroid"),
+      sqrt(dot(col("centroid"), col("centroid"))).as("cnrm"))
+  }
+
+  /** The broadcastable codebook lookup: one row holding
+    * mb: MAP<m, MAP<list_id, STRUCT<centroid, cnrm>>>. */
+  private def pqLookup(codebooks: DataFrame): DataFrame =
+    codebooks
+      .groupBy("m")
+      .agg(map_from_entries(collect_list(struct(col("list_id"),
+        struct(col("centroid"), col("cnrm"))))).as("cmap"))
+      .groupBy()
+      .agg(map_from_entries(collect_list(struct(col("m"), col("cmap"))))
+        .as("mb"))
+
+  /** PQ encoding: every vector becomes `m` small codes — the code for
+    * subspace mi is the sub-centroid with maximal cosine to the mi-th
+    * subvector. One map pass against the broadcast codebooks (the
+    * argmax is an array_min over (−cos, code) structs inside the row —
+    * no join, no shuffle); also emits `rnorm`, the norm of the
+    * reconstruction, so ADC scores can be cosine-normalized. At 16
+    * centroids per subspace a 64-dim float vector (256 bytes) becomes
+    * m=8 nibble-codes — a 64× smaller index is the entire point of PQ
+    * at 100 TB. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, dim: Int, m: Int = 8): DataFrame =
+    pqEncodeWith(df, idCol, vecCol, pqLookup(codebooks), dim, m)
+
+  private def pqEncodeWith(df: DataFrame, idCol: String, vecCol: String,
+      lookup: DataFrame, dim: Int, m: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"pqEncode(dim=$dim, m=$m)")
+    val dsub = dim / m
+    df.join(broadcast(lookup), lit(true))
+      .select(col(idCol), col(vecCol), col("mb"),
+        expr(
+          s"""transform(sequence(0, ${m - 1}), mi ->
+             |  array_min(transform(map_entries(element_at(mb, mi)), e ->
+             |    struct(
+             |      -aggregate(zip_with(
+             |         slice($vecCol, mi * $dsub + 1, $dsub),
+             |         e.value.centroid,
+             |         (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+             |        CAST(0 AS DOUBLE), (a, v) -> a + v) / e.value.cnrm
+             |        AS negd,
+             |      e.key AS code))).code)""".stripMargin).as("code"))
+      .withColumn("rnorm", expr(
+        s"""sqrt(aggregate(transform(sequence(0, ${m - 1}), mi ->
+           |  pow(element_at(element_at(mb, mi),
+           |    element_at(code, mi + 1)).cnrm, 2)),
+           |  CAST(0 AS DOUBLE), (a, v) -> a + v))""".stripMargin))
+      .drop("mb")
+  }
+
+  /** PQ-ADC approximate top-k with exact rerank: queries score every
+    * encoded corpus row by Asymmetric Distance Computation — the sum
+    * over subspaces of dot(query subvector, reconstructed sub-centroid),
+    * normalized by the reconstruction norm — take a `shortlist` per
+    * query, then rerank the shortlist with the exact full cosine.
+    *
+    * Scale shape: one corpus pass against the broadcast queries and the
+    * broadcast few-KB codebooks, reading CODES (m bytes) instead of
+    * vectors — the flat-scan cost drops by the compression factor, and
+    * at real scale the ADC pass runs over the compact code index while
+    * only the shortlist (bounded rows per query) touches the full
+    * vector store. Combine with an IVF partition (s03/s04) for
+    * sub-linear candidate selection; this flat version is the exact
+    * shape of a Faiss IndexPQ. */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, dim: Int, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2, shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k && k > 0,
+      s"pqTopK(k=$k, shortlist=$shortlist)")
+    val dsub = dim / m
+    val cb = pqCodebooks(df, idCol, vecCol, dim, m, ksub, iters)
+    // The lookup appears in two subtrees (encode + ADC); materialize it
+    // once — a few KB — so the training pipeline runs exactly once
+    // instead of once per subtree.
+    val lookup = iterCheckpoint(pqLookup(cb))
+    val enc = pqEncodeWith(df, idCol, vecCol, lookup, dim, m)
+      .join(broadcast(lookup), lit(true))
+    val q = normalized(df.filter(queryPred), idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qe"),
+        col("nrm").as("qn"))
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val short = broadcast(q)
+      .join(enc, col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("qe"), col("qn"), col(vecCol),
+        expr(
+          s"""aggregate(sequence(0, ${m - 1}), CAST(0 AS DOUBLE),
+             |  (a, mi) -> a + aggregate(zip_with(
+             |    slice(qe, mi * $dsub + 1, $dsub),
+             |    element_at(element_at(mb, mi),
+             |      element_at(code, mi + 1)).centroid,
+             |    (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+             |    CAST(0 AS DOUBLE), (p, v) -> p + v)) / rnorm"""
+            .stripMargin).as("adc"))
+      .withColumn("srnk", row_number().over(wShort))
+      .filter(col("srnk") <= shortlist)
+    val wFull = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    short
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qe"), col(vecCol)) /
+          (col("qn") * sqrt(dot(col(vecCol), col(vecCol))))).as("cos"))
+      .withColumn("rnk", row_number().over(wFull).cast("bigint"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Reciprocal-rank fusion of retrieval rankings (Cormack et al.; the
     * hybrid-search combiner in Elasticsearch/OpenSearch/Vespa): each
     * input carries (query_id, neighbor_id, `rankCol`) and a candidate's

@@ -125,11 +125,13 @@ class SketchAccuracySpec extends AnyFunSuite with Matchers {
       "s02_ann_lsh" -> graft.ops.Vector.lshListing(spark, sfDir),
       "s03_ann_ivf" -> graft.ops.Vector.ivfLabelListing(spark, sfDir),
       "s04_ann_ivf_trained" ->
-        graft.ops.Vector.ivfTrainedListing(spark, sfDir))
+        graft.ops.Vector.ivfTrainedListing(spark, sfDir),
+      "s10_pq_topk" -> graft.ops.Vector.pqListing(spark, sfDir))
     for ((name, df) <- listings) {
       val approx = df.collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (approx & exact).size.toDouble / exact.size
+      info(s"$name recall = $recall")
       withClue(s"$name recall vs exact top-k: ")(recall should be >= 0.5)
       // The gate entry now emits the per-query structural contract; it
       // must hold for every query (one row each, all invariants true).
