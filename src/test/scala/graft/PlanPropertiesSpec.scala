@@ -58,6 +58,42 @@ class PlanPropertiesSpec extends AnyFunSuite with Matchers {
     (p should not).include("BroadcastNestedLoopJoin")
   }
 
+  test("d12 semantic dedup: cluster training joins the broadcast " +
+    "centroid table; the pair join is an equi-join on the list id — " +
+    "no cartesian anywhere") {
+    val p = plan("d12_semantic_dedup")
+    (p should not).include("CartesianProduct")
+    // the exact arm of the CONTRACT is d05's all-pairs nest-loop join
+    // (the gate recomputes ground truth); the semantic pipeline itself
+    // must join hash-partitioned or broadcast
+    p should include("BroadcastHashJoin")
+  }
+
+  test("d13 incremental dedup: the batch-keeper aggregation and the " +
+    "index probe share the digest partitioning — no cartesian, and at " +
+    "most the shard-sized side shuffles") {
+    val p = plan("d13_incremental_dedup")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("d14 containment: shingle equi-join only, like d04") {
+    val p = plan("d14_containment")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("s10 PQ: codebook training aggregates (no join in the Lloyd " +
+    "loop); encode + ADC join only the broadcast one-row lookup; the " +
+    "rerank never goes cartesian against the corpus") {
+    val p = plan("s10_pq_topk")
+    (p should not).include("CartesianProduct")
+    // queries and the codebook lookup ride broadcast nested-loop joins
+    // by construction (one-row / tiny build sides); the corpus-sized
+    // flow must never appear on the probe side of a shuffled join
+    (p should not).include("SortMergeJoin")
+  }
+
   test("t21 importance weights: the log-ratio table broadcasts (bounded " +
     "by the bucket count), the corpus is never nest-loop joined") {
     val p = plan("t21_importance_weights")
