@@ -470,9 +470,15 @@ object Dedup {
       // See [[graft.api.Graft.semanticDedupPairs]].
       (s, d) => {
         val emb = Tables.load(s, d, "embeddings")
+        // nlist scales with the corpus (the operator's contract — the
+        // paper uses tens of thousands of clusters at web scale):
+        // ~400 vectors per cluster keeps within-cluster pair work
+        // linear-ish in n. All committed fixtures land at nlist=5; the
+        // 10x scale check exercises the scaled value.
+        val nlist = math.max(5L, emb.count() / 400).toInt
         val sem = graft.api.Graft
           .semanticDedupPairs(emb, "vec_id", "embedding",
-            nlist = 5, iters = 2, threshold = 0.45)
+            nlist = nlist, iters = 2, threshold = 0.45)
           .select(col("id_a"), col("id_b"))
         val exact = graft.api.Graft
           .cosinePairsExact(emb, "vec_id", "embedding", threshold = 0.45)
