@@ -107,6 +107,38 @@ class SinkRetrySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("a restarted batch (same query/epoch/partition, fresh writer) " +
+    "republishes without duplicates — exactly-once across batch replay, " +
+    "not just task retry") {
+    val ep = s"replay-${System.nanoTime()}"
+    val b = EmbeddedBroker.get(ep)
+    b.createTopic("projects/p/topics/rp")
+    b.createSubscription("projects/p/subscriptions/rp-sub",
+      "projects/p/topics/rp")
+    val f = PubsubWriterFactory(
+      endpoint = ep, topicPath = "projects/p/topics/rp",
+      queryId = "q", dataIdx = 0, attrIdx = -1, keyIdx = -1)
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    def writeAllRows(w: PubsubDataWriter, n: Int): Unit = {
+      (0 until n).foreach { i =>
+        row.update(0, Array[Byte](i.toByte)); w.write(row)
+      }
+      w.commit(); ()
+    }
+    // first attempt of the epoch publishes 45 rows (3 chunks incl. a
+    // partial tail)
+    writeAllRows(new PubsubDataWriter(f, partitionId = 0, epochId = 7L), 45)
+    b.backlog("projects/p/subscriptions/rp-sub") shouldBe 45L
+    // driver dies before the epoch commits; the restarted query replays
+    // the SAME epoch with a fresh writer over the replay-deterministic
+    // row sequence — every ordinal is already claimed, nothing lands
+    writeAllRows(new PubsubDataWriter(f, partitionId = 0, epochId = 7L), 45)
+    b.backlog("projects/p/subscriptions/rp-sub") shouldBe 45L
+    // the NEXT epoch is a different ordinal stream and publishes fully
+    writeAllRows(new PubsubDataWriter(f, partitionId = 0, epochId = 8L), 5)
+    b.backlog("projects/p/subscriptions/rp-sub") shouldBe 50L
+  }
+
   test("a buffered chunk older than the 10ms batching delay flushes on " +
     "the next row, not at the 20-row count") {
     val ep = s"delay-${System.nanoTime()}"
