@@ -896,8 +896,11 @@ object Graft {
   def cosinePairsExact(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, maxRows: Long = 1L << 20): DataFrame = {
     val rows = df.select(col(idCol)).count()
+    // BigInt: rows*rows overflows Long beyond ~3e9 rows and would print
+    // a nonsense pair estimate in exactly the case the guard matters.
     require(rows <= maxRows,
-      s"cosinePairsExact over $rows rows would build ~${rows * rows / 2} " +
+      s"cosinePairsExact over $rows rows would build " +
+        s"~${BigInt(rows) * BigInt(rows) / 2} " +
         s"candidate pairs (O(n²)); this is the exact BASELINE, not the " +
         s"scale path. Use lshCosinePairs/blockedCosinePairs, or pass " +
         s"maxRows >= $rows to force the quadratic join.")
@@ -1155,6 +1158,24 @@ object Graft {
     cents
   }
 
+  /** Eagerly materialize one iteration's result with a truncated plan.
+    * When the session has a checkpoint dir configured
+    * (`sparkContext.setCheckpointDir` — every long-lived cluster
+    * deployment should), this is a RELIABLE checkpoint: blocks live in
+    * the checkpoint filesystem and survive executor loss, so a
+    * 1000-executor clustering run doesn't restart from nothing when one
+    * executor dies mid-round. Without one it falls back to
+    * `localCheckpoint` (executor-resident blocks — fine for local/test
+    * runs, where the only executor dying means the job is gone anyway).
+    * Note the reliable path recomputes the plan once to write the
+    * checkpoint files, so accumulators populated during materialization
+    * may double-count — callers must treat accumulator values as
+    * over-counts (both clustering loops do). */
+  private def iterCheckpoint(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
   /** Duplicate-cluster ids by connected components over a pair list:
     * every node gets `cluster_id` = the minimum node id reachable through
     * `pairs` (undirected); singletons keep their own id. This is the step
@@ -1184,24 +1205,6 @@ object Graft {
     * Set a checkpoint dir (`sparkContext.setCheckpointDir`) to make the
     * per-round materialization executor-loss-proof; the algorithm is
     * unchanged. */
-  /** Eagerly materialize one iteration's result with a truncated plan.
-    * When the session has a checkpoint dir configured
-    * (`sparkContext.setCheckpointDir` — every long-lived cluster
-    * deployment should), this is a RELIABLE checkpoint: blocks live in
-    * the checkpoint filesystem and survive executor loss, so a
-    * 1000-executor clustering run doesn't restart from nothing when one
-    * executor dies mid-round. Without one it falls back to
-    * `localCheckpoint` (executor-resident blocks — fine for local/test
-    * runs, where the only executor dying means the job is gone anyway).
-    * Note the reliable path recomputes the plan once to write the
-    * checkpoint files, so accumulators populated during materialization
-    * may double-count — callers must treat accumulator values as
-    * over-counts (both clustering loops do). */
-  private def iterCheckpoint(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
-
   def dupClusters(nodes: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String, bCol: String, maxIters: Int = 50): DataFrame = {
     requireNumericId(nodes, idCol, "dupClusters")
@@ -1497,6 +1500,43 @@ object Graft {
         col("w.win_idx").as("win_idx"), col("w.energy").as("energy"))
   }
 
+  /** Default ceiling for the hottest admitted shingle's document
+    * frequency when no `maxShingleDf` cap is set: 10⁴ docs sharing one
+    * shingle is already ~5·10⁷ pair rows from that single bucket. */
+  val DefaultHotShingleGuardDf: Int = 10000
+
+  /** Shingles admitted to a pair join, with the skew tripwire.
+    *
+    * With a finite `maxShingleDf`, shingles hotter than the cap are
+    * dropped up front (stopword-removal semantics) via a plain equi-join
+    * on the shingle — broadcast-ability of the hot list is not assumed.
+    * With no cap, the hottest shingle's document frequency is measured
+    * first (one map+agg pass, noise next to the O(df²) join it fences —
+    * the [[cosinePairsExact]] guard pattern) and the join REFUSES to run
+    * when it exceeds `hotShingleGuardDf`: one web-scale stop-shingle
+    * ("in the the") makes its self-join bucket alone O(df²) rows and can
+    * dominate the whole shuffle. */
+  private def admittedShingles(all: DataFrame, idCol: String,
+      maxShingleDf: Int, hotShingleGuardDf: Int, op: String): DataFrame =
+    if (maxShingleDf != Int.MaxValue) {
+      val quiet = all.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf).select("s")
+      all.join(quiet, "s")
+    } else {
+      if (hotShingleGuardDf != Int.MaxValue) {
+        val m = all.groupBy("s").agg(count(lit(1)).as("df"))
+          .agg(max(col("df"))).head()
+        val hot = if (m.isNullAt(0)) 0L else m.getLong(0)
+        require(hot <= hotShingleGuardDf,
+          s"$op: the hottest shingle occurs in $hot documents; its " +
+            s"self-join bucket alone is ~${BigInt(hot) * BigInt(hot) / 2} " +
+            s"pair rows and would dominate the shuffle. Pass maxShingleDf " +
+            s"to drop hot shingles (stopword semantics), or " +
+            s"hotShingleGuardDf >= $hot to force the unbounded join.")
+      }
+      all
+    }
+
   /** Exact n-gram Jaccard pairs over shared shingles, thresholded.
     *
     * `maxShingleDf` caps the document frequency of shingles admitted to
@@ -1506,58 +1546,16 @@ object Graft {
     * with df > maxShingleDf are dropped up front and the Jaccard is the
     * exact similarity of the REDUCED shingle sets (standard stopword-
     * removal semantics: pairs sharing only ultra-common shingles stop
-    * pairing, which is almost always the wanted behavior). The default
-    * admits everything, which is exact but only safe when no shingle is
-    * hot. */
-  /** Shingle containment pairs — the ASYMMETRIC near-dup signal:
-    * how much of document a's shingle set lies inside document b,
-    * |S(a)∩S(b)| / |S(a)|. Jaccard ([[ngramJaccardPairs]]) misses
-    * wholesale INCLUSION: a short document quoted verbatim inside a
-    * long one scores near zero on the union but 1.0 on containment,
-    * which is exactly the boilerplate/quotation/aggregator-page signal
-    * a corpus pipeline needs (Broder's resemblance-vs-containment
-    * distinction). Emits ORDERED pairs (id_a contained-in id_b, both
-    * directions when both clear the threshold). Same
-    * shingle-equi-join shuffle discipline as [[ngramJaccardPairs]],
-    * including the optional hot-shingle document-frequency cap. */
-  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8,
-      maxShingleDf: Int = Int.MaxValue): DataFrame = {
-    val all = shingles(df, idCol, textCol, n)
-    val sh =
-      if (maxShingleDf == Int.MaxValue) all
-      else {
-        val quiet = all.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleDf).select("s")
-        all.join(quiet, "s")
-      }
-    val cnt = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.s") === col("b.s") && col(s"a.$idCol") =!= col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .agg(count(lit(1)).as("i"))
-    val cont = col("i").cast("double") / col("ca.n")
-    inter
-      .join(cnt.as("ca"), col("id_a") === col(s"ca.$idCol"))
-      .filter(cont >= threshold)
-      .select(col("id_a"), col("id_b"), cont.as("containment"))
-  }
-
+    * pairing, which is almost always the wanted behavior). Without a cap
+    * the join is exact but guarded: it refuses to run if the hottest
+    * shingle's df exceeds `hotShingleGuardDf`
+    * ([[admittedShingles]]). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5,
-      maxShingleDf: Int = Int.MaxValue): DataFrame = {
-    val all = shingles(df, idCol, textCol, n)
-    val sh =
-      if (maxShingleDf == Int.MaxValue) all
-      else {
-        // df per shingle, then keep the quiet ones; the broadcast-ability
-        // of the hot-shingle list is not assumed — this is a plain
-        // equi-join on the shingle, shuffle-partitioned by shingle.
-        val quiet = all.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleDf).select("s")
-        all.join(quiet, "s")
-      }
+      maxShingleDf: Int = Int.MaxValue,
+      hotShingleGuardDf: Int = DefaultHotShingleGuardDf): DataFrame = {
+    val sh = admittedShingles(shingles(df, idCol, textCol, n), idCol,
+      maxShingleDf, hotShingleGuardDf, "ngramJaccardPairs")
     val cnt = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -1570,5 +1568,36 @@ object Graft {
       .join(cnt.as("cb"), col("id_b") === col(s"cb.$idCol"))
       .filter(jac >= threshold)
       .select(col("id_a"), col("id_b"), jac.as("jac"))
+  }
+
+  /** Shingle containment pairs — the ASYMMETRIC near-dup signal:
+    * how much of document a's shingle set lies inside document b,
+    * |S(a)∩S(b)| / |S(a)|. Jaccard ([[ngramJaccardPairs]]) misses
+    * wholesale INCLUSION: a short document quoted verbatim inside a
+    * long one scores near zero on the union but 1.0 on containment,
+    * which is exactly the boilerplate/quotation/aggregator-page signal
+    * a corpus pipeline needs (Broder's resemblance-vs-containment
+    * distinction). Emits ORDERED pairs (id_a contained-in id_b, both
+    * directions when both clear the threshold). Same
+    * shingle-equi-join shuffle discipline as [[ngramJaccardPairs]],
+    * including the hot-shingle document-frequency cap and skew
+    * tripwire ([[admittedShingles]]). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Int = Int.MaxValue,
+      hotShingleGuardDf: Int = DefaultHotShingleGuardDf): DataFrame = {
+    val sh = admittedShingles(shingles(df, idCol, textCol, n), idCol,
+      maxShingleDf, hotShingleGuardDf, "containmentPairs")
+    val cnt = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    val cont = col("i").cast("double") / col("ca.n")
+    inter
+      .join(cnt.as("ca"), col("id_a") === col(s"ca.$idCol"))
+      .filter(cont >= threshold)
+      .select(col("id_a"), col("id_b"), cont.as("containment"))
   }
 }

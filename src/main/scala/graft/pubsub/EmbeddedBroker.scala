@@ -81,6 +81,13 @@ object EmbeddedBroker {
     private val seenChunks = mutable.Set[String]()
     // streamKey -> count of ordered-publish rows already accepted
     private val orderedHwm = mutable.Map[String, Long]()
+    // streamKey -> per-ordinal content hash of every accepted row. A
+    // retry that re-offers a CLAIMED ordinal with different content
+    // means the upstream plan is not attempt-deterministic — silently
+    // skipping it would lose the new row and keep the old one, so the
+    // mismatch fails fast instead. Lives as long as orderedHwm (one
+    // entry per query/epoch/partition stream, broker lifetime).
+    private val orderedHashes = mutable.Map[String, mutable.ArrayBuffer[Long]]()
 
     def createTopic(topic: String): Unit = synchronized {
       topics += topic
@@ -183,12 +190,44 @@ object EmbeddedBroker {
         val hwm = orderedHwm.getOrElse(streamKey, 0L)
         val skip = math.min(math.max(hwm - startOrdinal, 0L),
           msgs.size.toLong).toInt
+        val hashes =
+          orderedHashes.getOrElseUpdate(streamKey, mutable.ArrayBuffer())
+        // The skipped prefix must be byte-identical to what claimed those
+        // ordinals: exactly-once by ordinal is only sound when row content
+        // at each ordinal is stable across attempts. A mismatch is a
+        // non-deterministic upstream (e.g. a shuffle whose intra-partition
+        // order changed on retry) — data WOULD be lost, so fail the task.
+        msgs.take(skip).zipWithIndex.foreach { case (m, i) =>
+          val ord = startOrdinal + i
+          if (ord < hashes.size && hashes(ord.toInt) != contentHash(m))
+            throw new IllegalStateException(
+              s"pubsub sink: retried publish offered different content at " +
+                s"ordinal $ord of stream $streamKey; the upstream plan is " +
+                "not deterministic across attempts (see PubsubStreamingWrite " +
+                "determinism requirement)")
+        }
         val fresh = msgs.drop(skip)
         // publish BEFORE advancing the mark: if the append throws, the
         // rows stay unclaimed and a retry re-publishes them (no loss)
         if (fresh.nonEmpty) publishBatch(topic, fresh)
+        fresh.foreach(m => hashes += contentHash(m))
         orderedHwm(streamKey) = math.max(hwm, startOrdinal + msgs.size)
       }
+
+    /** 64-bit FNV-1a over data bytes, ordering key, and sorted attributes
+      * — the per-ordinal content fingerprint for retry verification. */
+    private def contentHash(
+        m: (Array[Byte], Map[String, String], String)): Long = {
+      var h = 0xcbf29ce484222325L
+      def mix(b: Int): Unit = { h ^= (b & 0xff); h *= 0x100000001b3L }
+      m._1.foreach(b => mix(b))
+      m._3.getBytes("UTF-8").foreach(b => mix(b))
+      m._2.toSeq.sorted.foreach { case (k, v) =>
+        k.getBytes("UTF-8").foreach(b => mix(b)); mix(0)
+        v.getBytes("UTF-8").foreach(b => mix(b)); mix(1)
+      }
+      h
+    }
 
     /** Leased pull honoring per-key FIFO. Returns (ackId, message). */
     def pull(subscription: String, maxMessages: Int): Seq[(String, Message)] = {

@@ -90,16 +90,26 @@ class PubsubMicroBatchStream(
     val parts = plannedPartitionCount()
     // Batch-count estimate from the reference's AvailableNow sizing
     // (PubsubSubscriptionMonitor.scala:96-113): backlog/(partitions*500).
-    // Under a per-trigger cap each batch admits at most `n` rows, so the
-    // budget must be ceil(backlog / n) to drain the snapshot fully.
+    // Under a per-trigger cap each batch admits at most `n` rows — but
+    // planInputPartitions also clamps each partition at
+    // max_messages_per_partition, so the EFFECTIVE per-batch admission is
+    // min(n, parts * perPartitionCap). Budget = ceil(backlog / effective)
+    // or the drain stops with messages still queued when the cap exceeds
+    // what the partitions can physically pull in one batch.
     availableNowBudget = Some(opts.maxMessagesPerTrigger match {
-      case Some(n) => math.max((backlog + n - 1) / n, 1L)
+      case Some(n) =>
+        val effective =
+          math.max(math.min(n, parts.toLong * opts.maxMessagesPerPartition), 1L)
+        math.max((backlog + effective - 1) / effective, 1L)
       case None => math.max(backlog / (parts * 500L), 1L)
     })
   }
 
+  // The legacy no-arg path must still honor the configured per-trigger
+  // cap: allAvailable() here would silently drop admission control for
+  // any engine path that calls it.
   override def latestOffset(): Offset =
-    latestOffset(PubsubOffset(current), ReadLimit.allAvailable())
+    latestOffset(PubsubOffset(current), getDefaultReadLimit)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
     synchronized {

@@ -20,6 +20,15 @@ import org.apache.spark.sql.types.{BinaryType, MapType, StringType, StructType}
   * upgrades the reference's batch-level at-least-once
   * (PubsubSink.scala:17-18) to effectively-once per row while keeping
   * the publish on the executors (reference PubsubWriter.scala:29).
+  *
+  * DETERMINISM REQUIREMENT: ordinal dedup is sound only when each sink
+  * partition's row SEQUENCE is identical across task attempts. The
+  * pubsub source guarantees this (checkpoint-file replay); a plan whose
+  * intra-partition order may change on retry (e.g. an unsorted shuffle
+  * or aggregation feeding the sink) must add an explicit per-partition
+  * sort before writing. The broker verifies a content hash per claimed
+  * ordinal and FAILS the task on mismatch rather than silently dropping
+  * the differing row ([[EmbeddedBroker.Broker.publishOrdered]]).
   */
 class PubsubWriteBuilder(opts: PubsubWriteOptions, info: LogicalWriteInfo)
     extends WriteBuilder {

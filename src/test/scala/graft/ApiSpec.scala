@@ -94,6 +94,31 @@ class ApiSpec extends AnyFunSuite with Matchers {
     jac shouldBe 1.0
   }
 
+  test("shingle-join hot-shingle tripwire refuses the unbounded join and " +
+    "names the hot df") {
+    val s = spark
+    import s.implicits._
+    val tail = "common suffix tail"
+    val hot = (1 to 6).map(i => (s"h$i", s"word$i other$i more$i $tail"))
+      .toDF("uid", "body")
+    // hottest shingle df = 6 > guard 5 -> both pair ops refuse loudly
+    val e1 = the[IllegalArgumentException] thrownBy
+      Graft.ngramJaccardPairs(hot, "uid", "body", threshold = 0.5,
+        hotShingleGuardDf = 5).collect()
+    e1.getMessage should include("hottest shingle occurs in 6")
+    val e2 = the[IllegalArgumentException] thrownBy
+      Graft.containmentPairs(hot, "uid", "body", threshold = 0.5,
+        hotShingleGuardDf = 5).collect()
+    e2.getMessage should include("containmentPairs")
+    // explicit opt-outs both work: raise the guard, or cap the df
+    noException should be thrownBy
+      Graft.ngramJaccardPairs(hot, "uid", "body", threshold = 0.5,
+        hotShingleGuardDf = Int.MaxValue).collect()
+    noException should be thrownBy
+      Graft.ngramJaccardPairs(hot, "uid", "body", threshold = 0.5,
+        maxShingleDf = 5).collect()
+  }
+
   test("redactPii scrubs emails, phones and IPs and counts each") {
     val s = spark
     import s.implicits._

@@ -138,6 +138,32 @@ class EmbeddedBrokerSpec extends AnyFunSuite with Matchers {
     b.pull(s, 1000) should have size 3
   }
 
+  test("publishOrdered fails fast when a retry offers DIFFERENT content " +
+    "at an already-claimed ordinal (non-deterministic upstream)") {
+    val (b, t, s) = freshBroker()
+    def rows(r: Range, tag: String = "m") =
+      r.map(i => (s"$tag$i".getBytes,
+        Map.empty[String, String], "")): Seq[(Array[Byte], Map[String, String], String)]
+    b.publishOrdered(t, "q/1/0", 0, rows(0 until 10))
+    // byte-identical retry: silently skipped, no duplicates, no error
+    noException should be thrownBy
+      b.publishOrdered(t, "q/1/0", 0, rows(0 until 10))
+    // a retry whose row content CHANGED (shuffle order flipped upstream)
+    // must not be silently dropped — that would lose the new rows
+    val e = the[IllegalStateException] thrownBy
+      b.publishOrdered(t, "q/1/0", 0, rows(0 until 10, tag = "CHANGED"))
+    e.getMessage should include("not deterministic")
+    // attribute / ordering-key changes count as content changes too
+    val withAttrs = (0 until 10).map(i =>
+      (s"m$i".getBytes, Map("k" -> "v"), "")): Seq[(Array[Byte], Map[String, String], String)]
+    an[IllegalStateException] should be thrownBy
+      b.publishOrdered(t, "q/1/0", 0, withAttrs)
+    // the stream itself is still usable for genuinely new ordinals
+    b.publishOrdered(t, "q/1/0", 10, rows(10 until 12))
+    b.pull(s, 1000).map(p => new String(p._2.data)).sorted shouldBe
+      (0 until 12).map(i => s"m$i").sorted
+  }
+
   test("property: pull-ack loop drains any publish sequence exactly once " +
     "when every pull is acked (100 seeded cases)") {
     val rnd = new scala.util.Random(42)

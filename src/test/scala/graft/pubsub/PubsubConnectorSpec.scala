@@ -113,6 +113,34 @@ class PubsubConnectorSpec extends AnyFunSuite with Matchers
     batchSizes.count(_ > 0) should be >= 4
   }
 
+  test("AvailableNow drains fully when the trigger cap exceeds what the " +
+    "partitions can pull in one batch") {
+    // cap=1000 but 2 partitions x 20 per-partition max = 40 effective
+    // rows/batch: a budget of ceil(100/1000)=1 batch would terminate
+    // with 60 messages still queued. The budget must divide by the
+    // EFFECTIVE admission (ADVICE r6, PubsubMicroBatchStream:96).
+    publish100()
+    val total = new AtomicLong(0)
+    val q = spark.readStream.format("pubsub")
+      .option("project_id", "p")
+      .option("subscription", "in-sub")
+      .option("endpoint", ep)
+      .option("num_partitions", "2")
+      .option("max_messages_per_partition", "20")
+      .option("max_messages_per_trigger", "1000")
+      .load()
+      .selectExpr("CAST(data AS STRING) AS text")
+      .writeStream
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        total.addAndGet(ds.count()); ()
+      }
+      .option("checkpointLocation", tmpDir())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000) shouldBe true
+    total.get() shouldBe 100 // complete drain, not a silent early stop
+  }
+
   test("messages are acknowledged once the following batch commits") {
     publish100()
     val q = sourceDF.writeStream
