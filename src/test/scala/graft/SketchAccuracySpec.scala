@@ -126,7 +126,8 @@ class SketchAccuracySpec extends AnyFunSuite with Matchers {
       "s03_ann_ivf" -> graft.ops.Vector.ivfLabelListing(spark, sfDir),
       "s04_ann_ivf_trained" ->
         graft.ops.Vector.ivfTrainedListing(spark, sfDir),
-      "s10_pq_topk" -> graft.ops.Vector.pqListing(spark, sfDir))
+      "s10_pq_topk" -> graft.ops.Vector.pqListing(spark, sfDir),
+      "s11_ivfpq_topk" -> graft.ops.Vector.ivfpqListing(spark, sfDir))
     for ((name, df) <- listings) {
       val approx = df.collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
