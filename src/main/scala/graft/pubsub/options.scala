@@ -29,6 +29,10 @@ object PubsubOptions {
   val AckDeadlineSeconds = "ack_deadline_seconds"
   val WriterTimeoutSeconds = "writer_timeout_seconds"
   val MaxOutstandingBytes = "max_outstanding_bytes"
+  // The reference configures the publish-barrier timeout through SPARK
+  // CONF, not a DSv2 option (PubsubWriter.scala:98); accepted here as a
+  // fallback so a ported job's tuning is honored. Option wins over conf.
+  val RefWriterTimeoutConf = "spark.sql.pubsub.writer.timeout.seconds"
 
   val DefaultNumPartitions = 4
   val DefaultMaxMessagesPerPartition = 1000
@@ -111,8 +115,12 @@ object PubsubOptions {
       orderingKeyColumn =
         opts.get(OrderingKey).orElse(opts.get(OrderingKeyColumn)),
       endpoint = opts.get(Endpoint),
-      writerTimeoutSeconds = positiveInt(opts, WriterTimeoutSeconds,
-        DefaultWriterTimeoutSeconds),
+      writerTimeoutSeconds = {
+        val confFallback = org.apache.spark.sql.SparkSession.getActiveSession
+          .flatMap(_.conf.getOption(RefWriterTimeoutConf)).map(_.toInt)
+        positiveInt(opts, WriterTimeoutSeconds,
+          confFallback.getOrElse(DefaultWriterTimeoutSeconds))
+      },
       maxOutstandingBytes = {
         val v = opts.get(MaxOutstandingBytes).map(_.toLong)
           .getOrElse(DefaultMaxOutstandingBytes)

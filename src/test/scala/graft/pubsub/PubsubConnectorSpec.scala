@@ -487,6 +487,71 @@ class PubsubConnectorSpec extends AnyFunSuite with Matchers
     counts.map(_._1) shouldBe Seq("eu-west1", "global", "us-east1")
   }
 
+  test("monitor honors the reference's spark.sql.pubsub.* config keys " +
+    "as aliases, with the graft key winning when both are set") {
+    import PubsubBacklogMonitor._
+    publish100()
+    // reference-style keys alone steer every knob
+    val refConf = new org.apache.spark.SparkConf()
+      .set(RefBacklogThreshold, "1000")       // floor is 1000
+      .set(RefMaxDynamicPartitions, "64")
+      .set(RefMonitoringInterval, "30000")
+      .set(RefRegionSplitThreshold, "0.5")
+    val mRef = new PubsubBacklogMonitor(broker, Sub, refConf)
+    try {
+      // 100 msgs / threshold 1000 -> 1; raise backlog to see the knob bite
+      (0 until 4900).foreach(i => broker.publish(Topic, s"x$i".getBytes))
+      mRef.refresh()
+      mRef.partitionCount() shouldBe 5 // ceil(5000/1000), not 1 (dflt 10k)
+    } finally mRef.stop()
+    // split threshold 0.5 (vs default 0.7): a 55/45 regional mix splits
+    // under the alias-configured monitor but NOT under the defaults
+    val t2 = "projects/p/topics/r2"
+    val s2 = "projects/p/subscriptions/r2"
+    broker.createTopic(t2)
+    broker.createSubscription(s2, t2)
+    (0 until 55).foreach(_ =>
+      broker.publish(t2, "r".getBytes, Map("region" -> "us-east1")))
+    (0 until 45).foreach(_ =>
+      broker.publish(t2, "r".getBytes, Map("region" -> "eu-west1")))
+    val mSplit = new PubsubBacklogMonitor(broker, s2,
+      new org.apache.spark.SparkConf().set(RefRegionSplitThreshold, "0.5"))
+    try {
+      mSplit.regionPartitionCounts().map(_._1) shouldBe
+        Seq("eu-west1", "us-east1")
+    } finally mSplit.stop()
+    val mDflt = new PubsubBacklogMonitor(broker, s2,
+      new org.apache.spark.SparkConf())
+    try {
+      mDflt.regionPartitionCounts().map(_._1) shouldBe Seq("global")
+    } finally mDflt.stop()
+    // precedence: the graft-native key wins over the reference alias
+    val both = new org.apache.spark.SparkConf()
+      .set(BacklogThreshold, "2500")
+      .set(RefBacklogThreshold, "1000")
+    val mBoth = new PubsubBacklogMonitor(broker, Sub, both)
+    try {
+      mBoth.refresh()
+      // backlog is 5000: graft threshold 2500 -> 2; the alias would say 5
+      mBoth.partitionCount() shouldBe 2
+    } finally mBoth.stop()
+  }
+
+  test("writer timeout falls back to the reference's " +
+    "spark.sql.pubsub.writer.timeout.seconds conf when the option is unset") {
+    spark.conf.set(PubsubOptions.RefWriterTimeoutConf, "123")
+    try {
+      val fromConf = PubsubOptions.writeOptions(Map(
+        PubsubOptions.Topic -> "projects/p/topics/t"))
+      fromConf.writerTimeoutSeconds shouldBe 123
+      // explicit DSv2 option wins over the conf fallback
+      val fromOpt = PubsubOptions.writeOptions(Map(
+        PubsubOptions.Topic -> "projects/p/topics/t",
+        PubsubOptions.WriterTimeoutSeconds -> "77"))
+      fromOpt.writerTimeoutSeconds shouldBe 77
+    } finally spark.conf.unset(PubsubOptions.RefWriterTimeoutConf)
+  }
+
   test("region split assigns per-region endpoints and both resolve to " +
     "the topic's data") {
     spark.sparkContext // ensure an active session for the stream ctor
