@@ -10,7 +10,7 @@ import graft.pubsub.EmbeddedBroker
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.{MapType, StringType}
+import org.apache.spark.sql.types.{LongType, MapType, StringType, StructField, StructType}
 
 /** Streaming-surface proofs that run inside the batch correctness gate:
   * each query publishes fixture rows through the embedded broker, runs a
@@ -97,6 +97,40 @@ object StreamingOps {
         ep
       })
       val sub = s"$subPrefix-sub-${UUID.randomUUID().toString.take(8)}"
+      EmbeddedBroker.get(ep).createSubscription(
+        s"projects/p/subscriptions/$sub", topic, backfill = true)
+      (ep, sub)
+    }
+
+  /** Documents published in doc_id order from ONE task, so the broker's
+    * queue order — and with it micro-batch MEMBERSHIP under an admission
+    * cap — is deterministic: batch k holds the k-th cap-sized doc_id
+    * range. That determinism is what lets p15's per-batch dedup verdicts
+    * hash-check against a relational oracle. (The single-task publish is
+    * fixture-harness setup, not the operator: a production producer
+    * publishes from every executor and dedup verdicts are then
+    * arrival-order facts, not replayable ones.) */
+  private def publishDocumentsSorted(s: SparkSession, d: String)
+      : (String, String) =
+    synchronized {
+      val topic = "projects/p/topics/docs-sorted"
+      val ep = publishedBrokers.getOrElseUpdate((topic, d, 1), {
+        val ep0 = s"docs-${UUID.randomUUID()}"
+        EmbeddedBroker.get(ep0).createTopic(topic)
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+          .repartition(1).sortWithinPartitions("doc_id")
+          .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+            val b = EmbeddedBroker.get(ep0)
+            rows.grouped(5000).foreach { g =>
+              b.publishBatch(topic, g.map(r =>
+                (r.getString(1).getBytes("UTF-8"),
+                  Map("doc_id" -> r.getLong(0).toString), "")))
+            }
+          }
+        ep0
+      })
+      val sub = s"docs-sub-${UUID.randomUUID().toString.take(8)}"
       EmbeddedBroker.get(ep).createSubscription(
         s"projects/p/subscriptions/$sub", topic, backfill = true)
       (ep, sub)
@@ -670,6 +704,116 @@ object StreamingOps {
       },
       Some("SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sv " +
         "FROM events GROUP BY event_type ORDER BY event_type")),
+
+    Q("p15_stream_incremental_dedup",
+      // Streaming incremental dedup — the LLM pipeline's actual
+      // ingestion shape (the reference's foreachBatch recipe,
+      // README.md:131, meets graft.api.Graft.incrementalDedup): each
+      // micro-batch of arriving documents dedups against the GROWING
+      // digest index, batch verdicts land in per-batch parquet, and the
+      // batch's kept rows append to the index before the next batch
+      // plans. The index is a digest-BUCKETED table, so every probe
+      // join co-locates on the index side: the corpus-sized index never
+      // reshuffles for a shard-sized batch (the require below puts that
+      // plan property on the hash-checked path, b07-style). Documents
+      // arrive in doc_id order under a per-trigger admission cap, so
+      // batch membership — and with it every kept/dup_in_batch/
+      // dup_of_index verdict — is deterministic and the DuckDB oracle
+      // reconstructs all of it relationally.
+      (s, d) => {
+        val (ep, sub) = publishDocumentsSorted(s, d)
+        val nDocs = Tables.load(s, d, "documents").count()
+        val cap = math.max(50L, (nDocs + 3) / 4)
+        val outDir = Files.createTempDirectory("graft-p15").toString
+        val idxDir = Files.createTempDirectory("graft-p15-idx").toString
+        val idxTbl = s"p15_idx_${UUID.randomUUID().toString.take(8)}"
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("digest", StringType),
+            StructField("keep_id", LongType))))
+          .write.bucketBy(8, "digest").sortBy("digest")
+          .option("path", s"$idxDir/t").saveAsTable(idxTbl)
+        val q = s.readStream.format("pubsub")
+          .option("project_id", "p")
+          .option("subscription", sub)
+          .option("endpoint", ep)
+          .option("max_messages_per_trigger", cap.toString)
+          .option("max_messages_per_partition", "50000")
+          .option("dynamic_partitioning", "false")
+          .option("ack_deadline_seconds", "600")
+          .load()
+          .selectExpr("CAST(attributes['doc_id'] AS BIGINT) AS doc_id",
+            "CAST(data AS STRING) AS text")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val sess = batch.sparkSession
+            // bust the file-listing cache: earlier batches appended
+            sess.catalog.refreshTable(idxTbl)
+            graft.api.Graft
+              .incrementalDedup(batch, "doc_id", "text", sess.table(idxTbl))
+              .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+            // append this batch's kept rows from the WRITTEN verdicts
+            // (the index must not mutate under the verdict evaluation)
+            sess.read.parquet(s"$outDir/batch=$id")
+              .filter(col("status") === "kept")
+              .select(col("digest"), col("doc_id").as("keep_id"))
+              .write.mode("append").bucketBy(8, "digest").sortBy("digest")
+              .option("path", s"$idxDir/t").saveAsTable(idxTbl)
+            ()
+          }
+          .option("checkpointLocation", tmpCheckpoint("graft-p15"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(300000)
+        val all = s.read.option("basePath", outDir)
+          .parquet(s"$outDir/batch=*")
+        val sizes = all.groupBy("batch").count().collect().map(_.getLong(1))
+        require(sizes.forall(_ <= cap) &&
+          sizes.count(_ > 0) == (nDocs + cap - 1) / cap,
+          s"p15 batching broke: sizes ${sizes.toSeq} vs cap $cap over " +
+            s"$nDocs docs")
+        // The scale property itself, on the checked path: probing the
+        // bucketed index joins WITHOUT an index-side Exchange (the one
+        // Exchange in the probe plan is the shard side hashing into the
+        // index's bucket layout).
+        val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          s.catalog.refreshTable(idxTbl)
+          val plan = all.select("digest")
+            .join(s.table(idxTbl), Seq("digest"), "left")
+            .queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+          require(plan.contains("SortMergeJoin") &&
+            plan.contains("Bucketed: true") &&
+            """\(\d+\) Exchange""".r.findAllIn(plan).size == 1,
+            "index probe is not co-located: the bucketed index side " +
+              "reshuffled")
+        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        all.select(col("doc_id"), col("digest"), col("status"),
+          col("dup_of")).orderBy("doc_id")
+      },
+      // The oracle reconstructs the stream: batch k = k-th cap-sized
+      // doc_id range (sorted single-task publish + admission cap); the
+      // global min doc_id of a digest is always in that digest's FIRST
+      // batch, so the keeper is the global min and the verdict depends
+      // only on whether a doc shares the keeper's batch.
+      Some("WITH d AS (SELECT doc_id, sha256(text) AS digest " +
+        "FROM documents), " +
+        "n AS (SELECT GREATEST(50, CAST(CEIL(COUNT(*) / 4.0) AS BIGINT)) " +
+        "AS cap FROM d), " +
+        "r AS (SELECT doc_id, digest, CAST(FLOOR((ROW_NUMBER() OVER " +
+        "(ORDER BY doc_id) - 1) / cap) AS BIGINT) AS batch FROM d, n), " +
+        "k AS (SELECT digest, MIN(doc_id) AS keeper FROM r " +
+        "GROUP BY digest), " +
+        "kb AS (SELECT r.digest, r.batch AS kbatch, k.keeper FROM r " +
+        "JOIN k ON r.doc_id = k.keeper) " +
+        "SELECT r.doc_id, r.digest, " +
+        "CASE WHEN r.doc_id = kb.keeper THEN 'kept' " +
+        "WHEN r.batch = kb.kbatch THEN 'dup_in_batch' " +
+        "ELSE 'dup_of_index' END AS status, " +
+        "CASE WHEN r.doc_id = kb.keeper THEN NULL ELSE kb.keeper END " +
+        "AS dup_of " +
+        "FROM r JOIN kb ON r.digest = kb.digest ORDER BY r.doc_id")),
 
     Q("b03_json_scalar",
       // JSON scalar extraction over events.props (B3).
