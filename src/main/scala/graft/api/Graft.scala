@@ -1087,37 +1087,64 @@ object Graft {
       .select(col("id_a"), col("id_b"), col("cos")).distinct()
   }
 
-  /** Deterministic random hyperplanes: NTables independent tables of
-    * BitsPerTable sign bits (AND within a table keeps candidate lists
-    * short, OR across tables recovers recall). */
-  private[graft] val LshTables = 4
-  private[graft] val LshBits = 6
-  private lazy val tablePlanes: Seq[Seq[String]] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(LshTables, LshBits)(Array.fill(64)(rnd.nextGaussian())
+  /** Random-hyperplane LSH index parameters — the recall/cost tuning
+    * surface: `tables` independent tables of `bits` sign bits each (AND
+    * within a table keeps candidate lists short, OR across tables
+    * recovers recall; more tables = more recall and more index rows,
+    * more bits = shorter lists and less recall per table), `seed` for
+    * the deterministic plane draw, and the plane dimensionality `dim` —
+    * 0 (the default) derives it from the data's first row, because
+    * planes NARROWER than the vectors silently ignore the tail
+    * components and planes wider waste draw entropy. */
+  final case class LshParams(tables: Int = 4, bits: Int = 6,
+      dim: Int = 0, seed: Long = 42L) {
+    require(tables > 0, s"LshParams.tables must be positive: $tables")
+    require(bits > 0 && bits <= 30, s"LshParams.bits out of range: $bits")
+    require(dim >= 0, s"LshParams.dim must be >= 0: $dim")
+  }
+
+  /** Deterministic gaussian hyperplanes for `p` at dimensionality
+    * `dim`, as SQL array literals (constant-folded by Catalyst). */
+  private def tablePlanes(p: LshParams, dim: Int): Seq[Seq[String]] = {
+    val rnd = new scala.util.Random(p.seed)
+    Seq.fill(p.tables, p.bits)(Array.fill(dim)(rnd.nextGaussian())
       .map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")"))
   }
 
+  /** `p.dim`, or the data's vector width when `p.dim == 0` (one narrow
+    * LIMIT-1 job — index-build cost, paid once per plan). */
+  private def resolveLshDim(df: DataFrame, vecCol: String,
+      p: LshParams): Int =
+    if (p.dim > 0) p.dim
+    else df.select(size(col(vecCol)).cast("int")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(1)
+
   /** One bucket-code column per LSH table for `vecCol`. */
-  def lshCodeExprs(vecCol: String): Seq[Column] =
-    tablePlanes.map(_.zipWithIndex
-      .map { case (p, j) =>
-        when(dot(col(vecCol), expr(p)) > 0, lit(1 << j)).otherwise(lit(0)) }
+  def lshCodeExprs(vecCol: String, p: LshParams, dim: Int): Seq[Column] =
+    tablePlanes(p, dim).map(_.zipWithIndex
+      .map { case (pl, j) =>
+        when(dot(col(vecCol), expr(pl)) > 0, lit(1 << j)).otherwise(lit(0)) }
       .reduce(_ + _))
 
   /** (id, tbl, code) inverted index over all tables. */
-  def lshIndex(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  def lshIndex(df: DataFrame, idCol: String, vecCol: String,
+      p: LshParams = LshParams()): DataFrame = {
+    val dim = resolveLshDim(df, vecCol, p)
     df.select(col(idCol),
-      posexplode(array(lshCodeExprs(vecCol): _*)).as(Seq("tbl", "code")))
+      posexplode(array(lshCodeExprs(vecCol, p, dim): _*))
+        .as(Seq("tbl", "code")))
+  }
 
   /** Approximate top-k via multi-table LSH with hamming-1 multiprobe:
     * narrow candidate equi-join on (table, code), exact-cosine rerank on
-    * the short list only. */
+    * the short list only. `p` is the index tuning surface
+    * ([[LshParams]]); the defaults reproduce the committed gate
+    * behavior. */
   def annLshTopK(df: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int): DataFrame = {
+      queryPred: Column, k: Int, p: LshParams = LshParams()): DataFrame = {
     val n = normalized(df, idCol, vecCol)
-    val codes = lshIndex(n, idCol, vecCol)
-    val probes = (0 until LshBits)
+    val codes = lshIndex(n, idCol, vecCol, p)
+    val probes = (0 until p.bits)
       .map(i => col("code").bitwiseXOR(lit(1 << i))) :+ col("code")
     val qProbes = codes.filter(queryPred)
       .select(col(idCol).as("query_id"), col("tbl"),
@@ -1146,10 +1173,10 @@ object Graft {
     * hamming-1 multiprobe), exact cosine + threshold on candidates only
     * — no false positives, recall < 1 by construction. */
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, p: LshParams = LshParams()): DataFrame = {
     val n = normalized(df, idCol, vecCol)
-    val codes = lshIndex(n, idCol, vecCol)
-    val probes = (0 until LshBits)
+    val codes = lshIndex(n, idCol, vecCol, p)
+    val probes = (0 until p.bits)
       .map(i => col("code").bitwiseXOR(lit(1 << i))) :+ col("code")
     val probed = codes.select(col(idCol), col("tbl"),
       explode(array(probes: _*)).as("probe"))

@@ -119,6 +119,33 @@ class ApiSpec extends AnyFunSuite with Matchers {
         maxShingleDf = 5).collect()
   }
 
+  test("LshParams: plane width derives from the data (no silent 64-dim " +
+    "truncation) and tables/bits are tunable") {
+    val s = spark
+    import s.implicits._
+    // two 128-dim vectors identical in the first 64 components and
+    // OPPOSITE in the tail: the old fixed-64 planes could not tell them
+    // apart (tail ignored), full-width planes must
+    val v1 = (Array.fill(64)(0.01f) ++ Array.fill(64)(1.0f)).toSeq
+    val v2 = (Array.fill(64)(0.01f) ++ Array.fill(64)(-1.0f)).toSeq
+    val df = Seq((1L, v1), (2L, v2)).toDF("id", "vec")
+    val idx = graft.api.Graft.lshIndex(df, "id", "vec").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val c1 = idx.filter(_._1 == 1L).map(t => (t._2, t._3)).toSet
+    val c2 = idx.filter(_._1 == 2L).map(t => (t._2, t._3)).toSet
+    c1 should not equal c2 // tail components reached the codes
+    // tables/bits shape the index: rows per id = tables, codes < 2^bits
+    val shaped = graft.api.Graft.lshIndex(df, "id", "vec",
+      graft.api.Graft.LshParams(tables = 7, bits = 3)).collect()
+    shaped.count(_.getLong(0) == 1L) shouldBe 7
+    all(shaped.map(_.getInt(2))) should be < 8
+    // a different seed draws different planes -> different codes
+    val reseeded = graft.api.Graft.lshIndex(df, "id", "vec",
+      graft.api.Graft.LshParams(seed = 7L)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    reseeded should not equal idx.toSet
+  }
+
   test("redactPii scrubs emails, phones and IPs and counts each") {
     val s = spark
     import s.implicits._
