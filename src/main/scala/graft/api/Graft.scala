@@ -1071,20 +1071,97 @@ object Graft {
     * Scale shape: k-means is `iters` rounds of map-side assignment
     * against a broadcast nlist-row centroid table plus one aggregation;
     * multi-probe assignment is a map-side sorted slice; the pair join
-    * is an equi-join shuffled by list id. Same skew caveat as every
-    * blocked dedup: a dominant cluster degenerates toward the quadratic
-    * baseline — raise `nlist` or sub-cluster hot lists. */
+    * is an equi-join shuffled by list id. The classic blocked-dedup
+    * skew — a dominant cluster degenerating toward the quadratic
+    * baseline — is AUTO-HANDLED: lists hotter than `hotFactor` × the
+    * mean occupancy are sub-clustered one level before the pair join
+    * ([[containHotClusters]]); exact duplicates always survive the
+    * split (identical vectors share the argmax sub-assignment). */
   def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int, threshold: Double,
-      probes: Int = 2): DataFrame = {
+      probes: Int = 2, hotFactor: Double = 8.0): DataFrame = {
     val cents = kmeansCentroids(df, idCol, vecCol, nlist, iters)
     val assigned =
       if (probes <= 1) assignToCentroids(df, idCol, vecCol, cents)
       else assignToCentroidsTopN(df, idCol, vecCol, cents, probes)
-    blockedCosinePairs(assigned, idCol, vecCol, "list_id", threshold)
+    val contained = containHotClusters(
+      assigned.select(col(idCol), col(vecCol), col("list_id")),
+      idCol, vecCol, hotFactor)
+    blockedCosinePairs(contained, idCol, vecCol, "block_id", threshold)
       // a pair sharing two probed clusters appears once per shared list;
       // cos is the identical arithmetic both times, so DISTINCT dedupes
       .select(col("id_a"), col("id_b"), col("cos")).distinct()
+  }
+
+  /** Hot-cluster containment for blocked pair joins — the auto-handling
+    * for the dominant-cluster skew every blocked dedup documents: a
+    * list whose occupancy exceeds `hotFactor` × the MEAN occupancy
+    * would push its within-block pair join toward the quadratic
+    * baseline (one 50%-cluster is ~25% of all-pairs), so hot lists are
+    * SUB-CLUSTERED one level and their rows re-keyed to
+    * `"l<list>_<sub>"`; cold lists keep `"l<list>"`. Returns
+    * (idCol, vecCol, block_id STRING).
+    *
+    * The second level trains for ALL hot lists in ONE pass (the
+    * pqCodebooks trick): deterministic id-mod init into
+    * ceil(size/mean) subs per hot list, element-wise means keyed by
+    * (list, sub), then a single map-side argmax re-assignment against
+    * the broadcast per-list sub-centroids — row norms cancel in the
+    * argmax, so no normalization pass. Splitting trades the same
+    * cross-boundary recall the top-level clustering already trades
+    * (gated by the d12 recall contract); what it buys is bounded
+    * occupancy: post-split blocks sit near the mean, so the pair join
+    * stays ~n·mean instead of hot². */
+  def containHotClusters(assigned: DataFrame, idCol: String,
+      vecCol: String, hotFactor: Double = 8.0): DataFrame = {
+    require(hotFactor > 1.0, s"containHotClusters(hotFactor=$hotFactor)")
+    val counts = assigned.groupBy("list_id").agg(count(lit(1)).as("sz"))
+    val meanDf = counts.agg(avg(col("sz")).as("mean_sz"))
+    val hot = counts.crossJoin(broadcast(meanDf))
+      .filter(col("sz") > lit(hotFactor) * col("mean_sz"))
+      .select(col("list_id"),
+        ceil(col("sz") / col("mean_sz")).cast("int").as("nsub"))
+    val marked = assigned.join(broadcast(hot), Seq("list_id"), "left")
+    val cold = marked.filter(col("nsub").isNull)
+      .select(col(idCol), col(vecCol),
+        concat(lit("l"), col("list_id")).as("block_id"))
+    val hotRows = marked.filter(col("nsub").isNotNull)
+    val subMeans = hotRows
+      .withColumn("sub",
+        pmod(col(idCol).cast("long"), col("nsub").cast("long")).cast("int"))
+      .select(col("list_id"), col("sub"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("list_id", "sub", "pos").agg(avg("v").as("m"))
+      .groupBy("list_id", "sub")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("list_id"), col("sub"),
+        expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("centroid"))
+    val cn = subMeans
+      .select(col("list_id"), struct(col("sub"), col("centroid"),
+        sqrt(dot(col("centroid"), col("centroid"))).as("cnrm")).as("c"))
+      .groupBy("list_id").agg(collect_list(col("c")).as("cents"))
+    val resub = hotRows.join(broadcast(cn), Seq("list_id"))
+      .filter(size(col("cents")) > 0)
+      .select(col(idCol), col(vecCol), col("list_id"),
+        aggregate(
+          // argmax of dot/cnrm == argmax of cosine (the row norm is a
+          // positive constant across one row's candidates); winner
+          // condition is order-independent, so collect_list order
+          // cannot change the result (the assignToCentroids discipline)
+          transform(col("cents"), c => struct(
+            c("sub").cast("int").as("sub"),
+            (dot(col(vecCol), c("centroid")) / c("cnrm"))
+              .cast("double").as("d"))),
+          struct(lit(Int.MaxValue).as("sub"),
+            lit(Double.NegativeInfinity).cast("double").as("d")),
+          (acc, e) =>
+            when(e("d") > acc("d") ||
+                (e("d") === acc("d") && e("sub") < acc("sub")),
+              e).otherwise(acc))("sub").as("sub"))
+      .select(col(idCol), col(vecCol),
+        concat(lit("l"), col("list_id"), lit("_"), col("sub"))
+          .as("block_id"))
+    cold.union(resub)
   }
 
   /** Random-hyperplane LSH index parameters — the recall/cost tuning

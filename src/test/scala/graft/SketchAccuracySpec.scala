@@ -117,6 +117,60 @@ class SketchAccuracySpec extends AnyFunSuite with Matchers {
     gate.getBoolean(2) shouldBe true           // recall_ok
   }
 
+  test("d12 hot clusters: a dominant cluster is auto-sub-clustered, " +
+    "bounding block occupancy without losing exact near-dups") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // 200 vectors, 16-dim: half sit in ONE tight region (the dominant
+    // cluster), half are spread. Ten planted exact-duplicate pairs live
+    // inside the hot region (ids 2k == 2k+1 for k < 10).
+    val hotBase = Array.fill(16)(1.0f)
+    def jit(eps: Float) = hotBase.map(v => v + (rnd.nextFloat() - 0.5f) * eps)
+    val hotVecs: Seq[(Long, Seq[Float])] = (0 until 100).map { i =>
+      if (i < 20 && i % 2 == 1) (i.toLong, null) // filled below from twin
+      else (i.toLong, jit(0.05f).toSeq)
+    }
+    val byId = hotVecs.toMap
+    val hot = (0 until 100).map { i =>
+      if (i < 20 && i % 2 == 1) (i.toLong, byId((i - 1).toLong))
+      else (i.toLong, byId(i.toLong))
+    }
+    val spread = (100 until 200).map { i =>
+      (i.toLong, Array.fill(16)((rnd.nextFloat() - 0.5f) * 2f).toSeq)
+    }
+    val df = (hot ++ spread).toDF("id", "vec")
+    // containment bounds occupancy: the hot list (~half the corpus,
+    // x2 with probes) splits into ~mean-sized sub-blocks
+    val cents = graft.api.Graft.kmeansCentroids(df, "id", "vec", 4, 2)
+    val assigned = graft.api.Graft.assignToCentroids(df, "id", "vec", cents)
+      .select(col("id"), col("vec"), col("list_id"))
+    val before = assigned.groupBy("list_id").count()
+      .collect().map(_.getLong(1))
+    val contained = graft.api.Graft
+      .containHotClusters(assigned, "id", "vec", hotFactor = 2.0)
+    val after = contained.groupBy("block_id").count()
+      .collect().map(_.getLong(1))
+    withClue(s"block sizes before ${before.toSeq} after ${after.toSeq}: ") {
+      after.max should be < before.max
+      // every row kept exactly once (split re-keys, never drops)
+      after.sum shouldBe before.sum
+    }
+    // end-to-end: the skew-contained pipeline still has NO false
+    // positives and still finds every planted exact-dup pair (identical
+    // vectors always land in the same sub-block: same argmax)
+    val exact = graft.api.Graft
+      .cosinePairsExact(df, "id", "vec", threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = graft.api.Graft
+      .semanticDedupPairs(df, "id", "vec", nlist = 4, iters = 2,
+        threshold = 0.999, probes = 2, hotFactor = 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (sem -- exact) shouldBe empty
+    val planted = (0 until 10).map(k => (2L * k, 2L * k + 1)).toSet
+    (planted -- sem) shouldBe empty
+  }
+
   test("s02/s03/s04: approximate neighbors overlap the exact top-k, " +
     "and the gate contract rows hold") {
     val exact = run("s01_cosine_topk").collect()
