@@ -28,6 +28,38 @@ object Dedup {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
 
+  /** Deterministic md5-bucket sample of the embeddings capped at ~`cap`
+    * vectors (t19's trick), plus its id set — the r7 scale story for
+    * the accuracy contracts: their exact ground-truth arm is quadratic
+    * BY DEFINITION, so it runs on the sample (rate 1 at every committed
+    * fixture — bit-identical gate rows; ~5% at the 10× slice, bounding
+    * the exact arm at cap²/2 pairs no matter how the corpus grows).
+    * Recall measured on sample-restricted pairs estimates global
+    * recall; false positives are checked on the same subset. */
+  private def sampledVectors(emb: DataFrame, cap: Long): DataFrame = {
+    // Rate derived IN-PLAN (one tiny agg broadcast onto the scan, the
+    // same arithmetic as the oracle's n0 CTE) — a driver-side count()
+    // here would cost one extra job per contract arm.
+    val nv = emb.agg(count(lit(1)).as("nv"))
+    emb.crossJoin(broadcast(nv))
+      .filter(graft.functions.TextExpressions.hexSliceLong(
+        md5(concat_ws(":", lit("exact"), col("vec_id").cast("string"))),
+        1, 15) <
+        floor(least(lit(1.0), lit(cap.toDouble) / col("nv")) *
+          lit((1L << 60).toDouble)).cast("long"))
+      .drop("nv")
+  }
+
+  /** DuckDB view of [[sampledVectors]] as a CTE body (same md5 bucket,
+    * same double arithmetic, same 2⁶⁰ threshold). */
+  private def sampledSql: String =
+    "n0 AS (SELECT COUNT(*) AS nv FROM embeddings), " +
+      "smp AS (SELECT vec_id, embedding FROM embeddings, n0 WHERE " +
+      "CAST(concat('0x', substring(md5(concat('exact:', " +
+      "CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) < " +
+      "CAST(FLOOR(LEAST(1.0, 1000.0 / nv) * 1152921504606846976.0) " +
+      "AS BIGINT))"
+
   /** (doc_id, s): distinct word-3-shingles per document — see
     * [[graft.api.Graft.shingles]] (documents shorter than 3 words yield
     * no rows, matching the oracle's generate_series(1, len-2)). */
@@ -480,10 +512,20 @@ object Dedup {
           .semanticDedupPairs(emb, "vec_id", "embedding",
             nlist = nlist, iters = 2, threshold = 0.45)
           .select(col("id_a"), col("id_b"))
+        // contract arms on the deterministic sample (see sampledVectors);
+        // the operator itself ran on the full corpus above
+        val sampled = sampledVectors(emb, 1000L)
+        val sIds = sampled.select(col("vec_id"))
+        val semS = sem
+          .join(sIds.select(col("vec_id").as("id_a")), Seq("id_a"),
+            "left_semi")
+          .join(sIds.select(col("vec_id").as("id_b")), Seq("id_b"),
+            "left_semi")
         val exact = graft.api.Graft
-          .cosinePairsExact(emb, "vec_id", "embedding", threshold = 0.45)
+          .cosinePairsExact(sampled, "vec_id", "embedding",
+            threshold = 0.45)
           .select(col("id_a"), col("id_b"))
-        val stats = sem
+        val stats = semS
           .join(exact.withColumn("hit", lit(1L)), Seq("id_a", "id_b"),
             "left")
           .agg(
@@ -494,10 +536,11 @@ object Dedup {
           .select(col("n_exact"), col("false_positives"),
             (col("hits") >= col("n_exact") * 0.6).as("recall_ok"))
       },
-      Some("WITH n AS (SELECT vec_id, embedding, " +
+      Some("WITH " + sampledSql + ", " +
+        "n AS (SELECT vec_id, embedding, " +
         "sqrt(list_sum(list_transform(list_zip(embedding, embedding), " +
         "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) AS nrm " +
-        "FROM embeddings), " +
+        "FROM smp), " +
         "p AS (SELECT list_sum(list_transform(" +
         "list_zip(a.embedding, b.embedding), " +
         "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
@@ -527,11 +570,20 @@ object Dedup {
       // available via graft.api.Graft.lshCosinePairs.
       (s, d) => {
         val emb = Tables.load(s, d, "embeddings")
+        // The operator under test runs on the FULL corpus; only the
+        // contract's quadratic exact arm is sampled (see sampledVectors)
+        val sampled = sampledVectors(emb, 1000L)
+        val sIds = sampled.select(col("vec_id"))
         val lsh = graft.api.Graft
           .lshCosinePairs(emb, "vec_id", "embedding", threshold = 0.45)
           .select(col("id_a"), col("id_b"))
+          .join(sIds.select(col("vec_id").as("id_a")), Seq("id_a"),
+            "left_semi")
+          .join(sIds.select(col("vec_id").as("id_b")), Seq("id_b"),
+            "left_semi")
         val exact = graft.api.Graft
-          .cosinePairsExact(emb, "vec_id", "embedding", threshold = 0.45)
+          .cosinePairsExact(sampled, "vec_id", "embedding",
+            threshold = 0.45)
           .select(col("id_a"), col("id_b"))
         val stats = lsh
           .join(exact.withColumn("hit", lit(1L)), Seq("id_a", "id_b"),
@@ -544,10 +596,11 @@ object Dedup {
           .select(col("n_exact"), col("false_positives"),
             (col("hits") >= col("n_exact") * 0.5).as("recall_ok"))
       },
-      Some("WITH n AS (SELECT vec_id, embedding, " +
+      Some("WITH " + sampledSql + ", " +
+        "n AS (SELECT vec_id, embedding, " +
         "sqrt(list_sum(list_transform(list_zip(embedding, embedding), " +
         "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) AS nrm " +
-        "FROM embeddings), " +
+        "FROM smp), " +
         "p AS (SELECT list_sum(list_transform(" +
         "list_zip(a.embedding, b.embedding), " +
         "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
