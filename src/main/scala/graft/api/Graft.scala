@@ -1188,12 +1188,38 @@ object Graft {
     * the deterministic plane draw, and the plane dimensionality `dim` —
     * 0 (the default) derives it from the data's first row, because
     * planes NARROWER than the vectors silently ignore the tail
-    * components and planes wider waste draw entropy. */
-  final case class LshParams(tables: Int = 4, bits: Int = 6,
-      dim: Int = 0, seed: Long = 42L) {
-    require(tables > 0, s"LshParams.tables must be positive: $tables")
-    require(bits > 0 && bits <= 30, s"LshParams.bits out of range: $bits")
+    * components and planes wider waste draw entropy.
+    *
+    * `bits = 0` (the default) derives the bit width from the corpus so
+    * bucket occupancy stays ~`targetOccupancy` as the data grows:
+    * `clamp(ceil(log2(n / targetOccupancy)), 4, 16)`. A PINNED bit
+    * width fixes the bucket count, which makes the candidate stage of
+    * [[lshCosinePairs]] O(n²/2^bits) — measured 41× wall growth on 10×
+    * data before this derivation (SCALE.md), the same super-linearity
+    * the k-means `nlist` derivation fixes for d12.
+    *
+    * `tables = 0` (the default) derives the table count from the
+    * RESOLVED bit width — `clamp(4 · 2^((bits-6)/2), 4, 64)` — because
+    * per-table collision probability decays geometrically in `bits`
+    * (measured ~0.55× per +2 bits on the fixtures, hamming-1 probing
+    * included), so recall at a fixed table count decays with corpus
+    * growth: sf0.1 measured 0.806 → 0.563 → 0.326 at bits 6/8/10 with
+    * 4 tables, restored to 0.819 at bits 8 with the derived 8 tables.
+    * Doubling tables per +2 bits holds recall ~flat at total work
+    * O(n^1.5) — the classic sub-quadratic LSH exponent; beyond the
+    * bits cap (corpus ≫ 10⁶ per partition-disjoint shard) switch
+    * families (minhash banding over shingles, or IVF/k-means blocking
+    * via [[semanticDedupPairs]]) rather than stretching sign-LSH. Pin
+    * either field to reproduce a specific index layout. */
+  final case class LshParams(tables: Int = 0, bits: Int = 0,
+      dim: Int = 0, seed: Long = 42L, targetOccupancy: Int = 8) {
+    require(tables >= 0,
+      s"LshParams.tables must be >= 0 (0 derives from bits): $tables")
+    require(bits >= 0 && bits <= 30,
+      s"LshParams.bits out of range (0 derives from the data): $bits")
     require(dim >= 0, s"LshParams.dim must be >= 0: $dim")
+    require(targetOccupancy > 0,
+      s"LshParams.targetOccupancy must be positive: $targetOccupancy")
   }
 
   /** Deterministic gaussian hyperplanes for `p` at dimensionality
@@ -1212,19 +1238,45 @@ object Graft {
     else df.select(size(col(vecCol)).cast("int")).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(1)
 
-  /** One bucket-code column per LSH table for `vecCol`. */
-  def lshCodeExprs(vecCol: String, p: LshParams, dim: Int): Seq[Column] =
+  /** Resolve the `bits = 0` / `dim = 0` sentinels against the data: one
+    * count + one LIMIT-1 job, index-build cost paid once per operator
+    * call. Idempotent on an already-resolved params value. */
+  private def resolveLsh(df: DataFrame, vecCol: String,
+      p: LshParams): LshParams = {
+    val dim = resolveLshDim(df, vecCol, p)
+    val bits =
+      if (p.bits > 0) p.bits
+      else {
+        val n = math.max(1L, df.count()).toDouble
+        math.min(16, math.max(4,
+          math.ceil(math.log(n / p.targetOccupancy) / math.log(2.0)).toInt))
+      }
+    val tables =
+      if (p.tables > 0) p.tables
+      else math.min(64, math.max(4,
+        math.ceil(4.0 * math.pow(2.0, (bits - 6) / 2.0)).toInt))
+    p.copy(tables = tables, bits = bits, dim = dim)
+  }
+
+  /** One bucket-code column per LSH table for `vecCol`. Requires
+    * resolved params (`bits > 0`) — the public operators resolve the
+    * derive-from-data sentinel before calling this. */
+  def lshCodeExprs(vecCol: String, p: LshParams, dim: Int): Seq[Column] = {
+    require(p.bits > 0 && p.tables > 0, "lshCodeExprs needs resolved " +
+      "params: the bits = 0 / tables = 0 sentinels derive from the data " +
+      "inside lshIndex/annLshTopK/lshCosinePairs")
     tablePlanes(p, dim).map(_.zipWithIndex
       .map { case (pl, j) =>
         when(dot(col(vecCol), expr(pl)) > 0, lit(1 << j)).otherwise(lit(0)) }
       .reduce(_ + _))
+  }
 
   /** (id, tbl, code) inverted index over all tables. */
   def lshIndex(df: DataFrame, idCol: String, vecCol: String,
       p: LshParams = LshParams()): DataFrame = {
-    val dim = resolveLshDim(df, vecCol, p)
+    val r = resolveLsh(df, vecCol, p)
     df.select(col(idCol),
-      posexplode(array(lshCodeExprs(vecCol, p, dim): _*))
+      posexplode(array(lshCodeExprs(vecCol, r, r.dim): _*))
         .as(Seq("tbl", "code")))
   }
 
@@ -1234,8 +1286,9 @@ object Graft {
     * ([[LshParams]]); the defaults reproduce the committed gate
     * behavior. */
   def annLshTopK(df: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int, p: LshParams = LshParams()): DataFrame = {
+      queryPred: Column, k: Int, p0: LshParams = LshParams()): DataFrame = {
     val n = normalized(df, idCol, vecCol)
+    val p = resolveLsh(df, vecCol, p0)
     val codes = lshIndex(n, idCol, vecCol, p)
     val probes = (0 until p.bits)
       .map(i => col("code").bitwiseXOR(lit(1 << i))) :+ col("code")
@@ -1266,8 +1319,9 @@ object Graft {
     * hamming-1 multiprobe), exact cosine + threshold on candidates only
     * — no false positives, recall < 1 by construction. */
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, p: LshParams = LshParams()): DataFrame = {
+      threshold: Double, p0: LshParams = LshParams()): DataFrame = {
     val n = normalized(df, idCol, vecCol)
+    val p = resolveLsh(df, vecCol, p0)
     val codes = lshIndex(n, idCol, vecCol, p)
     val probes = (0 until p.bits)
       .map(i => col("code").bitwiseXOR(lit(1 << i))) :+ col("code")
