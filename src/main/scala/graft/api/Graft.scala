@@ -168,6 +168,70 @@ object Graft {
           .as("dup_of"))
   }
 
+  /** [[incrementalDedup]] with a Bloom-filter pre-prune of the index
+    * probe — identical EXACT results (the filter only routes rows), but
+    * batch rows whose digest is definitely-not-indexed skip the
+    * corpus-sized equi-join entirely. In an incremental ingest most
+    * arriving content is new, so at 100 TB the probe join receives the
+    * might-contain sliver instead of the whole shard — the same
+    * pruning Spark's own InjectRuntimeFilter applies to selective
+    * joins, here made explicit because the index outlives the query.
+    *
+    * The filter is built DISTRIBUTED over `xxhash64(digest)` in one
+    * mergeable aggregation pass (`DataFrameStatFunctions.bloomFilter`),
+    * and the driver then embeds the finished sketch as a constant so
+    * probing rides the scan as a codegen'd map filter
+    * (`BloomFilterMightContain` requires a constant — it deserializes
+    * the sketch once per task, not per row). Driver memory holds only
+    * the sketch: ~`-log2(fpp)·1.44` bits per indexed item (~0.9 GB per
+    * 10⁹ items at the 3% default) — the membership analog of a
+    * broadcast dimension table, NOT a corpus collect. Build it once per
+    * ingest cycle and reuse across shards; false positives cost one
+    * extra probe row each, false negatives cannot happen, so results
+    * never depend on `fpp`. */
+  def bloomIncrementalDedup(newDocs: DataFrame, idCol: String,
+      textCol: String, priorIndex: DataFrame, digestCol: String = "digest",
+      keeperCol: String = "keep_id", expectedItems: Long = 0L,
+      fpp: Double = 0.03): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0,
+      s"bloomIncrementalDedup(fpp=$fpp) must be in (0, 1)")
+    val items =
+      if (expectedItems > 0L) expectedItems
+      else math.max(1L, priorIndex.count())
+    val bf = priorIndex
+      .select(xxhash64(col(digestCol)).as("xh"))
+      .stat.bloomFilter("xh", items, fpp)
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    val bfLit = org.apache.spark.sql.catalyst.expressions.Literal
+      .create(out.toByteArray,
+        org.apache.spark.sql.types.BinaryType)
+    def mightContain(c: Column): Column =
+      org.apache.spark.sql.graft.Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          bfLit,
+          org.apache.spark.sql.graft.Bridge.expression(xxhash64(c))))
+    val d = newDocs.select(col(idCol),
+      sha2(col(textCol).cast("binary"), 256).as("digest"))
+    val batchKeeper = d.groupBy("digest")
+      .agg(min(col(idCol)).as("batch_keeper"))
+    val maybe = d.filter(mightContain(col("digest")))
+      .join(priorIndex.select(col(digestCol).as("digest"),
+        col(keeperCol).as("index_keeper")), Seq("digest"), "left")
+    val fresh = d.filter(!mightContain(col("digest")))
+      .withColumn("index_keeper",
+        lit(null).cast(priorIndex.schema(keeperCol).dataType))
+    maybe.unionByName(fresh)
+      .join(batchKeeper, Seq("digest"))
+      .select(col(idCol), col("digest"),
+        when(col("index_keeper").isNotNull, lit("dup_of_index"))
+          .when(col(idCol) =!= col("batch_keeper"), lit("dup_in_batch"))
+          .otherwise(lit("kept")).as("status"),
+        when(col("index_keeper").isNotNull, col("index_keeper"))
+          .when(col(idCol) =!= col("batch_keeper"), col("batch_keeper"))
+          .as("dup_of"))
+  }
+
   /** MinHash signature columns m0..m{k-1} per id: seeded-md5 slices
     * parsed to BIGINT (portable across engines — fixed-width hex order ==
     * numeric order, and DuckDB parses the same slice via
@@ -414,6 +478,64 @@ object Graft {
         acc.when(col(strataCol) === k, lit(r))
       }.otherwise(lit(0.0))
     df.filter(h < floor(rate * lit((1L << 60).toDouble)).cast("long"))
+  }
+
+  /** Token-budget mixture composition — the step that actually BUILDS a
+    * training mix: for each source, admit documents in a deterministic
+    * md5-priority order until the source's token budget is exhausted
+    * (greedy prefix: a document enters iff its running total stays
+    * within budget). Unlike [[stratifiedSample]] (rate per stratum)
+    * this hits absolute token targets — "500 B tokens of web, 200 B of
+    * code" — and the priority hash makes the selection a pure function
+    * of (salt, id): re-runs, repartitioning and corpus growth never
+    * reorder the admitted prefix. Sources absent from `budgets` drop.
+    * Output: (id, source, n_tok, cum_tok) for admitted rows.
+    *
+    * Scale shape: NO per-source global window (a 100 TB source in one
+    * window partition is a single-task sort). The priority's top 8 bits
+    * pre-bucket each source into 256 slices; per-slice token sums make
+    * a tiny (≤ 256 × sources row) cut table whose running sum locates
+    * every slice's starting offset, and slices that begin past their
+    * budget are filtered BEFORE the detail window runs — so the only
+    * row-level window partitions by (source, slice), 1/256th of a
+    * source, and covers only slices that can still admit rows. The
+    * admitted set is bit-identical to the naive global-window
+    * formulation because slice order is the priority's own high bits —
+    * which is exactly how the DuckDB oracle recomputes it. */
+  def mixtureByBudget(df: DataFrame, idCol: String, tokenCol: String,
+      sourceCol: String, budgets: Seq[(String, Long)],
+      salt: String = "mix"): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_._2 >= 0L),
+      "mixtureByBudget: budgets must be non-negative")
+    require(budgets.map(_._1).distinct.size == budgets.size,
+      "mixtureByBudget: duplicate source in budgets")
+    val s = df.sparkSession
+    import s.implicits._
+    val bdf = budgets.toDF(sourceCol, "budget")
+    val pri = graft.functions.TextExpressions.hexSliceLong(
+      md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 15)
+    val base = df
+      .select(col(idCol), col(sourceCol),
+        col(tokenCol).cast("long").as("n_tok"))
+      .withColumn("pri", pri)
+      .withColumn("bkt", shiftright(col("pri"), 52).cast("int"))
+      .join(broadcast(bdf), Seq(sourceCol))
+    val bktAgg = base.groupBy(sourceCol, "bkt")
+      .agg(sum("n_tok").as("btok"))
+    val wCut = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol).orderBy("bkt")
+      .rowsBetween(Long.MinValue, -1)
+    val cuts = bktAgg
+      .withColumn("cum_before", coalesce(sum("btok").over(wCut), lit(0L)))
+      .select(col(sourceCol), col("bkt"), col("cum_before"))
+    val wRow = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol, "bkt").orderBy(col("pri"), col(idCol))
+      .rowsBetween(Long.MinValue, 0)
+    base.join(broadcast(cuts), Seq(sourceCol, "bkt"))
+      .filter(col("cum_before") < col("budget"))
+      .withColumn("cum_tok", col("cum_before") + sum("n_tok").over(wRow))
+      .filter(col("cum_tok") <= col("budget"))
+      .select(col(idCol), col(sourceCol), col("n_tok"), col("cum_tok"))
   }
 
   /** Unigram log-probability score per document — the in-corpus stand-in
@@ -959,6 +1081,65 @@ object Graft {
         (dot(col("qe"), col(vecCol)) /
           (col("qn") * sqrt(dot(col(vecCol), col(vecCol))))).as("cos"))
       .withColumn("rnk", row_number().over(wFull).cast("bigint"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** ANN k-nearest-neighbor SELF-join: approximate top-`k` neighbors
+    * for EVERY corpus vector — the all-pairs retrieval shape behind
+    * embedding-level curation (SemDeDup neighborhoods, diversity
+    * filtering, graph construction), where the query set IS the corpus
+    * and the broadcast-the-queries trick of `cosineTopK` cannot apply.
+    *
+    * Shape: train an IVF coarse quantizer on a bounded md5-bucket
+    * sample (the [[ivfPqTopK]] discipline), assign each corpus vector
+    * to its ONE primary list, let each vector-as-query probe its
+    * `probes` nearest lists ([[assignToCentroidsTopN]] — map-only), and
+    * join query probes to list members on the list id. Per-query
+    * candidates ≈ probes × occupancy, and occupancy is held ~constant
+    * by deriving `nlist` from the corpus count — so total work is
+    * O(n · probes · vectorsPerList) dot products: LINEAR in the corpus,
+    * never the n² cross product. The per-query top-k window partitions
+    * by query id over those bounded candidate lists. A neighbor's
+    * primary list is unique and probed lists are distinct, so a
+    * (query, neighbor) pair appears at most once — no dedup pass.
+    * Boundary recall comes from multi-probe overlap, exactly like
+    * [[semanticDedupPairs]]' 2-probe assignment. */
+  def annKnnJoin(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      probes: Int = 2, iters: Int = 2, vectorsPerList: Int = 400,
+      trainPerList: Int = 128): DataFrame = {
+    require(k > 0 && probes > 0 && vectorsPerList > 0 && trainPerList > 0,
+      s"annKnnJoin(k=$k, probes=$probes, vectorsPerList=$vectorsPerList)")
+    val count = df.count()
+    val nlist = math.max(1L, math.round(count.toDouble / vectorsPerList))
+      .toInt
+    val train = {
+      val cap = nlist.toLong * trainPerList
+      if (count <= cap) df
+      else df.filter(expr(
+        s"pmod(conv(substring(md5(CAST($idCol AS STRING)), 1, 8), 16, 10)," +
+          s" 1000000) < ${math.max(1L, cap * 1000000L / count)}"))
+    }
+    val cents =
+      iterCheckpoint(kmeansCentroids(train, idCol, vecCol, nlist, iters))
+    val listed = normalized(df, idCol, vecCol)
+      .join(assignToCentroids(df, idCol, vecCol, cents)
+        .select(col(idCol), col("list_id")), Seq(idCol))
+    val qProbes = assignToCentroidsTopN(df, idCol, vecCol, cents,
+      math.min(probes, nlist))
+      .join(normalized(df, idCol, vecCol)
+        .select(col(idCol), col("nrm")), Seq(idCol))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qe"),
+        col("nrm").as("qn"), col("list_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    qProbes.as("q")
+      .join(listed.as("c"), col("q.list_id") === col("c.list_id") &&
+        col("q.query_id") =!= col(s"c.$idCol"))
+      .select(col("q.query_id"), col(s"c.$idCol").as("neighbor_id"),
+        (dot(col("q.qe"), col(s"c.$vecCol")) /
+          (col("q.qn") * col("c.nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= k)
   }
 

@@ -155,6 +155,43 @@ object Dedup {
         "FROM nb LEFT JOIN prior p USING (digest) JOIN bk USING (digest) " +
         "ORDER BY doc_id")),
 
+    Q("d15_bloom_dedup",
+      // d13's incremental probe with a Bloom-filter pre-prune: the index
+      // digests fold into one bounded sketch (distributed mergeable agg,
+      // ~7 bits/item), and batch rows that are definitely-new skip the
+      // corpus-sized probe join entirely — the memory-bounded membership
+      // shape of a 100 TB ingest loop. Results are EXACT (false
+      // positives only cost an extra probe row; false negatives cannot
+      // happen), so the oracle is d13's relational recompute verbatim —
+      // same fixture split, same verdicts, bloom or no bloom.
+      // See [[graft.api.Graft.bloomIncrementalDedup]].
+      (s, d) => {
+        val all = docs(s, d)
+        val prior = all.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"),
+            sha2(col("text").cast("binary"), 256).as("digest"))
+          .groupBy("digest").agg(min("doc_id").as("keep_id"))
+        graft.api.Graft.bloomIncrementalDedup(
+          all.filter(col("doc_id") % 2 === 1), "doc_id", "text", prior)
+          .orderBy("doc_id")
+      },
+      Some("WITH d AS (SELECT doc_id, sha256(text) AS digest " +
+        "FROM documents), " +
+        "prior AS (SELECT digest, MIN(doc_id) AS index_keeper FROM d " +
+        "WHERE doc_id % 2 = 0 GROUP BY digest), " +
+        "nb AS (SELECT doc_id, digest FROM d WHERE doc_id % 2 = 1), " +
+        "bk AS (SELECT digest, MIN(doc_id) AS batch_keeper FROM nb " +
+        "GROUP BY digest) " +
+        "SELECT nb.doc_id, nb.digest, " +
+        "CASE WHEN p.index_keeper IS NOT NULL THEN 'dup_of_index' " +
+        "WHEN nb.doc_id <> bk.batch_keeper THEN 'dup_in_batch' " +
+        "ELSE 'kept' END AS status, " +
+        "CASE WHEN p.index_keeper IS NOT NULL THEN p.index_keeper " +
+        "WHEN nb.doc_id <> bk.batch_keeper THEN bk.batch_keeper " +
+        "END AS dup_of " +
+        "FROM nb LEFT JOIN prior p USING (digest) JOIN bk USING (digest) " +
+        "ORDER BY doc_id")),
+
     Q("d09_normalized_dedup",
       // Normalized-content exact dedup: the t15 canonicalization
       // (lowercase, strip non-printables, collapse whitespace, trim)

@@ -513,6 +513,35 @@ object TextOps {
         "COALESCE(string_agg(CASE WHEN occ <= 1 THEN unit END, ' ' " +
         "ORDER BY pos), '') AS scrubbed_text " +
         "FROM u JOIN f ON md5(u.unit) = f.uh " +
-        "GROUP BY doc_id ORDER BY doc_id"))
+        "GROUP BY doc_id ORDER BY doc_id")),
+
+    Q("t23_mixture_budget",
+      // Token-budget mixture composition: admit documents per source in
+      // deterministic md5-priority order until the source's token budget
+      // fills — the step that turns per-source token TARGETS ("7k chars
+      // of src0, 2k of src19") into an actual training mix. Sources
+      // without a budget drop; budgets sit strictly inside each source's
+      // total so every listed source exercises an interior cutoff. The
+      // oracle recomputes the admitted prefix with one global window per
+      // source; the Spark plan gets the same rows from the two-phase
+      // slice composition (no corpus-scale window partition — see
+      // [[graft.api.Graft.mixtureByBudget]]).
+      (s, d) => graft.api.Graft.mixtureByBudget(
+        docs(s, d), "doc_id", "n_chars", "source",
+        Seq("src0" -> 7000L, "src1" -> 6000L, "src7" -> 5000L,
+          "src19" -> 2000L))
+        .orderBy("doc_id"),
+      Some("WITH w(source, budget) AS (VALUES ('src0', 7000), " +
+        "('src1', 6000), ('src7', 5000), ('src19', 2000)), " +
+        "b AS (SELECT doc_id, d.source, n_chars, budget, " +
+        "CAST(concat('0x', substring(md5(concat('mix:', " +
+        "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS pri " +
+        "FROM documents d JOIN w ON d.source = w.source), " +
+        "c AS (SELECT doc_id, source, n_chars, budget, " +
+        "SUM(n_chars) OVER (PARTITION BY source ORDER BY pri, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
+        "FROM b) " +
+        "SELECT doc_id, source, n_chars AS n_tok, cum AS cum_tok " +
+        "FROM c WHERE cum <= budget ORDER BY doc_id"))
   )
 }

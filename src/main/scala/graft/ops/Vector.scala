@@ -143,6 +143,14 @@ object Vector {
       .orderBy("query_id", "rnk")
   }
 
+  private[graft] def knnJoinListing(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft
+      .annKnnJoin(Tables.load(s, d, "embeddings"), "vec_id", "embedding",
+        k = K)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("query_id", "rnk")
+
   /** Per-query structural contract over an ANN listing — every invariant
     * here is DETERMINISTIC for a correct index regardless of which
     * neighbors it picked, so DuckDB can recompute the expected rows
@@ -171,12 +179,15 @@ object Vector {
 
   /** The DuckDB side of [[annContract]]: the expected contract row for
     * every query id, recomputed from the embeddings table alone. */
-  private def annContractSql: String =
+  private def annContractSqlWhere(where: String): String =
     s"SELECT vec_id AS query_id, CAST($K AS BIGINT) AS n_ret, " +
       s"CAST(${K * (K + 1) / 2} AS BIGINT) AS rnk_sum, " +
       s"CAST($K AS BIGINT) AS n_distinct, " +
       "true AS self_excluded, true AS cos_bounded, true AS ranked_desc " +
-      s"FROM embeddings WHERE vec_id < $NQueries ORDER BY query_id"
+      s"FROM embeddings $where ORDER BY query_id"
+
+  private def annContractSql: String =
+    annContractSqlWhere(s"WHERE vec_id < $NQueries")
 
   val defs: Seq[Q] = Seq(
 
@@ -431,12 +442,27 @@ object Vector {
       (s, d) => annContract(ivfpqListing(s, d)),
       Some(annContractSql)),
 
+    Q("s12_ann_knn_join",
+      // ANN kNN SELF-join: top-k neighbors for EVERY corpus vector (the
+      // query set is the corpus — SemDeDup neighborhoods, diversity
+      // filters, kNN-graph construction). IVF-blocked: one primary list
+      // per vector, each vector-as-query probes its 2 nearest lists,
+      // candidates come from the list-id equi-join — O(n · probes ·
+      // occupancy) dot products, never n², with occupancy held constant
+      // by deriving nlist from count() (the d12 lesson). Gate row = the
+      // per-query structural contract over ALL vectors (one row per
+      // corpus vector, hash-checked); recall is s07's 'knn' oracle row.
+      // See [[graft.api.Graft.annKnnJoin]].
+      (s, d) => annContract(knnJoinListing(s, d)),
+      Some(annContractSqlWhere(""))),
+
     Q("s07_ann_recall",
       // The recall CONTRACT for every ANN variant, promoted from
       // SketchAccuracySpec into the oracle gate: the exact top-k (s01's
       // brute-force cosine, which DuckDB recomputes independently) is
       // the in-Spark ground truth, and each approximate index (s02 LSH,
-      // s03 IVF-by-label, s04 IVF-trained, s10 PQ+rerank, s11 IVF-PQ)
+      // s03 IVF-by-label, s04 IVF-trained, s10 PQ+rerank, s11 IVF-PQ,
+      // s12 kNN self-join restricted to the query set)
       // must recover a committed floor of its pairs pooled across
       // queries: 0.5 for LSH, the trained IVF and PQ (PQ measured
       // 0.6-0.8 across the three fixtures with the 10%-of-corpus rerank
@@ -467,7 +493,9 @@ object Vector {
           "ivf" -> ivfLabelListing(s, d),
           "ivf_trained" -> ivfTrainedListing(s, d),
           "pq" -> pqListing(s, d),
-          "ivfpq" -> ivfpqListing(s, d))
+          "ivfpq" -> ivfpqListing(s, d),
+          "knn" -> knnJoinListing(s, d)
+            .filter(col("query_id") < NQueries))
           .map { case (m, df) =>
             df.select(lit(m).as("method"), col("query_id"),
               col("neighbor_id"))
@@ -481,7 +509,8 @@ object Vector {
           .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
           .select(col("method"), col("n_queries"), col("n_exact"),
             (col("hits") >= col("n_exact") *
-              when(col("method").isin("ivf", "ivfpq"), 0.3).otherwise(0.5))
+              when(col("method").isin("ivf", "ivfpq", "knn"), 0.3)
+                .otherwise(0.5))
               .as("recall_ok"))
           .orderBy("method")
       },
@@ -499,7 +528,7 @@ object Vector {
         "FROM p), " +
         s"ex AS (SELECT query_id FROM r WHERE rnk <= $K), " +
         "m(method) AS (VALUES ('ivf'), ('ivf_trained'), ('ivfpq'), " +
-        "('lsh'), ('pq')) " +
+        "('knn'), ('lsh'), ('pq')) " +
         "SELECT m.method, " +
         "(SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM ex) " +
         "AS n_queries, " +

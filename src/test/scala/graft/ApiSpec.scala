@@ -813,6 +813,73 @@ class ApiSpec extends AnyFunSuite with Matchers {
     got shouldBe Map((0L, 0L) -> 0L, (1L, 0L) -> 16L * 257)
   }
 
+  test("mixtureByBudget: admitted prefix equals the naive global-window " +
+    "formulation, budgets bind per source, unlisted sources drop") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{concat_ws, lit, md5, sum}
+    val docs = (1L to 400L).map(i =>
+      (i, s"s${i % 3}", 10L + i % 7)).toDF("id", "src", "tok")
+    val budgets = Seq("s0" -> 300L, "s1" -> 120L) // s2 unlisted
+    val got = Graft.mixtureByBudget(docs, "id", "tok", "src", budgets)
+    // naive reference: one global cumsum per source in (pri, id) order
+    val pri = graft.functions.TextExpressions.hexSliceLong(
+      org.apache.spark.sql.functions.md5(
+        concat_ws(":", lit("mix"), $"id".cast("string"))), 1, 15)
+    val w = Window.partitionBy("src").orderBy("pri", "id")
+      .rowsBetween(Long.MinValue, 0)
+    val naive = docs.withColumn("pri", pri)
+      .join(budgets.toDF("src", "budget"), Seq("src"))
+      .withColumn("cum", sum("tok").over(w))
+      .filter($"cum" <= $"budget")
+      .select($"id", $"src", $"tok".as("n_tok"), $"cum".as("cum_tok"))
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val gotSet = key(got)
+    gotSet shouldBe key(naive)
+    gotSet.map(_._2) shouldBe Set("s0", "s1") // s2 dropped
+    // budgets actually bind: admitted token mass within budget but
+    // close enough that at least one doc per listed source was cut
+    val byTok = gotSet.groupBy(_._2).view
+      .mapValues(_.toSeq.map(_._3).sum)
+    assert(byTok("s0") <= 300L && byTok("s0") > 300L - 17)
+    assert(byTok("s1") <= 120L && byTok("s1") > 120L - 17)
+  }
+
+  test("bloomIncrementalDedup: verdicts identical to incrementalDedup, " +
+    "and the index probe join is bloom-pruned in the plan") {
+    val s = spark
+    import s.implicits._
+    // index holds digests of "alpha"/"beta"; the batch re-sends "beta"
+    // (dup_of_index), duplicates "gamma" within itself (dup_in_batch +
+    // kept), and brings fresh "delta" (kept, must skip the probe join)
+    val prior = Seq(("alpha", 1L), ("beta", 2L))
+      .toDF("t", "keep_id")
+      .select(org.apache.spark.sql.functions.sha2($"t".cast("binary"), 256)
+        .as("digest"), $"keep_id")
+    val batch = Seq((10L, "beta"), (11L, "gamma"), (12L, "gamma"),
+      (13L, "delta")).toDF("doc_id", "text")
+    val viaBloom = Graft.bloomIncrementalDedup(
+      batch, "doc_id", "text", prior)
+    val plain = Graft.incrementalDedup(batch, "doc_id", "text", prior)
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getString(2),
+        Option(r.get(3)).map(_.toString))).toSet
+    key(viaBloom) shouldBe key(plain)
+    key(viaBloom).map(t => (t._1, t._2)) shouldBe Set(
+      (10L, "dup_of_index"), (11L, "kept"), (12L, "dup_in_batch"),
+      (13L, "kept"))
+    // the pre-prune is real: the probe side filters on might_contain
+    // BEFORE the index join (definitely-new digests never shuffle).
+    // Asserted on the analyzed plan: over a LocalRelation test fixture
+    // the optimizer constant-folds the filter away entirely (over a
+    // parquet scan it stays as a codegen'd map filter).
+    val plan = viaBloom.queryExecution.analyzed.toString
+    plan should include("might_contain")
+  }
+
   test("text stats and langId run on the custom schema") {
     Graft.tokenCounts(corpus, "uid", "body").columns shouldBe
       Array("uid", "n_ws", "n_bpe")
