@@ -254,23 +254,67 @@ object Graft {
   }
 
   /** Near-duplicate pairs by MinHash+LSH banding: (id_a, id_b, est_jac)
-    * for pairs whose estimated Jaccard clears `threshold`. */
+    * for pairs whose estimated Jaccard clears `threshold`.
+    *
+    * `maxBandBucket` caps the per-(band, hash) bucket size before the
+    * candidate self-join: a bucket of b identical band-signatures
+    * contributes ~b²/2 candidate rows, so ONE mass-duplicated template
+    * (SEO farms, licence boilerplate) with 10⁶ copies would put 5·10¹¹
+    * pairs through the shuffle. An over-cap bucket is near-certainly a
+    * mass-duplicated template — exactly the mass [[exactDedup]] /
+    * [[normalizeText]]+[[exactDedup]] removes for a digest-shuffle
+    * first (run those upstream; pairwise MinHash on a million copies of
+    * one template computes nothing the digest didn't). The default
+    * tripwire (`hotBandGuard`, d04's pattern) therefore fails loudly
+    * instead of silently truncating: pass a finite `maxBandBucket` to
+    * adopt skip-the-bucket semantics explicitly, or raise the guard to
+    * force the unbounded join. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+      k: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      maxBandBucket: Int = Int.MaxValue,
+      hotBandGuard: Int = 100000): DataFrame = {
     // bands > k would make r = 0 (every band hashes only its index, so
     // every document collides in every band and the candidate join
     // silently degenerates to all-pairs O(n²)); k % bands != 0 would
     // silently drop trailing signature columns from the banding.
     require(bands > 0 && k >= bands && k % bands == 0,
       s"minhashLshPairs: k ($k) must be a positive multiple of bands ($bands)")
+    require(maxBandBucket > 0, s"minhashLshPairs($maxBandBucket)")
     val sig = minhashSignatures(shingles(df, idCol, textCol), idCol, k)
     val r = k / bands
     val bandCols = (0 until bands).map { j =>
       md5(concat_ws(",",
         (0 until r).map(x => col(s"m${j * r + x}")) :+ lit(j.toString): _*))
     }
-    val bandsDf = sig.select(col(idCol),
+    val allBands = sig.select(col(idCol),
       posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    val bandsDf =
+      if (maxBandBucket != Int.MaxValue) {
+        val quiet = allBands.groupBy("band", "bh")
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= maxBandBucket)
+          .select("band", "bh")
+        allBands.join(quiet, Seq("band", "bh"))
+      } else if (hotBandGuard != Int.MaxValue) {
+        // In-plan tripwire: a separate guard JOB would recompute the
+        // whole signature pipeline (measured 2× on d02); instead the
+        // breaching buckets (normally zero rows) left-join back onto
+        // the band rows and raise_error fires BEFORE the self-join can
+        // expand them. The (band, bh) aggregation reuses the exchange
+        // the candidate join needs anyway.
+        val breach = allBands.groupBy("band", "bh")
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") > hotBandGuard)
+        allBands.join(breach, Seq("band", "bh"), "left")
+          .select(col(idCol), col("band"),
+            when(col("bsz").isNotNull, raise_error(concat(
+              lit("minhashLshPairs: a band bucket holds "), col("bsz"),
+              lit(" documents (> hotBandGuard); its self-join alone is " +
+                "~bsz^2/2 candidate rows. Run exactDedup upstream or " +
+                "pass maxBandBucket to skip over-cap buckets, or raise " +
+                "hotBandGuard to force the unbounded join."))))
+              .otherwise(col("bh")).as("bh"))
+      } else allBands
     val cand = bandsDf.as("a")
       .join(bandsDf.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -393,6 +437,60 @@ object Graft {
           "transform(array_sort(collect_list(" +
             "CASE WHEN occ IS NULL THEN struct(pos, unit) END)), " +
             "x -> x.unit)"), " ").as("scrubbed_text"))
+  }
+
+  /** SLIDING-window repeated-span detection — the exact-substring dedup
+    * signal of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better": every `windowWords`-word window at every word
+    * offset (stride 1, where [[duplicatePassageStats]]' tumbling
+    * windows only see aligned repeats) is keyed by md5, windows whose
+    * exact content occurs more than `maxOcc` times corpus-wide are
+    * flagged, and a document's flagged windows merge into covered
+    * spans. Returns per doc: total windows, flagged windows, and the
+    * number of distinct word positions covered by any flagged window —
+    * the mass an exact-substring scrubber would cut. Documents shorter
+    * than `windowWords` words report zeros.
+    *
+    * Scale shape: window construction is a per-row HOF (a stride-1 doc
+    * contributes len−w+1 digest rows — w× the tumbling variant's, the
+    * price of offset-invariance); the occurrence count shuffles
+    * fixed-width digests map-side combined; the flag-back is an
+    * equi-join on the digest against only the BREACHING digests; and
+    * covered positions expand w rows per flagged window (bounded by
+    * the flagged mass, not the corpus) before one per-doc distinct
+    * count. Full md5 keys for the same birthday-bound reason as
+    * [[duplicatePassageStats]]. */
+  def repeatedSpanStats(df: DataFrame, idCol: String, textCol: String,
+      windowWords: Int = 10, maxOcc: Int = 1): DataFrame = {
+    require(windowWords > 0 && maxOcc >= 1,
+      s"repeatedSpanStats($windowWords, $maxOcc)")
+    val base = df.select(col(idCol), split(col(textCol), " ").as("w"))
+    val wins = base
+      .select(col(idCol), posexplode(expr(
+        // guard: sequence(0, negative) would COUNT DOWN, not yield empty
+        s"CASE WHEN size(w) >= $windowWords THEN " +
+          s"transform(sequence(0, size(w) - $windowWords), " +
+          s"i -> md5(concat_ws(' ', slice(w, i + 1, $windowWords)))) " +
+          "ELSE array() END")).as(Seq("pos", "wh")))
+    val hot = wins.groupBy("wh").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxOcc)
+    val flagged = wins.join(hot, Seq("wh"), "left_semi")
+    val covered = flagged
+      .select(col(idCol), explode(expr(
+        s"sequence(pos, pos + $windowWords - 1)")).as("p"))
+      .groupBy(idCol).agg(countDistinct("p").as("n_covered"))
+    val winStats = wins.groupBy(idCol)
+      .agg(count(lit(1)).as("n_windows"))
+    val flagStats = flagged.groupBy(idCol)
+      .agg(count(lit(1)).as("n_dup_windows"))
+    df.select(col(idCol))
+      .join(winStats, Seq(idCol), "left")
+      .join(flagStats, Seq(idCol), "left")
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
   }
 
   /** Corpus-wide adjacent-symbol-pair counts at the character level —

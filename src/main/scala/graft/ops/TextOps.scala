@@ -542,6 +542,37 @@ object TextOps {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
         "FROM b) " +
         "SELECT doc_id, source, n_chars AS n_tok, cum AS cum_tok " +
-        "FROM c WHERE cum <= budget ORDER BY doc_id"))
+        "FROM c WHERE cum <= budget ORDER BY doc_id")),
+
+    Q("t24_span_dedup",
+      // Sliding-window exact-substring dedup signal (Lee et al.): every
+      // 10-word window at every offset, flagged when its exact content
+      // repeats corpus-wide, flagged windows merged into covered word
+      // positions per doc. Catches the offset-shifted repeats t17's
+      // tumbling passages are blind to.
+      // See [[graft.api.Graft.repeatedSpanStats]].
+      (s, d) => graft.api.Graft.repeatedSpanStats(
+        docs(s, d), "doc_id", "text", windowWords = 10, maxOcc = 1)
+        .orderBy("doc_id"),
+      Some("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws " +
+        "FROM documents), " +
+        "win AS (SELECT doc_id, i AS pos, " +
+        "md5(array_to_string(ws[(i+1):(i+10)], ' ')) AS wh " +
+        "FROM w, UNNEST(generate_series(0, len(ws) - 10)) t(i) " +
+        "WHERE len(ws) >= 10), " +
+        "occ AS (SELECT wh FROM win GROUP BY wh HAVING COUNT(*) > 1), " +
+        "fl AS (SELECT doc_id, pos FROM win JOIN occ USING (wh)), " +
+        "cov AS (SELECT doc_id, COUNT(DISTINCT p) AS n_covered FROM fl, " +
+        "UNNEST(generate_series(pos, pos + 9)) u(p) GROUP BY doc_id), " +
+        "nw AS (SELECT doc_id, COUNT(*) AS n_windows FROM win " +
+        "GROUP BY doc_id), " +
+        "nd AS (SELECT doc_id, COUNT(*) AS n_dup_windows FROM fl " +
+        "GROUP BY doc_id) " +
+        "SELECT d.doc_id, COALESCE(n_windows, 0) AS n_windows, " +
+        "COALESCE(n_dup_windows, 0) AS n_dup_windows, " +
+        "COALESCE(n_covered, 0) AS n_covered " +
+        "FROM documents d LEFT JOIN nw USING (doc_id) " +
+        "LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id) " +
+        "ORDER BY doc_id"))
   )
 }

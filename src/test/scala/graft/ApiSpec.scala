@@ -813,6 +813,56 @@ class ApiSpec extends AnyFunSuite with Matchers {
     got shouldBe Map((0L, 0L) -> 0L, (1L, 0L) -> 16L * 257)
   }
 
+  test("minhashLshPairs: hot band-bucket tripwire fires on mass " +
+    "duplicates; maxBandBucket opts into skip semantics") {
+    val s = spark
+    import s.implicits._
+    // 60 byte-identical docs: every band bucket holds all 60
+    val hot = (1L to 60L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta")).toDF(
+      "doc_id", "text")
+    val ex = intercept[Exception] {
+      Graft.minhashLshPairs(hot, "doc_id", "text", hotBandGuard = 50)
+        .collect()
+    }
+    ex.getMessage should include("band bucket holds")
+    // explicit cap: over-cap buckets skip (exact dups belong to d01)
+    Graft.minhashLshPairs(hot, "doc_id", "text", maxBandBucket = 50)
+      .count() shouldBe 0L
+    // raised guard forces the unbounded join and finds all pairs
+    Graft.minhashLshPairs(hot, "doc_id", "text", hotBandGuard = 60)
+      .count() shouldBe 60L * 59 / 2
+  }
+
+  test("repeatedSpanStats: offset-shifted repeats are caught (tumbling " +
+    "passages miss them), short docs report zeros") {
+    val s = spark
+    import s.implicits._
+    val span = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      // span starts at word 0 in d1 but word 3 in d2 — never aligned to
+      // a 10-word tumbling boundary in d2
+      (1L, span + " tail1 tail2 tail3"),
+      (2L, "pre1 pre2 pre3 " + span),
+      (3L, "all unique words here nothing repeats in this document at"),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val got = Graft.repeatedSpanStats(docs, "doc_id", "text",
+      windowWords = 10, maxOcc = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // d1: 4 windows (13 words), window at pos 0 duplicated -> 10 covered
+    got(1L) shouldBe ((4L, 1L, 10L))
+    // d2: 4 windows, window at pos 3 duplicated -> 10 covered
+    got(2L) shouldBe ((4L, 1L, 10L))
+    got(3L) shouldBe ((1L, 0L, 0L))
+    got(4L) shouldBe ((0L, 0L, 0L)) // shorter than the window
+    // the tumbling variant is blind to d2's shifted copy
+    val tumbling = Graft.duplicatePassageStats(docs, "doc_id", "text",
+      unitWords = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    tumbling(2L) shouldBe 0L
+  }
+
   test("mixtureByBudget: admitted prefix equals the naive global-window " +
     "formulation, budgets bind per source, unlisted sources drop") {
     val s = spark
