@@ -16,15 +16,25 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-      // default. Read it as a long (legacy conf, runtime-settable) and
-      // surface a proper microsecond TimestampType column, matching how
-      // DuckDB's nanosecond timestamp casts behave under UTC.
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) (which Spark 4
+      // rejects by default — read as long via the legacy conf, then convert
+      // to microsecond TimestampType) and plain timestamp[us] (pass through).
+      // Guard on the loaded dataType so either fixture generation works.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema.find(_.name == "ts").map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.LongType) =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+        case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+          // Surface the one TimestampType every operator was built
+          // against (unix_micros etc. reject NTZ). Session TZ is UTC in
+          // every entry point, so the cast preserves wall time.
+          df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every fixture table as a temp view (for SQL-form queries). */

@@ -963,6 +963,33 @@ object Graft {
       sqrt(dot(col("centroid"), col("centroid"))).as("cnrm"))
   }
 
+  /** Per-query ADC lookup table (Jégou et al.'s table trick): for each
+    * query, precompute the query⋅sub-centroid dot product for EVERY
+    * (subspace, code) cell — m·ksub doubles, a few KB, computed once on
+    * the tiny query side — flattened as
+    * `qlut[mi * ksub + code] = dot(qe_sub(mi), centroid(mi, code))`.
+    * The per-CANDIDATE ADC score then degenerates to m array reads via
+    * the codegen'd [[graft.functions.PqAdcLut]] instead of the m×dsub
+    * interpreted multiply-adds the inline HOF paid per row (the r7
+    * bench's slowest per-byte code, s10). Each cell uses the identical
+    * sequential `zip_with`/`aggregate` fold the inline version used, so
+    * ADC scores are bit-identical and shortlist order is unchanged.
+    * Dead codebook lists (Lloyd can empty a cell) fill with 0.0 — no
+    * corpus row carries a dead code, so those cells are never read. */
+  private def pqQueryLut(q: DataFrame, lookup: DataFrame,
+      m: Int, ksub: Int, dsub: Int): DataFrame =
+    q.join(broadcast(lookup), lit(true))
+      .withColumn("qlut", expr(
+        s"""flatten(transform(sequence(0, ${m - 1}), mi ->
+           |  transform(sequence(0, ${ksub - 1}), ki ->
+           |    coalesce(aggregate(zip_with(
+           |      slice(qe, mi * $dsub + 1, $dsub),
+           |      try_element_at(element_at(mb, mi), ki).centroid,
+           |      (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+           |      CAST(0 AS DOUBLE), (a, v) -> a + v),
+           |      CAST(0 AS DOUBLE)))))""".stripMargin))
+      .drop("mb")
+
   /** The broadcastable codebook lookup: one row holding
     * mb: MAP<m, MAP<list_id, STRUCT<centroid, cnrm>>>. */
   private def pqLookup(codebooks: DataFrame): DataFrame =
@@ -1034,15 +1061,16 @@ object Graft {
       s"pqTopK(k=$k, shortlist=$shortlist)")
     val dsub = dim / m
     val cb = pqCodebooks(df, idCol, vecCol, dim, m, ksub, iters)
-    // The lookup appears in two subtrees (encode + ADC); materialize it
-    // once — a few KB — so the training pipeline runs exactly once
+    // The lookup appears in two subtrees (encode + query LUT); materialize
+    // it once — a few KB — so the training pipeline runs exactly once
     // instead of once per subtree.
     val lookup = iterCheckpoint(pqLookup(cb))
     val enc = pqEncodeWith(df, idCol, vecCol, lookup, dim, m)
-      .join(broadcast(lookup), lit(true))
-    val q = normalized(df.filter(queryPred), idCol, vecCol)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qe"),
-        col("nrm").as("qn"))
+    val q = pqQueryLut(
+      normalized(df.filter(queryPred), idCol, vecCol)
+        .select(col(idCol).as("query_id"), col(vecCol).as("qe"),
+          col("nrm").as("qn")),
+      lookup, m, ksub, dsub)
     val wShort = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("adc").desc, col("neighbor_id"))
@@ -1050,15 +1078,9 @@ object Graft {
       .join(enc, col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         col("qe"), col("qn"), col(vecCol),
-        expr(
-          s"""aggregate(sequence(0, ${m - 1}), CAST(0 AS DOUBLE),
-             |  (a, mi) -> a + aggregate(zip_with(
-             |    slice(qe, mi * $dsub + 1, $dsub),
-             |    element_at(element_at(mb, mi),
-             |      element_at(code, mi + 1)).centroid,
-             |    (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-             |    CAST(0 AS DOUBLE), (p, v) -> p + v)) / rnorm"""
-            .stripMargin).as("adc"))
+        (graft.functions.VectorExpressions
+          .pqAdcLut(col("qlut"), col("code"), ksub) / col("rnorm"))
+          .as("adc"))
       .withColumn("srnk", row_number().over(wShort))
       .filter(col("srnk") <= shortlist)
     val wFull = org.apache.spark.sql.expressions.Window
@@ -1134,21 +1156,22 @@ object Graft {
       pqLookup(pqCodebooks(train, idCol, vecCol, dim, m, ksub, iters)))
     val enc = pqEncodeWith(assigned, idCol, vecCol, lookup, dim, m,
       carry = Seq("list_id"))
-      .join(broadcast(lookup), lit(true)) // mb back in scope for ADC
-    val q = normalized(df.filter(queryPred), idCol, vecCol)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qe"),
-        col("nrm").as("qn"))
+    val q = pqQueryLut(
+      normalized(df.filter(queryPred), idCol, vecCol)
+        .select(col(idCol).as("query_id"), col(vecCol).as("qe"),
+          col("nrm").as("qn")),
+      lookup, m, ksub, dsub)
     val cn = cents.agg(collect_list(struct(col("list_id"), col("centroid"),
       sqrt(dot(col("centroid"), col("centroid"))).as("cnrm"))).as("cents"))
     val probes = q.join(broadcast(cn), lit(true))
       .filter(size(col("cents")) > 0)
-      .select(col("query_id"), col("qe"), col("qn"),
+      .select(col("query_id"), col("qe"), col("qn"), col("qlut"),
         explode(slice(array_sort(transform(col("cents"), c => struct(
           (-(dot(col("qe"), c("centroid")) / (col("qn") * c("cnrm"))))
             .cast("double").as("negcos"),
           c("list_id").cast("int").as("list_id")))), 1, nProbe))
           .as("probe"))
-      .select(col("query_id"), col("qe"), col("qn"),
+      .select(col("query_id"), col("qe"), col("qn"), col("qlut"),
         col("probe.list_id").as("list_id"))
     // Each corpus row lives in exactly ONE list (argmax assignment), so
     // a (query, neighbor) candidate appears at most once — no dedup.
@@ -1160,15 +1183,9 @@ object Graft {
         col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         col("qe"), col("qn"), col(vecCol),
-        expr(
-          s"""aggregate(sequence(0, ${m - 1}), CAST(0 AS DOUBLE),
-             |  (a, mi) -> a + aggregate(zip_with(
-             |    slice(qe, mi * $dsub + 1, $dsub),
-             |    element_at(element_at(mb, mi),
-             |      element_at(code, mi + 1)).centroid,
-             |    (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-             |    CAST(0 AS DOUBLE), (p, v) -> p + v)) / rnorm"""
-            .stripMargin).as("adc"))
+        (graft.functions.VectorExpressions
+          .pqAdcLut(col("qlut"), col("code"), ksub) / col("rnorm"))
+          .as("adc"))
       .withColumn("srnk", row_number().over(wShort))
       .filter(col("srnk") <= shortlist)
     val wFull = org.apache.spark.sql.expressions.Window

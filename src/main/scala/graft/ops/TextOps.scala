@@ -541,7 +541,8 @@ object TextOps {
         "SUM(n_chars) OVER (PARTITION BY source ORDER BY pri, doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
         "FROM b) " +
-        "SELECT doc_id, source, n_chars AS n_tok, cum AS cum_tok " +
+        "SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_tok, " +
+        "CAST(cum AS BIGINT) AS cum_tok " +
         "FROM c WHERE cum <= budget ORDER BY doc_id")),
 
     Q("t24_span_dedup",

@@ -59,21 +59,66 @@ object Vector {
       .orderBy("query_id", "rnk")
   }
 
-  /** The three approximate listings, shared by their gate entries and the
+  /** Listing share between each index's gate query and the s07 recall
+    * contract (r7 verdict: s07 re-trained and re-scanned every index a
+    * second time — 22.5 s of the 799 s bench was pure duplicate work).
+    * A gate query always builds its index FRESH (its bench/verify
+    * timing stays an honest fresh-build cost) and leaves the
+    * materialized listing here; s07 (`reuse = true`) reads the latest
+    * materialized listing and only builds indexes no gate query has
+    * built yet in this session. Keyed by (applicationId, dir, method)
+    * so a stopped session's entries can never leak into a new one;
+    * values are a few-thousand-row checkpointed listings, reliable
+    * checkpoint when a checkpoint dir is set (cluster), local blocks
+    * otherwise. */
+  private val listingCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String), DataFrame]
+
+  private def shared(method: String, s: SparkSession, d: String,
+      reuse: Boolean)(build: => DataFrame): DataFrame = {
+    val key = (s.sparkContext.applicationId, d, method)
+    def materialize(): DataFrame = {
+      val m =
+        if (s.sparkContext.getCheckpointDir.isDefined)
+          build.checkpoint(eager = true)
+        else build.localCheckpoint(eager = true)
+      listingCache.put(key, m)
+      m
+    }
+    if (reuse) listingCache.getOrElse(key, materialize())
+    else materialize()
+  }
+
+  /** The approximate listings, shared by their gate entries and the
     * s07 recall contract. Approximate by construction — which neighbors
     * they return depends on the index — so the GATE checks two
     * complementary oracle-backed invariants instead of the raw listing:
     * [[annContract]] (per-query structural contract, hash-checked) and
     * s07 (pooled recall vs the exact top-k, hash-checked). */
-  private[graft] def lshListing(s: SparkSession, d: String): DataFrame =
+  private[graft] def lshListing(s: SparkSession, d: String,
+      reuse: Boolean = false): DataFrame =
+    shared("lsh", s, d, reuse)(lshListingPlan(s, d))
+
+  /** The un-materialized build plan, separate so PlanPropertiesSpec
+    * audits the physical plan a 100 TB build would run (the shared
+    * listing above explains as a checkpoint scan). */
+  private[graft] def lshListingPlan(s: SparkSession, d: String): DataFrame = {
     graft.api.Graft
       .annLshTopK(Tables.load(s, d, "embeddings"), "vec_id",
         "embedding", queryPred = col("vec_id") < NQueries, k = K)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         round(col("cos"), 4).as("cos"))
       .orderBy("query_id", "rnk")
+  }
 
-  private[graft] def ivfLabelListing(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ivfLabelListing(s: SparkSession, d: String,
+      reuse: Boolean = false): DataFrame =
+    shared("ivf", s, d, reuse)(ivfLabelListingPlan(s, d))
+
+  /** The un-materialized build plan, separate so PlanPropertiesSpec
+    * audits the physical plan a 100 TB build would run (the shared
+    * listing above explains as a checkpoint scan). */
+  private[graft] def ivfLabelListingPlan(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.load(s, d, "embeddings")
     // element-wise centroid per label
     val centroids = emb
@@ -93,7 +138,14 @@ object Vector {
       emb.select(col("vec_id"), col("label").as("list_id")), nProbe = 4)
   }
 
-  private[graft] def pqListing(s: SparkSession, d: String): DataFrame = {
+  private[graft] def pqListing(s: SparkSession, d: String,
+      reuse: Boolean = false): DataFrame =
+    shared("pq", s, d, reuse)(pqListingPlan(s, d))
+
+  /** The un-materialized build plan, separate so PlanPropertiesSpec
+    * audits the physical plan a 100 TB build would run (the shared
+    * listing above explains as a checkpoint scan). */
+  private[graft] def pqListingPlan(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.load(s, d, "embeddings")
     // Rerank shortlist sized as a corpus fraction: a FIXED shortlist
     // dilutes with corpus growth (50 of 2000 is 2.5% and recall sags on
@@ -111,7 +163,14 @@ object Vector {
       .orderBy("query_id", "rnk")
   }
 
-  private[graft] def ivfTrainedListing(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ivfTrainedListing(s: SparkSession, d: String,
+      reuse: Boolean = false): DataFrame =
+    shared("ivf_trained", s, d, reuse)(ivfTrainedListingPlan(s, d))
+
+  /** The un-materialized build plan, separate so PlanPropertiesSpec
+    * audits the physical plan a 100 TB build would run (the shared
+    * listing above explains as a checkpoint scan). */
+  private[graft] def ivfTrainedListingPlan(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.load(s, d, "embeddings")
     val cents = graft.api.Graft
       .kmeansCentroids(emb, "vec_id", "embedding", nlist = 10, iters = 2)
@@ -121,7 +180,14 @@ object Vector {
     ivfSearch(s, d, cents, assigned, nProbe = 4)
   }
 
-  private[graft] def ivfpqListing(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ivfpqListing(s: SparkSession, d: String,
+      reuse: Boolean = false): DataFrame =
+    shared("ivfpq", s, d, reuse)(ivfpqListingPlan(s, d))
+
+  /** The un-materialized build plan, separate so PlanPropertiesSpec
+    * audits the physical plan a 100 TB build would run (the shared
+    * listing above explains as a checkpoint scan). */
+  private[graft] def ivfpqListingPlan(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.load(s, d, "embeddings")
     val n = emb.count()
     // nlist from the corpus count (~400 vectors/list, the d12 lesson):
@@ -143,13 +209,21 @@ object Vector {
       .orderBy("query_id", "rnk")
   }
 
-  private[graft] def knnJoinListing(s: SparkSession, d: String): DataFrame =
+  private[graft] def knnJoinListing(s: SparkSession, d: String,
+      reuse: Boolean = false): DataFrame =
+    shared("knn", s, d, reuse)(knnJoinListingPlan(s, d))
+
+  /** The un-materialized build plan, separate so PlanPropertiesSpec
+    * audits the physical plan a 100 TB build would run (the shared
+    * listing above explains as a checkpoint scan). */
+  private[graft] def knnJoinListingPlan(s: SparkSession, d: String): DataFrame = {
     graft.api.Graft
       .annKnnJoin(Tables.load(s, d, "embeddings"), "vec_id", "embedding",
         k = K)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         round(col("cos"), 4).as("cos"))
       .orderBy("query_id", "rnk")
+  }
 
   /** Per-query structural contract over an ANN listing — every invariant
     * here is DETERMINISTIC for a correct index regardless of which
@@ -488,13 +562,18 @@ object Vector {
           .cosineTopK(emb, "vec_id", "embedding",
             queryPred = col("vec_id") < NQueries, k = K)
           .select(col("query_id"), col("neighbor_id"))
+        // reuse = true: the contract pools the listings the sXX gate
+        // queries already materialized this session instead of
+        // re-training and re-scanning every index (r7: 22.5 s of
+        // duplicate builds). Indexes whose gate query hasn't run yet
+        // (alphabetical order puts s10-s12 after s07) build here once.
         val approx = Seq(
-          "lsh" -> lshListing(s, d),
-          "ivf" -> ivfLabelListing(s, d),
-          "ivf_trained" -> ivfTrainedListing(s, d),
-          "pq" -> pqListing(s, d),
-          "ivfpq" -> ivfpqListing(s, d),
-          "knn" -> knnJoinListing(s, d)
+          "lsh" -> lshListing(s, d, reuse = true),
+          "ivf" -> ivfLabelListing(s, d, reuse = true),
+          "ivf_trained" -> ivfTrainedListing(s, d, reuse = true),
+          "pq" -> pqListing(s, d, reuse = true),
+          "ivfpq" -> ivfpqListing(s, d, reuse = true),
+          "knn" -> knnJoinListing(s, d, reuse = true)
             .filter(col("query_id") < NQueries))
           .map { case (m, df) =>
             df.select(lit(m).as("method"), col("query_id"),

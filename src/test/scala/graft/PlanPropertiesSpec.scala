@@ -116,7 +116,11 @@ class PlanPropertiesSpec extends AnyFunSuite with Matchers {
 
   test("s03 IVF rerank: probed-list candidate join is a broadcast " +
     "equi-join") {
-    val p = plan("s03_ann_ivf")
+    // The gate query materializes the shared listing (s07 reuses it),
+    // so its own explain is a checkpoint scan — audit the listing
+    // BUILD plan, the thing a 100 TB run would execute.
+    val p = graft.ops.Vector.ivfLabelListingPlan(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
     p should include("BroadcastHashJoin")
     (p should not).include("CartesianProduct")
   }
@@ -144,7 +148,8 @@ class PlanPropertiesSpec extends AnyFunSuite with Matchers {
 
   test("s02 multi-table LSH: candidate generation joins on (table, code) " +
     "— equi-join, never cartesian") {
-    val p = plan("s02_ann_lsh")
+    val p = graft.ops.Vector.lshListingPlan(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
     (p should not).include("CartesianProduct")
     (p should not).include("BroadcastNestedLoopJoin")
   }
@@ -201,7 +206,8 @@ class PlanPropertiesSpec extends AnyFunSuite with Matchers {
 
   test("s04 trained IVF: training + search stay free of cartesian " +
     "products (the tiny centroid cross is a broadcast)") {
-    val p = plan("s04_ann_ivf_trained")
+    val p = graft.ops.Vector.ivfTrainedListingPlan(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
     (p should not).include("CartesianProduct")
     p should include("BroadcastHashJoin")
     // Round-4: centroid assignment is a per-row fold over the broadcast

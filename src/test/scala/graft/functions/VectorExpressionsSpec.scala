@@ -58,4 +58,34 @@ class VectorExpressionsSpec extends AnyFunSuite with Matchers {
     df.select(VectorExpressions.dotF32(col("a"), col("b")))
       .collect().head.isNullAt(0) shouldBe true
   }
+
+  test("pq_adc_lut sums the selected LUT cells on both codegen paths") {
+    import spark.implicits._
+    // m = 2 subspaces, ksub = 3: lut laid out [mi * ksub + code]
+    val lut = Array(10.0, 20.0, 30.0, 1.0, 2.0, 3.0)
+    val df = Seq(
+      (lut, Array(0, 2)), // 10 + 3
+      (lut, Array(2, 0)), // 30 + 1
+      (lut, Array(1, 1))) // 20 + 2
+      .toDF("lut", "code")
+    def run(): Seq[Double] =
+      df.select(VectorExpressions.pqAdcLut(col("lut"), col("code"), 3))
+        .collect().toSeq.map(_.getDouble(0))
+    run() shouldBe Seq(13.0, 31.0, 22.0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try run() shouldBe Seq(13.0, 31.0, 22.0)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("pq_adc_lut null inputs yield null") {
+    import spark.implicits._
+    val df = Seq((Option.empty[Array[Double]], Some(Array(0))))
+      .toDF("lut", "code")
+    df.select(VectorExpressions.pqAdcLut(col("lut"), col("code"), 1))
+      .collect().head.isNullAt(0) shouldBe true
+  }
 }
