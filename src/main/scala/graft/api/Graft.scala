@@ -963,6 +963,19 @@ object Graft {
       sqrt(dot(col("centroid"), col("centroid"))).as("cnrm"))
   }
 
+  /** Deterministic md5-bucket training sample: keep a document iff its
+    * id's md5-derived bucket falls under cap/n — stable across runs,
+    * partition layouts and corpus growth (the t19 sampling trick shared
+    * by every trained index here). `n` is the caller's corpus count (all
+    * callers already have it; no extra job). Returns `df` unchanged when
+    * the corpus fits the cap. */
+  private def trainSample(df: DataFrame, idCol: String, cap: Long,
+      n: Long): DataFrame =
+    if (n <= cap) df
+    else df.filter(expr(
+      s"pmod(conv(substring(md5(CAST($idCol AS STRING)), 1, 8), 16, 10)," +
+        s" 1000000) < ${math.max(1L, cap * 1000000L / n)}"))
+
   /** Per-query ADC lookup table (Jégou et al.'s table trick): for each
     * query, precompute the query⋅sub-centroid dot product for EVERY
     * (subspace, code) cell — m·ksub doubles, a few KB, computed once on
@@ -1056,11 +1069,21 @@ object Graft {
     * shape of a Faiss IndexPQ. */
   def pqTopK(df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, dim: Int, m: Int = 8, ksub: Int = 16,
-      iters: Int = 2, shortlist: Int = 50): DataFrame = {
+      iters: Int = 2, shortlist: Int = 50,
+      trainPerSub: Int = 128): DataFrame = {
     require(shortlist >= k && k > 0,
       s"pqTopK(k=$k, shortlist=$shortlist)")
     val dsub = dim / m
-    val cb = pqCodebooks(df, idCol, vecCol, dim, m, ksub, iters)
+    // Codebooks train on a bounded md5-bucket sample (~trainPerSub
+    // vectors per sub-centroid, the Faiss convention — [[ivfPqTopK]]'s
+    // discipline applied to the flat index too): full-corpus Lloyd was
+    // the dominant cost of the whole query (r8 profile: ~2 s of 3.2 s at
+    // sf0.1) and buys nothing — codebooks describe the SPACE. Every
+    // fixture at or below ksub·trainPerSub vectors trains on the full
+    // corpus, unchanged.
+    val train = trainSample(df, idCol, ksub.toLong * trainPerSub,
+      df.count())
+    val cb = pqCodebooks(train, idCol, vecCol, dim, m, ksub, iters)
     // The lookup appears in two subtrees (encode + query LUT); materialize
     // it once — a few KB — so the training pipeline runs exactly once
     // instead of once per subtree.
@@ -1139,14 +1162,8 @@ object Graft {
       trainPerList > 0,
       s"ivfPqTopK(k=$k, shortlist=$shortlist, nlist=$nlist, nProbe=$nProbe)")
     val dsub = dim / m
-    val train = {
-      val cap = nlist.toLong * trainPerList
-      val n = df.count()
-      if (n <= cap) df
-      else df.filter(expr(
-        s"pmod(conv(substring(md5(CAST($idCol AS STRING)), 1, 8), 16, 10)," +
-          s" 1000000) < ${math.max(1L, cap * 1000000L / n)}"))
-    }
+    val train = trainSample(df, idCol, nlist.toLong * trainPerList,
+      df.count())
     // The centroid table feeds two subtrees (corpus assignment + query
     // probes); materialize the Lloyd loop once.
     val cents =
@@ -1227,13 +1244,7 @@ object Graft {
     val count = df.count()
     val nlist = math.max(1L, math.round(count.toDouble / vectorsPerList))
       .toInt
-    val train = {
-      val cap = nlist.toLong * trainPerList
-      if (count <= cap) df
-      else df.filter(expr(
-        s"pmod(conv(substring(md5(CAST($idCol AS STRING)), 1, 8), 16, 10)," +
-          s" 1000000) < ${math.max(1L, cap * 1000000L / count)}"))
-    }
+    val train = trainSample(df, idCol, nlist.toLong * trainPerList, count)
     val cents =
       iterCheckpoint(kmeansCentroids(train, idCol, vecCol, nlist, iters))
     val listed = normalized(df, idCol, vecCol)

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Scratch profiling main (test scope, not part of the library). */
 object DebugTiming {
@@ -21,10 +22,30 @@ object DebugTiming {
       System.err.println(f"[timing] $label: ${(System.nanoTime()-t0)/1e9}%.2f s")
       r
     }
-    // piecewise p01
-    val q = SparkEntry.allDefs.find(_.name == "p01_stream_roundtrip").get
-    time("p01 total") { q.run(spark, sfDir).collect() }
-    time("p01 again") { q.run(spark, sfDir).collect() }
+    // piecewise s10: training vs encode vs ADC scan
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    emb.persist(); emb.count()
+    val cb = time("pqCodebooks train") {
+      val c = graft.api.Graft.pqCodebooks(emb, "vec_id", "embedding", dim = 64)
+      c.localCheckpoint(eager = true)
+    }
+    time("pqEncode full corpus") {
+      graft.api.Graft.pqEncode(emb, "vec_id", "embedding", cb, dim = 64)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val shortlist = math.max(50L, emb.count() / 10).toInt
+    time("pqTopK end-to-end") {
+      graft.api.Graft.pqTopK(emb, "vec_id", "embedding",
+        queryPred = col("vec_id") < 8, k = 5, dim = 64,
+        shortlist = shortlist)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("pqTopK end-to-end (2nd)") {
+      graft.api.Graft.pqTopK(emb, "vec_id", "embedding",
+        queryPred = col("vec_id") < 8, k = 5, dim = 64,
+        shortlist = shortlist)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
