@@ -460,6 +460,30 @@ object Graft {
     * the flagged mass, not the corpus) before one per-doc distinct
     * count. Full md5 keys for the same birthday-bound reason as
     * [[duplicatePassageStats]]. */
+  /** The keep decision that closes the dedup loop: cluster near-dup
+    * pairs ([[dupClusters]]' min-id components) and keep exactly one
+    * document per cluster — the highest-`scoreCol` member, ties to the
+    * smaller id (the "keep longest/best-quality" heuristic every corpus
+    * curation pipeline applies after pair generation). Output: one row
+    * per document (id, cluster_id, score, kept); filtering `kept` is
+    * the deduplicated corpus.
+    *
+    * Scale shape: clustering is [[dupClusters]]' equi-join propagation;
+    * the keep pick is ONE hash shuffle on cluster_id and a row_number
+    * over clusters, which are near-clique SMALL (bounded by dup-group
+    * size, not corpus size) — no skew risk beyond what the pair
+    * generator already bounded. */
+  def keepBestPerCluster(df: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val clusters = dupClusters(df, idCol, pairs, aCol, bCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col(scoreCol).desc, col(idCol))
+    clusters.join(df.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .withColumn("kept", row_number().over(w) === 1)
+      .select(col(idCol), col("cluster_id"), col(scoreCol), col("kept"))
+  }
+
   def repeatedSpanStats(df: DataFrame, idCol: String, textCol: String,
       windowWords: Int = 10, maxOcc: Int = 1): DataFrame = {
     require(windowWords > 0 && maxOcc >= 1,

@@ -90,7 +90,7 @@ object Dedup {
     * as a DuckDB recursive CTE. Shared by d07 (label propagation) and
     * d10 (large-star contraction): both algorithms compute the same
     * function, so they share one oracle. */
-  private val JaccardClustersOracle: String =
+  private val JaccardClustersCte: String =
     "WITH RECURSIVE toks AS (SELECT doc_id, " +
       "string_split(text, ' ') AS w FROM documents), " +
       "sh AS (SELECT DISTINCT doc_id, " +
@@ -107,7 +107,10 @@ object Dedup {
       "edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs " +
       "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
       "reach(id, lab) AS (SELECT doc_id, doc_id FROM documents " +
-      "UNION SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id) " +
+      "UNION SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id) "
+
+  private val JaccardClustersOracle: String =
+    JaccardClustersCte +
       "SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach " +
       "GROUP BY id ORDER BY doc_id"
 
@@ -419,6 +422,29 @@ object Dedup {
         "id_a", "id_b")
         .orderBy("doc_id"),
       Some(JaccardClustersOracle)),
+
+    Q("d16_keep_best_per_cluster",
+      // The keep decision after clustering: one document survives per
+      // near-dup cluster (d07's components over d04's exact pair set) —
+      // the longest member (max n_chars, ties to the smaller id), the
+      // standard keep-longest curation heuristic. `kept = false` rows
+      // are the corpus the dedup actually removes; the oracle replays
+      // the recursive closure plus the same argmax window. See
+      // [[graft.api.Graft.keepBestPerCluster]].
+      (s, d) => graft.api.Graft.keepBestPerCluster(
+        docs(s, d), "doc_id", "n_chars",
+        graft.api.Graft.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+          n = 3, threshold = 0.5),
+        "id_a", "id_b")
+        .orderBy("doc_id"),
+      Some(JaccardClustersCte +
+        "SELECT c.id AS doc_id, c.cluster_id, " +
+        "CAST(d.n_chars AS BIGINT) AS n_chars, " +
+        "ROW_NUMBER() OVER (PARTITION BY c.cluster_id " +
+        "ORDER BY d.n_chars DESC, c.id) = 1 AS kept " +
+        "FROM (SELECT id, MIN(lab) AS cluster_id FROM reach " +
+        "GROUP BY id) c JOIN documents d ON c.id = d.doc_id " +
+        "ORDER BY doc_id")),
 
     Q("d08_dup_clusters_minhash",
       // The composed 100 TB dedup path end-to-end: MinHash+LSH pair
