@@ -22,28 +22,36 @@ object DebugTiming {
       System.err.println(f"[timing] $label: ${(System.nanoTime()-t0)/1e9}%.2f s")
       r
     }
-    // piecewise s10: training vs encode vs ADC scan
+    // piecewise s11/s12: train vs assign vs encode vs search
     val emb = Tables.load(spark, sfDir, "embeddings")
-    emb.persist(); emb.count()
-    val cb = time("pqCodebooks train") {
-      val c = graft.api.Graft.pqCodebooks(emb, "vec_id", "embedding", dim = 64)
-      c.localCheckpoint(eager = true)
+    emb.persist(); val n = emb.count()
+    val nlist = math.max(5, math.round(n / 400.0).toInt)
+    val cents = time("kmeansCentroids (sampled train)") {
+      graft.api.Graft.kmeansCentroids(
+        emb.filter(expr(
+          s"pmod(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10)," +
+            s" 1000000) < ${math.max(1L, nlist * 128L * 1000000L / n)}")),
+        "vec_id", "embedding", nlist = nlist, iters = 2)
+        .localCheckpoint(eager = true)
     }
-    time("pqEncode full corpus") {
-      graft.api.Graft.pqEncode(emb, "vec_id", "embedding", cb, dim = 64)
+    time("assignToCentroids full corpus") {
+      graft.api.Graft.assignToCentroids(emb, "vec_id", "embedding", cents)
         .write.format("noop").mode("overwrite").save()
     }
-    val shortlist = math.max(50L, emb.count() / 10).toInt
-    time("pqTopK end-to-end") {
-      graft.api.Graft.pqTopK(emb, "vec_id", "embedding",
-        queryPred = col("vec_id") < 8, k = 5, dim = 64,
-        shortlist = shortlist)
+    time("assignToCentroids again") {
+      graft.api.Graft.assignToCentroids(emb, "vec_id", "embedding", cents)
         .write.format("noop").mode("overwrite").save()
     }
-    time("pqTopK end-to-end (2nd)") {
-      graft.api.Graft.pqTopK(emb, "vec_id", "embedding",
+    val nProbe = math.max(2, math.ceil(nlist * 0.4).toInt)
+    val shortlist = math.max(50L, n / 10).toInt
+    time("s11 ivfPqTopK end-to-end") {
+      graft.api.Graft.ivfPqTopK(emb, "vec_id", "embedding",
         queryPred = col("vec_id") < 8, k = 5, dim = 64,
-        shortlist = shortlist)
+        nlist = nlist, nProbe = nProbe, shortlist = shortlist)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("s12 annKnnJoin end-to-end") {
+      graft.api.Graft.annKnnJoin(emb, "vec_id", "embedding", k = 5)
         .write.format("noop").mode("overwrite").save()
     }
     spark.stop()
