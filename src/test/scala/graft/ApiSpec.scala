@@ -930,6 +930,33 @@ class ApiSpec extends AnyFunSuite with Matchers {
     plan should include("might_contain")
   }
 
+  test("keepBestPerCluster: one survivor per cluster by score, ties to " +
+    "the smaller id, singletons keep themselves") {
+    val s = spark
+    import s.implicits._
+    // numeric ids: cluster math is defined on numeric ids (require()'d)
+    val df = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), // cluster {1,2,3}
+      (4L, 5L))                        // singleton
+      .toDF("uid", "len")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("pa", "pb")
+    val rows = Graft.keepBestPerCluster(df, "uid", "len", pairs, "pa", "pb")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // ids 2 and 3 tie on score 30; the smaller id (2) survives
+    rows(2L)._3 shouldBe true
+    rows(3L)._3 shouldBe false
+    rows(1L)._3 shouldBe false
+    rows(4L)._3 shouldBe true // singleton cluster keeps its only member
+    rows(1L)._1 shouldBe rows(3L)._1 // same cluster id across members
+    // empty pair set: every document is its own cluster and is kept
+    val none = Graft.keepBestPerCluster(df, "uid", "len",
+      Seq.empty[(Long, Long)].toDF("pa", "pb"), "pa", "pb")
+      .collect()
+    none.length shouldBe 4
+    all(none.map(_.getBoolean(3))) shouldBe true
+  }
+
   test("text stats and langId run on the custom schema") {
     Graft.tokenCounts(corpus, "uid", "body").columns shouldBe
       Array("uid", "n_ws", "n_bpe")
