@@ -62,6 +62,17 @@ for name in sorted(os.listdir(OUT_DIR)):
         continue
     duck = con.execute(oracle[name]).fetch_arrow_table()
     ok = True
+    # Arrow-level TYPE parity (the r7 t23 failure class): the driver
+    # hashes values column-wise, so a DuckDB decimal128/HUGEINT against
+    # a Spark int64 hash-fails even when every value is equal. Compare
+    # physical types up front so the mismatch is named, not a mystery.
+    for c in duck.column_names:
+        if c in spark_tbl.column_names:
+            dt, st = str(duck.schema.field(c).type),                 str(spark_tbl.schema.field(c).type)
+            if dt != st:
+                ok = False
+                fails.append(f"{name}: column {c} type duck={dt} spark={st}"
+                             " (CAST the oracle or the Spark side)")
     if spark_tbl.num_rows != duck.num_rows:
         ok = False
         fails.append(f"{name}: rows {spark_tbl.num_rows} != {duck.num_rows}")
