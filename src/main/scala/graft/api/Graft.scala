@@ -1048,33 +1048,57 @@ object Graft {
     * m=8 nibble-codes — a 64× smaller index is the entire point of PQ
     * at 100 TB. */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
-      codebooks: DataFrame, dim: Int, m: Int = 8): DataFrame =
-    pqEncodeWith(df, idCol, vecCol, pqLookup(codebooks), dim, m)
+      codebooks: DataFrame, dim: Int, m: Int = 8,
+      ksub: Int = 16): DataFrame =
+    pqEncodeWith(df, idCol, vecCol, pqLookup(codebooks), dim, m, ksub)
+
+  /** The flattened, broadcastable codebook (one row): sorted live cells
+    * (`mi * ksub + code` — Lloyd can empty cells, so entries are
+    * sparse), their centroids concatenated, their norms, and a dense
+    * m·ksub cnrm² lookup (0.0 at dead cells — no corpus row carries a
+    * dead code, so those cells are never read). Feeds the codegen'd
+    * [[graft.functions.PqEncodeF32]] encode kernel and the rnorm
+    * computation via [[graft.functions.PqAdcLut]]. */
+  private def pqFlatLookup(lookup: DataFrame, m: Int,
+      ksub: Int): DataFrame =
+    lookup.select(expr(
+      s"""array_sort(flatten(transform(map_entries(mb), me ->
+         |  transform(map_entries(me.value), e ->
+         |    struct(me.key * $ksub + e.key AS cell,
+         |      e.value.centroid AS centroid,
+         |      CAST(e.value.cnrm AS DOUBLE) AS cnrm)))))""".stripMargin)
+      .as("es"))
+      .select(
+        expr("transform(es, x -> x.cell)").as("cells"),
+        expr("flatten(transform(es, x -> x.centroid))").as("cents"),
+        expr("transform(es, x -> x.cnrm)").as("cnrms"),
+        expr(
+          s"""transform(sequence(0, ${m * ksub - 1}), i ->
+             |  coalesce(try_element_at(map_from_entries(
+             |    transform(es, x -> struct(x.cell, x.cnrm * x.cnrm))), i),
+             |  CAST(0 AS DOUBLE)))""".stripMargin).as("cnrm2"))
 
   private def pqEncodeWith(df: DataFrame, idCol: String, vecCol: String,
-      lookup: DataFrame, dim: Int, m: Int,
+      lookup: DataFrame, dim: Int, m: Int, ksub: Int,
       carry: Seq[String] = Nil): DataFrame = {
-    require(m > 0 && dim % m == 0, s"pqEncode(dim=$dim, m=$m)")
+    require(m > 0 && dim % m == 0 && ksub > 1,
+      s"pqEncode(dim=$dim, m=$m, ksub=$ksub)")
     val dsub = dim / m
-    df.join(broadcast(lookup), lit(true))
-      .select(col(idCol) +: carry.map(col) :+ col(vecCol) :+ col("mb") :+
-        expr(
-          s"""transform(sequence(0, ${m - 1}), mi ->
-             |  array_min(transform(map_entries(element_at(mb, mi)), e ->
-             |    struct(
-             |      -aggregate(zip_with(
-             |         slice($vecCol, mi * $dsub + 1, $dsub),
-             |         e.value.centroid,
-             |         (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-             |        CAST(0 AS DOUBLE), (a, v) -> a + v) / e.value.cnrm
-             |        AS negd,
-             |      e.key AS code))).code)""".stripMargin).as("code"): _*)
-      .withColumn("rnorm", expr(
-        s"""sqrt(aggregate(transform(sequence(0, ${m - 1}), mi ->
-           |  pow(element_at(element_at(mb, mi),
-           |    element_at(code, mi + 1)).cnrm, 2)),
-           |  CAST(0 AS DOUBLE), (a, v) -> a + v))""".stripMargin))
-      .drop("mb")
+    // Encode is THE per-corpus-byte map pass of index build (everything
+    // else trains on bounded samples), so it runs as one codegen'd
+    // kernel against the flattened broadcast codebook instead of the
+    // interpreted per-candidate struct fold (r8: the fold allocated a
+    // struct per (subspace, centroid) candidate — m·ksub per row).
+    // rnorm reuses the ADC-LUT read over the dense cnrm² table: the
+    // reconstruction norm is itself a code-indexed lookup sum.
+    df.join(broadcast(pqFlatLookup(lookup, m, ksub)), lit(true))
+      .withColumn("code", graft.functions.VectorExpressions.pqEncodeF32(
+        col(vecCol), col("cells"), col("cents"), col("cnrms"),
+        m, ksub, dsub))
+      .withColumn("rnorm", sqrt(graft.functions.VectorExpressions
+        .pqAdcLut(col("cnrm2"), col("code"), ksub)))
+      .select(col(idCol) +: carry.map(col) :+ col(vecCol) :+
+        col("code") :+ col("rnorm"): _*)
   }
 
   /** PQ-ADC approximate top-k with exact rerank: queries score every
@@ -1112,7 +1136,7 @@ object Graft {
     // it once — a few KB — so the training pipeline runs exactly once
     // instead of once per subtree.
     val lookup = iterCheckpoint(pqLookup(cb))
-    val enc = pqEncodeWith(df, idCol, vecCol, lookup, dim, m)
+    val enc = pqEncodeWith(df, idCol, vecCol, lookup, dim, m, ksub)
     val q = pqQueryLut(
       normalized(df.filter(queryPred), idCol, vecCol)
         .select(col(idCol).as("query_id"), col(vecCol).as("qe"),
@@ -1196,7 +1220,7 @@ object Graft {
     val lookup = iterCheckpoint(
       pqLookup(pqCodebooks(train, idCol, vecCol, dim, m, ksub, iters)))
     val enc = pqEncodeWith(assigned, idCol, vecCol, lookup, dim, m,
-      carry = Seq("list_id"))
+      ksub, carry = Seq("list_id"))
     val q = pqQueryLut(
       normalized(df.filter(queryPred), idCol, vecCol)
         .select(col(idCol).as("query_id"), col(vecCol).as("qe"),

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
@@ -124,6 +124,113 @@ case class PqAdcLut(left: Expression, right: Expression, ksub: Int)
       newRight: Expression): Expression = copy(newLeft, newRight)
 }
 
+/** Native PQ encoder: per corpus vector, the argmax sub-centroid code
+  * for every subspace in ONE codegen'd pass — the per-corpus-byte map
+  * work of PQ index build (m × ksub × dsub multiply-adds per row; the
+  * interpreted `array_min(transform(map_entries(...)))` HOF it replaces
+  * allocated a struct per (subspace, centroid) candidate and was the
+  * dominant linear-growth term of s10/s11 index build).
+  *
+  * Inputs are the flattened codebook (one broadcast row): `cells[j]` =
+  * `mi * ksub + code` for live codebook entry j (Lloyd can empty cells,
+  * so entries are sparse and sorted), `cents` = the entries' centroids
+  * concatenated (dsub floats each), `cnrms[j]` = the entries' norms.
+  * Output: `m` codes (ARRAY<INT>).
+  *
+  * Parity contract with the HOF (asserted in VectorExpressionsSpec):
+  * per entry the dot product is the same sequential fold, the winner
+  * comparison is `java.lang.Double.compare` on -dot/cnrm then the
+  * smaller code — exactly Spark's struct ordering in `array_min`
+  * (NaN greater than every double and equal to itself). A vector
+  * shorter than m·dsub yields null (the HOF produced an undefined
+  * code there; no fixture or API path feeds short vectors).
+  */
+case class PqEncodeF32(first: Expression, second: Expression,
+    third: Expression, fourth: Expression, m: Int, ksub: Int, dsub: Int)
+    extends QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(IntegerType, _),
+            ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_encode_f32 requires (ARRAY<FLOAT>, ARRAY<INT>, ARRAY<FLOAT>, " +
+          s"ARRAY<DOUBLE>), got $other")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode_f32"
+  override def nullable: Boolean = true
+
+  /** Shared by eval and the codegen template (called reflectively from
+    * generated code, so it must be public static-like — an object method
+    * on the companion). */
+  override protected def nullSafeEval(vecA: Any, cellsA: Any, centsA: Any,
+      cnrmsA: Any): Any =
+    PqEncodeF32.encode(vecA.asInstanceOf[ArrayData],
+      cellsA.asInstanceOf[ArrayData], centsA.asInstanceOf[ArrayData],
+      cnrmsA.asInstanceOf[ArrayData], m, ksub, dsub)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (vec, cells, cents, cnrms) => {
+      val out = ctx.freshName("out")
+      s"""
+         |Object $out = graft.functions.PqEncodeF32.encode(
+         |  $vec, $cells, $cents, $cnrms, $m, $ksub, $dsub);
+         |if ($out == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $out;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): Expression =
+    copy(newFirst, newSecond, newThird, newFourth)
+}
+
+object PqEncodeF32 {
+  /** The encode kernel: primitive-array loops, zero per-candidate
+    * allocation. Returns null (not an exception) for vectors shorter
+    * than m·dsub — the HOF folded null there. */
+  def encode(vec: ArrayData, cells: ArrayData, cents: ArrayData,
+      cnrms: ArrayData, m: Int, ksub: Int, dsub: Int): AnyRef = {
+    if (vec.numElements() < m * dsub) return null
+    val nEntries = cells.numElements()
+    val bestNegd = new Array[Double](m)
+    val bestCode = new Array[Int](m)
+    java.util.Arrays.fill(bestNegd, java.lang.Double.NaN)
+    java.util.Arrays.fill(bestCode, Int.MaxValue)
+    var j = 0
+    while (j < nEntries) {
+      val cell = cells.getInt(j)
+      val mi = cell / ksub
+      val code = cell - mi * ksub
+      var acc = 0.0
+      var t = 0
+      val vOff = mi * dsub
+      val cOff = j * dsub
+      while (t < dsub) {
+        acc += vec.getFloat(vOff + t).toDouble *
+          cents.getFloat(cOff + t).toDouble
+        t += 1
+      }
+      val negd = -acc / cnrms.getDouble(j)
+      val cmp = java.lang.Double.compare(negd, bestNegd(mi))
+      if (cmp < 0 || (cmp == 0 && code < bestCode(mi))) {
+        bestNegd(mi) = negd
+        bestCode(mi) = code
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(bestCode)
+  }
+}
+
 object VectorExpressions {
   /** Column-level dot product over two ARRAY<FLOAT> columns. */
   def dotF32(a: Column, b: Column): Column =
@@ -141,4 +248,16 @@ object VectorExpressions {
         org.apache.spark.sql.graft.Bridge.expression(lut),
         org.apache.spark.sql.graft.Bridge.expression(code),
         ksub))
+
+  /** PQ encode: per-subspace argmax codes against the flattened
+    * codebook (see [[PqEncodeF32]]). */
+  def pqEncodeF32(vec: Column, cells: Column, cents: Column,
+      cnrms: Column, m: Int, ksub: Int, dsub: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      PqEncodeF32(
+        org.apache.spark.sql.graft.Bridge.expression(vec),
+        org.apache.spark.sql.graft.Bridge.expression(cells),
+        org.apache.spark.sql.graft.Bridge.expression(cents),
+        org.apache.spark.sql.graft.Bridge.expression(cnrms),
+        m, ksub, dsub))
 }

@@ -81,6 +81,70 @@ class VectorExpressionsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("pq_encode_f32 matches the array_min HOF formulation bit for bit") {
+    import spark.implicits._
+    val m = 2; val ksub = 3; val dsub = 4
+    // deterministic pseudo-random corpus + codebook, incl. an exact-tie
+    // vector (all-zero -> every negd is -0.0/cnrm == -0.0: smallest code
+    // must win in both formulations)
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(m * dsub)(i => (((seed * 31 + i * 17) % 13) - 6) / 7.0f)
+    val corpus = ((0 until 12).map(s => (s.toLong, vec(s))) :+
+      (99L, Array.fill(m * dsub)(0.0f))).toDF("id", "v")
+    // live cells: drop one (dead Lloyd cell) to exercise sparsity
+    val entries = for {
+      mi <- 0 until m; k <- 0 until ksub
+      if !(mi == 1 && k == 1)
+    } yield (mi, k, Array.tabulate(dsub)(t => (((mi * 7 + k * 5 + t) % 9) - 4) / 5.0f))
+    val cells = entries.map { case (mi, k, _) => mi * ksub + k }.toArray
+    val cents = entries.flatMap(_._3).toArray
+    val cnrms = entries.map { case (_, _, c) =>
+      math.sqrt(c.map(x => x.toDouble * x.toDouble).sum) }.toArray
+    val withCb = corpus
+      .withColumn("cells", typedLit(cells))
+      .withColumn("cents", typedLit(cents))
+      .withColumn("cnrms", typedLit(cnrms))
+    // the old interpreted formulation, reconstructed as a map lookup
+    val mbEntries = entries.map { case (mi, k, c) => (mi, k, c,
+      math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)) }
+    val mbSql = (0 until m).map { mi =>
+      val inner = mbEntries.filter(_._1 == mi).map { case (_, k, c, nr) =>
+        s"$k, named_struct('centroid', array(${c.mkString("F,")}F), " +
+          s"'cnrm', ${nr}D)"
+      }.mkString(", ")
+      s"$mi, map($inner)"
+    }.mkString(", ")
+    val hof = withCb.withColumn("mb", expr(s"map($mbSql)"))
+      .withColumn("ref", expr(
+        s"""transform(sequence(0, ${m - 1}), mi ->
+           |  array_min(transform(map_entries(element_at(mb, mi)), e ->
+           |    struct(
+           |      -aggregate(zip_with(
+           |         slice(v, mi * $dsub + 1, $dsub),
+           |         e.value.centroid,
+           |         (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+           |        CAST(0 AS DOUBLE), (a, v) -> a + v) / e.value.cnrm
+           |        AS negd,
+           |      e.key AS code))).code)""".stripMargin))
+      .withColumn("fast", VectorExpressions.pqEncodeF32(
+        col("v"), col("cells"), col("cents"), col("cnrms"), m, ksub, dsub))
+    val rows = hof.select("id", "ref", "fast").collect()
+    rows.foreach { r =>
+      withClue(s"id=${r.getLong(0)}: ") {
+        r.getSeq[Int](2) shouldBe r.getSeq[Int](1)
+      }
+    }
+    // short vector -> null, never an out-of-bounds read
+    val short = Seq((1L, Array(1.0f))).toDF("id", "v")
+      .withColumn("cells", typedLit(cells))
+      .withColumn("cents", typedLit(cents))
+      .withColumn("cnrms", typedLit(cnrms))
+      .select(VectorExpressions.pqEncodeF32(
+        col("v"), col("cells"), col("cents"), col("cnrms"), m, ksub, dsub))
+      .collect()
+    short.head.isNullAt(0) shouldBe true
+  }
+
   test("pq_adc_lut null inputs yield null") {
     import spark.implicits._
     val df = Seq((Option.empty[Array[Double]], Some(Array(0))))
