@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AHash60, ByteEntropyStats, DotProductF32, HexSliceToLong, Pcm16WindowEnergy, RollingMinHash64}
+import graft.functions.{AHash60, ByteEntropyStats, DotProductF32, HexSliceToLong, Pcm16WindowEnergy, PqAdcLut, PqEncodeF32, RollingMinHash64}
 
 /** Library entry point for SQL users: registers the native expressions
   * under SQL names, so `spark.sql("SELECT dot_f32(a, b) ...")` works the
@@ -66,6 +66,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Pcm16WindowEnergy(args.head,
           intLit("pcm16_window_energy", args(1)),
           intLit("pcm16_window_energy", args(2)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc_lut"),
+      new ExpressionInfo(classOf[PqAdcLut].getName, "pq_adc_lut"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "pq_adc_lut takes (lut, code, ksub)")
+        PqAdcLut(args.head, args(1), intLit("pq_adc_lut", args(2)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("pq_encode_f32"),
+      new ExpressionInfo(classOf[PqEncodeF32].getName, "pq_encode_f32"),
+      (args: Seq[Expression]) => {
+        require(args.length == 7,
+          "pq_encode_f32 takes (vec, cells, cents, cnrms, m, ksub, dsub)")
+        PqEncodeF32(args.head, args(1), args(2), args(3),
+          intLit("pq_encode_f32", args(4)),
+          intLit("pq_encode_f32", args(5)),
+          intLit("pq_encode_f32", args(6)))
       }))
   }
 

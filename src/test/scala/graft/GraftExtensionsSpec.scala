@@ -60,6 +60,20 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
         .selectExpr("inline(w)") // (channel, win_idx, energy)
         .collect().map(r => (r.getLong(1), r.getLong(2)))
       pcm shouldBe Array((0L, 2L), (1L, 2L))
+      // round-8 natives: PQ ADC lookup + encode
+      val adc = s.sql("SELECT pq_adc_lut(array(10D, 20D, 30D, 1D, 2D, 3D), " +
+        "array(0, 2), 3) AS a").collect().head.getDouble(0)
+      adc shouldBe 13.0
+      // one subspace, two unit-axis centroids: vector (0,1) encodes to
+      // the second centroid (code 1)
+      val code = s.sql("SELECT pq_encode_f32(" +
+        "array(CAST(0 AS FLOAT), CAST(1 AS FLOAT)), " +
+        "array(0, 1), " +
+        "array(CAST(1 AS FLOAT), CAST(0 AS FLOAT), " +
+        "      CAST(0 AS FLOAT), CAST(1 AS FLOAT)), " +
+        "array(1D, 1D), 1, 2, 2) AS c")
+        .collect().head.getSeq[Int](0)
+      code shouldBe Seq(1)
     } finally {
       s.sparkContext.stop()
       SparkSession.clearActiveSession()
