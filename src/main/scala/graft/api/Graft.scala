@@ -2033,6 +2033,56 @@ object Graft {
         md5(expr(s"substring(payload, f*$frameBytes+1, $frameBytes)"))
           .as("frame_digest"))
 
+  /** Scene-cut detection over the frame stream — the TEMPORAL structure
+    * pass the per-frame ops (frame digests, energies) don't see: a
+    * "cut" is a frame whose mean byte value jumps more than `threshold`
+    * from the previous frame, the byte-level analogue of histogram-
+    * difference shot detection (the pass a video pipeline runs to
+    * sample training frames at scene boundaries instead of uniformly).
+    * One summary row per document: (id, n_frames, n_cuts, max_delta).
+    *
+    * Exactness: frame means are SUM(16 bytes)/16.0 — integer sums and a
+    * dyadic divisor, so every mean, delta, and comparison is exact in
+    * doubles and DuckDB reproduces them bit-for-bit. Pick thresholds
+    * off the 1/16 grid (e.g. 8.03125) so `>` can never tie.
+    *
+    * Scale shape: the per-frame mean is a partition-local explode +
+    * fold (map-only); the lag is ONE window partitioned by document —
+    * the same single hash-shuffle any per-asset sessionization pays.
+    * Frame COUNT per document is bounded by payload size, so window
+    * partitions stay asset-sized, never corpus-sized. */
+  def frameSceneCuts(df: DataFrame, idCol: String, payloadCol: String,
+      frameBytes: Int = 16, threshold: Double = 8.03125): DataFrame = {
+    require(frameBytes > 0, s"frameSceneCuts($frameBytes)")
+    val base = df.select(col(idCol),
+      lower(hex(col(payloadCol))).as("h"),
+      expr(s"CAST(length($payloadCol) DIV $frameBytes AS BIGINT)")
+        .as("nf"))
+    val means = base.filter(col("nf") >= 1)
+      .select(col(idCol), col("h"), col("nf"),
+        explode(expr("sequence(0, nf-1)")).as("f"))
+      .withColumn("mv", expr(
+        s"""aggregate(sequence(0, ${frameBytes - 1}), CAST(0 AS BIGINT),
+           |  (a, t) -> a + CAST(conv(substring(h,
+           |    CAST((f * $frameBytes + t) * 2 + 1 AS INT), 2), 16, 10)
+           |    AS BIGINT)) / CAST($frameBytes AS DOUBLE)""".stripMargin))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("f")
+    val deltas = means
+      .withColumn("delta", abs(col("mv") - lag("mv", 1).over(w)))
+    val agg = deltas.groupBy(idCol)
+      .agg(max(col("nf")).as("n_frames"),
+        sum(when(col("delta") > threshold, 1L).otherwise(0L))
+          .as("n_cuts"),
+        round(coalesce(max(col("delta")), lit(0.0)), 4).as("max_delta"))
+    df.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+        coalesce(col("n_cuts"), lit(0L)).as("n_cuts"),
+        coalesce(col("max_delta"), lit(0.0)).as("max_delta"))
+  }
+
   /** Audio-frame energy over a PCM16LE binary payload: non-overlapping
     * windows of `windowSamples` 16-bit little-endian samples, one row per
     * COMPLETE window with the sum of absolute sample values — the

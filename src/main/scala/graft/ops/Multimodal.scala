@@ -229,6 +229,44 @@ object Multimodal {
         "/ COUNT(*), 4) AS dup_frac " +
         "FROM u JOIN f USING (ch) GROUP BY doc_id ORDER BY doc_id")),
 
+    Q("m10_scene_cut",
+      // Temporal structure over the frame stream (vs the per-frame stats
+      // of m03/m05): a scene "cut" is a frame whose mean byte value
+      // jumps > 8.03125 from the previous frame — byte-level
+      // histogram-difference shot detection, the pass that samples
+      // training frames at scene boundaries instead of uniformly.
+      // Frame means are integer sums over a dyadic divisor, so every
+      // delta and comparison is exact cross-engine; the threshold sits
+      // off the 1/16 grid so > can never tie.
+      // See [[graft.api.Graft.frameSceneCuts]].
+      (s, d) => graft.api.Graft.frameSceneCuts(
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload", frameBytes = 16, threshold = 8.03125)
+        .orderBy("doc_id"),
+      Some("WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS h, " +
+        "octet_length(encode(text))//16 AS nf FROM documents), " +
+        "b AS (SELECT doc_id, nf, g//16 AS f, " +
+        "CAST(concat('0x', substr(h, CAST(g*2+1 AS BIGINT), 2)) " +
+        "AS BIGINT) AS v " +
+        "FROM p, UNNEST(generate_series(0, nf*16-1)) t(g) " +
+        "WHERE nf >= 1), " +
+        "m AS (SELECT doc_id, nf, f, SUM(v)/16.0 AS mv FROM b " +
+        "GROUP BY 1, 2, 3), " +
+        "dl AS (SELECT doc_id, nf, " +
+        "ABS(mv - LAG(mv) OVER (PARTITION BY doc_id ORDER BY f)) " +
+        "AS delta FROM m), " +
+        "a AS (SELECT doc_id, MAX(nf) AS n_frames, " +
+        "CAST(SUM(CASE WHEN delta > 8.03125 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_cuts, " +
+        "ROUND(COALESCE(MAX(delta), 0.0), 4) AS max_delta " +
+        "FROM dl GROUP BY doc_id) " +
+        "SELECT d.doc_id, COALESCE(n_frames, 0) AS n_frames, " +
+        "COALESCE(n_cuts, 0) AS n_cuts, " +
+        "COALESCE(max_delta, 0.0) AS max_delta " +
+        "FROM documents d LEFT JOIN a USING (doc_id) " +
+        "ORDER BY d.doc_id")),
+
     Q("m08_ahash",
       // 60-bit byte-level average-hash (perceptual-hash construction):
       // the pre-decode content fingerprint that survives small byte
