@@ -2054,18 +2054,16 @@ object Graft {
   def frameSceneCuts(df: DataFrame, idCol: String, payloadCol: String,
       frameBytes: Int = 16, threshold: Double = 8.03125): DataFrame = {
     require(frameBytes > 0, s"frameSceneCuts($frameBytes)")
+    // One native pass computes every frame mean (codegen'd
+    // [[graft.functions.FrameMeans]] — the hex/conv formulation
+    // allocated a string per BYTE); the posexplode is partition-local.
     val base = df.select(col(idCol),
-      lower(hex(col(payloadCol))).as("h"),
-      expr(s"CAST(length($payloadCol) DIV $frameBytes AS BIGINT)")
-        .as("nf"))
+      graft.functions.MediaExpressions
+        .frameMeans(col(payloadCol), frameBytes).as("mvs"))
+      .withColumn("nf", size(col("mvs")).cast("bigint"))
     val means = base.filter(col("nf") >= 1)
-      .select(col(idCol), col("h"), col("nf"),
-        explode(expr("sequence(0, nf-1)")).as("f"))
-      .withColumn("mv", expr(
-        s"""aggregate(sequence(0, ${frameBytes - 1}), CAST(0 AS BIGINT),
-           |  (a, t) -> a + CAST(conv(substring(h,
-           |    CAST((f * $frameBytes + t) * 2 + 1 AS INT), 2), 16, 10)
-           |    AS BIGINT)) / CAST($frameBytes AS DOUBLE)""".stripMargin))
+      .select(col(idCol), col("nf"),
+        posexplode(col("mvs")).as(Seq("f", "mv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("f")
     val deltas = means

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType, StructField, StructType}
 
 /** Single-pass PCM16LE window-energy over a BINARY payload: returns
   * ARRAY<STRUCT<channel BIGINT, win_idx BIGINT, energy BIGINT>> with one
@@ -174,6 +174,59 @@ object AHash60 {
   }
 }
 
+/** Per-frame mean byte value of a BINARY payload: one double per
+  * COMPLETE `frameBytes`-byte frame, `sum(unsigned bytes) / frameBytes`
+  * — the frame statistic behind scene-cut detection (m10). Integer sums
+  * over a dyadic divisor, so every mean is exact in doubles and DuckDB
+  * reproduces it bit-for-bit from hex pairs. Replaces an interpreted
+  * `conv(substring(hex...))` fold that allocated a string per BYTE. */
+case class FrameMeans(child: Expression, frameBytes: Int)
+    extends UnaryExpression {
+  require(frameBytes > 0, s"frame_means: need positive frameBytes")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"frame_means requires BINARY input, got $t")
+    }
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "frame_means"
+
+  override protected def nullSafeEval(input: Any): Any =
+    FrameMeans.compute(input.asInstanceOf[Array[Byte]], frameBytes)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.FrameMeans.compute($c, $frameBytes)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object FrameMeans {
+  def compute(bytes: Array[Byte], frameBytes: Int): ArrayData = {
+    val nf = bytes.length / frameBytes
+    val out = new Array[Double](nf)
+    var f = 0
+    while (f < nf) {
+      var sum = 0L
+      var t = 0
+      val off = f * frameBytes
+      while (t < frameBytes) {
+        sum += (bytes(off + t) & 0xff)
+        t += 1
+      }
+      out(f) = sum.toDouble / frameBytes
+      f += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
 object MediaExpressions {
   /** Per-window PCM16LE energy array of a BINARY column, one pass. */
   def pcm16WindowEnergy(c: Column, windowSamples: Int,
@@ -187,4 +240,10 @@ object MediaExpressions {
   def ahash60(c: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       AHash60(org.apache.spark.sql.graft.Bridge.expression(c)))
+
+  /** Per-frame mean byte values of a BINARY column, one pass. */
+  def frameMeans(c: Column, frameBytes: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      FrameMeans(org.apache.spark.sql.graft.Bridge.expression(c),
+        frameBytes))
 }

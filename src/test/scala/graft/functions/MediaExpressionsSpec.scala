@@ -133,6 +133,34 @@ class MediaExpressionsSpec extends AnyFunSuite with Matchers {
     withInterpreted(run()) shouldBe got
   }
 
+  test("FrameMeans matches a brute-force frame fold on random payloads " +
+    "and agrees between codegen and interpreted") {
+    import spark.implicits._
+    val payloads = randomPayloads(30, 200)
+    def reference(b: Array[Byte], fb: Int): Seq[Double] =
+      (0 until b.length / fb).map { f =>
+        b.slice(f * fb, (f + 1) * fb).map(x => (x & 0xff).toLong).sum
+          .toDouble / fb
+      }
+    def run(): Seq[Seq[Double]] =
+      payloads.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+        .toDF("k", "p").orderBy("k")
+        .select(MediaExpressions.frameMeans(col("p"), 16))
+        .collect().toSeq.map(_.getSeq[Double](0))
+    val got = run()
+    payloads.zip(got).foreach { case (b, means) =>
+      withClue(s"payload len ${b.length}: ") {
+        means shouldBe reference(b, 16)
+      }
+    }
+    withInterpreted(run()) shouldBe got
+    // empty payload and sub-frame payload: zero frames, not a crash
+    Seq((1L, Array.empty[Byte]), (2L, Array[Byte](1, 2, 3)))
+      .toDF("k", "p")
+      .select(MediaExpressions.frameMeans(col("p"), 16))
+      .collect().foreach(_.getSeq[Double](0) shouldBe Seq.empty)
+  }
+
   test("TrigramLangIdExpr matches a brute-force window count on random " +
     "texts, and codegen agrees") {
     val s = spark
