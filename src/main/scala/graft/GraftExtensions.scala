@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AHash60, ByteEntropyStats, DotProductF32, HexSliceToLong, Pcm16WindowEnergy, PqAdcLut, PqEncodeF32, RollingMinHash64}
+import graft.functions.{AHash60, ByteEntropyStats, DotProductF32, FrameMeans, HexSliceToLong, Pcm16WindowEnergy, PqAdcLut, PqEncodeF32, RollingMinHash64}
 
 /** Library entry point for SQL users: registers the native expressions
   * under SQL names, so `spark.sql("SELECT dot_f32(a, b) ...")` works the
@@ -66,6 +66,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Pcm16WindowEnergy(args.head,
           intLit("pcm16_window_energy", args(1)),
           intLit("pcm16_window_energy", args(2)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("frame_means"),
+      new ExpressionInfo(classOf[FrameMeans].getName, "frame_means"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "frame_means takes (binary, frameBytes)")
+        FrameMeans(args.head, intLit("frame_means", args(1)))
       }))
     ext.injectFunction((
       FunctionIdentifier("pq_adc_lut"),

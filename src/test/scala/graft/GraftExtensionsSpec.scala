@@ -74,6 +74,9 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
         "array(1D, 1D), 1, 2, 2) AS c")
         .collect().head.getSeq[Int](0)
       code shouldBe Seq(1)
+      val fm = s.sql("SELECT frame_means(unhex('00FF00FF'), 2) AS m")
+        .collect().head.getSeq[Double](0)
+      fm shouldBe Seq(127.5, 127.5)
     } finally {
       s.sparkContext.stop()
       SparkSession.clearActiveSession()
