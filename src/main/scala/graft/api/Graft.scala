@@ -2288,4 +2288,45 @@ object Graft {
       .filter(cont >= threshold)
       .select(col("id_a"), col("id_b"), cont.as("containment"))
   }
+
+  /** Sketch-estimated containment pairs — [[containmentPairs]]' scale
+    * path, the same way MinHash+LSH (d02) is [[ngramJaccardPairs]]'
+    * (d04): candidates come from LSH band buckets instead of the
+    * shingle self-join, and the containment is DERIVED from the
+    * signature-agreement Jaccard estimate plus the two exact shingle
+    * counts (map-side aggregates): with ĵ = agreement/k,
+    * î = ĵ·(|A|+|B|)/(1+ĵ) and ĉ(A⊆B) = î/|A|, capped at 1. Emits both
+    * orientations of every banded candidate above `threshold`.
+    *
+    * Scale shape: signatures + banding shuffle fixed-width longs (the
+    * d02 machinery verbatim — shingle text never joins itself); the
+    * size join adds one (id, count) broadcast-sized aggregate. Known
+    * recall limit, inherent to plain MinHash banding: an A≪B inclusion
+    * has SMALL Jaccard (ĉ·|A| / |B|), so band collisions fade exactly
+    * when the size ratio grows — the asymmetric-sketch literature's
+    * motivation for bottom-k/containment sketches. Use [[containmentPairs]]
+    * (exact, bounded by the shingle-df guard) when small-in-big
+    * inclusions matter; this op screens the near-peer-size bulk
+    * cheaply. */
+  def containmentMinhashPairs(df: DataFrame, idCol: String,
+      textCol: String, k: Int = 24, bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    // threshold = 0.0 on the jaccard filter: every banded candidate
+    // passes through to the containment math (est_jac >= 0 always)
+    val cand = minhashLshPairs(df, idCol, textCol, k, bands,
+      threshold = 0.0)
+    val cnt = shingles(df, idCol, textCol).groupBy(idCol)
+      .agg(count(lit(1)).as("n"))
+    val both = cand.select(col("id_a"), col("id_b"), col("est_jac"))
+      .unionAll(cand.select(col("id_b").as("id_a"),
+        col("id_a").as("id_b"), col("est_jac")))
+    val est = col("est_jac") * (col("ca.n") + col("cb.n")) /
+      ((lit(1.0) + col("est_jac")) * col("ca.n"))
+    both
+      .join(cnt.as("ca"), col("id_a") === col(s"ca.$idCol"))
+      .join(cnt.as("cb"), col("id_b") === col(s"cb.$idCol"))
+      .filter(est >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(least(est, lit(1.0)), 4).as("est_containment"))
+  }
 }

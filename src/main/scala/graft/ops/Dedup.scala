@@ -496,6 +496,64 @@ object Dedup {
           "GROUP BY id ORDER BY doc_id"
       }),
 
+    Q("d17_containment_minhash",
+      // d14's containment by SKETCH: LSH band buckets generate the
+      // candidates (the d02 machinery — no shingle self-join) and the
+      // containment derives from the signature-agreement Jaccard
+      // estimate plus the two exact shingle counts:
+      // ĉ(A⊆B) = ĵ·(|A|+|B|) / ((1+ĵ)·|A|), capped at 1. Everything is
+      // deterministic md5 arithmetic, so the oracle reproduces the
+      // estimate bit-for-bit. Known recall limit for A≪B inclusions
+      // (their Jaccard is small, so banding fades) — documented; d14
+      // is the exact op. See
+      // [[graft.api.Graft.containmentMinhashPairs]].
+      (s, d) => graft.api.Graft.containmentMinhashPairs(
+        docs(s, d), "doc_id", "text", k = MinhashK, bands = Bands,
+        threshold = 0.8)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          col("est_containment"))
+        .orderBy("doc_a", "doc_b"),
+      Some {
+        val R = MinhashK / Bands
+        val minCols = (0 until MinhashK).map { i =>
+          val (seed, slice) = (i / 4, i % 4)
+          s"MIN(CAST(concat('0x', substring(md5(concat('$seed:', s)), " +
+            s"${8 * slice + 1}, 8)) AS BIGINT)) AS m$i"
+        }.mkString(", ")
+        val bandSelects = (0 until Bands).map { j =>
+          val cols = (0 until R).map(r => s"m${j * R + r}").mkString(", ")
+          s"SELECT doc_id, $j AS band, md5(concat_ws(',', $cols, '$j')) " +
+            "AS bh FROM sig"
+        }.mkString(" UNION ALL ")
+        val agree = (0 until MinhashK).map(i =>
+          s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') " +
+          "AS w FROM documents), " +
+          "sh AS (SELECT DISTINCT doc_id, " +
+          "array_to_string(list_slice(w, g, g+2), ' ') AS s FROM toks, " +
+          "UNNEST(generate_series(1, len(w)-2)) AS t(g)), " +
+          s"sig AS (SELECT doc_id, $minCols FROM sh GROUP BY doc_id), " +
+          "cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh " +
+          "GROUP BY doc_id), " +
+          s"bands AS ($bandSelects), " +
+          "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+          "FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh " +
+          "AND a.doc_id < b.doc_id), " +
+          "ej AS (SELECT doc_a, doc_b, " +
+          s"CAST(($agree) AS DOUBLE)/$MinhashK AS est_jac FROM cand " +
+          "JOIN sig sa ON doc_a = sa.doc_id " +
+          "JOIN sig sb ON doc_b = sb.doc_id), " +
+          "bo AS (SELECT doc_a, doc_b, est_jac FROM ej " +
+          "UNION ALL SELECT doc_b, doc_a, est_jac FROM ej) " +
+          "SELECT doc_a, doc_b, " +
+          "ROUND(LEAST(est_jac * (ca.n + cb.n) / " +
+          "((1.0 + est_jac) * ca.n), 1.0), 4) AS est_containment " +
+          "FROM bo JOIN cnt ca ON doc_a = ca.doc_id " +
+          "JOIN cnt cb ON doc_b = cb.doc_id " +
+          "WHERE est_jac * (ca.n + cb.n) / ((1.0 + est_jac) * ca.n) " +
+          ">= 0.8 ORDER BY doc_a, doc_b"
+      }),
+
     Q("d05_embed_cosine_dup",
       (s, d) => graft.api.Graft
         .cosinePairsExact(Tables.load(s, d, "embeddings"), "vec_id",
