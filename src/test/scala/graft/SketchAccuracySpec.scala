@@ -75,6 +75,27 @@ class SketchAccuracySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("d17: minhash containment estimate tracks d14's exact containment " +
+    "on shared pairs") {
+    // d17's estimate composes the k=24 jaccard estimate with exact
+    // shingle counts, so its error bound follows d02's: compare on the
+    // pairs BOTH ops emit (d17's banding misses small-in-big inclusions
+    // by design — recall is documented, accuracy is asserted here).
+    val est = run("d17_containment_minhash").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = graft.api.Graft.containmentPairs(
+      Tables.load(spark, sfDir, "documents"), "doc_id", "text",
+      threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        math.min(1.0, r.getDouble(2)))).toMap
+    val shared = est.keySet.intersect(exact.keySet)
+    shared should not be empty
+    shared.foreach { pair =>
+      withClue(s"pair $pair est=${est(pair)} exact=${exact(pair)}: ")(
+        math.abs(est(pair) - exact(pair)) should be < 0.2)
+    }
+  }
+
   test("d06: LSH-candidate near-dup recovers most of d05's exact pairs") {
     val exact = run("d05_embed_cosine_dup").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
