@@ -474,8 +474,20 @@ object Graft {
     * size, not corpus size) — no skew risk beyond what the pair
     * generator already bounded. */
   def keepBestPerCluster(df: DataFrame, idCol: String, scoreCol: String,
-      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val clusters = dupClusters(df, idCol, pairs, aCol, bCol)
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    keepBestFromClusters(df, idCol, scoreCol,
+      dupClusters(df, idCol, pairs, aCol, bCol))
+
+  /** The keep pick of [[keepBestPerCluster]] over ALREADY-computed
+    * clusters (`idCol`, `cluster_id` rows — [[dupClusters]]' output or
+    * a cached copy of it): one hash shuffle on cluster_id + a
+    * row_number over near-clique-small clusters. Split out so a
+    * pipeline that has just clustered (d07's gate, an incremental-dedup
+    * loop) does not pay the pair generation and propagation a second
+    * time — the r8 verdict measured the fused form re-running d07's
+    * whole clustering inside d16. */
+  def keepBestFromClusters(df: DataFrame, idCol: String, scoreCol: String,
+      clusters: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_id")
       .orderBy(col(scoreCol).desc, col(idCol))
@@ -1184,9 +1196,12 @@ object Graft {
     *
     * Scale shape: work per query is nProbe × (corpus/nlist) CODE reads
     * (m bytes each, not vectors) + `shortlist` full-vector reads. With
-    * nlist grown with the corpus (≈ fixed occupancy per list, the d12
-    * lesson) and fixed nProbe, per-query cost is CONSTANT in corpus
-    * size; the remaining linear passes (train/assign/encode) are
+    * nlist grown with the corpus per [[deriveNlist]] (fixed occupancy
+    * up to the 2.56M-vector crossover, the Faiss 4√n convention past
+    * it — which caps the build's assignment pass at O(n^1.5)) and
+    * fixed nProbe, per-query cost is constant in corpus size up to the
+    * crossover and √n-ish past it, absorbed by the m-byte-per-code ADC
+    * scan; the remaining linear passes (train/assign/encode) are
     * map-side index-BUILD cost paid once, amortized over every query
     * batch against the index. On a near-isotropic corpus (no cluster
     * structure for the quantizer to find) recall tracks the probed
@@ -1264,6 +1279,32 @@ object Graft {
       .filter(col("rnk") <= k)
   }
 
+  /** List-count derivation for every k-means-derived index (IVF, IVF-PQ,
+    * the kNN self-join blocks, SemDeDup's clusters): the smaller of the
+    * fixed-occupancy count `n / vectorsPerList` and the Faiss convention
+    * `sqrtFactor · √n` (Jégou et al.; Faiss guidelines use 4√n–16√n).
+    *
+    * Why two regimes: at small n, fixed occupancy keeps every list
+    * usefully populated (√n would over-split a 10⁴-vector corpus into
+    * starving lists). At large n, a count ∝ n makes the one full-corpus
+    * assignment pass O(n·nlist) = O(n²/occupancy) — the engine's last
+    * super-linear term (r8 verdict); capping at `sqrtFactor·√n` bounds
+    * assignment at O(n^1.5) while per-list occupancy grows as
+    * √n/sqrtFactor, which the PQ/ADC scan path absorbs linearly. The
+    * crossover sits at n = (vectorsPerList·sqrtFactor)² — 2.56M vectors
+    * at the defaults — so every committed fixture (and the 10×/30×/100×
+    * scale runs) resolves to the identical layout the fixed-occupancy
+    * derivation produced, while a 10⁹-vector corpus gets 4√n ≈ 126k
+    * lists instead of 2.5M and a 20× cheaper build. */
+  def deriveNlist(n: Long, vectorsPerList: Int = 400,
+      sqrtFactor: Double = 4.0, floor: Int = 1): Int = {
+    require(n >= 0 && vectorsPerList > 0 && sqrtFactor > 0 && floor > 0,
+      s"deriveNlist($n, $vectorsPerList, $sqrtFactor, $floor)")
+    math.max(floor.toLong, math.round(math.min(
+      n.toDouble / vectorsPerList,
+      sqrtFactor * math.sqrt(n.toDouble)))).toInt
+  }
+
   /** ANN k-nearest-neighbor SELF-join: approximate top-`k` neighbors
     * for EVERY corpus vector — the all-pairs retrieval shape behind
     * embedding-level curation (SemDeDup neighborhoods, diversity
@@ -1275,10 +1316,11 @@ object Graft {
     * to its ONE primary list, let each vector-as-query probe its
     * `probes` nearest lists ([[assignToCentroidsTopN]] — map-only), and
     * join query probes to list members on the list id. Per-query
-    * candidates ≈ probes × occupancy, and occupancy is held ~constant
-    * by deriving `nlist` from the corpus count — so total work is
-    * O(n · probes · vectorsPerList) dot products: LINEAR in the corpus,
-    * never the n² cross product. The per-query top-k window partitions
+    * candidates ≈ probes × occupancy, and occupancy is bounded by
+    * deriving `nlist` from the corpus count ([[deriveNlist]]) — so
+    * total work is O(n · probes · occupancy) dot products (occupancy =
+    * `vectorsPerList` up to the √n crossover, √n/4 past it): at most
+    * O(n^1.5), never the n² cross product. The per-query top-k window partitions
     * by query id over those bounded candidate lists. A neighbor's
     * primary list is unique and probed lists are distinct, so a
     * (query, neighbor) pair appears at most once — no dedup pass.
@@ -1290,8 +1332,7 @@ object Graft {
     require(k > 0 && probes > 0 && vectorsPerList > 0 && trainPerList > 0,
       s"annKnnJoin(k=$k, probes=$probes, vectorsPerList=$vectorsPerList)")
     val count = df.count()
-    val nlist = math.max(1L, math.round(count.toDouble / vectorsPerList))
-      .toInt
+    val nlist = deriveNlist(count, vectorsPerList, floor = 1)
     val train = trainSample(df, idCol, nlist.toLong * trainPerList, count)
     val cents =
       iterCheckpoint(kmeansCentroids(train, idCol, vecCol, nlist, iters))

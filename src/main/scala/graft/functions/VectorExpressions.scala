@@ -77,6 +77,13 @@ case class DotProductF32(left: Expression, right: Expression)
   * codegens into the same whole-stage pipeline as the surrounding join.
   * The LUT entries are computed with the identical sequential fold the
   * old inline dot used, so ADC scores stay bit-identical.
+  *
+  * Registered as a public SQL function, so the index arithmetic is
+  * bounds-checked: a code outside [0, ksub) or past the LUT's length
+  * raises a named error instead of silently reading past the
+  * UnsafeArrayData payload (whose own assert is disabled in normal
+  * JVMs). Library call sites always satisfy the invariant, so the
+  * branch never fires on the hot path — it exists for the SQL surface.
   */
 case class PqAdcLut(left: Expression, right: Expression, ksub: Int)
     extends BinaryExpression {
@@ -95,10 +102,14 @@ case class PqAdcLut(left: Expression, right: Expression, ksub: Int)
     val lut = a.asInstanceOf[ArrayData]
     val code = b.asInstanceOf[ArrayData]
     val m = code.numElements()
+    val n = lut.numElements()
     var acc = 0.0
     var mi = 0
     while (mi < m) {
-      acc += lut.getDouble(mi * ksub + code.getInt(mi))
+      val c = code.getInt(mi)
+      if (c < 0 || c >= ksub || mi * ksub + c >= n)
+        PqAdcLut.outOfRange(mi, c, ksub, n)
+      acc += lut.getDouble(mi * ksub + c)
       mi += 1
     }
     acc
@@ -108,13 +119,20 @@ case class PqAdcLut(left: Expression, right: Expression, ksub: Int)
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val m = ctx.freshName("m")
+      val n = ctx.freshName("n")
       val mi = ctx.freshName("mi")
+      val c = ctx.freshName("c")
       val acc = ctx.freshName("acc")
       s"""
          |int $m = $b.numElements();
+         |int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $mi = 0; $mi < $m; $mi++) {
-         |  $acc += $a.getDouble($mi * $ksub + $b.getInt($mi));
+         |  int $c = $b.getInt($mi);
+         |  if ($c < 0 || $c >= $ksub || $mi * $ksub + $c >= $n) {
+         |    graft.functions.PqAdcLut.outOfRange($mi, $c, $ksub, $n);
+         |  }
+         |  $acc += $a.getDouble($mi * $ksub + $c);
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -122,6 +140,14 @@ case class PqAdcLut(left: Expression, right: Expression, ksub: Int)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
+object PqAdcLut {
+  /** Named failure for the SQL surface (called from generated code). */
+  def outOfRange(mi: Int, code: Int, ksub: Int, lutLen: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"pq_adc_lut: code $code at subspace $mi out of range for " +
+        s"ksub=$ksub, lut of $lutLen entries")
 }
 
 /** Native PQ encoder: per corpus vector, the argmax sub-centroid code
@@ -143,7 +169,9 @@ case class PqAdcLut(left: Expression, right: Expression, ksub: Int)
   * smaller code — exactly Spark's struct ordering in `array_min`
   * (NaN greater than every double and equal to itself). A vector
   * shorter than m·dsub yields null (the HOF produced an undefined
-  * code there; no fixture or API path feeds short vectors).
+  * code there; no fixture or API path feeds short vectors), as does a
+  * codebook with an entry-less subspace — malformed input fails to a
+  * null row instead of emitting a poisoned sentinel code.
   */
 case class PqEncodeF32(first: Expression, second: Expression,
     third: Expression, fourth: Expression, m: Int, ksub: Int, dsub: Int)
@@ -225,6 +253,17 @@ object PqEncodeF32 {
         bestCode(mi) = code
       }
       j += 1
+    }
+    // A subspace with zero live codebook entries has no argmax: return
+    // null (the short-vector convention) rather than emit the sentinel
+    // Int.MaxValue inside a containsNull=false array — a poisoned code
+    // that would overflow pq_adc_lut's index arithmetic downstream.
+    // Unreachable via pqCodebooks (every subspace keeps >= 1 cell), so
+    // this only fires on malformed hand-built codebooks.
+    var mi = 0
+    while (mi < m) {
+      if (bestCode(mi) == Int.MaxValue) return null
+      mi += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(bestCode)

@@ -114,6 +114,25 @@ object Dedup {
       "SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach " +
       "GROUP BY id ORDER BY doc_id"
 
+  /** d07's clusters (min-id components over d04's exact Jaccard pair
+    * set), shared with d16 through [[ListingCache]] (the s07 pattern —
+    * r8 verdict: d16 re-ran the whole pair generation + propagation
+    * d07 had just computed, 5.4 s of pure duplicate work at sf0.1).
+    * d07 always builds FRESH and leaves the materialized clusters;
+    * d16 (`reuse = true`) picks them up, or builds when it runs first
+    * (query order is not guaranteed). d10 deliberately does NOT share:
+    * its point is exercising the large-star contraction path end to
+    * end. */
+  private def jaccardClusters(s: SparkSession, d: String,
+      reuse: Boolean = false): DataFrame =
+    ListingCache.shared("jaccard_clusters", s, d, reuse) {
+      graft.api.Graft.dupClusters(
+        docs(s, d), "doc_id",
+        graft.api.Graft.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+          n = 3, threshold = 0.5),
+        "id_a", "id_b")
+    }
+
   val defs: Seq[Q] = Seq(
 
     Q("d01_exact_dedup",
@@ -396,13 +415,9 @@ object Dedup {
       // round is an equi-join + min-agg hash-partitioned by id, and dup
       // clusters are near-cliques so it converges in 2-3 rounds at any
       // scale; see [[graft.api.Graft.dupClusters]]. The oracle computes
-      // the same closure with a recursive CTE.
-      (s, d) => graft.api.Graft.dupClusters(
-        docs(s, d), "doc_id",
-        graft.api.Graft.ngramJaccardPairs(docs(s, d), "doc_id", "text",
-          n = 3, threshold = 0.5),
-        "id_a", "id_b")
-        .orderBy("doc_id"),
+      // the same closure with a recursive CTE. Builds fresh and leaves
+      // the materialized clusters for d16 ([[jaccardClusters]]).
+      (s, d) => jaccardClusters(s, d).orderBy("doc_id"),
       Some(JaccardClustersOracle)),
 
     Q("d10_dup_clusters_largestar",
@@ -429,13 +444,15 @@ object Dedup {
       // the longest member (max n_chars, ties to the smaller id), the
       // standard keep-longest curation heuristic. `kept = false` rows
       // are the corpus the dedup actually removes; the oracle replays
-      // the recursive closure plus the same argmax window. See
-      // [[graft.api.Graft.keepBestPerCluster]].
-      (s, d) => graft.api.Graft.keepBestPerCluster(
+      // the recursive closure plus the same argmax window. Reuses the
+      // clusters d07 materialized this session ([[jaccardClusters]] —
+      // r8 verdict: the fused form re-ran the whole pair generation +
+      // propagation, the bench's single most expensive query); the
+      // keep pick itself is one cluster_id shuffle + row_number. See
+      // [[graft.api.Graft.keepBestFromClusters]].
+      (s, d) => graft.api.Graft.keepBestFromClusters(
         docs(s, d), "doc_id", "n_chars",
-        graft.api.Graft.ngramJaccardPairs(docs(s, d), "doc_id", "text",
-          n = 3, threshold = 0.5),
-        "id_a", "id_b")
+        jaccardClusters(s, d, reuse = true))
         .orderBy("doc_id"),
       Some(JaccardClustersCte +
         "SELECT c.id AS doc_id, c.cluster_id, " +
@@ -624,11 +641,14 @@ object Dedup {
       (s, d) => {
         val emb = Tables.load(s, d, "embeddings")
         // nlist scales with the corpus (the operator's contract — the
-        // paper uses tens of thousands of clusters at web scale):
-        // ~400 vectors per cluster keeps within-cluster pair work
-        // linear-ish in n. All committed fixtures land at nlist=5; the
-        // 10x scale check exercises the scaled value.
-        val nlist = math.max(5L, emb.count() / 400).toInt
+        // paper uses tens of thousands of clusters at web scale) via
+        // graft.api.Graft.deriveNlist: ~400 vectors per cluster below
+        // the 2.56M-vector crossover (keeps within-cluster pair work
+        // linear-ish in n), the Faiss 4*sqrt(n) convention past it
+        // (caps the assignment pass at O(n^1.5)). All committed
+        // fixtures land at nlist=5; the 10x scale check exercises the
+        // scaled value.
+        val nlist = math.max(5, graft.api.Graft.deriveNlist(emb.count()))
         val sem = graft.api.Graft
           .semanticDedupPairs(emb, "vec_id", "embedding",
             nlist = nlist, iters = 2, threshold = 0.45)

@@ -62,32 +62,16 @@ object Vector {
   /** Listing share between each index's gate query and the s07 recall
     * contract (r7 verdict: s07 re-trained and re-scanned every index a
     * second time — 22.5 s of the 799 s bench was pure duplicate work).
-    * A gate query always builds its index FRESH (its bench/verify
-    * timing stays an honest fresh-build cost) and leaves the
-    * materialized listing here; s07 (`reuse = true`) reads the latest
-    * materialized listing and only builds indexes no gate query has
-    * built yet in this session. Keyed by (applicationId, dir, method)
-    * so a stopped session's entries can never leak into a new one;
-    * values are a few-thousand-row checkpointed listings, reliable
-    * checkpoint when a checkpoint dir is set (cluster), local blocks
-    * otherwise. */
-  private val listingCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String, String), DataFrame]
-
+    * See [[ListingCache]] for the mechanism (incl. the lost-block
+    * rebuild fallback). NOTE the warm-cache precondition on s07's
+    * bench number: its committed reference (~0.5-0.6 s) measures
+    * reading listings the sXX gate queries materialized earlier in the
+    * same bench session; run in isolation s07 pays the full fresh
+    * index builds (~20 s at sf0.1) — by design, so the fresh-build
+    * cost is charged to the index queries, exactly once. */
   private def shared(method: String, s: SparkSession, d: String,
-      reuse: Boolean)(build: => DataFrame): DataFrame = {
-    val key = (s.sparkContext.applicationId, d, method)
-    def materialize(): DataFrame = {
-      val m =
-        if (s.sparkContext.getCheckpointDir.isDefined)
-          build.checkpoint(eager = true)
-        else build.localCheckpoint(eager = true)
-      listingCache.put(key, m)
-      m
-    }
-    if (reuse) listingCache.getOrElse(key, materialize())
-    else materialize()
-  }
+      reuse: Boolean)(build: => DataFrame): DataFrame =
+    ListingCache.shared(method, s, d, reuse)(build)
 
   /** The approximate listings, shared by their gate entries and the
     * s07 recall contract. Approximate by construction — which neighbors
@@ -190,14 +174,16 @@ object Vector {
   private[graft] def ivfpqListingPlan(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.load(s, d, "embeddings")
     val n = emb.count()
-    // nlist from the corpus count (~400 vectors/list, the d12 lesson):
-    // list occupancy — and with it per-query ADC cost — stays constant
-    // as the corpus grows. nProbe covers a fixed fraction of lists
-    // because THIS fixture is near-isotropic (recall tracks the probed
-    // fraction — a property of the data; see
+    // nlist from the corpus count (graft.api.Graft.deriveNlist: ~400
+    // vectors/list below the 2.56M-vector crossover — identical layout
+    // to the old fixed-occupancy derivation at every committed fixture
+    // — and the Faiss 4·sqrt(n) convention past it, bounding the build's
+    // assignment pass at O(n^1.5)). nProbe covers a fixed fraction of
+    // lists because THIS fixture is near-isotropic (recall tracks the
+    // probed fraction — a property of the data; see
     // [[graft.api.Graft.ivfPqTopK]]); a clustered real corpus would pin
     // nProbe small and get the sub-linear per-query cost.
-    val nlist = math.max(5, math.round(n / 400.0).toInt)
+    val nlist = math.max(5, graft.api.Graft.deriveNlist(n))
     val nProbe = math.max(2, math.ceil(nlist * 0.4).toInt)
     val shortlist = math.max(50L, n / 10).toInt
     graft.api.Graft

@@ -957,6 +957,30 @@ class ApiSpec extends AnyFunSuite with Matchers {
     all(none.map(_.getBoolean(3))) shouldBe true
   }
 
+  test("deriveNlist: fixed occupancy below the crossover, 4*sqrt(n) past it") {
+    // committed fixture sizes resolve to the EXACT layouts the old
+    // fixed-occupancy derivation produced (bit-identical gate rows)
+    Graft.deriveNlist(500) shouldBe 1
+    Graft.deriveNlist(500, floor = 5) shouldBe 5
+    Graft.deriveNlist(2000) shouldBe 5
+    Graft.deriveNlist(2000, floor = 5) shouldBe 5
+    // the 10x/30x/100x scale-run sizes stay in the occupancy regime too
+    Graft.deriveNlist(20000) shouldBe 50
+    Graft.deriveNlist(60000) shouldBe 150
+    Graft.deriveNlist(200000) shouldBe 500
+    // crossover at (400 * 4)^2 = 2.56M: past it the count follows
+    // 4*sqrt(n), so the assignment pass is O(n^1.5), not O(n^2)/400
+    Graft.deriveNlist(2560000) shouldBe 6400
+    Graft.deriveNlist(10000000) shouldBe math.round(4 * math.sqrt(1e7)).toInt
+    Graft.deriveNlist(1000000000L) shouldBe
+      math.round(4 * math.sqrt(1e9)).toInt
+    // monotone non-decreasing across the crossover
+    val around = Seq(2e6, 2.5e6, 2.56e6, 2.6e6, 3e6, 1e7).map(n =>
+      Graft.deriveNlist(n.toLong))
+    around shouldBe around.sorted
+    an[IllegalArgumentException] should be thrownBy Graft.deriveNlist(-1)
+  }
+
   test("text stats and langId run on the custom schema") {
     Graft.tokenCounts(corpus, "uid", "body").columns shouldBe
       Array("uid", "n_ws", "n_bpe")

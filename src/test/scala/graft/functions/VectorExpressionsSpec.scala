@@ -152,4 +152,56 @@ class VectorExpressionsSpec extends AnyFunSuite with Matchers {
     df.select(VectorExpressions.pqAdcLut(col("lut"), col("code"), 1))
       .collect().head.isNullAt(0) shouldBe true
   }
+
+  test("pq_adc_lut raises a named error on out-of-range codes (SQL surface)") {
+    import spark.implicits._
+    val lut = Array(10.0, 20.0, 30.0, 1.0, 2.0, 3.0) // m=2, ksub=3
+    def run(code: Array[Int]): Unit =
+      Seq((lut, code)).toDF("lut", "code")
+        .select(VectorExpressions.pqAdcLut(col("lut"), col("code"), 3))
+        .collect()
+    // code >= ksub, negative code, and short lut must all fail by name
+    // on both execution paths, never read past the payload
+    for (bad <- Seq(Array(0, 3), Array(-1, 0))) {
+      val e = intercept[Exception](run(bad))
+      e.getMessage should include("pq_adc_lut")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try {
+        val e2 = intercept[Exception](run(bad))
+        e2.getMessage should include("pq_adc_lut")
+      } finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+    val shortLut = intercept[Exception] {
+      Seq((Array(10.0, 20.0, 30.0, 1.0), Array(0, 2))).toDF("lut", "code")
+        .select(VectorExpressions.pqAdcLut(col("lut"), col("code"), 3))
+        .collect()
+    }
+    shortLut.getMessage should include("pq_adc_lut")
+    // in-range codes still sum exactly as before
+    Seq((lut, Array(0, 2))).toDF("lut", "code")
+      .select(VectorExpressions.pqAdcLut(col("lut"), col("code"), 3))
+      .collect().head.getDouble(0) shouldBe 13.0
+  }
+
+  test("pq_encode_f32 yields null for a codebook with an entry-less subspace") {
+    import spark.implicits._
+    val m = 2; val ksub = 3; val dsub = 2
+    // subspace 1 has NO live cells: the old HOF produced a null element;
+    // the kernel must return a null row, never the Int.MaxValue sentinel
+    val cells = Array(0, 1) // both entries in subspace 0
+    val cents = Array(1.0f, 0.0f, 0.0f, 1.0f)
+    val cnrms = Array(1.0, 1.0)
+    val out = Seq((1L, Array(1.0f, 2.0f, 3.0f, 4.0f))).toDF("id", "v")
+      .withColumn("cells", typedLit(cells))
+      .withColumn("cents", typedLit(cents))
+      .withColumn("cnrms", typedLit(cnrms))
+      .select(VectorExpressions.pqEncodeF32(
+        col("v"), col("cells"), col("cents"), col("cnrms"), m, ksub, dsub))
+      .collect()
+    out.head.isNullAt(0) shouldBe true
+  }
 }
