@@ -2246,14 +2246,15 @@ object Graft {
     * ("in the the") makes its self-join bucket alone O(df²) rows and can
     * dominate the whole shuffle. */
   private def admittedShingles(all: DataFrame, idCol: String,
-      maxShingleDf: Int, hotShingleGuardDf: Int, op: String): DataFrame =
+      maxShingleDf: Int, hotShingleGuardDf: Int, op: String,
+      keyCol: String = "s"): DataFrame =
     if (maxShingleDf != Int.MaxValue) {
-      val quiet = all.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxShingleDf).select("s")
-      all.join(quiet, "s")
+      val quiet = all.groupBy(keyCol).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf).select(keyCol)
+      all.join(quiet, keyCol)
     } else {
       if (hotShingleGuardDf != Int.MaxValue) {
-        val m = all.groupBy("s").agg(count(lit(1)).as("df"))
+        val m = all.groupBy(keyCol).agg(count(lit(1)).as("df"))
           .agg(max(col("df"))).head()
         val hot = if (m.isNullAt(0)) 0L else m.getLong(0)
         require(hot <= hotShingleGuardDf,
@@ -2369,5 +2370,66 @@ object Graft {
       .filter(est >= threshold)
       .select(col("id_a"), col("id_b"),
         round(least(est, lit(1.0)), 4).as("est_containment"))
+  }
+
+  /** Bottom-k containment pairs — the TRUE asymmetric sketch that
+    * closes [[containmentMinhashPairs]]' documented recall hole for
+    * small-in-big inclusions (Broder's containment sketch; the
+    * bottom-k estimator of Cohen & Kaplan, and the "screen" shape of
+    * Mash Screen / sourmash in the k-mer world): each document keeps
+    * the k SMALLEST of its distinct shingle hashes — a uniform sample
+    * of its shingle set — and ĉ(A⊆B) = |S_k(A) ∩ H(B)| / |S_k(A)|,
+    * the fraction of A's sample found anywhere in B's full hash set.
+    * Because the sample is drawn from A alone, a verbatim inclusion
+    * A⊂B scores EXACTLY 1.0 no matter how much bigger B is — where
+    * symmetric MinHash banding fades precisely as |B|/|A| grows (the
+    * pair's Jaccard ≈ |A|/|B|), which is d17's documented limit. A
+    * document with ≤ k distinct hashes is sketched in full, so its
+    * estimate is exact.
+    *
+    * Scale shape: the candidate/estimate pass is ONE equi-join of the
+    * sketch table (≤ k fixed-width longs per document) against the
+    * distinct (id, hash) table on the 32-bit hash — shingle TEXT never
+    * shuffles, and the per-hash join fan-out is (docs sketching h) ×
+    * df(h), fenced by the same df cap / hot-key tripwire as the exact
+    * shingle joins ([[admittedShingles]] on the hash). The bottom-k
+    * pick itself is a per-document window over that document's own
+    * hashes — partition-bounded by document length. Compare
+    * [[containmentPairs]] (exact, both join sides full) when the
+    * estimate must be an exact count; this is the sketch-cost screen
+    * that keeps small-in-big recall. */
+  def bottomKContainmentPairs(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, k: Int = 16, threshold: Double = 0.8,
+      maxShingleDf: Int = Int.MaxValue,
+      hotShingleGuardDf: Int = DefaultHotShingleGuardDf): DataFrame = {
+    require(n > 0 && k > 0 && threshold >= 0,
+      s"bottomKContainmentPairs(n=$n, k=$k, threshold=$threshold)")
+    // h0 of the MinHash family (seed "0:", first 8 md5 hex chars) — the
+    // same convention minhashSignatures uses, so the DuckDB oracle
+    // replays the sketch bit for bit.
+    val hashed = admittedShingles(
+      shingles(df, idCol, textCol, n)
+        .select(col(idCol), graft.functions.TextExpressions.hexSliceLong(
+          md5(concat(lit("0:"), col("s"))), 1, 8).as("h"))
+        .distinct(),
+      idCol, maxShingleDf, hotShingleGuardDf, "bottomKContainmentPairs",
+      keyCol = "h")
+    val cnt = hashed.groupBy(idCol).agg(count(lit(1)).as("nh"))
+    val wBk = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("h"))
+    val sketch = hashed
+      .withColumn("rn", row_number().over(wBk))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("h"))
+    val inter = sketch.as("a")
+      .join(hashed.as("b"),
+        col("a.h") === col("b.h") && col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    val est = col("i").cast("double") / least(lit(k.toLong), col("ca.nh"))
+    inter
+      .join(cnt.as("ca"), col("id_a") === col(s"ca.$idCol"))
+      .filter(est >= threshold)
+      .select(col("id_a"), col("id_b"), est.as("est_containment"))
   }
 }

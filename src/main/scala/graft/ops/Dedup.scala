@@ -571,6 +571,65 @@ object Dedup {
           ">= 0.8 ORDER BY doc_a, doc_b"
       }),
 
+    Q("d18_containment_bottomk",
+      // The TRUE asymmetric containment sketch (bottom-k — Broder;
+      // Cohen & Kaplan; the Mash-Screen shape), closing d17's
+      // documented small-in-big recall hole: each document keeps its k
+      // smallest distinct shingle hashes and ĉ(A⊆B) = the fraction of
+      // A's sketch found in B's full hash set — a verbatim inclusion
+      // scores exactly 1.0 regardless of |B|/|A|, where d17's banding
+      // fades as the ratio grows. The corpus is AUGMENTED with
+      // constructed strict inclusions (first 12 words of every >= 40-
+      // word document, id offset +1,000,000 — |A|≪|B| by construction,
+      // derived deterministically from the fixture so the oracle
+      // rebuilds them identically); SketchAccuracySpec asserts the
+      // recall contract vs exact d14 on exactly these pairs. All md5
+      // arithmetic, so the oracle replays the sketch bit for bit. See
+      // [[graft.api.Graft.bottomKContainmentPairs]].
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val frags = base
+          .filter(size(split(col("text"), " ")) >= 40)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 12))
+              .as("text"))
+        graft.api.Graft.bottomKContainmentPairs(
+          base.unionByName(frags), "doc_id", "text", n = 3, k = 16,
+          threshold = 0.8)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            round(col("est_containment"), 4).as("est_containment"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(
+        "WITH words AS (SELECT doc_id, string_split(text, ' ') AS w " +
+          "FROM documents), " +
+          "corpus AS (SELECT doc_id, text FROM documents UNION ALL " +
+          "SELECT doc_id + 1000000 AS doc_id, " +
+          "array_to_string(list_slice(w, 1, 12), ' ') AS text " +
+          "FROM words WHERE len(w) >= 40), " +
+          "toks AS (SELECT doc_id, string_split(text, ' ') AS w " +
+          "FROM corpus), " +
+          "sh AS (SELECT DISTINCT doc_id, " +
+          "array_to_string(list_slice(w, g, g+2), ' ') AS s FROM toks, " +
+          "UNNEST(generate_series(1, len(w)-2)) AS t(g)), " +
+          "hashed AS (SELECT DISTINCT doc_id, " +
+          "CAST(concat('0x', substring(md5(concat('0:', s)), 1, 8)) " +
+          "AS BIGINT) AS h FROM sh), " +
+          "cnt AS (SELECT doc_id, COUNT(*) AS nh FROM hashed " +
+          "GROUP BY doc_id), " +
+          "sk AS (SELECT doc_id, h FROM (SELECT doc_id, h, " +
+          "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn " +
+          "FROM hashed) WHERE rn <= 16), " +
+          "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+          "COUNT(*) AS i FROM sk a JOIN hashed b ON a.h = b.h " +
+          "AND a.doc_id <> b.doc_id GROUP BY 1, 2) " +
+          "SELECT doc_a, doc_b, " +
+          "ROUND(CAST(i AS DOUBLE)/LEAST(16, c.nh), 4) " +
+          "AS est_containment " +
+          "FROM inter JOIN cnt c ON doc_a = c.doc_id " +
+          "WHERE CAST(i AS DOUBLE)/LEAST(16, c.nh) >= 0.8 " +
+          "ORDER BY doc_a, doc_b")),
+
     Q("d05_embed_cosine_dup",
       (s, d) => graft.api.Graft
         .cosinePairsExact(Tables.load(s, d, "embeddings"), "vec_id",

@@ -96,6 +96,60 @@ class SketchAccuracySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("d18: bottom-k containment finds the constructed A⊂B inclusions " +
+    "exactly where d17's symmetric banding misses them") {
+    // The recall contract the r8 verdict asked for: on strict
+    // small-in-big inclusions (fragment = first 12 words of a >= 40-word
+    // document, |A|≪|B|), the bottom-k sketch must recover what exact
+    // d14 finds — and the documented reason d18 exists is that d17's
+    // band collisions fade as |B|/|A| grows, so its recall on the same
+    // pairs should be poor.
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val frags = docs
+      .filter(org.apache.spark.sql.functions.size(
+        split(col("text"), " ")) >= 40)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 12)).as("text"))
+    val corpus = docs.unionByName(frags)
+    def fragPairs(pairs: Array[((Long, Long), Double)]) =
+      pairs.collect { case ((a, b), c)
+        if a >= 1000000L && b < 1000000L => ((a, b), c) }.toMap
+    // ground truth: exact containment (d14's op) on the augmented corpus,
+    // restricted to fragment -> original pairs
+    val exact = fragPairs(graft.api.Graft.containmentPairs(
+      corpus, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        math.min(1.0, r.getDouble(2)))))
+    exact.size should be > 100 // the construction really made inclusions
+    val sketch = fragPairs(graft.api.Graft.bottomKContainmentPairs(
+      corpus, "doc_id", "text", n = 3, k = 16, threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))))
+    val recall = exact.keySet.count(sketch.contains).toDouble / exact.size
+    withClue(s"bottom-k recall on ${exact.size} strict inclusions: ") {
+      recall should be >= 0.95
+    }
+    // a strict inclusion's sketch is found IN FULL (every sampled hash
+    // of A is in B), so the estimate is exactly 1.0 there
+    val strict = exact.filter { case ((a, b), _) => b == a - 1000000L }
+    strict.keySet.foreach { p =>
+      withClue(s"fragment-of-source pair $p: ")(
+        sketch.getOrElse(p, 0.0) shouldBe 1.0)
+    }
+    // the hole being closed: symmetric banding (d17) misses most of
+    // these pairs — if this ever starts PASSING well, d18's premise
+    // should be re-examined, so assert the miss explicitly
+    val d17 = fragPairs(graft.api.Graft.containmentMinhashPairs(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")).unionByName(frags),
+      "doc_id", "text", k = 24, bands = 8, threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))))
+    val d17Recall = exact.keySet.count(d17.contains).toDouble / exact.size
+    withClue(s"d17 recall ${d17Recall} vs d18 ${recall}: ") {
+      d17Recall should be < (recall - 0.4)
+    }
+  }
+
   test("d06: LSH-candidate near-dup recovers most of d05's exact pairs") {
     val exact = run("d05_embed_cosine_dup").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
