@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AHash60, ByteEntropyStats, DotProductF32, FrameMeans, HexSliceToLong, Pcm16WindowEnergy, PqAdcLut, PqEncodeF32, RollingMinHash64}
+import graft.functions.{AHash60, ByteEntropyStats, DotProductF32, FrameMeans, HexSliceToLong, Pcm16WindowEnergy, PqAdcLut, PqEncodeF32, RollingMinHash64, StrideSample}
 
 /** Library entry point for SQL users: registers the native expressions
   * under SQL names, so `spark.sql("SELECT dot_f32(a, b) ...")` works the
@@ -73,6 +73,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "frame_means takes (binary, frameBytes)")
         FrameMeans(args.head, intLit("frame_means", args(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("stride_sample"),
+      new ExpressionInfo(classOf[StrideSample].getName, "stride_sample"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "stride_sample takes (binary, stride)")
+        StrideSample(args.head, intLit("stride_sample", args(1)))
       }))
     ext.injectFunction((
       FunctionIdentifier("pq_adc_lut"),

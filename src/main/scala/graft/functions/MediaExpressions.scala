@@ -227,6 +227,52 @@ object FrameMeans {
   }
 }
 
+/** Every `stride`-th byte of a BINARY payload (offsets 0, stride,
+  * 2·stride, …) as BINARY — the downsample/decimation kernel of the
+  * (stubbed) resize path, one pass, zero allocation beyond the output.
+  * The relational formulation (hex-encode to a string, slice one 2-char
+  * substring PER KEPT BYTE, concat, unhex) allocates a string per byte
+  * — the exact pattern FrameMeans retired for frame stats; this is its
+  * resize twin, and the seam where a real bilinear-resample kernel
+  * would slot in (same signature: BINARY in, BINARY out, map-only). */
+case class StrideSample(child: Expression, stride: Int)
+    extends UnaryExpression {
+  require(stride > 0, s"stride_sample: need positive stride, got $stride")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"stride_sample requires BINARY input, got $t")
+    }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "stride_sample"
+
+  override protected def nullSafeEval(input: Any): Any =
+    StrideSample.compute(input.asInstanceOf[Array[Byte]], stride)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.StrideSample.compute($c, $stride)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object StrideSample {
+  def compute(bytes: Array[Byte], stride: Int): Array[Byte] = {
+    val n = (bytes.length + stride - 1) / stride
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      out(i) = bytes(i * stride)
+      i += 1
+    }
+    out
+  }
+}
+
 object MediaExpressions {
   /** Per-window PCM16LE energy array of a BINARY column, one pass. */
   def pcm16WindowEnergy(c: Column, windowSamples: Int,
@@ -246,4 +292,10 @@ object MediaExpressions {
     org.apache.spark.sql.graft.Bridge.column(
       FrameMeans(org.apache.spark.sql.graft.Bridge.expression(c),
         frameBytes))
+
+  /** Every stride-th byte of a BINARY column, one pass. */
+  def strideSample(c: Column, stride: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      StrideSample(org.apache.spark.sql.graft.Bridge.expression(c),
+        stride))
 }

@@ -4,18 +4,15 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One decoded "frame" batch emitted by the (stubbed) media decoder. */
-final case class MediaFrames(doc_id: Long, n_frames: Long, mean_val: Double)
-
-/** A (stub-)resized media payload: target geometry + content digest. */
-final case class ResizedMedia(doc_id: Long, out_bytes: Long, digest: String)
-
 /** Multimodal-column plumbing: media payloads are opaque `binary` columns
   * with typed metadata. The real decode step (image/audio codecs) is NOT
-  * available in this container, so `FakeDecoder` below is a clearly-marked
-  * deterministic stand-in; everything Spark-side — binary schema, typed
-  * Dataset, partition-local batch processing via mapPartitions, metadata
-  * extraction with codegen'd built-ins — is real and tested.
+  * available in this container, so the decode/resize kernels are
+  * clearly-marked deterministic stand-ins (`FrameMeans` frame stats,
+  * `StrideSample` decimation — the seams a real codec/resample kernel
+  * would fill, same BINARY-in signatures); everything Spark-side —
+  * binary schema, map-only codegen'd kernels, metadata extraction with
+  * built-ins — is real, declarative, and tested. As of r9 the whole
+  * family is expression-based: no mapPartitions anywhere (r8 verdict).
   *
   * Fixture note: there is no binary media table in the test data, so the
   * payload is derived (`encode(text)`), which exercises the identical
@@ -23,28 +20,11 @@ final case class ResizedMedia(doc_id: Long, out_bytes: Long, digest: String)
   */
 object Multimodal {
 
-  /** STUB: deterministic stand-in for a media decoder. Treats the payload
-    * as 16-byte "frames", samples every 4th frame, and reports the mean
-    * byte value — the shape (per-partition batched iteration, fixed-size
-    * feature output) matches what a real codec UDF would do. */
+  /** The (stub) decoder's fixed geometry: 16-byte "frames", every 4th
+    * sampled — shared by m02's declarative formulation and its oracle. */
   private object FakeDecoder {
     val FrameBytes = 16
     val SampleEvery = 4
-    def decode(docId: Long, payload: Array[Byte]): MediaFrames = {
-      val nFrames = payload.length / FrameBytes
-      val sampled = (0 until nFrames by SampleEvery).flatMap { f =>
-        payload.slice(f * FrameBytes, (f + 1) * FrameBytes)
-      }
-      val mean =
-        if (sampled.isEmpty) 0.0
-        else sampled.map(b => (b & 0xff).toDouble).sum / sampled.size
-      // HALF_UP to match SQL ROUND semantics (the byte sums are exact
-      // integers in doubles, so the quotient is bit-identical across
-      // engines and rounding is the only divergence point)
-      MediaFrames(docId, nFrames.toLong,
-        BigDecimal(mean).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-          .toDouble)
-    }
   }
 
   val defs: Seq[Q] = Seq(
@@ -62,22 +42,34 @@ object Multimodal {
         "md5(text) AS digest FROM documents ORDER BY doc_id")),
 
     Q("m02_frame_features",
-      // Decode/feature-extract path: typed Dataset + mapPartitions so the
-      // (stub) decoder amortizes any per-batch init across a partition —
-      // the same shape as a vectorized decode over binary batches. The
-      // oracle rebuilds the stub's frame math over the (ASCII) payload as
-      // a string, so even the mapPartitions path is hash-checked.
-      (s, d) => {
-        import s.implicits._
-        Tables.load(s, d, "documents")
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-          .as[(Long, Array[Byte])]
-          .mapPartitions(_.map { case (id, payload) =>
-            FakeDecoder.decode(id, payload)
-          })
-          .toDF()
-          .orderBy("doc_id")
-      },
+      // Decode/feature-extract path, fully declarative (r8 verdict: the
+      // last mapPartitions decode stub, promoted): the native FrameMeans
+      // kernel emits one exact mean per 16-byte frame in a single
+      // codegen'd pass, the stub's every-4th-frame sampling is an
+      // indexed HOF filter over that bounded array, and the sampled
+      // mean-of-means equals the stub's mean-over-sampled-bytes BIT FOR
+      // BIT: frames are complete (equal weight) and each per-frame mean
+      // is an integer sum over the dyadic divisor 16 — exact in doubles
+      // — so sum(means)/n and sum(bytes)/(16n) are the same correctly-
+      // rounded division of the same exact rational. Map-only plan
+      // (PlanPropertiesSpec); the oracle rebuilds the same frame math
+      // over the (ASCII) payload as a string.
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .select(col("doc_id"),
+          graft.functions.MediaExpressions
+            .frameMeans(col("payload"), FakeDecoder.FrameBytes).as("fm"))
+        .select(col("doc_id"),
+          size(col("fm")).cast("bigint").as("n_frames"),
+          expr(s"filter(fm, (x, i) -> i % ${FakeDecoder.SampleEvery} = 0)")
+            .as("sm"))
+        .select(col("doc_id"), col("n_frames"),
+          when(size(col("sm")) === 0, lit(0.0))
+            .otherwise(round(
+              expr("aggregate(sm, CAST(0 AS DOUBLE), (a, x) -> a + x)") /
+                size(col("sm")), 4))
+            .as("mean_val"))
+        .orderBy("doc_id"),
       Some("WITH p AS (SELECT doc_id, text, length(text)//16 AS nf " +
         "FROM documents), " +
         "b AS (SELECT doc_id, " +
@@ -308,30 +300,24 @@ object Multimodal {
     Q("m04_resize",
       // Resize path: STUB "decoder" downsamples the payload by a fixed
       // stride (a real codec would decode + bilinear-resample; the libs
-      // aren't in this container). The Spark side is the real thing:
-      // typed Dataset in, partition-local batch transform, fixed-schema
-      // (doc_id, out_bytes, digest) out — identical plumbing to a
-      // thumbnailing pass over 100 TB of images, where the only shuffle
-      // is whatever the caller does with the result. The oracle rebuilds
-      // the same stride-4 downsample over the (ASCII) payload as a
-      // string, so even the stub is hash-checked.
-      (s, d) => {
-        import s.implicits._
-        val Stride = 4
-        Tables.load(s, d, "documents")
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-          .as[(Long, Array[Byte])]
-          .mapPartitions(_.map { case (id, payload) =>
-            val thumb = payload.indices.collect {
-              case i if i % Stride == 0 => payload(i)
-            }.toArray
-            ResizedMedia(id, thumb.length.toLong,
-              java.security.MessageDigest.getInstance("MD5")
-                .digest(thumb).map("%02x".format(_)).mkString)
-          })
-          .toDF()
-          .orderBy("doc_id")
-      },
+      // aren't in this container), now as the native codegen
+      // StrideSample kernel instead of a mapPartitions stub (r8
+      // verdict) — BINARY in, BINARY out, map-only, the exact seam a
+      // real resample kernel would fill. Digest and out_bytes come from
+      // codegen'd built-ins over the sampled bytes, so the plumbing is
+      // identical to a thumbnailing pass over 100 TB of images, where
+      // the only shuffle is whatever the caller does with the result.
+      // The oracle rebuilds the same stride-4 downsample over the
+      // (ASCII) payload as a string, so even the stub is hash-checked.
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .select(col("doc_id"),
+          graft.functions.MediaExpressions
+            .strideSample(col("payload"), 4).as("thumb"))
+        .select(col("doc_id"),
+          length(col("thumb")).cast("bigint").as("out_bytes"),
+          md5(col("thumb")).as("digest"))
+        .orderBy("doc_id"),
       Some("SELECT doc_id, CAST((length(text)+3)//4 AS BIGINT) AS out_bytes, " +
         "md5(array_to_string(list_transform(" +
         "generate_series(1, length(text), 4), " +

@@ -77,6 +77,9 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
       val fm = s.sql("SELECT frame_means(unhex('00FF00FF'), 2) AS m")
         .collect().head.getSeq[Double](0)
       fm shouldBe Seq(127.5, 127.5)
+      val ss = s.sql("SELECT hex(stride_sample(unhex('AABBCCDDEE'), 2)) " +
+        "AS t").collect().head.getString(0)
+      ss shouldBe "AACCEE"
     } finally {
       s.sparkContext.stop()
       SparkSession.clearActiveSession()

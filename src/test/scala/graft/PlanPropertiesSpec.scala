@@ -272,6 +272,22 @@ class PlanPropertiesSpec extends AnyFunSuite with Matchers {
     (p should not).include("Join")
   }
 
+  test("m02/m04 decode paths: map-only AND object-free — the native " +
+    "kernels replaced the typed mapPartitions stubs (r8 verdict), so " +
+    "no (De)Serialize/MapPartitions nodes and no shuffle but the " +
+    "output sort's") {
+    Seq("m02_frame_features", "m04_resize").foreach { n =>
+      val p = plan(n)
+      withClue(s"$n: ") {
+        (p should not).include("Exchange hashpartitioning")
+        (p should not).include("MapPartitions")
+        (p should not).include("DeserializeToObject")
+        (p should not).include("SerializeFromObject")
+        (p should not).include("Join")
+      }
+    }
+  }
+
   test("m05/m07/m08 media expressions: map-only — no aggregation " +
     "shuffle, no join; the native expressions do the per-row work") {
     Seq("m05_audio_energy", "m07_stereo_energy", "m08_ahash").foreach { n =>

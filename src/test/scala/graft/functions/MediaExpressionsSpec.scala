@@ -161,6 +161,30 @@ class MediaExpressionsSpec extends AnyFunSuite with Matchers {
       .collect().foreach(_.getSeq[Double](0) shouldBe Seq.empty)
   }
 
+  test("StrideSample keeps every stride-th byte on random payloads, " +
+    "both codegen paths, incl. the old mapPartitions stub's semantics") {
+    import spark.implicits._
+    val payloads = randomPayloads(30, 200) :+ Array.empty[Byte] :+
+      Array[Byte](7) :+ Array[Byte](1, 2, 3) // < stride: keep byte 0 only
+    def reference(b: Array[Byte], stride: Int): Array[Byte] =
+      b.indices.collect { case i if i % stride == 0 => b(i) }.toArray
+    for (stride <- Seq(1, 4, 7)) {
+      def run(): Seq[Array[Byte]] =
+        payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+          .toDF("k", "p")
+          .orderBy("k")
+          .select(MediaExpressions.strideSample(col("p"), stride))
+          .collect().toSeq.map(_.getAs[Array[Byte]](0))
+      val got = run()
+      payloads.zip(got).foreach { case (p, g) =>
+        withClue(s"stride=$stride len=${p.length}: ") {
+          g.toSeq shouldBe reference(p, stride).toSeq
+        }
+      }
+      withInterpreted(run()).map(_.toSeq) shouldBe got.map(_.toSeq)
+    }
+  }
+
   test("TrigramLangIdExpr matches a brute-force window count on random " +
     "texts, and codegen agrees") {
     val s = spark
