@@ -44,10 +44,12 @@ class PqKernelPropertiesSpec extends AnyFunSuite with Matchers {
 
   /** Independent reference: per subspace, sort candidates by Spark's
     * struct order — Double.compare on negd (NaN greatest, equal to
-    * itself), then the smaller code — and take the head; Int.MaxValue
-    * for a subspace with no live cells (the kernel's sentinel). */
-  private def reference(c: Case): Seq[Int] =
-    (0 until c.m).map { mi =>
+    * itself), then the smaller code — and take the head. A subspace
+    * with no live cells has no argmax: the whole row encodes to null
+    * (r9 — the old Int.MaxValue sentinel poisoned pq_adc_lut's index
+    * arithmetic downstream; see the kernel's in-code note). */
+  private def reference(c: Case): Option[Seq[Int]] = {
+    val codes = (0 until c.m).map { mi =>
       val cands = c.entries.filter(_._1 == mi).map { case (_, k, cent) =>
         var dot = 0.0
         var t = 0
@@ -59,12 +61,14 @@ class PqKernelPropertiesSpec extends AnyFunSuite with Matchers {
           cent.map(x => x.toDouble * x.toDouble).sum)
         (-dot / cnrm, k)
       }
-      if (cands.isEmpty) Int.MaxValue
-      else cands.sortWith { case ((na, ka), (nb, kb)) =>
+      if (cands.isEmpty) None
+      else Some(cands.sortWith { case ((na, ka), (nb, kb)) =>
         val cmp = java.lang.Double.compare(na, nb)
         cmp < 0 || (cmp == 0 && ka < kb)
-      }.head._2
+      }.head._2)
     }
+    if (codes.exists(_.isEmpty)) None else Some(codes.map(_.get))
+  }
 
   test("pq_encode_f32 picks the struct-order argmax on arbitrary " +
     "codebooks (dead cells, dead subspaces, zero norms, ties)") {
@@ -74,14 +78,14 @@ class PqKernelPropertiesSpec extends AnyFunSuite with Matchers {
       val cents = sorted.flatMap(_._3).toArray
       val cnrms = sorted.map { case (_, _, cent) =>
         math.sqrt(cent.map(x => x.toDouble * x.toDouble).sum) }.toArray
-      val got = PqEncodeF32.encode(
+      val got = Option(PqEncodeF32.encode(
         UnsafeArrayData.fromPrimitiveArray(c.vec),
         UnsafeArrayData.fromPrimitiveArray(cells),
         UnsafeArrayData.fromPrimitiveArray(cents),
         UnsafeArrayData.fromPrimitiveArray(cnrms),
-        c.m, c.ksub, c.dsub)
-        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        .toIntArray().toSeq
+        c.m, c.ksub, c.dsub))
+        .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toIntArray().toSeq)
       val want = reference(c)
       if (got != want)
         println(s"MISMATCH: got=$got want=$want case=$c")
