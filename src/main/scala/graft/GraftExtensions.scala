@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AHash60, ByteEntropyStats, DotProductF32, FrameMeans, HexSliceToLong, Pcm16WindowEnergy, PqAdcLut, PqEncodeF32, RollingMinHash64, StrideSample}
+import graft.functions.{AHash60, ByteEntropyStats, DotProductF32, DotProductI32, FrameMeans, HexSliceToLong, Pcm16WindowEnergy, PqAdcLut, PqEncodeF32, RollingMinHash64, StrideSample}
 
 /** Library entry point for SQL users: registers the native expressions
   * under SQL names, so `spark.sql("SELECT dot_f32(a, b) ...")` works the
@@ -22,6 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "dot_f32 takes exactly 2 arguments")
         DotProductF32(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("dot_i32"),
+      new ExpressionInfo(classOf[DotProductI32].getName, "dot_i32"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_i32 takes exactly 2 arguments")
+        DotProductI32(args.head, args(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("rolling_min_hash64"),

@@ -42,6 +42,39 @@ object Graft {
           s"i -> concat_ws(' ', slice(w, i+1, $n)))")).as("s"))
       .distinct()
 
+  /** Per-document n-gram NOVELTY: the fraction of a document's distinct
+    * word n-grams that appear in NO other document (corpus document
+    * frequency 1) — the memorization/uniqueness diagnostic of a
+    * training-data pipeline (a near-zero score marks boilerplate or a
+    * near-duplicate; near-one marks content the corpus has nowhere
+    * else). Shingles hash to the MinHash family's h0 (seed "0:", first
+    * 8 md5 hex chars — the [[bottomKContainmentPairs]] convention) so
+    * only the 8-byte hash ever shuffles, never shingle text: one
+    * shuffle keyed by hash for the document-frequency count, one keyed
+    * by id for the per-document fold — both map-side-combined
+    * hash aggregations, the d01 digest discipline. Hash collisions can
+    * only merge two shingles (deterministically), which the oracle
+    * replays exactly. Documents with fewer than n words have no
+    * shingles and are reported with n_shingles=0 and a null score by
+    * the t25 gate's left join. */
+  def ngramNoveltyScores(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n > 0, s"ngramNoveltyScores(n=$n)")
+    val hashed = shingles(df, idCol, textCol, n)
+      .select(col(idCol), graft.functions.TextExpressions.hexSliceLong(
+        md5(concat(lit("0:"), col("s"))), 1, 8).as("h"))
+      .distinct()
+    val dfreq = hashed.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+    hashed.join(dfreq, "h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col(idCol), col("n_shingles"),
+        round(col("n_unique").cast("double") / col("n_shingles"), 4)
+          .as("novelty"))
+  }
+
   /** Whitespace + BPE-ish regex token counts per row. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
@@ -1173,6 +1206,61 @@ object Graft {
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qe"), col(vecCol)) /
           (col("qn") * sqrt(dot(col(vecCol), col(vecCol))))).as("cos"))
+      .withColumn("rnk", row_number().over(wFull).cast("bigint"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Scalar-quantized (SQ8) approximate top-k with exact rerank — the
+    * Faiss IndexScalarQuantizer shape, completing the quantized-
+    * retrieval family next to PQ ([[pqTopK]]): each vector stores
+    * per-vector max-abs int8 codes (the s05 storage convention:
+    * `q = round(x · 127 / mx)`), the approximate dot is the EXACT
+    * integer fold
+    * `idot(qa, qc) · mxq · mxc / 127²` (64-bit integer arithmetic —
+    * cross-engine parity by construction, no float ordering concerns),
+    * and the per-query `shortlist` reranks by exact full cosine.
+    *
+    * Scale shape: one corpus pass against the broadcast queries — the
+    * scoring loop is the codegen'd [[graft.functions.DotProductI32]]
+    * kernel over int codes, and at real scale the scan reads the
+    * 4×-smaller int8 code column (64 bytes/vector at dim 64) while
+    * only the bounded shortlist touches the float store. No training
+    * step at all — SQ's operational advantage over PQ: encode is pure
+    * per-row map work, so incremental ingest never re-trains. Rows
+    * whose max-abs is 0 (the all-zero vector) carry no direction and
+    * are excluded, matching s05's guard. */
+  def sqTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k && k > 0, s"sqTopK(k=$k, shortlist=$shortlist)")
+    val enc = normalized(df, idCol, vecCol)
+      .withColumn("mx", expr(
+        s"array_max(transform($vecCol, x -> abs(CAST(x AS DOUBLE))))"))
+      .filter(col("mx") > 0)
+      .withColumn("q", expr(
+        s"transform($vecCol, " +
+          "x -> CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS INT))"))
+    val qside = enc.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qe"),
+        col("nrm").as("qn"), col("mx").as("qmx"), col("q").as("qq"))
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val short = broadcast(qside)
+      .join(enc, col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("qe"), col("qn"), col(vecCol), col("nrm"),
+        (graft.functions.VectorExpressions.dotI32(col("qq"), col("q"))
+          .cast("double") * col("qmx") * col("mx") / lit(16129.0) /
+          (col("qn") * col("nrm"))).as("approx"))
+      .withColumn("srnk", row_number().over(wShort))
+      .filter(col("srnk") <= shortlist)
+    val wFull = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    short
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qe"), col(vecCol)) / (col("qn") * col("nrm")))
+          .as("cos"))
       .withColumn("rnk", row_number().over(wFull).cast("bigint"))
       .filter(col("rnk") <= k)
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expression for the float-vector dot product: the hot
   * inner loop of every similarity/dedup operator over embeddings.
@@ -55,6 +55,60 @@ case class DotProductF32(left: Expression, right: Expression)
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
+/** Native integer dot product over two ARRAY<INT> columns — the scoring
+  * loop of scalar-quantized (SQ8) retrieval, where vectors are stored as
+  * per-vector-scaled int8 codes (the s05 convention) and the approximate
+  * dot is `idot(qa, qb) · mxa · mxb / 127²`. The fold is exact 64-bit
+  * integer arithmetic (64-dim int8 products bound |acc| ≤ 64·127² ≪
+  * 2⁶³), so cross-engine parity is exact by construction — no float
+  * ordering concerns at all. Same zero-allocation primitive-array loop
+  * as [[DotProductF32]]. */
+case class DotProductI32(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dot_i32 requires ARRAY<INT> inputs, got $l and $r")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_i32"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getInt(i).toLong * y.getInt(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((long) $a.getInt($i)) * ((long) $b.getInt($i));
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -271,6 +325,14 @@ object PqEncodeF32 {
 }
 
 object VectorExpressions {
+  /** Column-level exact integer dot product over two ARRAY<INT>
+    * columns (SQ8 scoring — see [[DotProductI32]]). */
+  def dotI32(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      DotProductI32(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
+
   /** Column-level dot product over two ARRAY<FLOAT> columns. */
   def dotF32(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(

@@ -323,5 +323,77 @@ object Multimodal {
         "generate_series(1, length(text), 4), " +
         "i -> substring(text, CAST(i AS BIGINT), 1)), '')) AS digest " +
         "FROM documents ORDER BY doc_id"))
+  ) ++ Seq(
+
+    Q("m11_ahash_neardup",
+      // Hamming-banded media near-dup join — the retrieval side of m08's
+      // aHash, promoted to an oracle-checked gate (the r8 note at m08:
+      // the fixture's word-soup payloads are hamming-FAR apart, so the
+      // pair list over raw documents is vacuously tiny). The corpus is
+      // AUGMENTED with constructed near-dups: every 7th document gets a
+      // copy (id offset +1,000,000) with its first and last characters
+      // swapped — a byte-SUM-preserving perturbation (the payload is
+      // ASCII), so only the first and last aHash chunks can flip and
+      // the copy sits within hamming distance 2 of its source by
+      // construction. ahashNearDupPairs(radius=3) finds every such pair
+      // by exact pigeonhole banding (4 disjoint 15-bit bands: a pair
+      // within the radius MUST agree exactly on >= 1 band) — the banded
+      // EQUI-join shape of d03's SimHash applied to media bytes, never
+      // an all-pairs compare. All integer bit math, so the DuckDB
+      // oracle rebuilds the augmented corpus, both hashes, the banding
+      // AND the popcount verify bit for bit.
+      (s, d) => {
+        val base = Tables.load(s, d, "documents")
+          .filter(length(col("text")) >= 2)
+          .select(col("doc_id"), col("text"))
+        val perturbed = base
+          .filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            expr("concat(substring(text, length(text), 1), " +
+              "substring(text, 2, length(text) - 2), " +
+              "substring(text, 1, 1))").as("text"))
+        graft.api.Graft.ahashNearDupPairs(
+          base.unionByName(perturbed)
+            .select(col("doc_id"),
+              encode(col("text"), "UTF-8").as("payload")),
+          "doc_id", "payload", radius = 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val bits = (0 until 60).map(i =>
+          s"BOOL_OR(chunk = $i) AND SUM(CASE WHEN chunk = $i THEN bv " +
+            s"ELSE 0 END) * MAX(nb) > MAX(total) * " +
+            s"SUM(CASE WHEN chunk = $i THEN 1 ELSE 0 END) AS b$i")
+          .mkString(", ")
+        val packed = (0 until 60).map(i =>
+          s"CASE WHEN b$i THEN ${1L << i} ELSE 0 END").mkString(" + ")
+        "WITH c AS (SELECT doc_id, text FROM documents " +
+          "WHERE length(text) >= 2 " +
+          "UNION ALL SELECT doc_id + 1000000 AS doc_id, " +
+          "substring(text, length(text), 1) || " +
+          "substring(text, 2, length(text) - 2) || " +
+          "substring(text, 1, 1) AS text FROM documents " +
+          "WHERE length(text) >= 2 AND doc_id % 7 = 0), " +
+          "p AS (SELECT doc_id, lower(hex(encode(text))) AS hx, " +
+          "octet_length(encode(text)) AS nb FROM c), " +
+          "b AS (SELECT doc_id, nb, CAST(concat('0x', " +
+          "substring(hx, CAST(g*2+1 AS BIGINT), 2)) AS BIGINT) AS bv, " +
+          "(g * 60) // nb AS chunk " +
+          "FROM p, UNNEST(generate_series(0, nb-1)) t(g)), " +
+          "tot AS (SELECT doc_id, SUM(bv) AS total FROM b GROUP BY 1), " +
+          s"sig AS (SELECT b.doc_id, $bits FROM b JOIN tot " +
+          "ON b.doc_id = tot.doc_id GROUP BY b.doc_id), " +
+          s"h AS (SELECT doc_id, CAST($packed AS BIGINT) AS ahash " +
+          "FROM sig), " +
+          "bands AS (SELECT doc_id, ahash, j, " +
+          "(ahash >> CAST(15*j AS INTEGER)) & 32767 AS bits " +
+          "FROM h, UNNEST(generate_series(0, 3)) tj(j)), " +
+          "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, " +
+          "a.ahash AS ha, b.ahash AS hb FROM bands a JOIN bands b " +
+          "ON a.j = b.j AND a.bits = b.bits AND a.doc_id < b.doc_id) " +
+          "SELECT id_a, id_b, " +
+          "CAST(bit_count(xor(ha, hb)) AS BIGINT) AS dist FROM cand " +
+          "WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY id_a, id_b"
+      })
   )
 }

@@ -574,6 +574,45 @@ object TextOps {
         "COALESCE(n_covered, 0) AS n_covered " +
         "FROM documents d LEFT JOIN nw USING (doc_id) " +
         "LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id) " +
-        "ORDER BY doc_id"))
+        "ORDER BY doc_id")),
+
+    Q("t25_ngram_novelty",
+      // Per-document n-gram novelty: the fraction of a document's
+      // distinct 3-gram shingles with corpus document frequency 1 — the
+      // uniqueness/memorization diagnostic (near 0 = boilerplate or a
+      // near-dup; near 1 = content found nowhere else). Shingles hash
+      // to the MinHash family's h0 so only 8-byte hashes shuffle (two
+      // map-side-combined aggregations: by hash for df, by doc for the
+      // fold — see graft.api.Graft.ngramNoveltyScores). Docs under 3
+      // words surface with n_shingles=0 and a null score via the left
+      // join, so the row count is the corpus count.
+      (s, d) => {
+        val base = docs(s, d)
+        base.select(col("doc_id"))
+          .join(graft.api.Graft
+              .ngramNoveltyScores(base, "doc_id", "text", n = 3),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+            col("novelty"))
+          .orderBy("doc_id")
+      },
+      Some("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w " +
+        "FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, " +
+        "array_to_string(list_slice(w, g, g+2), ' ') AS s FROM toks, " +
+        "UNNEST(generate_series(1, len(w)-2)) AS t(g)), " +
+        "hashed AS (SELECT DISTINCT doc_id, " +
+        "CAST(concat('0x', substring(md5(concat('0:', s)), 1, 8)) " +
+        "AS BIGINT) AS h FROM sh), " +
+        "dfreq AS (SELECT h, COUNT(*) AS df FROM hashed GROUP BY h), " +
+        "agg AS (SELECT doc_id, COUNT(*) AS n_shingles, " +
+        "SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique " +
+        "FROM hashed JOIN dfreq USING (h) GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(COALESCE(n_shingles, 0) AS BIGINT) " +
+        "AS n_shingles, " +
+        "ROUND(CAST(n_unique AS DOUBLE) / n_shingles, 4) AS novelty " +
+        "FROM documents d LEFT JOIN agg USING (doc_id) " +
+        "ORDER BY d.doc_id"))
   )
 }

@@ -195,6 +195,26 @@ object Vector {
       .orderBy("query_id", "rnk")
   }
 
+  private[graft] def sqListing(s: SparkSession, d: String,
+      reuse: Boolean = false): DataFrame =
+    shared("sq", s, d, reuse)(sqListingPlan(s, d))
+
+  /** The un-materialized build plan, separate so PlanPropertiesSpec
+    * audits the physical plan a 100 TB build would run (the shared
+    * listing above explains as a checkpoint scan). */
+  private[graft] def sqListingPlan(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.load(s, d, "embeddings")
+    // Same shortlist-as-corpus-fraction discipline as s10's PQ: a fixed
+    // shortlist dilutes as the corpus grows on this isotropic fixture.
+    val shortlist = math.max(50L, emb.count() / 10).toInt
+    graft.api.Graft
+      .sqTopK(emb, "vec_id", "embedding",
+        queryPred = col("vec_id") < NQueries, k = K, shortlist = shortlist)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("query_id", "rnk")
+  }
+
   private[graft] def knnJoinListing(s: SparkSession, d: String,
       reuse: Boolean = false): DataFrame =
     shared("knn", s, d, reuse)(knnJoinListingPlan(s, d))
@@ -516,13 +536,27 @@ object Vector {
       (s, d) => annContract(knnJoinListing(s, d)),
       Some(annContractSqlWhere(""))),
 
+    Q("s13_sq_topk",
+      // Scalar quantization (SQ8, Faiss IndexScalarQuantizer shape) —
+      // the training-free quantized-retrieval path next to PQ (s10):
+      // per-vector max-abs int8 codes (s05's storage convention), the
+      // approximate score an EXACT 64-bit integer fold via the codegen
+      // dot_i32 kernel (no float-ordering concerns, no codebook, no
+      // training — incremental ingest never re-trains), exact cosine
+      // rerank on the shortlist. At scale the scan reads the 4x-smaller
+      // int8 column; only the shortlist touches floats. Gate row =
+      // hash-checked per-query contract (annContract); recall is s07's
+      // oracle row.
+      (s, d) => annContract(sqListing(s, d)),
+      Some(annContractSql)),
+
     Q("s07_ann_recall",
       // The recall CONTRACT for every ANN variant, promoted from
       // SketchAccuracySpec into the oracle gate: the exact top-k (s01's
       // brute-force cosine, which DuckDB recomputes independently) is
       // the in-Spark ground truth, and each approximate index (s02 LSH,
       // s03 IVF-by-label, s04 IVF-trained, s10 PQ+rerank, s11 IVF-PQ,
-      // s12 kNN self-join restricted to the query set)
+      // s12 kNN self-join restricted to the query set, s13 SQ8+rerank)
       // must recover a committed floor of its pairs pooled across
       // queries: 0.5 for LSH, the trained IVF and PQ (PQ measured
       // 0.6-0.8 across the three fixtures with the 10%-of-corpus rerank
@@ -559,6 +593,7 @@ object Vector {
           "ivf_trained" -> ivfTrainedListing(s, d, reuse = true),
           "pq" -> pqListing(s, d, reuse = true),
           "ivfpq" -> ivfpqListing(s, d, reuse = true),
+          "sq" -> sqListing(s, d, reuse = true),
           "knn" -> knnJoinListing(s, d, reuse = true)
             .filter(col("query_id") < NQueries))
           .map { case (m, df) =>
@@ -593,7 +628,7 @@ object Vector {
         "FROM p), " +
         s"ex AS (SELECT query_id FROM r WHERE rnk <= $K), " +
         "m(method) AS (VALUES ('ivf'), ('ivf_trained'), ('ivfpq'), " +
-        "('knn'), ('lsh'), ('pq')) " +
+        "('knn'), ('lsh'), ('pq'), ('sq')) " +
         "SELECT m.method, " +
         "(SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM ex) " +
         "AS n_queries, " +

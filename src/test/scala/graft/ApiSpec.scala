@@ -748,6 +748,53 @@ class ApiSpec extends AnyFunSuite with Matchers {
     dup shouldBe Array((7L, 8L, 0L))
   }
 
+  test("ahashNearDupPairs: a byte-sum-preserving first/last-char swap " +
+    "(the m11 gate construction) stays within radius 3 of its source") {
+    val s = spark
+    import s.implicits._
+    // ASCII word-soup texts (the fixture's shape): swapping the first
+    // and last characters preserves the byte SUM, so only the first and
+    // last aHash chunks can flip — hamming distance <= 2 by
+    // construction, caught deterministically by the 4-band pigeonhole.
+    val texts = Seq(
+      "quartz vineyard mosaic ember lantern drizzle harbor velvet " +
+        "meadow cascade thistle orchard pebble summit willow fjord",
+      "zeppelin oracle biscuit harbor glacier mantle prism nectar " +
+        "quill rampart sonnet tundra umber vortex wicker yonder axiom")
+    val rows = texts.zipWithIndex.flatMap { case (t, i) =>
+      val swapped = t.last +: t.substring(1, t.length - 1) :+ t.head
+      Seq((i.toLong, t.getBytes("UTF-8")),
+        (i.toLong + 100L, swapped.getBytes("UTF-8")))
+    }
+    val pairs = Graft.ahashNearDupPairs(
+      rows.toDF("mid", "payload"), "mid", "payload", radius = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    texts.indices.foreach { i =>
+      val p = pairs.filter(t => t._1 == i.toLong && t._2 == i + 100L)
+      p should have size 1
+      p.head._3 should be <= 2L
+    }
+  }
+
+  test("ngramNoveltyScores: duplicated docs score 0, disjoint docs " +
+    "score 1, short docs yield no row") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (3L, "zeta eta theta iota kappa"),      // disjoint content
+      (4L, "two words"))                      // < 3 words: no shingles
+      .toDF("doc_id", "text")
+    val got = Graft.ngramNoveltyScores(df, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    got.keySet shouldBe Set(1L, 2L, 3L)
+    got(1L) shouldBe ((3L, 0.0)) // every shingle shared with doc 2
+    got(2L) shouldBe ((3L, 0.0))
+    got(3L) shouldBe ((3L, 1.0)) // every shingle unique to doc 3
+  }
+
   test("contaminationFlags: overlap with the eval set is counted, clean " +
     "docs report zero") {
     val s = spark

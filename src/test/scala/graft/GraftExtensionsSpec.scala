@@ -30,6 +30,10 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
           "array(CAST(2.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
         .collect().head.getDouble(0)
       dot shouldBe 13.0
+      val idot = s.sql(
+        "SELECT dot_i32(array(3, -5), array(7, 2)) AS d")
+        .collect().head.getLong(0)
+      idot shouldBe 11L
       val fp = s.sql("SELECT rolling_min_hash64('the quick brown fox') AS f")
         .collect().head.getLong(0)
       val viaColumn = s.range(1)

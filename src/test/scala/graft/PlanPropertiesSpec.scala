@@ -114,6 +114,35 @@ class PlanPropertiesSpec extends AnyFunSuite with Matchers {
     (p should not).include("BroadcastNestedLoopJoin")
   }
 
+  test("s13 SQ retrieval: the query side broadcasts (one map-side corpus " +
+    "pass) and there is no training join anywhere") {
+    val p = graft.ops.Vector.sqListingPlan(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+    // The 8-row query side joins the corpus by broadcast — the intended
+    // one-pass scan shape (s01/s10 discipline); a shuffled or cartesian
+    // corpus-side plan would be wrong. SQ is training-free, so unlike
+    // s04/s10 there must be NO aggregation anywhere before the scan.
+    p should include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("m11 ahash near-dup: the banded candidate join is an equi-join, " +
+    "never an all-pairs compare") {
+    val p = plan("m11_ahash_neardup")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("t25 ngram novelty: df-count and per-doc fold are partial " +
+    "(map-side) hash aggregations; joins are equi-joins on the hash") {
+    val p = plan("t25_ngram_novelty")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("SortAggregate")
+    p should include("partial_count")
+  }
+
   test("s03 IVF rerank: probed-list candidate join is a broadcast " +
     "equi-join") {
     // The gate query materializes the shared listing (s07 reuses it),

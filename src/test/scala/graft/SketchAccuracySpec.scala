@@ -256,7 +256,8 @@ class SketchAccuracySpec extends AnyFunSuite with Matchers {
       "s04_ann_ivf_trained" ->
         graft.ops.Vector.ivfTrainedListing(spark, sfDir),
       "s10_pq_topk" -> graft.ops.Vector.pqListing(spark, sfDir),
-      "s11_ivfpq_topk" -> graft.ops.Vector.ivfpqListing(spark, sfDir))
+      "s11_ivfpq_topk" -> graft.ops.Vector.ivfpqListing(spark, sfDir),
+      "s13_sq_topk" -> graft.ops.Vector.sqListing(spark, sfDir))
     for ((name, df) <- listings) {
       val approx = df.collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -59,6 +59,37 @@ class VectorExpressionsSpec extends AnyFunSuite with Matchers {
       .collect().head.isNullAt(0) shouldBe true
   }
 
+  test("dot_i32 matches the integer-fold HOF exactly on both codegen " +
+    "paths, nulls yield null") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(127, -127, 64), Array(-127, 127, 64)),
+      (Array(3, 0, -5), Array(7, 9, 2)),
+      (Array.empty[Int], Array.empty[Int]))
+      .toDF("a", "b")
+    def check(): Unit = {
+      val rows = df.select(
+        VectorExpressions.dotI32(col("a"), col("b")).as("fast"),
+        expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS BIGINT) * " +
+          "CAST(y AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+          .as("ref")).collect()
+      rows.foreach(r => r.getLong(0) shouldBe r.getLong(1))
+      rows(0).getLong(0) shouldBe (-127L * 127 * 2 + 64L * 64)
+    }
+    check()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check()
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    Seq((Option.empty[Array[Int]], Some(Array(1))))
+      .toDF("a", "b")
+      .select(VectorExpressions.dotI32(col("a"), col("b")))
+      .collect().head.isNullAt(0) shouldBe true
+  }
+
   test("pq_adc_lut sums the selected LUT cells on both codegen paths") {
     import spark.implicits._
     // m = 2 subspaces, ksub = 3: lut laid out [mi * ksub + code]
