@@ -136,6 +136,41 @@ object StreamingOps {
       (ep, sub)
     }
 
+  /** Query embedding vectors as messages: data = comma-joined float
+    * components (Scala Float.toString round-trips through Spark's
+    * CAST(string AS FLOAT), so the parsed vector is bit-identical to
+    * the fixture row), vec_id attribute, published in vec_id order
+    * from one task so admission-cap batch membership is deterministic
+    * (the p15 discipline). */
+  private def publishEmbeddingQueries(s: SparkSession, d: String,
+      nQueries: Int): (String, String) =
+    synchronized {
+      val topic = "projects/p/topics/emb-queries"
+      val ep = publishedBrokers.getOrElseUpdate((topic, d, nQueries), {
+        val ep0 = s"embq-${UUID.randomUUID()}"
+        EmbeddedBroker.get(ep0).createTopic(topic)
+        Tables.load(s, d, "embeddings")
+          .filter(col("vec_id") < nQueries)
+          .select(col("vec_id"), col("embedding"))
+          .repartition(1).sortWithinPartitions("vec_id")
+          .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+            val b = EmbeddedBroker.get(ep0)
+            rows.grouped(5000).foreach { g =>
+              b.publishBatch(topic, g.map { r =>
+                val vec = r.getSeq[Float](1)
+                (vec.mkString(",").getBytes("UTF-8"),
+                  Map("vec_id" -> r.getLong(0).toString), "")
+              })
+            }
+          }
+        ep0
+      })
+      val sub = s"embq-sub-${UUID.randomUUID().toString.take(8)}"
+      EmbeddedBroker.get(ep).createSubscription(
+        s"projects/p/subscriptions/$sub", topic, backfill = true)
+      (ep, sub)
+    }
+
   /** Events rows as (event_type payload, ts/value/eid/uid attributes). */
   private def publishEvents(s: SparkSession, d: String,
       copies: Int = 1): (String, String) =
@@ -931,6 +966,75 @@ object StreamingOps {
           .orderBy("lang")
       },
       Some("SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) " +
-        "AS total_chars FROM documents GROUP BY lang ORDER BY lang"))
+        "AS total_chars FROM documents GROUP BY lang ORDER BY lang")),
+
+    Q("p16_stream_ann",
+      // Streaming similarity search — the online-retrieval shape of a
+      // training-data pipeline (embedding queries arrive continuously;
+      // the index is batch-built): query vectors stream through the
+      // pubsub source under an admission cap and every micro-batch
+      // probes a STATIC label-IVF index materialized ONCE before the
+      // stream starts (localCheckpoint here; a bucketed table on a
+      // cluster — index build is batch work, the stream only probes).
+      // Per batch the probe is Vector.ivfProbeSearch: the tiny query
+      // batch broadcasts against the centroid table, candidates come
+      // from the list-id equi-join into the materialized index, exact
+      // cosine rerank — no index rebuild, no corpus shuffle per batch.
+      // Each query's top-k is independent of batching, so the union of
+      // per-batch listings is deterministic, and the gate row is the
+      // per-query structural contract (annContract) the s-family uses —
+      // DuckDB recomputes the expected contract row for every streamed
+      // query. Vectors round-trip the broker bit-exactly (Float.toString
+      // -> CAST AS FLOAT).
+      (s, d) => {
+        val nQ = 40
+        val (ep, sub) = publishEmbeddingQueries(s, d, nQ)
+        val emb = Tables.load(s, d, "embeddings")
+        val centroids = Vector.labelCentroids(emb).localCheckpoint(true)
+        val listed = graft.api.Graft
+          .normalized(emb, "vec_id", "embedding")
+          .join(emb.select(col("vec_id"), col("label").as("list_id")),
+            "vec_id")
+          .localCheckpoint(true)
+        val outDir = Files.createTempDirectory("graft-p16").toString
+        val q = s.readStream.format("pubsub")
+          .option("project_id", "p")
+          .option("subscription", sub)
+          .option("endpoint", ep)
+          .option("max_messages_per_trigger", "10")
+          .option("max_messages_per_partition", "50000")
+          .option("dynamic_partitioning", "false")
+          .option("ack_deadline_seconds", "600")
+          .load()
+          .selectExpr(
+            "CAST(attributes['vec_id'] AS BIGINT) AS query_id",
+            "transform(split(CAST(data AS STRING), ','), " +
+              "x -> CAST(x AS FLOAT)) AS qe")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val qn = batch.withColumn("qn",
+              sqrt(graft.functions.VectorExpressions
+                .dotF32(col("qe"), col("qe"))))
+              .select(col("query_id"), col("qe"), col("qn"))
+            Vector.ivfProbeSearch(qn, listed, centroids,
+                nProbe = 4, k = 5)
+              .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+            ()
+          }
+          .option("checkpointLocation", tmpCheckpoint("graft-p16"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(300000)
+        val all = s.read.option("basePath", outDir)
+          .parquet(s"$outDir/batch=*")
+        // the admission cap actually sliced the stream into micro-batches
+        val nBatches = all.select("batch").distinct().count()
+        require(nBatches == (nQ + 9) / 10,
+          s"p16 batching broke: $nBatches batches over $nQ queries")
+        Vector.annContract(
+          all.select(col("query_id"), col("neighbor_id"), col("rnk"),
+            col("cos")))
+      },
+      Some(Vector.annContractSqlWhere("WHERE vec_id < 40")))
   )
 }

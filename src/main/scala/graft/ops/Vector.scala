@@ -34,6 +34,19 @@ object Vector {
     val q = n.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"))
+    ivfProbeSearch(q, n.join(assignments, "vec_id"), centroids, nProbe, K)
+  }
+
+  /** The probe+rerank core, decoupled from where the queries come from
+    * (s03/s04 derive them from a fixture predicate; p16 receives them
+    * from a micro-batch): `q` = (query_id, qe, qn), `listed` = the
+    * searchable index (vec_id, embedding, nrm, list_id). Queries pick
+    * their nProbe max-cosine lists from the (broadcast) centroid table,
+    * then ONLY the probed lists are searched and reranked by exact
+    * cosine — the candidate join is an equi-join on the list id, never
+    * a cross product. */
+  private[graft] def ivfProbeSearch(q: DataFrame, listed: DataFrame,
+      centroids: DataFrame, nProbe: Int, k: Int): DataFrame = {
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("cdist").desc, col("list_id"))
     val probes = broadcast(q)
@@ -44,7 +57,6 @@ object Vector {
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nProbe)
       .select(col("query_id"), col("qe"), col("qn"), col("list_id"))
-    val listed = n.join(assignments, "vec_id")
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(probes)
@@ -53,7 +65,7 @@ object Vector {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot("qe", "embedding") / (col("qn") * col("nrm"))).as("cos"))
       .withColumn("rnk", row_number().over(wRank).cast("bigint"))
-      .filter(col("rnk") <= K)
+      .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         round(col("cos"), 4).as("cos"))
       .orderBy("query_id", "rnk")
@@ -99,13 +111,11 @@ object Vector {
       reuse: Boolean = false): DataFrame =
     shared("ivf", s, d, reuse)(ivfLabelListingPlan(s, d))
 
-  /** The un-materialized build plan, separate so PlanPropertiesSpec
-    * audits the physical plan a 100 TB build would run (the shared
-    * listing above explains as a checkpoint scan). */
-  private[graft] def ivfLabelListingPlan(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.load(s, d, "embeddings")
-    // element-wise centroid per label
-    val centroids = emb
+  /** Element-wise centroid per label — the label-IVF coarse "quantizer"
+    * (a semantic grouping standing in for a trained one; shared by s03
+    * and p16's static stream index). */
+  private[graft] def labelCentroids(emb: DataFrame): DataFrame =
+    emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("label", "pos")
       .agg(avg("v").as("m"))
@@ -113,6 +123,13 @@ object Vector {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("label").as("list_id"),
         expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("centroid"))
+
+  /** The un-materialized build plan, separate so PlanPropertiesSpec
+    * audits the physical plan a 100 TB build would run (the shared
+    * listing above explains as a checkpoint scan). */
+  private[graft] def ivfLabelListingPlan(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.load(s, d, "embeddings")
+    val centroids = labelCentroids(emb)
     // Queries probe their nProbe nearest centroids. nProbe=4 of 10
     // lists here: this synthetic corpus is nearly unclustered, so the
     // quantizer's signal is weak and recall is bought by probing
@@ -239,7 +256,7 @@ object Vector {
     * exactly k results, ranks 1..k (sum k(k+1)/2), k distinct non-self
     * neighbors, cosines in [-1, 1] and non-increasing with rank. Recall
     * — the one property this can't see — is s07's oracle row. */
-  private def annContract(listing: DataFrame): DataFrame =
+  private[graft] def annContract(listing: DataFrame): DataFrame =
     listing
       .groupBy(col("query_id"))
       .agg(
@@ -259,7 +276,7 @@ object Vector {
 
   /** The DuckDB side of [[annContract]]: the expected contract row for
     * every query id, recomputed from the embeddings table alone. */
-  private def annContractSqlWhere(where: String): String =
+  private[graft] def annContractSqlWhere(where: String): String =
     s"SELECT vec_id AS query_id, CAST($K AS BIGINT) AS n_ret, " +
       s"CAST(${K * (K + 1) / 2} AS BIGINT) AS rnk_sum, " +
       s"CAST($K AS BIGINT) AS n_distinct, " +
