@@ -2210,6 +2210,35 @@ object Graft {
         coalesce(col("max_delta"), lit(0.0)).as("max_delta"))
   }
 
+  /** Keyframe SELECTION over the frame stream — the step after
+    * [[frameSceneCuts]] in a video curation pipeline: instead of
+    * sampling frames uniformly, keep frame 0 plus the first frame of
+    * every detected shot (the frame whose mean jumps past the cut
+    * threshold), which is how VLM training data samples one
+    * representative frame per scene. One row per kept frame:
+    * (id, kf, mv) — frame index and its exact mean.
+    *
+    * Exactness and scale shape are [[frameSceneCuts]]'s verbatim: frame
+    * means are dyadic-exact (native one-pass [[graft.functions.FrameMeans]]
+    * kernel), the lag is the same ONE asset-partitioned window, and the
+    * selection is a filter over it — no extra shuffle, no new pass. */
+  def keyframeSelect(df: DataFrame, idCol: String, payloadCol: String,
+      frameBytes: Int = 16, threshold: Double = 8.03125): DataFrame = {
+    require(frameBytes > 0, s"keyframeSelect($frameBytes)")
+    val means = df.select(col(idCol),
+      graft.functions.MediaExpressions
+        .frameMeans(col(payloadCol), frameBytes).as("mvs"))
+      .filter(size(col("mvs")) >= 1)
+      .select(col(idCol), posexplode(col("mvs")).as(Seq("f", "mv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("f")
+    means
+      .withColumn("delta", abs(col("mv") - lag("mv", 1).over(w)))
+      .filter(col("f") === 0 || col("delta") > threshold)
+      .select(col(idCol), col("f").cast("bigint").as("kf"),
+        round(col("mv"), 4).as("mv"))
+  }
+
   /** Audio-frame energy over a PCM16LE binary payload: non-overlapping
     * windows of `windowSamples` 16-bit little-endian samples, one row per
     * COMPLETE window with the sum of absolute sample values — the

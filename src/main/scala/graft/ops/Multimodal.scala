@@ -259,6 +259,35 @@ object Multimodal {
         "FROM documents d LEFT JOIN a USING (doc_id) " +
         "ORDER BY d.doc_id")),
 
+    Q("m12_keyframe_select",
+      // Keyframe selection — the step AFTER m10's cut detection: keep
+      // frame 0 plus the first frame of every detected shot (mean jump
+      // > the off-grid threshold), the scene-boundary sampler a VLM
+      // pipeline uses instead of uniform frame sampling. Same exact
+      // dyadic frame math and the same single per-asset window as m10;
+      // the selection is a filter over it, so the plan adds no shuffle.
+      // See [[graft.api.Graft.keyframeSelect]].
+      (s, d) => graft.api.Graft.keyframeSelect(
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload", frameBytes = 16, threshold = 8.03125)
+        .orderBy("doc_id", "kf"),
+      Some("WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS h, " +
+        "octet_length(encode(text))//16 AS nf FROM documents), " +
+        "b AS (SELECT doc_id, g//16 AS f, " +
+        "CAST(concat('0x', substr(h, CAST(g*2+1 AS BIGINT), 2)) " +
+        "AS BIGINT) AS v " +
+        "FROM p, UNNEST(generate_series(0, nf*16-1)) t(g) " +
+        "WHERE nf >= 1), " +
+        "m AS (SELECT doc_id, f, SUM(v)/16.0 AS mv FROM b " +
+        "GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, f, mv, " +
+        "ABS(mv - LAG(mv) OVER (PARTITION BY doc_id ORDER BY f)) " +
+        "AS delta FROM m) " +
+        "SELECT doc_id, CAST(f AS BIGINT) AS kf, ROUND(mv, 4) AS mv " +
+        "FROM dl WHERE f = 0 OR delta > 8.03125 " +
+        "ORDER BY doc_id, kf")),
+
     Q("m08_ahash",
       // 60-bit byte-level average-hash (perceptual-hash construction):
       // the pre-decode content fingerprint that survives small byte

@@ -127,6 +127,16 @@ class PlanPropertiesSpec extends AnyFunSuite with Matchers {
     (p should not).include("SortMergeJoin")
   }
 
+  test("m12 keyframe select: one asset-partitioned window shuffle, " +
+    "no join — the selection rides m10's lag window as a filter") {
+    val p = plan("m12_keyframe_select")
+    (p should not).include("Join")
+    // exactly two Exchanges: the doc_id window hash + the gate's final
+    // orderBy range partitioning — nothing else may shuffle
+    """\(\d+\) Exchange""".r.findAllIn(p).size shouldBe 2
+    p should include("hashpartitioning(doc_id")
+  }
+
   test("m11 ahash near-dup: the banded candidate join is an equi-join, " +
     "never an all-pairs compare") {
     val p = plan("m11_ahash_neardup")
