@@ -737,6 +737,60 @@ object Graft {
         round(avg("lp"), 4).as("avg_logp"))
   }
 
+  /** Corpus BIGRAM language-model score per document — the next step up
+    * from [[unigramLogProb]]'s fluency screen (CCNet's actual filter is
+    * a trained n-gram LM; this is its corpus-self-trained analogue):
+    * mean log P(wᵢ | wᵢ₋₁) over a document's word transitions, with
+    * add-0.5 smoothing against the distinct-unigram vocabulary size,
+    * P = (c_bigram + 0.5) / (c_context + 0.5·V). Word-repetitive or
+    * templated documents score high; token-soup scores low — combine
+    * with t10's repetition signals to separate the two.
+    *
+    * Scale shape: bigrams come from a partition-local indexed-sequence
+    * explode (no window), and both count tables key on 60-bit md5
+    * hashes (the t21/t25 feature-hashing discipline) so every shuffle
+    * carries 8-byte keys, never word text; collisions merge counts
+    * deterministically and the oracle replays the identical hash
+    * arithmetic. Joins and aggregations are all hash-keyed equi-ops
+    * with map-side partials; the vocabulary size is a 1-row broadcast. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"bigramLogProb(alpha=$alpha)")
+    def h(c: Column): Column =
+      graft.functions.TextExpressions.hexSliceLong(md5(c), 1, 15)
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("w"))
+    val pairs = toks.filter(size(col("w")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(w)-1), " +
+          "i -> struct(element_at(w, i) AS prev, " +
+          "element_at(w, i+1) AS cur))")).as("p"))
+      // the \u0001 separator cannot occur in word-split text, so the
+      // bigram key ("ab","c") never collides with ("a","bc"); DuckDB
+      // rebuilds it as `prev || chr(1) || cur`
+      .select(col(idCol), h(col("p.prev")).as("hp"),
+        h(concat(col("p.prev"), lit("\u0001"), col("p.cur"))).as("hb"))
+    val cb = pairs.groupBy("hb").agg(count(lit(1)).as("cb"))
+    val cc = pairs.groupBy("hp").agg(count(lit(1)).as("cc"))
+    val vocab = df
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .select(h(col("word")).as("hw"))
+      .agg(countDistinct("hw").cast("double").as("nv"))
+    val scored = pairs
+      .join(cb, "hb").join(cc, "hp")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        log((col("cb") + lit(alpha)) /
+          (col("cc") + lit(alpha) * col("nv"))).as("lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg("lp"), 4).as("avg_logp"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logp"))
+  }
+
   /** DSIR-style importance weights (Xie et al., "Data Selection for
     * Language Models via Importance Resampling"): score every document
     * by how much more likely its hashed word features are under the

@@ -613,6 +613,42 @@ object TextOps {
         "AS n_shingles, " +
         "ROUND(CAST(n_unique AS DOUBLE) / n_shingles, 4) AS novelty " +
         "FROM documents d LEFT JOIN agg USING (doc_id) " +
+        "ORDER BY d.doc_id")),
+
+    Q("t26_bigram_logprob",
+      // Corpus bigram LM score — the step up from t20's unigram screen
+      // (CCNet's actual filter is a trained n-gram LM): mean
+      // log P(w_i | w_{i-1}) over each document's transitions with
+      // add-0.5 smoothing against the distinct-unigram vocabulary.
+      // Bigrams come from a partition-local indexed explode (no
+      // window); both count tables key on 60-bit md5 hashes, so every
+      // shuffle carries 8-byte keys, never word text. See
+      // [[graft.api.Graft.bigramLogProb]].
+      (s, d) => graft.api.Graft.bigramLogProb(docs(s, d), "doc_id",
+        "text")
+        .orderBy("doc_id"),
+      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w " +
+        "FROM documents), " +
+        "pr AS (SELECT doc_id, " +
+        "CAST(concat('0x', substring(md5(w[g]), 1, 15)) AS BIGINT) " +
+        "AS hp, " +
+        "CAST(concat('0x', substring(md5(w[g] || chr(1) || w[g+1]), " +
+        "1, 15)) AS BIGINT) AS hb " +
+        "FROM t, UNNEST(generate_series(1, len(w)-1)) s(g) " +
+        "WHERE len(w) >= 2), " +
+        "cb AS (SELECT hb, COUNT(*) AS cb FROM pr GROUP BY 1), " +
+        "cc AS (SELECT hp, COUNT(*) AS cc FROM pr GROUP BY 1), " +
+        "v AS (SELECT CAST(COUNT(DISTINCT CAST(concat('0x', " +
+        "substring(md5(word), 1, 15)) AS BIGINT)) AS DOUBLE) AS nv " +
+        "FROM (SELECT UNNEST(string_split(text, ' ')) AS word " +
+        "FROM documents)), " +
+        "sc AS (SELECT doc_id, " +
+        "ln((cb + 0.5) / (cc + 0.5 * nv)) AS lp " +
+        "FROM pr JOIN cb USING (hb) JOIN cc USING (hp) CROSS JOIN v), " +
+        "a AS (SELECT doc_id, COUNT(*) AS nb, ROUND(AVG(lp), 4) " +
+        "AS avg_logp FROM sc GROUP BY 1) " +
+        "SELECT d.doc_id, CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams, " +
+        "avg_logp FROM documents d LEFT JOIN a USING (doc_id) " +
         "ORDER BY d.doc_id"))
   )
 }

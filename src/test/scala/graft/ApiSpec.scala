@@ -795,6 +795,25 @@ class ApiSpec extends AnyFunSuite with Matchers {
     got(3L) shouldBe ((3L, 1.0)) // every shingle unique to doc 3
   }
 
+  test("bigramLogProb: repeated transitions score higher than unique " +
+    "ones, short docs report zero bigrams") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "go go go go go"),        // one transition, seen 4x
+      (2L, "alpha beta gamma delta"), // every transition unique
+      (3L, "single"))                 // < 2 words: no transitions
+      .toDF("doc_id", "text")
+    val got = graft.api.Graft.bigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    got(1L)._1 shouldBe 4L
+    got(2L)._1 shouldBe 3L
+    got(3L) shouldBe ((0L, None))
+    got(1L)._2.get should be > got(2L)._2.get
+  }
+
   test("contaminationFlags: overlap with the eval set is counted, clean " +
     "docs report zero") {
     val s = spark

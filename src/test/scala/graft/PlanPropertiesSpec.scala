@@ -127,6 +127,15 @@ class PlanPropertiesSpec extends AnyFunSuite with Matchers {
     (p should not).include("SortMergeJoin")
   }
 
+  test("t26 bigram LM: count joins are hash-keyed equi-joins with " +
+    "map-side partials; the only nested-loop join is the 1-row " +
+    "vocabulary broadcast") {
+    val p = plan("t26_bigram_logprob")
+    (p should not).include("CartesianProduct")
+    (p should not).include("SortAggregate")
+    p should include("partial_count")
+  }
+
   test("m12 keyframe select: one asset-partitioned window shuffle, " +
     "no join — the selection rides m10's lag window as a filter") {
     val p = plan("m12_keyframe_select")
