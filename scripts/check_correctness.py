@@ -73,25 +73,19 @@ for name in sorted(os.listdir(OUT_DIR)):
                 ok = False
                 fails.append(f"{name}: column {c} type duck={dt} spark={st}"
                              " (CAST the oracle or the Spark side)")
-    # A column present on ONE side only (renamed / unaliased aggregate)
-    # would skip the loop above and fall through to the opaque hash
-    # mismatch this check exists to prevent — name it symmetrically.
-    only_duck = [c for c in duck.column_names
-                 if c not in spark_tbl.column_names]
-    only_spark = [c for c in spark_tbl.column_names
-                  if c not in duck.column_names]
-    if only_duck or only_spark:
-        ok = False
-        fails.append(f"{name}: column presence mismatch"
-                     f" oracle-only={only_duck} spark-only={only_spark}"
-                     " (alias both sides identically)")
     if spark_tbl.num_rows != duck.num_rows:
         ok = False
         fails.append(f"{name}: rows {spark_tbl.num_rows} != {duck.num_rows}")
     s_cols, d_cols = sorted(spark_tbl.column_names), sorted(duck.column_names)
     if s_cols != d_cols:
+        # name the one-side-only columns (renamed / unaliased aggregate)
+        # instead of just printing both full lists
+        only_duck = [c for c in d_cols if c not in s_cols]
+        only_spark = [c for c in s_cols if c not in d_cols]
         ok = False
-        fails.append(f"{name}: cols {s_cols} != {d_cols}")
+        fails.append(f"{name}: cols differ — oracle-only={only_duck}"
+                     f" spark-only={only_spark}"
+                     " (alias both sides identically)")
     if ok:
         # driver sorts columns by name, then hashes values; emulate with
         # exact value comparison in result order

@@ -33,13 +33,24 @@ private[ops] object ListingCache {
         if (s.sparkContext.getCheckpointDir.isDefined)
           build.checkpoint(eager = true)
         else build.localCheckpoint(eager = true)
-      cache.put(key, m)
+      // unpersist the superseded entry's blocks: gate queries rebuild
+      // fresh (reuse=false) on every bench/verify rep, and without this
+      // each rebuild leaked the previous checkpoint's storage for the
+      // session's lifetime (r9 review)
+      cache.put(key, m).foreach(old =>
+        try old.unpersist(blocking = false)
+        catch { case scala.util.control.NonFatal(_) => () })
       m
     }
     if (!reuse) materialize()
     else cache.get(key) match {
       case Some(m) =>
-        try { m.isEmpty; m }
+        // validate with a FULL-partition action: localCheckpoint is
+        // non-reliable, and a take(1)-style probe only reads the first
+        // partition — lost blocks in any later partition would pass
+        // validation and fail opaquely inside the consumer's plan (r9
+        // review). Listings are few-thousand rows; count() is cheap.
+        try { m.count(); m }
         catch { case scala.util.control.NonFatal(_) => materialize() }
       case None => materialize()
     }
