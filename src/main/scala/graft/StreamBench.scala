@@ -33,7 +33,8 @@ object StreamBench {
       .getOrCreate()
 
     val payload = ("x" * 64).getBytes
-    def run(label: String, partitions: Int, maxPerPull: Int): Double = {
+    def run(label: String, partitions: Int, maxPerPull: Int,
+        dynamic: Boolean = false): Double = {
       val ep = s"stream-bench-$label"
       val b = EmbeddedBroker.get(ep)
       b.createTopic("projects/p/topics/in")
@@ -53,10 +54,11 @@ object StreamBench {
         .option("endpoint", ep)
         .option("num_partitions", partitions.toString)
         .option("max_messages_per_partition", maxPerPull.toString)
-        // Pin static partitioning: this bench measures FIXED fan-out
-        // configs (4x1000 / 8x16k); the dynamic default would override
-        // num_partitions with the backlog-derived count.
-        .option("dynamic_partitioning", "false")
+        // The fixed configs (4x1000 / 8x16k) pin static partitioning —
+        // the dynamic default would override num_partitions with the
+        // backlog-derived count; the `dynamic` config leaves it ON to
+        // price the backlog-monitor path itself.
+        .option("dynamic_partitioning", dynamic.toString)
         .load()
         .select("data", "attributes")
         .writeStream.format("pubsub")
@@ -82,12 +84,19 @@ object StreamBench {
     // (BASELINE.md). The FIRST rep of the first config still pays the full
     // cold start; the min is the engine's actual per-batch cost.
     val reps = 3
-    def best(name: String, partitions: Int, maxPerPull: Int): Double =
-      (1 to reps).map(r => run(s"$name-r$r", partitions, maxPerPull)).max
+    def best(name: String, partitions: Int, maxPerPull: Int,
+        dynamic: Boolean = false): Double =
+      (1 to reps).map(r =>
+        run(s"$name-r$r", partitions, maxPerPull, dynamic)).max
     val defaults = best("defaults", 4, 1000)
     val tuned = best("tuned", 8, 16000)
+    // dynamic fan-out: num_partitions is only the floor — each batch
+    // asks the backlog monitor for the partition count, pricing the
+    // monitor + clamp path the static configs bypass.
+    val dynamic = best("dynamic", 4, 1000, dynamic = true)
     println(f"""{"metric":"stream_roundtrip_msgs_per_sec","n":$N,"reps":$reps,""" +
-      f""""defaults_4x1000":${defaults}%.0f,"tuned_8x16000":${tuned}%.0f}""")
+      f""""defaults_4x1000":${defaults}%.0f,"tuned_8x16000":${tuned}%.0f,""" +
+      f""""dynamic_1000":${dynamic}%.0f}""")
     spark.stop()
   }
 }
