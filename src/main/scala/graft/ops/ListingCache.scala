@@ -25,6 +25,19 @@ private[ops] object ListingCache {
   private val cache = scala.collection.concurrent.TrieMap
     .empty[(String, String, String), DataFrame]
 
+  /** Free a checkpointed listing's storage. `Dataset.unpersist` only
+    * clears CacheManager entries — a localCheckpoint's blocks belong to
+    * the UNDERLYING RDD (the plan is a LogicalRDD over it), so they
+    * must be unpersisted at the RDD level or they live until the
+    * session ends. */
+  private def releaseBlocks(df: DataFrame): Unit =
+    try {
+      df.unpersist(blocking = false)
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   def shared(method: String, s: SparkSession, d: String,
       reuse: Boolean)(build: => DataFrame): DataFrame = {
     val key = (s.sparkContext.applicationId, d, method)
@@ -33,13 +46,11 @@ private[ops] object ListingCache {
         if (s.sparkContext.getCheckpointDir.isDefined)
           build.checkpoint(eager = true)
         else build.localCheckpoint(eager = true)
-      // unpersist the superseded entry's blocks: gate queries rebuild
+      // release the superseded entry's blocks: gate queries rebuild
       // fresh (reuse=false) on every bench/verify rep, and without this
       // each rebuild leaked the previous checkpoint's storage for the
       // session's lifetime (r9 review)
-      cache.put(key, m).foreach(old =>
-        try old.unpersist(blocking = false)
-        catch { case scala.util.control.NonFatal(_) => () })
+      cache.put(key, m).foreach(releaseBlocks)
       m
     }
     if (!reuse) materialize()
