@@ -127,6 +127,35 @@ class PlanPropertiesSpec extends AnyFunSuite with Matchers {
     (p should not).include("SortMergeJoin")
   }
 
+  test("p16 probe core: the per-batch candidate join broadcasts the " +
+    "query side into the materialized index — never a shuffled join " +
+    "of the corpus") {
+    import org.apache.spark.sql.functions.{col, sqrt}
+    // the p16 shape: a static checkpointed index probed by a small
+    // query batch (here built directly so the streaming harness isn't
+    // needed to audit the per-batch plan)
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val listed = graft.api.Graft.normalized(emb, "vec_id", "embedding")
+      .join(emb.select(col("vec_id"), col("label").as("list_id")),
+        "vec_id")
+      .localCheckpoint(true)
+    val cents = graft.ops.Vector.labelCentroids(emb).localCheckpoint(true)
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("qn", sqrt(graft.functions.VectorExpressions
+        .dotF32(col("qe"), col("qe"))))
+    val p = graft.ops.Vector.ivfProbeSearch(q, listed, cents,
+        nProbe = 4, k = 5)
+      .queryExecution.explainString(FormattedMode)
+    // a shuffled join (SMJ / ShuffledHashJoin) would mean the index
+    // reshuffles for every micro-batch; the broadcast-query equi-join
+    // leaves the index partitioning untouched
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+    (p should not).include("ShuffledHashJoin")
+    (p should not).include("CartesianProduct")
+  }
+
   test("t26 bigram LM: count joins are hash-keyed equi-joins with " +
     "map-side partials; the only nested-loop join is the 1-row " +
     "vocabulary broadcast") {
