@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AHash60, ByteEntropyStats, DotProductF32, DotProductI32, FrameMeans, HexSliceToLong, Pcm16WindowEnergy, PqAdcLut, PqEncodeF32, RollingMinHash64, StrideSample}
+import graft.functions.{AHash60, AHashWide, ByteEntropyStats, DotProductF32, DotProductI32, FrameMeans, HexSliceToLong, Pcm16WindowEnergy, PqAdcLut, PqEncodeF32, RollingMinHash64, StrideSample}
 
 /** Library entry point for SQL users: registers the native expressions
   * under SQL names, so `spark.sql("SELECT dot_f32(a, b) ...")` works the
@@ -62,6 +62,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "ahash60 takes exactly 1 argument")
         AHash60(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("ahash_wide"),
+      new ExpressionInfo(classOf[AHashWide].getName, "ahash_wide"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "ahash_wide takes (binary, words)")
+        AHashWide(args.head, intLit("ahash_wide", args(1)))
       }))
     ext.injectFunction((
       FunctionIdentifier("pcm16_window_energy"),

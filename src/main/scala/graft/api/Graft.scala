@@ -2379,6 +2379,63 @@ object Graft {
       .filter(col("dist") <= radius)
   }
 
+  /** `words` x 60-bit wide average-hash per row (see
+    * [[graft.functions.AHashWide]]): [[mediaAHash]] with a longer
+    * fingerprint, the input to [[ahashWideNearDupPairs]]. Map-only,
+    * zero shuffle. */
+  def mediaAHashWide(df: DataFrame, idCol: String, payloadCol: String,
+      words: Int = 2): DataFrame =
+    df.select(col(idCol),
+      graft.functions.MediaExpressions.ahashWide(col(payloadCol), words)
+        .as("ahash"))
+
+  /** [[ahashNearDupPairs]] over the WIDE hash: near-duplicate pairs by
+    * hamming distance over `words` x 60 bits, same exact pigeonhole
+    * banding (radius+1 disjoint bands; a pair within the radius must
+    * agree exactly on >= 1 band). The wider hash exists for the band
+    * WIDTH: at radius 3, 60 bits give 15-bit bands (2^15 buckets — the
+    * n^2/2^15 random-collision candidate class SCALE.md documents for
+    * m11), while 120 bits give 30-bit bands (2^30 buckets), pushing
+    * random band agreement past any realistic corpus so the candidate
+    * list is ~only the true near-pairs. That buys the same exact join
+    * shape a growth class that bends from occupancy-quadratic to
+    * ~linear — the version of this op a 100 TB media pipeline runs.
+    * Bands are kept word-aligned (each band's bits live in one 60-bit
+    * word), so `60*words` must split into radius+1 bands of a width
+    * dividing 60. */
+  def ahashWideNearDupPairs(df: DataFrame, idCol: String,
+      payloadCol: String, radius: Int = 3, words: Int = 2): DataFrame = {
+    val wordBits = graft.functions.AHashWide.WordBits
+    val bits = wordBits * words
+    require(radius >= 0 && radius < bits,
+      s"ahashWideNearDupPairs($radius, $words)")
+    val bands = radius + 1
+    require(bits % bands == 0 && wordBits % (bits / bands) == 0,
+      s"ahashWideNearDupPairs: $bits bits do not split into $bands " +
+        "word-aligned bands")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val sig = mediaAHashWide(df, idCol, payloadCol, words)
+    val bandCols = (0 until bands).map { j =>
+      val word = j * width / wordBits
+      val off = j * width % wordBits
+      shiftright(col("ahash")(word), off).bitwiseAND(lit(mask))
+    }
+    val banded = sig.select(col(idCol), col("ahash"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bits")))
+    val dist = (0 until words).map(w =>
+      bit_count(col("a.ahash")(w).bitwiseXOR(col("b.ahash")(w))))
+      .reduce(_ + _)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        dist.cast("bigint").as("dist"))
+      .distinct()
+      .filter(col("dist") <= radius)
+  }
+
   /** Multi-channel generalization of [[pcm16WindowEnergy]]: the payload
     * is INTERLEAVED PCM16LE (sample s belongs to channel s mod
     * `channels`), and energy windows are computed per channel — the

@@ -174,6 +174,81 @@ object AHash60 {
   }
 }
 
+/** Wide average-hash: [[AHash60]] generalized to `words` x 60 bits
+  * (chunk c of 60*words covers bytes [c*nb/Bits, (c+1)*nb/Bits); bit c
+  * is set when the chunk's mean byte exceeds the payload's global
+  * mean), packed 60 bits per BIGINT word so every word stays positive
+  * in a signed 64 on any engine. The point of the extra bits is
+  * OCCUPANCY, not fidelity: pigeonhole banding at hamming radius r
+  * splits Bits into r+1 exact-match bands, and band width — the log2
+  * of the number of buckets random hashes spread over — scales with
+  * Bits. 60 bits / radius 3 gives 15-bit bands (2^15 buckets, the
+  * n^2/2^15 candidate class SCALE.md documents for m11); 120 bits /
+  * radius 3 gives 30-bit bands (2^30 buckets), which pushes the random
+  * collision term past any realistic corpus. Same exact integer
+  * cross-product comparison as AHash60 (exact while chunkSum*nb fits a
+  * long, i.e. payloads to ~1 GB), one pass, codegen'd. */
+case class AHashWide(child: Expression, words: Int)
+    extends UnaryExpression {
+  require(words >= 1 && words <= 16, s"ahash_wide: words=$words")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"ahash_wide requires BINARY input, got $t")
+    }
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ahash_wide"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AHashWide.compute(input.asInstanceOf[Array[Byte]], words)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.AHashWide.compute($c, $words)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object AHashWide {
+  val WordBits = 60
+
+  def compute(bytes: Array[Byte], words: Int): ArrayData = {
+    val bits = WordBits * words
+    val n = bytes.length
+    val out = new Array[Long](words)
+    if (n == 0) {
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    }
+    val chunkSum = new Array[Long](bits)
+    val chunkLen = new Array[Int](bits)
+    var g = 0
+    var total = 0L
+    while (g < n) {
+      val v = (bytes(g) & 0xff).toLong
+      val c = (g.toLong * bits / n).toInt
+      chunkSum(c) += v
+      chunkLen(c) += 1
+      total += v
+      g += 1
+    }
+    var i = 0
+    while (i < bits) {
+      if (chunkLen(i) > 0 && chunkSum(i) * n > total * chunkLen(i)) {
+        out(i / WordBits) |= 1L << (i % WordBits)
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
 /** Per-frame mean byte value of a BINARY payload: one double per
   * COMPLETE `frameBytes`-byte frame, `sum(unsigned bytes) / frameBytes`
   * — the frame statistic behind scene-cut detection (m10). Integer sums
@@ -286,6 +361,11 @@ object MediaExpressions {
   def ahash60(c: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       AHash60(org.apache.spark.sql.graft.Bridge.expression(c)))
+
+  /** words x 60-bit wide average-hash of a BINARY column, one pass. */
+  def ahashWide(c: Column, words: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      AHashWide(org.apache.spark.sql.graft.Bridge.expression(c), words))
 
   /** Per-frame mean byte values of a BINARY column, one pass. */
   def frameMeans(c: Column, frameBytes: Int): Column =

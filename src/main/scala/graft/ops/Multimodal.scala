@@ -423,6 +423,82 @@ object Multimodal {
           "SELECT id_a, id_b, " +
           "CAST(bit_count(xor(ha, hb)) AS BIGINT) AS dist FROM cand " +
           "WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY id_a, id_b"
+      }),
+
+    Q("m13_ahash_wide_neardup",
+      // m11's exact hamming near-dup join over the WIDE (120-bit)
+      // average-hash — the scale path SCALE.md's m11 note calls for:
+      // pigeonhole banding at radius 3 over 60 bits leaves 15-bit bands
+      // (2^15 buckets, an n^2/2^15 random-collision candidate class),
+      // while 120 bits leave 30-bit bands (2^30 buckets), pushing
+      // random band agreement past any realistic corpus so candidates
+      // ~= true near-pairs and the growth class bends to ~linear. Same
+      // augmented corpus as m11 (every 7th doc re-appears with first
+      // and last characters swapped — byte-SUM-preserving, so only the
+      // two chunks holding those bytes can flip: hamming <= 2 of the
+      // source in the 120-bit metric too). All integer bit math; the
+      // oracle rebuilds both 60-bit words, the 4 x 30-bit banding and
+      // the two-word popcount bit for bit.
+      (s, d) => {
+        val base = Tables.load(s, d, "documents")
+          .filter(length(col("text")) >= 2)
+          .select(col("doc_id"), col("text"))
+        val perturbed = base
+          .filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            expr("concat(substring(text, length(text), 1), " +
+              "substring(text, 2, length(text) - 2), " +
+              "substring(text, 1, 1))").as("text"))
+        graft.api.Graft.ahashWideNearDupPairs(
+          base.unionByName(perturbed)
+            .select(col("doc_id"),
+              encode(col("text"), "UTF-8").as("payload")),
+          "doc_id", "payload", radius = 3, words = 2)
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val bits = (0 until 120).map(i =>
+          s"BOOL_OR(chunk = $i) AND SUM(CASE WHEN chunk = $i THEN bv " +
+            s"ELSE 0 END) * MAX(nb) > MAX(total) * " +
+            s"SUM(CASE WHEN chunk = $i THEN 1 ELSE 0 END) AS b$i")
+          .mkString(", ")
+        val packed0 = (0 until 60).map(i =>
+          s"CASE WHEN b$i THEN ${1L << i} ELSE 0 END").mkString(" + ")
+        val packed1 = (60 until 120).map(i =>
+          s"CASE WHEN b$i THEN ${1L << (i - 60)} ELSE 0 END")
+          .mkString(" + ")
+        "WITH c AS (SELECT doc_id, text FROM documents " +
+          "WHERE length(text) >= 2 " +
+          "UNION ALL SELECT doc_id + 1000000 AS doc_id, " +
+          "substring(text, length(text), 1) || " +
+          "substring(text, 2, length(text) - 2) || " +
+          "substring(text, 1, 1) AS text FROM documents " +
+          "WHERE length(text) >= 2 AND doc_id % 7 = 0), " +
+          "p AS (SELECT doc_id, lower(hex(encode(text))) AS hx, " +
+          "octet_length(encode(text)) AS nb FROM c), " +
+          "b AS (SELECT doc_id, nb, CAST(concat('0x', " +
+          "substring(hx, CAST(g*2+1 AS BIGINT), 2)) AS BIGINT) AS bv, " +
+          "(g * 120) // nb AS chunk " +
+          "FROM p, UNNEST(generate_series(0, nb-1)) t(g)), " +
+          "tot AS (SELECT doc_id, SUM(bv) AS total FROM b GROUP BY 1), " +
+          s"sig AS (SELECT b.doc_id, $bits FROM b JOIN tot " +
+          "ON b.doc_id = tot.doc_id GROUP BY b.doc_id), " +
+          s"h AS (SELECT doc_id, CAST($packed0 AS BIGINT) AS w0, " +
+          s"CAST($packed1 AS BIGINT) AS w1 FROM sig), " +
+          "bands AS (SELECT doc_id, w0, w1, j, " +
+          "CASE WHEN j < 2 THEN (w0 >> CAST(30*j AS INTEGER)) " +
+          "& 1073741823 ELSE (w1 >> CAST(30*(j-2) AS INTEGER)) " +
+          "& 1073741823 END AS bits " +
+          "FROM h, UNNEST(generate_series(0, 3)) tj(j)), " +
+          "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, " +
+          "a.w0 AS w0a, a.w1 AS w1a, b.w0 AS w0b, b.w1 AS w1b " +
+          "FROM bands a JOIN bands b " +
+          "ON a.j = b.j AND a.bits = b.bits AND a.doc_id < b.doc_id) " +
+          "SELECT id_a, id_b, " +
+          "CAST(bit_count(xor(w0a, w0b)) + bit_count(xor(w1a, w1b)) " +
+          "AS BIGINT) AS dist FROM cand " +
+          "WHERE bit_count(xor(w0a, w0b)) + bit_count(xor(w1a, w1b)) " +
+          "<= 3 ORDER BY id_a, id_b"
       })
   )
 }

@@ -776,6 +776,82 @@ class ApiSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("ahashWideNearDupPairs: matches a brute-force hamming filter " +
+    "over the wide hash (exactness of the word-aligned banding)") {
+    val s = spark
+    import s.implicits._
+    // Deterministic payload soup: block patterns plus small seeded
+    // perturbations so SOME pairs land inside the radius and most stay
+    // out — then the banded join must reproduce the brute-force pair
+    // list exactly (pigeonhole banding is exact, not approximate).
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 40).map { i =>
+      val base = Array.tabulate[Byte](480)(g =>
+        if ((g / 40 + i % 4) % 2 == 0) 15 else 110)
+      (0 until rnd.nextInt(6)).foreach { _ =>
+        base(rnd.nextInt(480)) = (rnd.nextInt(120) + 5).toByte
+      }
+      (i.toLong, base)
+    }
+    val df = rows.toDF("mid", "payload")
+    val got = Graft.ahashWideNearDupPairs(df, "mid", "payload",
+      radius = 3, words = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val hashes = rows.map { case (id, b) =>
+      val a = graft.functions.AHashWide.compute(b, 2).toLongArray()
+      id -> a
+    }
+    val want = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha(0) ^ hb(0)) +
+        java.lang.Long.bitCount(ha(1) ^ hb(1))
+      if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    got shouldBe want
+    want should not be empty
+  }
+
+  test("ahashWideNearDupPairs: the byte-sum-preserving swap stays " +
+    "within radius 3 in the 120-bit metric (the m13 gate construction)") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq(
+      "quartz vineyard mosaic ember lantern drizzle harbor velvet " +
+        "meadow cascade thistle orchard pebble summit willow fjord",
+      "zeppelin oracle biscuit harbor glacier mantle prism nectar " +
+        "quill rampart sonnet tundra umber vortex wicker yonder axiom")
+    val rows = texts.zipWithIndex.flatMap { case (t, i) =>
+      val swapped = t.last +: t.substring(1, t.length - 1) :+ t.head
+      Seq((i.toLong, t.getBytes("UTF-8")),
+        (i.toLong + 100L, swapped.getBytes("UTF-8")))
+    }
+    val pairs = Graft.ahashWideNearDupPairs(
+      rows.toDF("mid", "payload"), "mid", "payload",
+      radius = 3, words = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    texts.indices.foreach { i =>
+      val p = pairs.filter(t => t._1 == i.toLong && t._2 == i + 100L)
+      p should have size 1
+      p.head._3 should be <= 2L
+    }
+  }
+
+  test("ahashWideNearDupPairs: rejects a banding that cannot be " +
+    "word-aligned; words=1/radius=3 degrades to the AHash60 split") {
+    val s = spark
+    import s.implicits._
+    an[IllegalArgumentException] should be thrownBy
+      Graft.ahashWideNearDupPairs(
+        Seq((1L, Array[Byte](1, 2))).toDF("mid", "payload"),
+        "mid", "payload", radius = 2, words = 2) // 40-bit bands !| 60
+    // words=1 reproduces m11's banding over the same 60-bit hash: the
+    // wide word-0 hash equals AHash60 bit for bit
+    val b = "abcdefgh".getBytes("UTF-8")
+    graft.functions.AHashWide.compute(b, 1).toLongArray()(0) shouldBe
+      graft.functions.AHash60.compute(b)
+  }
+
   test("ngramNoveltyScores: duplicated docs score 0, disjoint docs " +
     "score 1, short docs yield no row") {
     val s = spark

@@ -57,6 +57,18 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
           org.apache.spark.sql.functions.col("p")))
         .collect().head.getLong(0)
       ah shouldBe ahCol
+      // round-9 wide hash: SQL = Column API, word 0 = ahash60
+      val ahw = s.sql("SELECT ahash_wide(encode('abcdef', 'UTF-8'), 2) AS h")
+        .collect().head.getSeq[Long](0)
+      val ahwCol = s.range(1)
+        .selectExpr("encode('abcdef', 'UTF-8') AS p")
+        .select(graft.functions.MediaExpressions.ahashWide(
+          org.apache.spark.sql.functions.col("p"), 2))
+        .collect().head.getSeq[Long](0)
+      ahw shouldBe ahwCol
+      ahw should have size 2
+      s.sql("SELECT ahash_wide(encode('abcdef', 'UTF-8'), 1) AS h")
+        .collect().head.getSeq[Long](0).head shouldBe ah
       // 4 samples of value 1 little-endian (01 00 x4), window of 2:
       // two windows with |1|+|1| = 2 energy each
       val pcm = s.sql("SELECT pcm16_window_energy(" +

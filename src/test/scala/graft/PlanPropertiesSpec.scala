@@ -182,6 +182,13 @@ class PlanPropertiesSpec extends AnyFunSuite with Matchers {
     (p should not).include("BroadcastNestedLoopJoin")
   }
 
+  test("m13 wide ahash near-dup: same banded equi-join shape as m11 " +
+    "(the 30-bit bands only change bucket occupancy, not the plan)") {
+    val p = plan("m13_ahash_wide_neardup")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+  }
+
   test("t25 ngram novelty: df-count and per-doc fold are partial " +
     "(map-side) hash aggregations; joins are equi-joins on the hash") {
     val p = plan("t25_ngram_novelty")
