@@ -189,6 +189,16 @@ class PlanPropertiesSpec extends AnyFunSuite with Matchers {
     (p should not).include("BroadcastNestedLoopJoin")
   }
 
+  test("d19 wide simhash: banded candidate join stays an equi-join and " +
+    "the 120-bit signature builds in ONE hash aggregation pass") {
+    val p = plan("d19_simhash_wide")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("SortAggregate")
+    // partial (map-side) bit-vote aggregation before the doc_id shuffle
+    p should include("partial_sum")
+  }
+
   test("t25 ngram novelty: df-count and per-doc fold are partial " +
     "(map-side) hash aggregations; joins are equi-joins on the hash") {
     val p = plan("t25_ngram_novelty")
