@@ -837,6 +837,20 @@ class ApiSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("ahashWideNearDupPairs: the words=4 (240-bit) variant bands at " +
+    "full 60-bit words and still finds identical payloads at dist 0") {
+    val s = spark
+    import s.implicits._
+    val base = Array.tabulate[Byte](960)(i => if (i % 80 < 40) 20 else 100)
+    val far = base.map(b => (120 - b).toByte)
+    val got = Graft.ahashWideNearDupPairs(
+      Seq((1L, base), (2L, base.clone()), (3L, far))
+        .toDF("mid", "payload"),
+      "mid", "payload", radius = 3, words = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got shouldBe Array((1L, 2L, 0L))
+  }
+
   test("ahashWideNearDupPairs: rejects a banding that cannot be " +
     "word-aligned; words=1/radius=3 degrades to the AHash60 split") {
     val s = spark
