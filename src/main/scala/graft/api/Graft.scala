@@ -2313,6 +2313,43 @@ object Graft {
         col("w.energy").as("energy"))
   }
 
+  /** VAD-style silence segmentation over [[pcm16WindowEnergy]]'s
+    * window stream: maximal runs of consecutive windows whose energy
+    * falls below `thresholdNum/thresholdDen` of the asset's own mean
+    * window energy — the data-adaptive silence criterion an audio
+    * pipeline uses to trim lead-in/lead-out and split long recordings
+    * before transcription. The comparison is an exact integer
+    * cross-product (`den * energy * nwin < num * total`), so DuckDB
+    * reproduces every island bit for bit; runs shorter than
+    * `minWindows` are dropped (isolated quiet windows are not
+    * silence). Plan: the native one-pass energy kernel explodes
+    * map-side, then ONE hash shuffle on the asset id feeds the
+    * per-asset total, the run-length islands (win_idx − row_number,
+    * the standard gaps-and-islands identity) and the per-run
+    * aggregation — partitions stay asset-sized at any corpus scale. */
+  def silenceSegments(df: DataFrame, idCol: String, payloadCol: String,
+      windowSamples: Int = 16, thresholdNum: Int = 4,
+      thresholdDen: Int = 5, minWindows: Int = 2): DataFrame = {
+    require(thresholdNum > 0 && thresholdDen > 0 && minWindows >= 1,
+      s"silenceSegments($thresholdNum/$thresholdDen, $minWindows)")
+    val en = pcm16WindowEnergy(df, idCol, payloadCol, windowSamples)
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+    val byWin = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+      .orderBy("win_idx")
+    en
+      .withColumn("total", sum(col("energy")).over(byDoc))
+      .withColumn("nwin", count(lit(1)).over(byDoc))
+      .filter(col("energy") * lit(thresholdDen.toLong) * col("nwin") <
+        lit(thresholdNum.toLong) * col("total"))
+      .withColumn("grp", col("win_idx") - row_number().over(byWin))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("win_idx")).as("seg_start"),
+        max(col("win_idx")).as("seg_end"),
+        count(lit(1)).as("n_wins"))
+      .filter(col("n_wins") >= minWindows)
+      .select(col(idCol), col("seg_start"), col("seg_end"), col("n_wins"))
+  }
+
   /** Shannon byte entropy (bits/byte) of a binary payload, plus size and
     * distinct-byte count: the standard corrupt-vs-compressed-vs-text
     * screen for opaque media columns (UTF-8 text sits ~4-5 bits/byte,

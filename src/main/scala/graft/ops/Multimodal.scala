@@ -499,6 +499,50 @@ object Multimodal {
           "AS BIGINT) AS dist FROM cand " +
           "WHERE bit_count(xor(w0a, w0b)) + bit_count(xor(w1a, w1b)) " +
           "<= 3 ORDER BY id_a, id_b"
-      })
+      }),
+
+    Q("m14_silence_segments",
+      // VAD-style silence segmentation over m05's PCM16 window-energy
+      // stream: maximal runs of >= 2 consecutive windows below 19/20
+      // of the asset's own mean window energy — the trim/split step an
+      // audio pipeline runs between energy analysis and transcription.
+      // The threshold is an exact integer cross-product (den * energy
+      // * nwin < num * total) and the islands come from the win_idx -
+      // row_number identity, so DuckDB rebuilds every segment bit for
+      // bit. One native energy pass map-side, one doc_id shuffle.
+      // See [[graft.api.Graft.silenceSegments]].
+      (s, d) => graft.api.Graft.silenceSegments(
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        // ASCII-as-PCM amplitude is high and flat (the fixture's text
+        // bytes), so the gate tightens the fraction to 19/20 to carve
+        // real islands; true audio would use the 4/5 default.
+        "doc_id", "payload", windowSamples = 16,
+        thresholdNum = 19, thresholdDen = 20, minWindows = 2)
+        .orderBy("doc_id", "seg_start"),
+      Some("WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS h, " +
+        "octet_length(encode(text))//2 AS ns FROM documents), " +
+        "s AS (SELECT doc_id, g AS s, " +
+        "CAST(concat('0x', substr(h, CAST(g*4+1 AS BIGINT), 2)) AS BIGINT) + " +
+        "256 * CAST(concat('0x', substr(h, CAST(g*4+3 AS BIGINT), 2)) " +
+        "AS BIGINT) AS raw " +
+        "FROM p, UNNEST(generate_series(0, ns-1)) t(g) WHERE ns >= 16), " +
+        "a AS (SELECT doc_id, s//16 AS win_idx, " +
+        "CASE WHEN raw >= 32768 THEN 65536 - raw ELSE raw END AS amp " +
+        "FROM s), " +
+        "e AS (SELECT doc_id, win_idx, SUM(amp) AS energy FROM a " +
+        "GROUP BY 1, 2 HAVING COUNT(*) = 16), " +
+        "tot AS (SELECT doc_id, SUM(energy) AS total, COUNT(*) AS nwin " +
+        "FROM e GROUP BY 1), " +
+        "sil AS (SELECT e.doc_id, e.win_idx, " +
+        "e.win_idx - ROW_NUMBER() OVER (PARTITION BY e.doc_id " +
+        "ORDER BY e.win_idx) AS grp " +
+        "FROM e JOIN tot ON e.doc_id = tot.doc_id " +
+        "WHERE e.energy * 20 * tot.nwin < 19 * tot.total) " +
+        "SELECT doc_id, CAST(MIN(win_idx) AS BIGINT) AS seg_start, " +
+        "CAST(MAX(win_idx) AS BIGINT) AS seg_end, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_wins " +
+        "FROM sil GROUP BY doc_id, grp HAVING COUNT(*) >= 2 " +
+        "ORDER BY doc_id, seg_start"))
   )
 }

@@ -837,6 +837,35 @@ class ApiSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("silenceSegments: runs of sub-threshold PCM windows island up; " +
+    "isolated quiet windows are dropped") {
+    val s = spark
+    import s.implicits._
+    def pcm(amps: Seq[Int]): Array[Byte] = amps.flatMap { a =>
+      Seq((a & 0xff).toByte, ((a >> 8) & 0xff).toByte)
+    }.toArray
+    // 9 windows of 16 samples: loud(1000) x4, quiet(10) x3, loud,
+    // quiet x1 — mean energy 8960, 4/5 threshold 7168: the quiet
+    // windows island at 4-6; the trailing single one is dropped.
+    val amps = Seq.fill(4 * 16)(1000) ++ Seq.fill(3 * 16)(10) ++
+      Seq.fill(16)(1000) ++ Seq.fill(16)(10)
+    val got = Graft.silenceSegments(
+      Seq((1L, pcm(amps))).toDF("mid", "payload"),
+      "mid", "payload", windowSamples = 16,
+      thresholdNum = 4, thresholdDen = 5, minWindows = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    got shouldBe Array((1L, 4L, 6L, 3L))
+    // minWindows=1 admits the isolated trailing window too
+    val loose = Graft.silenceSegments(
+      Seq((1L, pcm(amps))).toDF("mid", "payload"),
+      "mid", "payload", windowSamples = 16,
+      thresholdNum = 4, thresholdDen = 5, minWindows = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    loose shouldBe Array((4L, 6L, 3L), (8L, 8L, 1L))
+  }
+
   test("ahashWideNearDupPairs: the words=4 (240-bit) variant bands at " +
     "full 60-bit words and still finds identical payloads at dist 0") {
     val s = spark

@@ -189,6 +189,13 @@ class PlanPropertiesSpec extends AnyFunSuite with Matchers {
     (p should not).include("BroadcastNestedLoopJoin")
   }
 
+  test("m14 silence segments: no join anywhere — per-asset windows and " +
+    "the island aggregation all ride doc_id hash partitioning") {
+    val p = plan("m14_silence_segments")
+    (p should not).include("Join")
+    p should include("hashpartitioning(doc_id")
+  }
+
   test("d19 wide simhash: banded candidate join stays an equi-join and " +
     "the 120-bit signature builds in ONE hash aggregation pass") {
     val p = plan("d19_simhash_wide")
