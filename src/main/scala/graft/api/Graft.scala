@@ -2416,6 +2416,76 @@ object Graft {
       .filter(col("dist") <= radius)
   }
 
+  /** 120-bit term-frequency SimHash signature per row, as two 60-bit
+    * words from DISJOINT md5 slices of each word's hash (chars 1-15
+    * and 16-30): every word occurrence votes +/-1 on all 120 bits and
+    * the sign vector packs into (sim0, sim1). The extra 60 bits over
+    * d03's signature exist for band WIDTH under pigeonhole banding —
+    * see [[simhashWideNearDupPairs]]. One partial-sum aggregation
+    * pass; the md5 slices keep the whole construction bit-exact
+    * cross-engine. */
+  def simhashWideSignatures(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val words = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .select(col(idCol),
+        graft.functions.TextExpressions
+          .hexSliceLong(md5(col("word")), 1, 15).as("h0"),
+        graft.functions.TextExpressions
+          .hexSliceLong(md5(col("word")), 16, 15).as("h1"))
+    val bitSums = (0 until 120).map { i =>
+      val src = if (i < 60) col("h0") else col("h1")
+      sum(when(shiftright(src, i % 60).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    def packed(lo: Int): Column = (lo until lo + 60).map(i =>
+      when(col(s"b$i") > 0, lit(1L << (i - lo))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    words.groupBy(idCol)
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), packed(0).as("sim0"), packed(60).as("sim1"))
+  }
+
+  /** Near-duplicate text pairs by hamming distance over the 120-bit
+    * wide SimHash — d03's exact pigeonhole banding with the band-width
+    * lever pulled (the text twin of [[ahashWideNearDupPairs]]): at
+    * radius 3 the four disjoint bands are 30 bits wide (2^30 buckets
+    * vs 60 bits' 2^15), so random band agreement vanishes and the
+    * candidate class bends from occupancy-quadratic to ~linear while
+    * the banding stays EXACT — any pair within the radius must agree
+    * on >= 1 band. Bands are word-aligned (each lives in one 60-bit
+    * word). */
+  def simhashWideNearDupPairs(df: DataFrame, idCol: String,
+      textCol: String, radius: Int = 3): DataFrame = {
+    val bits = 120
+    require(radius >= 0 && radius < bits,
+      s"simhashWideNearDupPairs($radius)")
+    val bands = radius + 1
+    require(bits % bands == 0 && 60 % (bits / bands) == 0,
+      s"simhashWideNearDupPairs: $bits bits do not split into $bands " +
+        "word-aligned bands")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val sig = simhashWideSignatures(df, idCol, textCol)
+    val bandCols = (0 until bands).map { j =>
+      val src = if (j * width < 60) col("sim0") else col("sim1")
+      shiftright(src, j * width % 60).bitwiseAND(lit(mask))
+    }
+    val chunks = sig
+      .select(col(idCol), col("sim0"), col("sim1"),
+        posexplode(array(bandCols: _*)).as(Seq("pos", "chunk")))
+    val dist = bit_count(col("a.sim0").bitwiseXOR(col("b.sim0"))) +
+      bit_count(col("a.sim1").bitwiseXOR(col("b.sim1")))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.pos") === col("b.pos") && col("a.chunk") === col("b.chunk") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        dist.cast("bigint").as("dist"))
+      .distinct()
+      .filter(col("dist") <= radius)
+  }
+
   /** `words` x 60-bit wide average-hash per row (see
     * [[graft.functions.AHashWide]]): [[mediaAHash]] with a longer
     * fingerprint, the input to [[ahashWideNearDupPairs]]. Map-only,

@@ -357,53 +357,21 @@ object Dedup {
       }),
 
     Q("d19_simhash_wide",
-      (s, d) => {
-        // d03's term-frequency SimHash widened to 120 bits — the text
-        // twin of m13's wide aHash, retiring the d03 occupancy caveat
-        // (SCALE.md: 15-bit bands are n^2/2^15-class): two 60-bit
-        // signature words from DISJOINT md5 slices of the same word
-        // hash (chars 1-15 and 16-30), so at radius 3 the pigeonhole
-        // bands are 30 bits wide (2^30 buckets) and random band
-        // agreement vanishes. Same exact banding argument, the dist
-        // is the two-word popcount sum; pairs are the fixture's
-        // organic near-dups that survive the stricter 120-bit radius.
-        val words = docs(s, d)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-          .select(col("doc_id"),
-            graft.functions.TextExpressions
-              .hexSliceLong(md5(col("word")), 1, 15).as("h0"),
-            graft.functions.TextExpressions
-              .hexSliceLong(md5(col("word")), 16, 15).as("h1"))
-        val bitSums = (0 until 120).map { i =>
-          val src = if (i < 60) col("h0") else col("h1")
-          sum(when(shiftright(src, i % 60).bitwiseAND(lit(1L)) === 1L, 1)
-            .otherwise(-1)).as(s"b$i")
-        }
-        def packed(lo: Int): Column = (lo until lo + 60).map(i =>
-          when(col(s"b$i") > 0, lit(1L << (i - lo))).otherwise(lit(0L)))
-          .reduce(_ + _)
-        val sig = words.groupBy("doc_id")
-          .agg(bitSums.head, bitSums.tail: _*)
-          .select(col("doc_id"), packed(0).as("sim0"), packed(60).as("sim1"))
-        val chunkCols = (0 until 4).map { j =>
-          val src = if (j < 2) col("sim0") else col("sim1")
-          shiftright(src, 30 * (j % 2)).bitwiseAND(lit(0x3FFFFFFFL))
-        }
-        val chunks = sig
-          .select(col("doc_id"), col("sim0"), col("sim1"),
-            posexplode(array(chunkCols: _*)).as(Seq("pos", "chunk")))
-        val dist = bit_count(col("a.sim0").bitwiseXOR(col("b.sim0"))) +
-          bit_count(col("a.sim1").bitwiseXOR(col("b.sim1")))
-        chunks.as("a")
-          .join(chunks.as("b"),
-            col("a.pos") === col("b.pos") && col("a.chunk") === col("b.chunk") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            dist.cast("bigint").as("dist"))
-          .distinct()
-          .filter(col("dist") <= 3)
-          .orderBy("doc_a", "doc_b")
-      },
+      // d03's term-frequency SimHash widened to 120 bits — the text
+      // twin of m13's wide aHash, retiring the d03 occupancy caveat
+      // (SCALE.md: 15-bit bands are n^2/2^15-class): two 60-bit
+      // signature words from DISJOINT md5 slices of the same word
+      // hash (chars 1-15 and 16-30), so at radius 3 the pigeonhole
+      // bands are 30 bits wide (2^30 buckets) and random band
+      // agreement vanishes. Same exact banding argument, the dist
+      // is the two-word popcount sum; pairs are the fixture's
+      // organic near-dups that survive the stricter 120-bit radius.
+      // See [[graft.api.Graft.simhashWideNearDupPairs]].
+      (s, d) => graft.api.Graft
+        .simhashWideNearDupPairs(docs(s, d), "doc_id", "text", radius = 3)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          col("dist"))
+        .orderBy("doc_a", "doc_b"),
       Some {
         val bitSums = (0 until 120).map { i =>
           val src = if (i < 60) "h0" else "h1"

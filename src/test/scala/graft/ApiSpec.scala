@@ -837,6 +837,37 @@ class ApiSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("simhashWideNearDupPairs: matches a brute-force hamming filter " +
+    "over the 120-bit signatures (exactness of the banding)") {
+    val s = spark
+    import s.implicits._
+    // Near-identical variants (one word substituted) plus disjoint
+    // docs: the banded join must reproduce the brute-force pair list
+    // over the collected signatures exactly.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val rows = Seq(
+      (1L, base),
+      (2L, base),                                  // exact dup: dist 0
+      (3L, base.replace("gamma", "chi")),          // one-word variant
+      (4L, "completely different words everywhere here nothing shared " +
+        "at all with those other documents in any token position"))
+    val df = rows.toDF("mid", "text")
+    val got = Graft.simhashWideNearDupPairs(df, "mid", "text", radius = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val sigs = Graft.simhashWideSignatures(df, "mid", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    val want = (for {
+      (ia, (a0, a1)) <- sigs; (ib, (b0, b1)) <- sigs if ia < ib
+      d = java.lang.Long.bitCount(a0 ^ b0) + java.lang.Long.bitCount(a1 ^ b1)
+      if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    got shouldBe want
+    got.map(p => (p._1, p._2)) should contain((1L, 2L)) // the exact dup
+    (got.flatMap(p => Seq(p._1, p._2)) should not).contain(4L)
+  }
+
   test("silenceSegments: runs of sub-threshold PCM windows island up; " +
     "isolated quiet windows are dropped") {
     val s = spark
