@@ -511,6 +511,44 @@ object Dedup {
         "GROUP BY id) c JOIN documents d ON c.id = d.doc_id " +
         "ORDER BY doc_id")),
 
+    Q("d20_dedup_impact",
+      // The dedup impact report every production run emits: cluster-size
+      // histogram with documents and characters removed per size bucket
+      // — the "what did dedup buy us" number that decides whether the
+      // pipeline stage pays for itself. chars_removed assumes d16's
+      // keep-longest rule and is tie-INDEPENDENT by construction
+      // (sum(n_chars) - max(n_chars) per cluster, whichever longest
+      // member survives). Third consumer of the session-shared cluster
+      // listing ([[jaccardClusters]]), so the report costs two tiny
+      // aggregations over (doc_id, cluster_id) — cluster_id then
+      // cluster_size — never a re-clustering.
+      (s, d) => {
+        val perCluster = jaccardClusters(s, d, reuse = true)
+          .join(docs(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("cluster_size"),
+            (sum(col("n_chars")) - max(col("n_chars")))
+              .cast("bigint").as("chars_removed"))
+        perCluster.groupBy("cluster_size")
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("chars_removed")).cast("bigint").as("chars_removed"))
+          .select(col("cluster_size"), col("n_clusters"),
+            ((col("cluster_size") - 1) * col("n_clusters"))
+              .cast("bigint").as("docs_removed"),
+            col("chars_removed"))
+          .orderBy("cluster_size")
+      },
+      Some(JaccardClustersCte +
+        "SELECT CAST(cluster_size AS BIGINT) AS cluster_size, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_clusters, " +
+        "CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS docs_removed, " +
+        "CAST(SUM(chars_removed) AS BIGINT) AS chars_removed " +
+        "FROM (SELECT c.cluster_id, COUNT(*) AS cluster_size, " +
+        "SUM(d.n_chars) - MAX(d.n_chars) AS chars_removed " +
+        "FROM (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id) c " +
+        "JOIN documents d ON c.id = d.doc_id GROUP BY c.cluster_id) " +
+        "GROUP BY cluster_size ORDER BY cluster_size")),
+
     Q("d08_dup_clusters_minhash",
       // The composed 100 TB dedup path end-to-end: MinHash+LSH pair
       // generation (d02) feeding connected-components clustering (d07)

@@ -196,6 +196,14 @@ class PlanPropertiesSpec extends AnyFunSuite with Matchers {
     p should include("hashpartitioning(doc_id")
   }
 
+  test("d20 dedup impact: report is two hash aggregations over the " +
+    "shared cluster listing — no cartesian, no sort aggregate") {
+    val p = plan("d20_dedup_impact")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("SortAggregate")
+  }
+
   test("d19 wide simhash: banded candidate join stays an equi-join and " +
     "the 120-bit signature builds in ONE hash aggregation pass") {
     val p = plan("d19_simhash_wide")
