@@ -96,7 +96,7 @@ object StreamBench {
     val dynamic = best("dynamic", 4, 1000, dynamic = true)
     println(f"""{"metric":"stream_roundtrip_msgs_per_sec","n":$N,"reps":$reps,""" +
       f""""defaults_4x1000":${defaults}%.0f,"tuned_8x16000":${tuned}%.0f,""" +
-      f""""dynamic_1000":${dynamic}%.0f}""")
+      f""""dynamic_4x1000":${dynamic}%.0f}""")
     spark.stop()
   }
 }

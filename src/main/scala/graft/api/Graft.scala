@@ -47,9 +47,13 @@ object Graft {
     * frequency 1) — the memorization/uniqueness diagnostic of a
     * training-data pipeline (a near-zero score marks boilerplate or a
     * near-duplicate; near-one marks content the corpus has nowhere
-    * else). Shingles hash to the MinHash family's h0 (seed "0:", first
-    * 8 md5 hex chars — the [[bottomKContainmentPairs]] convention) so
-    * only the 8-byte hash ever shuffles, never shingle text: one
+    * else). Shingles hash to a 60-BIT md5 slice (seed "0:", first 15
+    * hex chars — [[bigramLogProb]]'s width, NOT the 32-bit minhash h0:
+    * df=1 detection is maximally collision-sensitive, and at corpus
+    * scale billions of distinct shingles in a 2³² space would inflate
+    * df and bias novelty toward 0, silently defeating the diagnostic;
+    * a 2⁶⁰ space keeps expected collisions ≪ 1 per billion shingles)
+    * so only the 8-byte hash ever shuffles, never shingle text: one
     * shuffle keyed by hash for the document-frequency count, one keyed
     * by id for the per-document fold — both map-side-combined
     * hash aggregations, the d01 digest discipline. Hash collisions can
@@ -60,9 +64,16 @@ object Graft {
   def ngramNoveltyScores(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     require(n > 0, s"ngramNoveltyScores(n=$n)")
-    val hashed = shingles(df, idCol, textCol, n)
+    ngramNoveltyScoresFromShingles(shingles(df, idCol, textCol, n), idCol)
+  }
+
+  /** [[ngramNoveltyScores]] over a PRECOMPUTED distinct shingle table
+    * (id, s) — see [[ngramJaccardPairsFromShingles]]. */
+  def ngramNoveltyScoresFromShingles(sh: DataFrame,
+      idCol: String): DataFrame = {
+    val hashed = sh
       .select(col(idCol), graft.functions.TextExpressions.hexSliceLong(
-        md5(concat(lit("0:"), col("s"))), 1, 8).as("h"))
+        md5(concat(lit("0:"), col("s"))), 1, 15).as("h"))
       .distinct()
     val dfreq = hashed.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
@@ -305,6 +316,19 @@ object Graft {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 32, bands: Int = 8, threshold: Double = 0.5,
       maxBandBucket: Int = Int.MaxValue,
+      hotBandGuard: Int = 100000): DataFrame =
+    minhashLshPairsFromShingles(shingles(df, idCol, textCol), idCol,
+      k, bands, threshold, maxBandBucket, hotBandGuard)
+
+  /** [[minhashLshPairs]] over a PRECOMPUTED distinct shingle table
+    * (id, s) — the entry point for callers that share one materialized
+    * shingle build across several sketch ops (the r9 verdict: four
+    * gate queries each re-ran the identical shingles → distinct
+    * shuffle in one run). Semantically identical to the text variant
+    * by construction. */
+  def minhashLshPairsFromShingles(sh: DataFrame, idCol: String,
+      k: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      maxBandBucket: Int = Int.MaxValue,
       hotBandGuard: Int = 100000): DataFrame = {
     // bands > k would make r = 0 (every band hashes only its index, so
     // every document collides in every band and the candidate join
@@ -313,7 +337,7 @@ object Graft {
     require(bands > 0 && k >= bands && k % bands == 0,
       s"minhashLshPairs: k ($k) must be a positive multiple of bands ($bands)")
     require(maxBandBucket > 0, s"minhashLshPairs($maxBandBucket)")
-    val sig = minhashSignatures(shingles(df, idCol, textCol), idCol, k)
+    val sig = minhashSignatures(sh, idCol, k)
     val r = k / bands
     val bandCols = (0 until bands).map { j =>
       md5(concat_ws(",",
@@ -862,7 +886,6 @@ object Graft {
     * `contam_frac` threshold and audit rows with any overlap at all. */
   def contaminationFlags(df: DataFrame, idCol: String, textCol: String,
       evalDf: DataFrame, evalTextCol: String, n: Int = 3): DataFrame = {
-    val corpusSh = shingles(df, idCol, textCol, n)
     val evalSh = evalDf
       .select(split(col(evalTextCol), " ").as("w"))
       .filter(size(col("w")) >= n)
@@ -870,6 +893,18 @@ object Graft {
         s"transform(sequence(0, size(w)-$n), " +
           s"i -> concat_ws(' ', slice(w, i+1, $n)))")).as("s"))
       .distinct()
+    contaminationFlagsFromShingles(df, idCol,
+      shingles(df, idCol, textCol, n), evalSh)
+  }
+
+  /** [[contaminationFlags]] over PRECOMPUTED shingle tables: `corpusSh`
+    * is the corpus's distinct (id, s) table (shareable across the
+    * dedup/text family — see [[ngramJaccardPairsFromShingles]]) and
+    * `evalSh` the benchmark's distinct 1-column shingle set ("s"); `df`
+    * supplies the full id list so shingle-less documents still surface
+    * with zero counts. */
+  def contaminationFlagsFromShingles(df: DataFrame, idCol: String,
+      corpusSh: DataFrame, evalSh: DataFrame): DataFrame = {
     val cnt = corpusSh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val shared = corpusSh.join(broadcast(evalSh), "s")
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
@@ -2454,19 +2489,33 @@ object Graft {
     * candidate class bends from occupancy-quadratic to ~linear while
     * the banding stays EXACT — any pair within the radius must agree
     * on >= 1 band. Bands are word-aligned (each lives in one 60-bit
-    * word). */
+    * word), so the supported radii are those where radius+1 bands of
+    * width 120/(radius+1) fit whole inside a word: radius ∈ {1, 3, 5,
+    * 7, 9, 11, 19, 23, 29, 39, 59, 119} — plus radius = 0, which
+    * needs no banding at all and runs as a full-signature equality
+    * join on (sim0, sim1) (exact-duplicate search; r9 advice: the
+    * banding path's alignment check rejected it). */
   def simhashWideNearDupPairs(df: DataFrame, idCol: String,
       textCol: String, radius: Int = 3): DataFrame = {
     val bits = 120
     require(radius >= 0 && radius < bits,
       s"simhashWideNearDupPairs($radius)")
+    val sig = simhashWideSignatures(df, idCol, textCol)
+    if (radius == 0)
+      return sig.as("a")
+        .join(sig.as("b"),
+          col("a.sim0") === col("b.sim0") &&
+            col("a.sim1") === col("b.sim1") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+          lit(0L).as("dist"))
     val bands = radius + 1
     require(bits % bands == 0 && 60 % (bits / bands) == 0,
       s"simhashWideNearDupPairs: $bits bits do not split into $bands " +
-        "word-aligned bands")
+        "word-aligned bands (supported radii: 0, 1, 3, 5, 7, 9, 11, " +
+        "19, 23, 29, 39, 59, 119)")
     val width = bits / bands
     val mask = (1L << width) - 1
-    val sig = simhashWideSignatures(df, idCol, textCol)
     val bandCols = (0 until bands).map { j =>
       val src = if (j * width < 60) col("sim0") else col("sim1")
       shiftright(src, j * width % 60).bitwiseAND(lit(mask))
@@ -2516,13 +2565,23 @@ object Graft {
     val bits = wordBits * words
     require(radius >= 0 && radius < bits,
       s"ahashWideNearDupPairs($radius, $words)")
+    val sig = mediaAHashWide(df, idCol, payloadCol, words)
+    // radius = 0 is exact-duplicate search: no banding needed (and the
+    // word-alignment check below would reject its single full-width
+    // band — r9 advice), so join on full-signature equality directly.
+    if (radius == 0)
+      return sig.as("a")
+        .join(sig.as("b"),
+          col("a.ahash") === col("b.ahash") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+          lit(0L).as("dist"))
     val bands = radius + 1
     require(bits % bands == 0 && wordBits % (bits / bands) == 0,
       s"ahashWideNearDupPairs: $bits bits do not split into $bands " +
-        "word-aligned bands")
+        s"word-aligned bands (band width must divide $wordBits)")
     val width = bits / bands
     val mask = (1L << width) - 1
-    val sig = mediaAHashWide(df, idCol, payloadCol, words)
     val bandCols = (0 until bands).map { j =>
       val word = j * width / wordBits
       val off = j * width % wordBits
@@ -2618,8 +2677,20 @@ object Graft {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5,
       maxShingleDf: Int = Int.MaxValue,
+      hotShingleGuardDf: Int = DefaultHotShingleGuardDf): DataFrame =
+    ngramJaccardPairsFromShingles(shingles(df, idCol, textCol, n), idCol,
+      threshold, maxShingleDf, hotShingleGuardDf)
+
+  /** [[ngramJaccardPairs]] over a PRECOMPUTED distinct shingle table
+    * (id, s) — for sharing one materialized shingle build across the
+    * dedup family (see [[minhashLshPairsFromShingles]]). The df cap /
+    * hot-shingle tripwire still run here (they are one map+agg pass
+    * over the shared table, not a rebuild). */
+  def ngramJaccardPairsFromShingles(shIn: DataFrame, idCol: String,
+      threshold: Double = 0.5,
+      maxShingleDf: Int = Int.MaxValue,
       hotShingleGuardDf: Int = DefaultHotShingleGuardDf): DataFrame = {
-    val sh = admittedShingles(shingles(df, idCol, textCol, n), idCol,
+    val sh = admittedShingles(shIn, idCol,
       maxShingleDf, hotShingleGuardDf, "ngramJaccardPairs")
     val cnt = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
@@ -2650,8 +2721,17 @@ object Graft {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
       maxShingleDf: Int = Int.MaxValue,
+      hotShingleGuardDf: Int = DefaultHotShingleGuardDf): DataFrame =
+    containmentPairsFromShingles(shingles(df, idCol, textCol, n), idCol,
+      threshold, maxShingleDf, hotShingleGuardDf)
+
+  /** [[containmentPairs]] over a PRECOMPUTED distinct shingle table
+    * (id, s) — see [[ngramJaccardPairsFromShingles]]. */
+  def containmentPairsFromShingles(shIn: DataFrame, idCol: String,
+      threshold: Double = 0.8,
+      maxShingleDf: Int = Int.MaxValue,
       hotShingleGuardDf: Int = DefaultHotShingleGuardDf): DataFrame = {
-    val sh = admittedShingles(shingles(df, idCol, textCol, n), idCol,
+    val sh = admittedShingles(shIn, idCol,
       maxShingleDf, hotShingleGuardDf, "containmentPairs")
     val cnt = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
@@ -2687,12 +2767,22 @@ object Graft {
     * cheaply. */
   def containmentMinhashPairs(df: DataFrame, idCol: String,
       textCol: String, k: Int = 24, bands: Int = 8,
+      threshold: Double = 0.8): DataFrame =
+    containmentMinhashPairsFromShingles(shingles(df, idCol, textCol),
+      idCol, k, bands, threshold)
+
+  /** [[containmentMinhashPairs]] over a PRECOMPUTED distinct shingle
+    * table (id, s) — see [[minhashLshPairsFromShingles]]. Both the
+    * signature build and the exact size counts read the shared
+    * table. */
+  def containmentMinhashPairsFromShingles(sh: DataFrame, idCol: String,
+      k: Int = 24, bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
     // threshold = 0.0 on the jaccard filter: every banded candidate
     // passes through to the containment math (est_jac >= 0 always)
-    val cand = minhashLshPairs(df, idCol, textCol, k, bands,
+    val cand = minhashLshPairsFromShingles(sh, idCol, k, bands,
       threshold = 0.0)
-    val cnt = shingles(df, idCol, textCol).groupBy(idCol)
+    val cnt = sh.groupBy(idCol)
       .agg(count(lit(1)).as("n"))
     val both = cand.select(col("id_a"), col("id_b"), col("est_jac"))
       .unionAll(cand.select(col("id_b").as("id_a"),
@@ -2737,13 +2827,26 @@ object Graft {
       textCol: String, n: Int = 3, k: Int = 16, threshold: Double = 0.8,
       maxShingleDf: Int = Int.MaxValue,
       hotShingleGuardDf: Int = DefaultHotShingleGuardDf): DataFrame = {
-    require(n > 0 && k > 0 && threshold >= 0,
-      s"bottomKContainmentPairs(n=$n, k=$k, threshold=$threshold)")
+    require(n > 0, s"bottomKContainmentPairs(n=$n)")
+    bottomKContainmentPairsFromShingles(shingles(df, idCol, textCol, n),
+      idCol, k, threshold, maxShingleDf, hotShingleGuardDf)
+  }
+
+  /** [[bottomKContainmentPairs]] over a PRECOMPUTED distinct shingle
+    * table (id, s) — see [[ngramJaccardPairsFromShingles]]; the hash
+    * projection and df admission are map+agg passes over the shared
+    * table, never a rebuild. */
+  def bottomKContainmentPairsFromShingles(sh: DataFrame, idCol: String,
+      k: Int = 16, threshold: Double = 0.8,
+      maxShingleDf: Int = Int.MaxValue,
+      hotShingleGuardDf: Int = DefaultHotShingleGuardDf): DataFrame = {
+    require(k > 0 && threshold >= 0,
+      s"bottomKContainmentPairs(k=$k, threshold=$threshold)")
     // h0 of the MinHash family (seed "0:", first 8 md5 hex chars) — the
     // same convention minhashSignatures uses, so the DuckDB oracle
     // replays the sketch bit for bit.
     val hashed = admittedShingles(
-      shingles(df, idCol, textCol, n)
+      sh
         .select(col(idCol), graft.functions.TextExpressions.hexSliceLong(
           md5(concat(lit("0:"), col("s"))), 1, 8).as("h"))
         .distinct(),

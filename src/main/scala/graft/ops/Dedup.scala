@@ -66,6 +66,28 @@ object Dedup {
   private def shingles(s: SparkSession, d: String): DataFrame =
     graft.api.Graft.shingles(docs(s, d), "doc_id", "text")
 
+  /** The corpus's distinct word-3-shingle table, session-shared through
+    * [[ListingCache]] (r9 verdict: d04/d14/d17/d18 — and t13/t25 on the
+    * text side — each re-ran the identical shingles → distinct shuffle
+    * in one gate run; d18, the most expensive bench entry, spent most
+    * of its wall rebuilding what its siblings had just built). d04 is
+    * the OWNER: it builds fresh (reuse = false), so its bench timing
+    * stays the honest full build-plus-join cost and exactly one fresh
+    * build runs per suite; the consumers pass reuse = true and only
+    * build when they run first. d02/d08 keep their own text-path build
+    * (the minhash headline numbers stay self-contained fresh-sketch
+    * costs) and d10 stays fully independent (its point is the
+    * contraction path end to end). Unlike the few-thousand-row cluster
+    * listings this mechanism was built for, the shingle table is
+    * corpus-shingle-sized — still a fraction of the inputs it saves
+    * rebuilding, and on a cluster the same mechanism lands on a
+    * reliable checkpoint dir. */
+  private[ops] def sharedShingles(s: SparkSession, d: String,
+      reuse: Boolean = false): DataFrame =
+    ListingCache.shared("doc_shingles", s, d, reuse) {
+      graft.api.Graft.shingles(docs(s, d), "doc_id", "text")
+    }
+
   /** Sequential-fold double dot product of two float arrays (native
     * codegen expression) — bit-identical to DuckDB's list_sum over the
     * same zip, see [[graft.functions.DotProductF32]]. */
@@ -128,8 +150,8 @@ object Dedup {
     ListingCache.shared("jaccard_clusters", s, d, reuse) {
       graft.api.Graft.dupClusters(
         docs(s, d), "doc_id",
-        graft.api.Graft.ngramJaccardPairs(docs(s, d), "doc_id", "text",
-          n = 3, threshold = 0.5),
+        graft.api.Graft.ngramJaccardPairsFromShingles(
+          sharedShingles(s, d, reuse = true), "doc_id", threshold = 0.5),
         "id_a", "id_b")
     }
 
@@ -405,9 +427,13 @@ object Dedup {
       }),
 
     Q("d04_ngram_jaccard",
+      // Owner of the session-shared shingle listing ([[sharedShingles]]):
+      // builds the distinct (doc_id, s) table fresh and leaves it for
+      // d14/d17/d18/t13/t25 and the cluster family, so one gate run pays
+      // for exactly one shingle build instead of six (r9 verdict).
       (s, d) => graft.api.Graft
-        .ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 3,
-          threshold = 0.5)
+        .ngramJaccardPairsFromShingles(
+          sharedShingles(s, d, reuse = false), "doc_id", threshold = 0.5)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
           round(col("jac"), 4).as("jac"))
         .orderBy("doc_a", "doc_b"),
@@ -433,10 +459,11 @@ object Dedup {
       // containment, which is the quote/boilerplate/aggregator-page
       // signal. Ordered pairs, exact and fully relational, so the
       // oracle recomputes it verbatim. Same shingle equi-join shuffle
-      // as d04. See [[graft.api.Graft.containmentPairs]].
+      // as d04, reading the session-shared shingle listing
+      // ([[sharedShingles]]). See [[graft.api.Graft.containmentPairs]].
       (s, d) => graft.api.Graft
-        .containmentPairs(docs(s, d), "doc_id", "text", n = 3,
-          threshold = 0.8)
+        .containmentPairsFromShingles(
+          sharedShingles(s, d, reuse = true), "doc_id", threshold = 0.8)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
           round(col("containment"), 4).as("containment"))
         .orderBy("doc_a", "doc_b"),
@@ -608,11 +635,12 @@ object Dedup {
       // deterministic md5 arithmetic, so the oracle reproduces the
       // estimate bit-for-bit. Known recall limit for A≪B inclusions
       // (their Jaccard is small, so banding fades) — documented; d14
-      // is the exact op. See
-      // [[graft.api.Graft.containmentMinhashPairs]].
-      (s, d) => graft.api.Graft.containmentMinhashPairs(
-        docs(s, d), "doc_id", "text", k = MinhashK, bands = Bands,
-        threshold = 0.8)
+      // is the exact op. Reads the session-shared shingle listing
+      // ([[sharedShingles]]) for both the signatures and the size
+      // counts. See [[graft.api.Graft.containmentMinhashPairs]].
+      (s, d) => graft.api.Graft.containmentMinhashPairsFromShingles(
+        sharedShingles(s, d, reuse = true), "doc_id",
+        k = MinhashK, bands = Bands, threshold = 0.8)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
           col("est_containment"))
         .orderBy("doc_a", "doc_b"),
@@ -679,9 +707,16 @@ object Dedup {
           .select((col("doc_id") + lit(1000000L)).as("doc_id"),
             concat_ws(" ", slice(split(col("text"), " "), 1, 12))
               .as("text"))
-        graft.api.Graft.bottomKContainmentPairs(
-          base.unionByName(frags), "doc_id", "text", n = 3, k = 16,
-          threshold = 0.8)
+        // The augmented corpus's shingle set = the session-shared base
+        // listing ∪ the fragments' own (small) shingle build: frag ids
+        // are disjoint from base ids (offset +1e6), so the per-document
+        // distinct is preserved by the union — the r9 verdict's fix for
+        // d18 rebuilding the whole corpus shingle table its siblings
+        // had just built (most of its 3.8 s sf0.1 wall).
+        val sh = sharedShingles(s, d, reuse = true).unionByName(
+          graft.api.Graft.shingles(frags, "doc_id", "text"))
+        graft.api.Graft.bottomKContainmentPairsFromShingles(
+          sh, "doc_id", k = 16, threshold = 0.8)
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
             round(col("est_containment"), 4).as("est_containment"))
           .orderBy("doc_a", "doc_b")

@@ -25,6 +25,21 @@ private[ops] object ListingCache {
   private val cache = scala.collection.concurrent.TrieMap
     .empty[(String, String, String), DataFrame]
 
+  /** Listings superseded by a rebuild, awaiting release. Releasing the
+    * superseded entry IMMEDIATELY would hard-poison any reference a
+    * consumer obtained via `reuse = true` but has not yet consumed
+    * (validation runs at retrieval, not at consumption, and a
+    * localCheckpoint cannot recompute from lineage) — so a rebuild
+    * parks the old listing here and releases only the one parked
+    * BEFORE it. Outstanding references therefore stay readable for a
+    * full rebuild cycle, which covers every gate/bench interleaving
+    * (consumers re-fetch from the cache per query; nothing holds a
+    * listing across two rebuilds of the same key). Net storage is at
+    * most one extra listing per key — listings are few-thousand-row
+    * frames. */
+  private val retired = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String), DataFrame]
+
   /** Free a checkpointed listing's storage. `Dataset.unpersist` only
     * clears CacheManager entries — a localCheckpoint's blocks belong to
     * the UNDERLYING RDD (the plan is a LogicalRDD over it), so they
@@ -38,6 +53,14 @@ private[ops] object ListingCache {
       }.foreach(_.unpersist(blocking = false))
     } catch { case scala.util.control.NonFatal(_) => () }
 
+  /** RDD-level release for checkpointed frames a gate query owns
+    * OUTSIDE this cache (p16's per-rep static index — r9 review: eager
+    * localCheckpoints with no unpersist reintroduced the per-rep
+    * storage leak this cache's release fixes). Call only once the
+    * frame can no longer be read — a localCheckpoint cannot recompute
+    * from lineage. */
+  private[ops] def release(df: DataFrame): Unit = releaseBlocks(df)
+
   def shared(method: String, s: SparkSession, d: String,
       reuse: Boolean)(build: => DataFrame): DataFrame = {
     val key = (s.sparkContext.applicationId, d, method)
@@ -46,11 +69,15 @@ private[ops] object ListingCache {
         if (s.sparkContext.getCheckpointDir.isDefined)
           build.checkpoint(eager = true)
         else build.localCheckpoint(eager = true)
-      // release the superseded entry's blocks: gate queries rebuild
-      // fresh (reuse=false) on every bench/verify rep, and without this
-      // each rebuild leaked the previous checkpoint's storage for the
-      // session's lifetime (r9 review)
-      cache.put(key, m).foreach(releaseBlocks)
+      // Retire the superseded entry and release the one retired a full
+      // rebuild cycle ago: gate queries rebuild fresh (reuse=false) on
+      // every bench/verify rep, and without any release each rebuild
+      // leaked the previous checkpoint's storage for the session's
+      // lifetime (r8 review); releasing IMMEDIATELY poisoned
+      // still-outstanding reuse references (r9 review) — see `retired`.
+      cache.put(key, m).foreach { old =>
+        retired.put(key, old).foreach(releaseBlocks)
+      }
       m
     }
     if (!reuse) materialize()

@@ -54,6 +54,15 @@ object StreamingOps {
     * (/dev/shm): the offset/commit-log fsyncs per micro-batch are pure
     * harness overhead locally — a cluster would point this at HDFS/S3,
     * where the same fsyncs are the durability contract. */
+  /** Remove a per-rep scratch directory once its contents have been
+    * materialized (p16 — r9 review: temp probe output accumulated one
+    * copy per bench/verify rep). */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+    ()
+  }
+
   private[ops] def tmpCheckpoint(prefix: String): String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     if (Files.isDirectory(shm) && Files.isWritable(shm))
@@ -1025,15 +1034,30 @@ object StreamingOps {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination(300000)
+        // the stream has terminated, so the checkpointed static index is
+        // no longer readable by anything — release its blocks NOW (r9
+        // review: eager localCheckpoints with no unpersist leaked one
+        // index copy per bench/verify rep until session end)
+        ListingCache.release(listed)
+        ListingCache.release(centroids)
         val all = s.read.option("basePath", outDir)
           .parquet(s"$outDir/batch=*")
         // the admission cap actually sliced the stream into micro-batches
         val nBatches = all.select("batch").distinct().count()
         require(nBatches == (nQ + 9) / 10,
           s"p16 batching broke: $nBatches batches over $nQ queries")
-        Vector.annContract(
+        val contract = Vector.annContract(
           all.select(col("query_id"), col("neighbor_id"), col("rnk"),
             col("cos")))
+        // Materialize the per-query contract rows (nQ rows) so the temp
+        // probe-output directory can be deleted before returning instead
+        // of accumulating one copy per rep (r9 review) — the same tiny
+        // driver-side contract materialization the p04/p10 gates use.
+        val rows = contract.collect()
+        val out = s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), contract.schema)
+        deleteRecursively(new java.io.File(outDir))
+        out
       },
       Some(Vector.annContractSqlWhere("WHERE vec_id < 40")))
   )

@@ -245,11 +245,18 @@ object TextOps {
       // shingles with a (deterministic) "eval suite" — here the doc_id %
       // 97 == 0 slice stands in for a held-out benchmark. The eval
       // shingle set broadcasts; the corpus is never shuffled for the
-      // overlap. See [[graft.api.Graft.contaminationFlags]].
-      (s, d) => graft.api.Graft.contaminationFlags(
-        docs(s, d), "doc_id", "text",
-        docs(s, d).filter(col("doc_id") % 97 === 0), "text")
-        .orderBy("doc_id"),
+      // overlap. Both shingle tables derive from the session-shared
+      // listing ([[Dedup.sharedShingles]] — the eval slice's shingles
+      // are a FILTER of the corpus table, since the eval suite is a
+      // subset of the corpus here). See
+      // [[graft.api.Graft.contaminationFlagsFromShingles]].
+      (s, d) => {
+        val sh = Dedup.sharedShingles(s, d, reuse = true)
+        graft.api.Graft.contaminationFlagsFromShingles(
+          docs(s, d), "doc_id", sh,
+          sh.filter(col("doc_id") % 97 === 0).select("s").distinct())
+          .orderBy("doc_id")
+      },
       Some("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w " +
         "FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, " +
@@ -581,16 +588,18 @@ object TextOps {
       // distinct 3-gram shingles with corpus document frequency 1 — the
       // uniqueness/memorization diagnostic (near 0 = boilerplate or a
       // near-dup; near 1 = content found nowhere else). Shingles hash
-      // to the MinHash family's h0 so only 8-byte hashes shuffle (two
-      // map-side-combined aggregations: by hash for df, by doc for the
-      // fold — see graft.api.Graft.ngramNoveltyScores). Docs under 3
-      // words surface with n_shingles=0 and a null score via the left
-      // join, so the row count is the corpus count.
+      // to a 60-bit md5 slice — not the 32-bit minhash h0: df=1
+      // detection is collision-sensitive and 2^32 would bias novelty
+      // toward 0 at corpus scale (r9 advice) — so only 8-byte hashes
+      // shuffle (two map-side-combined aggregations: by hash for df,
+      // by doc for the fold — see graft.api.Graft.ngramNoveltyScores).
+      // Docs under 3 words surface with n_shingles=0 and a null score
+      // via the left join, so the row count is the corpus count.
       (s, d) => {
         val base = docs(s, d)
         base.select(col("doc_id"))
-          .join(graft.api.Graft
-              .ngramNoveltyScores(base, "doc_id", "text", n = 3),
+          .join(graft.api.Graft.ngramNoveltyScoresFromShingles(
+              Dedup.sharedShingles(s, d, reuse = true), "doc_id"),
             Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
@@ -603,7 +612,7 @@ object TextOps {
         "array_to_string(list_slice(w, g, g+2), ' ') AS s FROM toks, " +
         "UNNEST(generate_series(1, len(w)-2)) AS t(g)), " +
         "hashed AS (SELECT DISTINCT doc_id, " +
-        "CAST(concat('0x', substring(md5(concat('0:', s)), 1, 8)) " +
+        "CAST(concat('0x', substring(md5(concat('0:', s)), 1, 15)) " +
         "AS BIGINT) AS h FROM sh), " +
         "dfreq AS (SELECT h, COUNT(*) AS df FROM hashed GROUP BY h), " +
         "agg AS (SELECT doc_id, COUNT(*) AS n_shingles, " +
