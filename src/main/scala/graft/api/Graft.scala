@@ -1482,6 +1482,53 @@ object Graft {
       sqrtFactor * math.sqrt(n.toDouble)))).toInt
   }
 
+  /** Signature-width derivation for the exact hamming-banded near-dup
+    * joins ([[ahashNearDupPairs]], [[simhashNearDupPairs]]) — the
+    * [[deriveNlist]] discipline applied to the one index width the
+    * engine still left manual (r9 verdict): how many 60-bit words the
+    * pigeonhole signature should span at corpus count `n`.
+    *
+    * The model is SCALE.md's measured m11-vs-m13 / d03-vs-d19
+    * comparison: with radius+1 disjoint bands of width w =
+    * 60·words/(radius+1), a banded self-join enumerates ~bands·n/2^w
+    * RANDOM band collisions per item on top of the true near-pairs, so
+    * the candidate class is occupancy-quadratic until 2^w outruns n.
+    * The narrow signature is cheaper map-side (8-byte banded rows, half
+    * the vote aggregates), so the right width is the SMALLEST
+    * word-aligned one whose expected random collisions per item stay
+    * under `collisionsPerItem` — wider buys nothing below the
+    * crossover and the class bend above it. At the defaults
+    * (radius 3, budget 32) the 60→120-bit switch lands at
+    * n = 32·2¹⁵/4 = 262 144 items, inside the measured bracket where
+    * m13 overtakes m11 (60-bit still faster at 171 k rows, 2.5× slower
+    * at 571 k — SCALE.md's 100× table); simhash callers pass budget 8
+    * because text band values skew hot sooner (d19 overtakes d03 a
+    * decade earlier, at ~150 k docs). Every committed fixture (≤ ~6 k
+    * docs) resolves to words = 1, today's widths.
+    *
+    * Only word-aligned widths are candidates (each band must live
+    * inside one 60-bit word — the wide ops' banding constraint);
+    * words = 1 is always admissible because the single-word path bands
+    * by ceil-division at any radius. radius = 0 is an equality join at
+    * any width, so the narrow signature always wins. */
+  def deriveHammingWords(n: Long, radius: Int = 3,
+      collisionsPerItem: Double = 32.0, maxWords: Int = 4): Int = {
+    require(n >= 0 && radius >= 0 && collisionsPerItem > 0 &&
+      (maxWords == 1 || maxWords == 2 || maxWords == 4),
+      s"deriveHammingWords($n, $radius, $collisionsPerItem, $maxWords)")
+    if (radius == 0) return 1
+    val bands = radius + 1
+    val candidates = 1 +: Seq(2, 4).filter { w =>
+      val bits = 60 * w
+      w <= maxWords && bits % bands == 0 && 60 % (bits / bands) == 0
+    }
+    candidates.find { w =>
+      val width = 60.0 * w / bands
+      bands.toDouble * n.toDouble / math.pow(2.0, width) <=
+        collisionsPerItem
+    }.getOrElse(candidates.last)
+  }
+
   /** ANN k-nearest-neighbor SELF-join: approximate top-`k` neighbors
     * for EVERY corpus vector — the all-pairs retrieval shape behind
     * embedding-level curation (SemDeDup neighborhoods, diversity
@@ -2427,11 +2474,28 @@ object Graft {
     * finds every qualifying pair without an all-pairs compare (the d03
     * SimHash discipline applied to media bytes). Candidates dedup and
     * verify with one bit_count; the hashes are map-side, the join is
-    * bucketed by (band, band-bits). */
+    * bucketed by (band, band-bits).
+    *
+    * `words = 0` (the default) DERIVES the signature width from the
+    * corpus count ([[deriveHammingWords]] — one count job, the
+    * resolveLsh/deriveNlist convention): 60-bit below the
+    * random-collision crossover (~262 k items at radius 3, where the
+    * narrow hash's smaller banded rows win — every committed fixture),
+    * the wide [[ahashWideNearDupPairs]] above it (where the 60-bit
+    * op's bands·n²/2^15 random collisions would dominate the shuffle —
+    * SCALE.md's measured m11-vs-m13 story). Pin `words` to force a
+    * width (1 = always 60-bit, the pre-derivation behavior). */
   def ahashNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
-      radius: Int = 3): DataFrame = {
+      radius: Int = 3, words: Int = 0): DataFrame = {
     require(radius >= 0 && radius < graft.functions.AHash60.Bits,
       s"ahashNearDupPairs($radius)")
+    require(words == 0 || words == 1 || words == 2 || words == 4,
+      s"ahashNearDupPairs(words=$words)")
+    val w =
+      if (words > 0) words
+      else deriveHammingWords(df.count(), radius)
+    if (w > 1)
+      return ahashWideNearDupPairs(df, idCol, payloadCol, radius, w)
     val bands = radius + 1
     val width = (graft.functions.AHash60.Bits + bands - 1) / bands
     val mask = (1L << width) - 1
@@ -2447,6 +2511,87 @@ object Graft {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         bit_count(col("a.ahash").bitwiseXOR(col("b.ahash")))
           .cast("bigint").as("dist"))
+      .distinct()
+      .filter(col("dist") <= radius)
+  }
+
+  /** 60-bit term-frequency SimHash signature per row (id, sim): every
+    * word occurrence votes +/-1 on all 60 bits of its hash (md5
+    * truncated to 15 hex chars — portable, so the DuckDB oracle
+    * replays it bit for bit) and the sign vector packs into one
+    * signed-BIGINT-safe signature. One partial-sum aggregation pass —
+    * the d03 construction, promoted from the gate binding to the
+    * public API so [[simhashNearDupPairs]] can route between widths. */
+  def simhashSignatures(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val words = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .select(col(idCol),
+        graft.functions.TextExpressions
+          .hexSliceLong(md5(col("word")), 1, 15).as("h"))
+    val bitSums = (0 until 60).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$i"))
+    val packed = (0 until 60).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    words.groupBy(idCol)
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), packed.as("sim"))
+  }
+
+  /** Near-duplicate text pairs by SimHash hamming distance — the
+    * width-derived front door over the 60-bit ([[simhashSignatures]])
+    * and 120-bit ([[simhashWideNearDupPairs]]) constructions: exact
+    * pigeonhole banding at radius+1 bands either way, (id_a, id_b,
+    * dist) out.
+    *
+    * `words = 0` (the default) DERIVES the signature width from the
+    * corpus count ([[deriveHammingWords]] with collision budget 8 —
+    * text band values skew hot sooner than media hashes, so the
+    * measured d03-vs-d19 crossover sits a decade earlier than
+    * m11-vs-m13: the wide signature wins from ~150 k docs on, i.e.
+    * 60-bit up to n = 8·2¹⁵/4 = 65 536 docs, 120-bit past it). Every
+    * committed fixture resolves to words = 1 — d03's exact pair set.
+    * Pin `words` to force a width. The 60-bit path bands by
+    * ceil-division, so any radius < 60 is supported there; the wide
+    * path's word-aligned radii are documented at
+    * [[simhashWideNearDupPairs]]. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      radius: Int = 3, words: Int = 0): DataFrame = {
+    require(radius >= 0 && radius < 60,
+      s"simhashNearDupPairs($radius)")
+    require(words == 0 || words == 1 || words == 2,
+      s"simhashNearDupPairs(words=$words)")
+    val w =
+      if (words > 0) words
+      else deriveHammingWords(df.count(), radius,
+        collisionsPerItem = 8.0, maxWords = 2)
+    if (w > 1)
+      return simhashWideNearDupPairs(df, idCol, textCol, radius)
+    val sig = simhashSignatures(df, idCol, textCol)
+    if (radius == 0)
+      return sig.as("a")
+        .join(sig.as("b"),
+          col("a.sim") === col("b.sim") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+          lit(0L).as("dist"))
+    val bands = radius + 1
+    val width = (60 + bands - 1) / bands
+    val mask = (1L << width) - 1
+    val chunkCols = (0 until bands).map(j =>
+      shiftright(col("sim"), width * j).bitwiseAND(lit(mask)))
+    val chunks = sig
+      .select(col(idCol), col("sim"),
+        posexplode(array(chunkCols: _*)).as(Seq("pos", "chunk")))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.pos") === col("b.pos") && col("a.chunk") === col("b.chunk") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("bigint")
+          .as("dist"))
       .distinct()
       .filter(col("dist") <= radius)
   }

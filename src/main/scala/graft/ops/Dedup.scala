@@ -312,49 +312,21 @@ object Dedup {
       }),
 
     Q("d03_simhash",
-      (s, d) => {
-        // Term-frequency SimHash: each word occurrence votes +/-1 on all
-        // 60 bits of its hash; the sign vector packs into one 60-bit
-        // signature. The word hash is md5 truncated to 15 hex chars
-        // (60 bits, fits a signed BIGINT) so the whole operator is
-        // portable and hash-checked against the oracle (xxhash64 was
-        // Spark-only).
-        val words = docs(s, d)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-          .select(col("doc_id"),
-            // native hex parse (same value as conv(...,16,10), without
-            // conv's per-call substring allocation + radix loop)
-            graft.functions.TextExpressions
-              .hexSliceLong(md5(col("word")), 1, 15).as("h"))
-        val bitSums = (0 until 60).map(i =>
-          sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
-            .otherwise(-1)).as(s"b$i"))
-        val packed = (0 until 60).map(i =>
-          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _)
-        val sig = words.groupBy("doc_id")
-          .agg(bitSums.head, bitSums.tail: _*)
-          .select(col("doc_id"), packed.as("sim"))
-        // Pigeonhole banding: at hamming distance <= 3 over 4 chunks of
-        // 15 bits, at least one chunk matches exactly, so the equi-join on
-        // (chunk index, chunk value) finds ALL pairs within the radius —
-        // the banding is exact for radius 3, not probabilistic.
-        val chunkCols = (0 until 4).map(j =>
-          shiftright(col("sim"), 15 * j).bitwiseAND(lit(0x7FFFL)))
-        val chunks = sig
-          .select(col("doc_id"), col("sim"),
-            posexplode(array(chunkCols: _*)).as(Seq("pos", "chunk")))
-        chunks.as("a")
-          .join(chunks.as("b"),
-            col("a.pos") === col("b.pos") && col("a.chunk") === col("b.chunk") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("bigint")
-              .as("dist"))
-          .distinct()
-          .filter(col("dist") <= 3)
-          .orderBy("doc_a", "doc_b")
-      },
+      // Term-frequency SimHash: each word occurrence votes +/-1 on all
+      // 60 bits of its hash (md5 truncated to 15 hex chars — portable,
+      // hash-checked against the oracle); pigeonhole banding over 4
+      // chunks of 15 bits finds ALL pairs within radius 3 exactly.
+      // Pinned to words = 1: d03 IS the 60-bit arm (d19 is the wide
+      // twin, and graft.api.Graft.simhashNearDupPairs' words = 0
+      // default derives the width from the corpus count — the r10
+      // promotion of the formerly inline construction). See
+      // [[graft.api.Graft.simhashNearDupPairs]].
+      (s, d) => graft.api.Graft
+        .simhashNearDupPairs(docs(s, d), "doc_id", "text", radius = 3,
+          words = 1)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          col("dist"))
+        .orderBy("doc_a", "doc_b"),
       Some {
         val bitSums = (0 until 60).map(i =>
           s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")

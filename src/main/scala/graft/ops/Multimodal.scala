@@ -368,9 +368,13 @@ object Multimodal {
       // by exact pigeonhole banding (4 disjoint 15-bit bands: a pair
       // within the radius MUST agree exactly on >= 1 band) — the banded
       // EQUI-join shape of d03's SimHash applied to media bytes, never
-      // an all-pairs compare. All integer bit math, so the DuckDB
-      // oracle rebuilds the augmented corpus, both hashes, the banding
-      // AND the popcount verify bit for bit.
+      // an all-pairs compare. Since r10 the signature WIDTH derives
+      // from the corpus count (words=0 default -> deriveHammingWords:
+      // 60-bit below the ~262k-item collision crossover — every
+      // committed fixture — the 120-bit m13 construction above it), so
+      // this gate also exercises the derivation path. All integer bit
+      // math, so the DuckDB oracle rebuilds the augmented corpus, both
+      // hashes, the banding AND the popcount verify bit for bit.
       (s, d) => {
         val base = Tables.load(s, d, "documents")
           .filter(length(col("text")) >= 2)
