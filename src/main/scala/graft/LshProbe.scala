@@ -40,11 +40,29 @@ object LshProbe {
       .select(col("id_a"), col("id_b")).cache()
     val nExact = exact.count()
     println(s"n=$n n_sample=$nSample n_exact=$nExact")
-    val combos = (Seq(
-      "derived" -> graft.api.Graft.LshParams()) ++
-      (for (t <- Seq(4, 8); b <- Seq(6, 8, 12)) yield
-        s"t=$t b=$b" -> graft.api.Graft.LshParams(tables = t, bits = b)))
-      .take(if (derivedOnly) 1 else Int.MaxValue)
+    // Third form: a semicolon-separated combo spec for derivation
+    // tuning sweeps, e.g. "derived;t=16;t=32,occ=2,mp=0" — `t`/`b` pin
+    // tables/bits (0 = derive), `occ` sets targetOccupancy, `mp=0`
+    // disables hamming-1 multiprobe.
+    val comboSpec = args.drop(1).headOption
+      .filter(a => a.contains("=") || a == "derived")
+    val combos =
+      if (comboSpec.isDefined)
+        comboSpec.get.split(";").toSeq.map { spec =>
+          val kv = spec.split(",").filter(_.contains("="))
+            .map { s => val Array(k, v) = s.split("="); k -> v.toInt }
+            .toMap
+          spec -> graft.api.Graft.LshParams(
+            tables = kv.getOrElse("t", 0),
+            bits = kv.getOrElse("b", 0),
+            targetOccupancy = kv.getOrElse("occ", 8),
+            probeHamming1 = kv.getOrElse("mp", 1) == 1)
+        }
+      else (Seq(
+        "derived" -> graft.api.Graft.LshParams()) ++
+        (for (t <- Seq(4, 8); b <- Seq(6, 8, 12)) yield
+          s"t=$t b=$b" -> graft.api.Graft.LshParams(tables = t, bits = b)))
+        .take(if (derivedOnly) 1 else Int.MaxValue)
     for ((label, p) <- combos) {
       val t0 = System.nanoTime()
       val lsh = graft.api.Graft.lshCosinePairs(emb, "vec_id", "embedding",

@@ -19,12 +19,19 @@ import org.apache.spark.sql.functions._
   * vocabulary-per-replica stay proportional, so ~linear runtime growth
   * is the correct expectation for a well-partitioned plan.
   *
-  * Usage: ScaleDataGen <srcSfDir> <outDir> <factor>
+  * Usage: ScaleDataGen <srcSfDir> <outDir> <factor> [embeddings]
+  *
+  * The optional 4th arg `embeddings` skips the documents table — the
+  * vectors-heavy mode for probing index-width derivations past the
+  * `deriveNlist` √n crossover (2.56 M vectors needs factor ≥ 1280 from
+  * sf0.1's 2 k vectors; replicating documents 1280× would dwarf the
+  * vector table for no measurement value).
   */
 object ScaleDataGen {
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorStr) = args.take(3)
     val factor = factorStr.toInt
+    val embeddingsOnly = args.length > 3 && args(3) == "embeddings"
     require(factor >= 1, s"factor must be >= 1: $factor")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -36,6 +43,7 @@ object ScaleDataGen {
     val IdStride = 10000000L
     val replicas = spark.range(0, factor).select(col("id").as("r"))
 
+    if (!embeddingsOnly) {
     val docs = spark.read.parquet(s"$src/documents.parquet")
       .crossJoin(broadcast(replicas))
       .select(
@@ -51,6 +59,7 @@ object ScaleDataGen {
       .withColumn("n_chars", length(col("text")).cast("bigint"))
     docs.repartition(32).write.mode("overwrite")
       .parquet(s"$out/documents.parquet")
+    }
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
       .crossJoin(broadcast(replicas))
@@ -68,7 +77,9 @@ object ScaleDataGen {
     emb.repartition(32).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
 
-    val nd = spark.read.parquet(s"$out/documents.parquet").count()
+    val nd =
+      if (embeddingsOnly) 0L
+      else spark.read.parquet(s"$out/documents.parquet").count()
     val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
     println(s"""{"out":"$out","factor":$factor,"documents":$nd,"embeddings":$ne}""")
     spark.stop()

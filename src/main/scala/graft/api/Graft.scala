@@ -1832,7 +1832,8 @@ object Graft {
     * via [[semanticDedupPairs]]) rather than stretching sign-LSH. Pin
     * either field to reproduce a specific index layout. */
   final case class LshParams(tables: Int = 0, bits: Int = 0,
-      dim: Int = 0, seed: Long = 42L, targetOccupancy: Int = 8) {
+      dim: Int = 0, seed: Long = 42L, targetOccupancy: Int = 8,
+      probeHamming1: Boolean = true) {
     require(tables >= 0,
       s"LshParams.tables must be >= 0 (0 derives from bits): $tables")
     require(bits >= 0 && bits <= 30,
@@ -1910,8 +1911,10 @@ object Graft {
     val n = normalized(df, idCol, vecCol)
     val p = resolveLsh(df, vecCol, p0)
     val codes = lshIndex(n, idCol, vecCol, p)
-    val probes = (0 until p.bits)
-      .map(i => col("code").bitwiseXOR(lit(1 << i))) :+ col("code")
+    val probes =
+      (if (p.probeHamming1)
+        (0 until p.bits).map(i => col("code").bitwiseXOR(lit(1 << i)))
+      else Seq.empty) :+ col("code")
     val qProbes = codes.filter(queryPred)
       .select(col(idCol).as("query_id"), col("tbl"),
         explode(array(probes: _*)).as("probe"))
@@ -1943,8 +1946,10 @@ object Graft {
     val n = normalized(df, idCol, vecCol)
     val p = resolveLsh(df, vecCol, p0)
     val codes = lshIndex(n, idCol, vecCol, p)
-    val probes = (0 until p.bits)
-      .map(i => col("code").bitwiseXOR(lit(1 << i))) :+ col("code")
+    val probes =
+      (if (p.probeHamming1)
+        (0 until p.bits).map(i => col("code").bitwiseXOR(lit(1 << i)))
+      else Seq.empty) :+ col("code")
     val probed = codes.select(col(idCol), col("tbl"),
       explode(array(probes: _*)).as("probe"))
     val cand = probed.as("a")
@@ -3014,5 +3019,83 @@ object Graft {
       .join(cnt.as("ca"), col("id_a") === col(s"ca.$idCol"))
       .filter(est >= threshold)
       .select(col("id_a"), col("id_b"), est.as("est_containment"))
+  }
+
+  // ------------------------------------------------------------ pipeline
+
+  /** The end-to-end corpus-curation pass a 100 TB training-data run
+    * actually executes, composed ENTIRELY from this API's stages in
+    * their production order — quality gate → language filter → exact
+    * dedup → MinHash-LSH near-dedup (pairs → connected components →
+    * keep-best) → token-budget mixture — returning the ONE-ROW impact
+    * report that decides whether each stage paid for itself:
+    *
+    *   n_input, n_quality (word-band pass), n_lang (∧ language match),
+    *   n_exact (∧ exact-dedup keeper), n_near (∧ near-dup cluster
+    *   winner), chars_removed_near (d20's tie-independent
+    *   sum-minus-max per cluster), n_admitted / tok_admitted (the
+    *   mixture actually admitted).
+    *
+    * Stage semantics are CUMULATIVE (each count is the surviving-corpus
+    * size after that stage), and every stage is the same public
+    * operator users call directly — [[qualityScore]], [[langId]],
+    * [[exactDedup]], [[minhashLshPairs]], [[dupClusters]],
+    * [[keepBestFromClusters]], [[mixtureByBudget]] — so the report is
+    * the integration proof of the composed API, not a parallel
+    * implementation.
+    *
+    * Scale shape: the quality/language stages are map-only scans; exact
+    * dedup is one digest-keyed aggregation; near-dedup pair generation
+    * is the banded equi-join (never all-pairs) running on the ALREADY
+    * exact-deduped survivor set (the documented order — pairwise
+    * MinHash on a million verbatim copies computes nothing the digest
+    * shuffle didn't); clustering's label frame is reliably checkpointed
+    * per round, so every downstream consumer (keep pick, removed-chars
+    * report, mixture) reads the materialized labels instead of
+    * replaying propagation. The report row itself is a crossJoin of
+    * 1-row aggregates — scalar broadcasts, no data-scale work. */
+  def curate(df: DataFrame, idCol: String, textCol: String,
+      sizeCol: String, sourceCol: String,
+      langProfiles: Seq[(String, String)], keepLang: String,
+      minWords: Long, maxWords: Long,
+      budgets: Seq[(String, Long)],
+      minhashK: Int = 24, bands: Int = 8,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    require(minWords <= maxWords, s"curate($minWords > $maxWords)")
+    val idc = col(idCol)
+    val qualIds = qualityScore(df, idCol, textCol)
+      .filter(col("words").between(minWords, maxWords))
+      .select(idc)
+    val langIds = langId(df, idCol, textCol, langProfiles)
+      .filter(col("pred_lang") === keepLang)
+      .select(idc)
+    val s1 = df.join(qualIds, Seq(idCol), "left_semi")
+      .join(langIds, Seq(idCol), "left_semi")
+    val exactKeep = exactDedup(s1, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    val s2 = s1.join(exactKeep, Seq(idCol), "left_semi")
+    val clusters = dupClusters(s2, idCol,
+      minhashLshPairs(s2, idCol, textCol,
+        k = minhashK, bands = bands, threshold = jaccardThreshold),
+      "id_a", "id_b")
+    val keep = keepBestFromClusters(s2, idCol, sizeCol, clusters)
+    val s3 = s2.join(keep.filter(col("kept")).select(idc),
+      Seq(idCol), "left_semi")
+    val perCluster = clusters
+      .join(s2.select(idc, col(sizeCol).cast("long").as("sz")), Seq(idCol))
+      .groupBy("cluster_id")
+      .agg((sum("sz") - max("sz")).as("rm"))
+    val mix = mixtureByBudget(s3, idCol, sizeCol, sourceCol, budgets)
+    def cnt(d: DataFrame, as: String): DataFrame =
+      d.agg(count(lit(1)).cast("bigint").as(as))
+    cnt(df, "n_input")
+      .crossJoin(cnt(qualIds, "n_quality"))
+      .crossJoin(cnt(s1, "n_lang"))
+      .crossJoin(cnt(s2, "n_exact"))
+      .crossJoin(cnt(s3, "n_near"))
+      .crossJoin(perCluster.agg(coalesce(sum("rm"), lit(0L))
+        .cast("bigint").as("chars_removed_near")))
+      .crossJoin(mix.agg(count(lit(1)).cast("bigint").as("n_admitted"),
+        coalesce(sum("n_tok"), lit(0L)).cast("bigint").as("tok_admitted")))
   }
 }

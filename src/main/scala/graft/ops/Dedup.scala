@@ -108,6 +108,14 @@ object Dedup {
   private val MinhashK = 24 // permutations
   private val Bands = 8     // 8 bands x 3 rows
 
+  /** t03/t09's stopword language profiles, repeated here for the d21
+    * curation pipeline (the oracle replays the same regex counts). */
+  private val CurateStopwords: Seq[(String, String)] = Seq(
+    "en" -> "the|a|of|and|to|in|is",
+    "fr" -> "le|la|les|et|de|un|une",
+    "es" -> "el|los|las|y|que|un|una",
+    "de" -> "der|die|das|und|ein|zu")
+
   /** Min-id-per-component closure over the d04 n-gram Jaccard pair set,
     * as a DuckDB recursive CTE. Shared by d07 (label propagation) and
     * d10 (large-star contraction): both algorithms compute the same
@@ -901,6 +909,107 @@ object Dedup {
         "ON a.vec_id < b.vec_id) " +
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, " +
         "CAST(0 AS BIGINT) AS false_positives, true AS recall_ok " +
-        "FROM p WHERE cos >= 0.45"))
+        "FROM p WHERE cos >= 0.45")),
+
+    Q("d21_curate_report",
+      // The end-to-end curation pipeline as ONE public-API call
+      // ([[graft.api.Graft.curate]]): quality band -> language filter ->
+      // exact dedup -> MinHash-LSH near-dedup (pairs -> components ->
+      // keep-best) -> token-budget mixture, emitting the one-row impact
+      // report a production run reads (cumulative survivor counts per
+      // stage + d20's tie-independent chars-removed + the admitted
+      // mix). Every stage is the operator its own gate query already
+      // hash-checks (t02/t03/d01/d02/d07/d16/t23); this row proves they
+      // COMPOSE — the integration a 100 TB user actually executes. The
+      // oracle replays the full chain: t09's quality/langid CTEs, d01's
+      // digest keeper, d08's minhash CTE stack + recursive closure
+      // rebased onto the exact-deduped survivor set, d16's keep window,
+      // t23's priority-window mixture.
+      (s, d) => graft.api.Graft.curate(
+        docs(s, d), "doc_id", "text", "n_chars", "source",
+        CurateStopwords, "en", 20L, 1000L,
+        Seq("src0" -> 7000L, "src1" -> 6000L, "src7" -> 5000L,
+          "src19" -> 2000L),
+        minhashK = MinhashK, bands = Bands, jaccardThreshold = 0.5),
+      Some {
+        val R = MinhashK / Bands
+        val minCols = (0 until MinhashK).map { i =>
+          val (seed, slice) = (i / 4, i % 4)
+          s"MIN(CAST(concat('0x', substring(md5(concat('$seed:', s)), " +
+            s"${8 * slice + 1}, 8)) AS BIGINT)) AS m$i"
+        }.mkString(", ")
+        val bandSelects = (0 until Bands).map { j =>
+          val cols = (0 until R).map(r => s"m${j * R + r}").mkString(", ")
+          s"SELECT doc_id, $j AS band, md5(concat_ws(',', $cols, '$j')) " +
+            "AS bh FROM sig"
+        }.mkString(" UNION ALL ")
+        val agree = (0 until MinhashK).map(i =>
+          s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+        "WITH RECURSIVE " +
+          "q AS (SELECT doc_id FROM documents " +
+          "WHERE len(string_split(text, ' ')) BETWEEN 20 AND 1000), " +
+          "scl AS (SELECT doc_id, " +
+          "len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b')) AS en, " +
+          "len(regexp_extract_all(text, '\\b(le|la|les|et|de|un|une)\\b')) AS fr, " +
+          "len(regexp_extract_all(text, '\\b(el|los|las|y|que|un|una)\\b')) AS es, " +
+          "len(regexp_extract_all(text, '\\b(der|die|das|und|ein|zu)\\b')) AS de " +
+          "FROM documents), " +
+          "l AS (SELECT doc_id FROM scl WHERE " +
+          "en >= fr AND en >= es AND en >= de), " +
+          "s1 AS (SELECT d.doc_id, d.text, d.n_chars, d.source " +
+          "FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id)), " +
+          "k AS (SELECT MIN(doc_id) AS doc_id FROM s1 " +
+          "GROUP BY sha256(text)), " +
+          "s2 AS (SELECT s1.* FROM s1 JOIN k USING (doc_id)), " +
+          "toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM s2), " +
+          "sh AS (SELECT DISTINCT doc_id, " +
+          "array_to_string(list_slice(w, g, g+2), ' ') AS s FROM toks, " +
+          "UNNEST(generate_series(1, len(w)-2)) AS t(g)), " +
+          s"sig AS (SELECT doc_id, $minCols FROM sh GROUP BY doc_id), " +
+          s"bnd AS ($bandSelects), " +
+          "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+          "FROM bnd a JOIN bnd b ON a.band = b.band AND a.bh = b.bh " +
+          "AND a.doc_id < b.doc_id), " +
+          s"prs AS (SELECT doc_a, doc_b FROM cand " +
+          "JOIN sig sa ON doc_a = sa.doc_id " +
+          "JOIN sig sb ON doc_b = sb.doc_id " +
+          s"WHERE CAST(($agree) AS DOUBLE)/$MinhashK >= 0.5), " +
+          "edges AS (SELECT doc_a AS s, doc_b AS d FROM prs " +
+          "UNION ALL SELECT doc_b, doc_a FROM prs), " +
+          "reach(id, lab) AS (SELECT doc_id, doc_id FROM s2 " +
+          "UNION SELECT e.d, r.lab FROM reach r JOIN edges e " +
+          "ON e.s = r.id), " +
+          "cl AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach " +
+          "GROUP BY id), " +
+          "kb AS (SELECT cl.doc_id, cl.cluster_id, s2.n_chars, s2.source, " +
+          "ROW_NUMBER() OVER (PARTITION BY cl.cluster_id " +
+          "ORDER BY s2.n_chars DESC, cl.doc_id) AS rn " +
+          "FROM cl JOIN s2 USING (doc_id)), " +
+          "s3 AS (SELECT doc_id, n_chars, source FROM kb WHERE rn = 1), " +
+          "rmv AS (SELECT cluster_id, SUM(n_chars) - MAX(n_chars) AS r " +
+          "FROM kb GROUP BY cluster_id), " +
+          "w(source, budget) AS (VALUES ('src0', 7000), ('src1', 6000), " +
+          "('src7', 5000), ('src19', 2000)), " +
+          "b AS (SELECT doc_id, s3.source, n_chars, budget, " +
+          "CAST(concat('0x', substring(md5(concat('mix:', " +
+          "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS pri " +
+          "FROM s3 JOIN w USING (source)), " +
+          "c AS (SELECT doc_id, n_chars, budget, " +
+          "SUM(n_chars) OVER (PARTITION BY source ORDER BY pri, doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
+          "FROM b), " +
+          "adm AS (SELECT doc_id, n_chars FROM c WHERE cum <= budget) " +
+          "SELECT " +
+          "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_input, " +
+          "(SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS n_quality, " +
+          "(SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_lang, " +
+          "(SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_exact, " +
+          "(SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_near, " +
+          "(SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) FROM rmv) " +
+          "AS chars_removed_near, " +
+          "(SELECT CAST(COUNT(*) AS BIGINT) FROM adm) AS n_admitted, " +
+          "(SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM adm) " +
+          "AS tok_admitted"
+      })
   )
 }
