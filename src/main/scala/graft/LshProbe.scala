@@ -20,8 +20,11 @@ object LshProbe {
   private val ExactCap = 8000L
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
+    // default 16 matches the historical readings; the 100×-slice probe
+    // rows (n·T·ppt ≈ 2.4e8) want 32 so the SMJ sorts fit per task
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -56,7 +59,9 @@ object LshProbe {
             tables = kv.getOrElse("t", 0),
             bits = kv.getOrElse("b", 0),
             targetOccupancy = kv.getOrElse("occ", 8),
-            probeHamming1 = kv.getOrElse("mp", 1) == 1)
+            probeHamming1 = kv.getOrElse("mp", 1) == 1,
+            probeBits = kv.getOrElse("pb", -1),
+            probeBits2 = kv.getOrElse("pb2", 0))
         }
       else (Seq(
         "derived" -> graft.api.Graft.LshParams()) ++

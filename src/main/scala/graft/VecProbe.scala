@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev measurement tool for [[graft.api.Graft.deriveNlist]]'s √n regime
+  * (not part of the library surface; SCALE.md cites its numbers): wall
+  * and pooled recall for the derived-nlist index family at a
+  * vectors-only slice (ScaleDataGen's `embeddings` mode), across the
+  * 2.56M-vector crossover where the 4·√n cap starts binding.
+  *
+  * Usage: VecProbe [dir] [arms]
+  *   arms ⊆ s04d,s11,s12 (comma-separated; default all three)
+  *
+  *  - s04d: trained IVF at DERIVED nlist (the gate's s04 pins nlist=10
+  *    as a fixture; this arm is what a corpus-sized deployment runs) —
+  *    build (sampled Lloyd + one full-corpus kernel assignment) timed
+  *    separately from the probe+rerank search.
+  *  - s11: ivfPqTopK with the ivfpqListing derivation (nlist from
+  *    deriveNlist, 40%-of-lists probes, n/10 shortlist).
+  *  - s12: annKnnJoin over the full slice; recall measured on the
+  *    fixture query ids (replica 0 keeps original ids).
+  *
+  * Recall convention: pooled hits vs the exact cosine top-K for
+  * `vec_id < 8` (the s07 contract's query set), K = 5. */
+object VecProbe {
+  private val K = 5
+  private val NQueries = 8
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("target/vec1m")
+    val arms =
+      if (args.length > 1) args(1).split(",").toSeq
+      else Seq("s04d", "s11", "s12")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val emb = Tables.load(spark, dir, "embeddings")
+    val n = emb.count()
+    val nlist = graft.api.Graft.deriveNlist(n)
+    println(s"n=$n nlist=$nlist sqrt_capped=${nlist < n / 400}")
+
+    val exact = graft.api.Graft
+      .cosineTopK(emb, "vec_id", "embedding",
+        queryPred = col("vec_id") < NQueries, k = K)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"n_exact=${exact.size}")
+
+    def recallOf(listing: org.apache.spark.sql.DataFrame): Double = {
+      val approx = listing
+        .filter(col("query_id") < NQueries)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (approx & exact).size.toDouble / exact.size
+    }
+
+    for (arm <- arms) arm match {
+      case "s04d" =>
+        // the ivfPqTopK build discipline at derived nlist, minus PQ:
+        // sampled Lloyd training, one full-corpus kernel assignment
+        val t0 = System.nanoTime()
+        val cap = nlist.toLong * 128
+        val train =
+          if (n <= cap) emb
+          else emb.filter(expr(
+            "pmod(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8)," +
+              " 16, 10), 1000000) < " +
+              s"${math.max(1L, cap * 1000000L / n)}"))
+        val cents = graft.api.Graft
+          .kmeansCentroids(train, "vec_id", "embedding", nlist, iters = 2)
+          .localCheckpoint(true)
+        val assigned = graft.api.Graft
+          .assignToCentroids(emb, "vec_id", "embedding", cents, nlist)
+          .select(col("vec_id"), col("list_id"))
+          .localCheckpoint(true)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val nrm = graft.api.Graft.normalized(emb, "vec_id", "embedding")
+        val q = nrm.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("qe"), col("nrm").as("qn"))
+        val nProbe = math.max(2, math.ceil(nlist * 0.4).toInt)
+        val listing = graft.ops.Vector.ivfProbeSearch(
+          q, nrm.join(assigned, "vec_id"), cents, nProbe, K)
+        val r = recallOf(listing)
+        val tSearch = (System.nanoTime() - t1) / 1e9
+        println(f"s04d build=$tBuild%.1f search=$tSearch%.1f " +
+          f"recall=$r%.3f nProbe=$nProbe")
+        cents.unpersist(); assigned.unpersist()
+      case "s11" =>
+        val t0 = System.nanoTime()
+        val nProbe = math.max(2, math.ceil(nlist * 0.4).toInt)
+        val shortlist = math.max(50L, n / 10).toInt
+        val listing = graft.api.Graft.ivfPqTopK(emb, "vec_id",
+          "embedding", queryPred = col("vec_id") < NQueries, k = K,
+          dim = 64, nlist = nlist, nProbe = nProbe, shortlist = shortlist)
+        val r = recallOf(listing)
+        println(f"s11  wall=${(System.nanoTime() - t0) / 1e9}%.1f " +
+          f"recall=$r%.3f nProbe=$nProbe shortlist=$shortlist")
+      case "s12" =>
+        val t0 = System.nanoTime()
+        val listing = graft.api.Graft
+          .annKnnJoin(emb, "vec_id", "embedding", k = K)
+        val r = recallOf(listing
+          .select(col("query_id"), col("neighbor_id")))
+        println(f"s12  wall=${(System.nanoTime() - t0) / 1e9}%.1f " +
+          f"recall=$r%.3f")
+      case other => println(s"unknown arm: $other")
+    }
+    spark.stop()
+  }
+}

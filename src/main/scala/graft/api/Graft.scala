@@ -1408,7 +1408,7 @@ object Graft {
     // probes); materialize the Lloyd loop once.
     val cents =
       iterCheckpoint(kmeansCentroids(train, idCol, vecCol, nlist, iters))
-    val assigned = assignToCentroids(df, idCol, vecCol, cents)
+    val assigned = assignToCentroids(df, idCol, vecCol, cents, nlist)
     val lookup = iterCheckpoint(
       pqLookup(pqCodebooks(train, idCol, vecCol, dim, m, ksub, iters)))
     val enc = pqEncodeWith(assigned, idCol, vecCol, lookup, dim, m,
@@ -1561,10 +1561,10 @@ object Graft {
     val cents =
       iterCheckpoint(kmeansCentroids(train, idCol, vecCol, nlist, iters))
     val listed = normalized(df, idCol, vecCol)
-      .join(assignToCentroids(df, idCol, vecCol, cents)
+      .join(assignToCentroids(df, idCol, vecCol, cents, nlist)
         .select(col(idCol), col("list_id")), Seq(idCol))
     val qProbes = assignToCentroidsTopN(df, idCol, vecCol, cents,
-      math.min(probes, nlist))
+      math.min(probes, nlist), nlist)
       .join(normalized(df, idCol, vecCol)
         .select(col(idCol), col("nrm")), Seq(idCol))
       .select(col(idCol).as("query_id"), col(vecCol).as("qe"),
@@ -1702,8 +1702,8 @@ object Graft {
       probes: Int = 2, hotFactor: Double = 8.0): DataFrame = {
     val cents = kmeansCentroids(df, idCol, vecCol, nlist, iters)
     val assigned =
-      if (probes <= 1) assignToCentroids(df, idCol, vecCol, cents)
-      else assignToCentroidsTopN(df, idCol, vecCol, cents, probes)
+      if (probes <= 1) assignToCentroids(df, idCol, vecCol, cents, nlist)
+      else assignToCentroidsTopN(df, idCol, vecCol, cents, probes, nlist)
     val contained = containHotClusters(
       assigned.select(col(idCol), col(vecCol), col("list_id")),
       idCol, vecCol, hotFactor)
@@ -1833,7 +1833,13 @@ object Graft {
     * either field to reproduce a specific index layout. */
   final case class LshParams(tables: Int = 0, bits: Int = 0,
       dim: Int = 0, seed: Long = 42L, targetOccupancy: Int = 8,
-      probeHamming1: Boolean = true) {
+      probeHamming1: Boolean = true, probeBits: Int = -1,
+      probeBits2: Int = 0) {
+    require(probeBits >= -1,
+      s"LshParams.probeBits must be >= -1 (-1 derives, 0 = all): $probeBits")
+    require(probeBits2 >= 0,
+      s"LshParams.probeBits2 must be >= 0 (pair flips of that many " +
+        s"lowest-margin bits): $probeBits2")
     require(tables >= 0,
       s"LshParams.tables must be >= 0 (0 derives from bits): $tables")
     require(bits >= 0 && bits <= 30,
@@ -1843,13 +1849,23 @@ object Graft {
       s"LshParams.targetOccupancy must be positive: $targetOccupancy")
   }
 
-  /** Deterministic gaussian hyperplanes for `p` at dimensionality
-    * `dim`, as SQL array literals (constant-folded by Catalyst). */
-  private def tablePlanes(p: LshParams, dim: Int): Seq[Seq[String]] = {
+  /** Deterministic gaussian hyperplane VALUES for `p` at dimensionality
+    * `dim`: tables × bits planes of `dim` components, in the seed's
+    * draw order. Shared by the SQL-literal rendering below and the
+    * native all-tables probe kernel, which stores them as FLOAT so its
+    * double-accumulated fold reproduces the dotF32-vs-FLOAT-literal
+    * codes bit for bit. */
+  private def tablePlaneValues(p: LshParams,
+      dim: Int): Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(p.seed)
-    Seq.fill(p.tables, p.bits)(Array.fill(dim)(rnd.nextGaussian())
-      .map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")"))
+    Array.fill(p.tables, p.bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
+
+  /** [[tablePlaneValues]] as SQL array literals (constant-folded by
+    * Catalyst). */
+  private def tablePlanes(p: LshParams, dim: Int): Seq[Seq[String]] =
+    tablePlaneValues(p, dim).toSeq.map(_.toSeq.map(
+      _.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")))
 
   /** `p.dim`, or the data's vector width when `p.dim == 0` (one narrow
     * LIMIT-1 job — index-build cost, paid once per plan). */
@@ -1869,14 +1885,77 @@ object Graft {
       if (p.bits > 0) p.bits
       else {
         val n = math.max(1L, df.count()).toDouble
-        math.min(16, math.max(4,
-          math.ceil(math.log(n / p.targetOccupancy) / math.log(2.0)).toInt))
+        def derive(occ: Double, cap: Int) = math.min(cap, math.max(4,
+          math.ceil(math.log(n / occ) / math.log(2.0)).toInt))
+        // The r10 adjudication (SCALE.md's d06 section) kept this
+        // derivation AS COMMITTED after measuring the alternatives:
+        // "spend bits past the 64-table cap" points (occupancy 1.5-4,
+        // bits 16-17, directed probing) measured recall 0.918-0.956
+        // and min-of-2 walls 1.5× the classic layout at the 100×
+        // slice at the equal-recall point — directed probes
+        // concentrate into the dup clusters' sibling buckets, the one
+        // place candidates are already irreducible. d06's measured
+        // super-linearity is OUTPUT-bound on that corpus (true pairs
+        // grow ~quadratically with replication — sampled-arm counts
+        // 104k / 1.0M / 11.5M across the 10×/30×/100× slices — while
+        // the wall grows SLOWER than the output), which no index
+        // layout can derive away.
+        derive(p.targetOccupancy.toDouble, 16)
       }
     val tables =
       if (p.tables > 0) p.tables
       else math.min(64, math.max(4,
         math.ceil(4.0 * math.pow(2.0, (bits - 6) / 2.0)).toInt))
-    p.copy(tables = tables, bits = bits, dim = dim)
+    // probeBits = -1 derives the multiprobe width: full hamming-1
+    // multiprobe (0) at EVERY corpus size. Query-directed probing
+    // (probeBits > 0 — flip only the lowest-|margin| bits, Lv et al.
+    // 2007) is available as an explicit knob but deliberately NOT
+    // derived: on dup-clustered corpora the directed flips target
+    // exactly the sibling buckets where the dup cluster already
+    // lives, multiplying the hot buckets' candidate load — measured
+    // same-session min-of-2 at the 100× slice, the directed 19-probe
+    // bits-16 layout ran 1.5× slower than classic full multiprobe at
+    // equal 0.950 recall, and every lower-occupancy directed point
+    // traded recall too (0.918-0.940; SCALE.md's r10 d06
+    // adjudication). On a corpus with a small dup fraction the knob
+    // trades recall-per-probe efficiently; derive conservatively, let
+    // the caller opt in.
+    val (probeBits, probeBits2) =
+      if (p.probeBits >= 0) (p.probeBits, p.probeBits2)
+      else (0, p.probeBits2)
+    p.copy(tables = tables, bits = bits, dim = dim,
+      probeBits = probeBits, probeBits2 = probeBits2)
+  }
+
+  /** (id, tbl, probe) probe rows for [[lshCosinePairs]]' candidate
+    * join when the caller opts into query-directed probing
+    * (`probeBits = m > 0`, Lv et al. 2007 "Multi-Probe LSH"): each
+    * row's exact code, single flips of the m lowest-|margin| bits, and
+    * pair flips of the `probeBits2` lowest — a true neighbor's code
+    * differs from the row's almost surely in low-margin bits, so
+    * directed probes buy more recall per probe row than undirected
+    * flips. NOT the derived default: on dup-clustered corpora the
+    * directed flips all land in the dup cluster's own sibling buckets
+    * — the hot keys of the candidate join — and the probe-efficiency
+    * win inverts into a 1.5× wall loss at equal recall (the r10
+    * 100×-slice min-of-2 adjudication in SCALE.md; resolveLsh keeps
+    * classic full multiprobe unless probeBits is pinned). */
+  private def lshMarginProbed(n: DataFrame, idCol: String, vecCol: String,
+      p: LshParams): DataFrame = {
+    val m = p.probeBits
+    val deep = math.min(p.probeBits2, m)
+    // ONE kernel call per row computes every table's margins, code and
+    // directed probes (planes ride along as plain data, zero expression
+    // nodes) — the per-table expression formulation built a ~25k-node
+    // tree whose generated method fell off the JIT and ran ~40µs per
+    // row-table interpreted; see LshProbesAll
+    val ppt = graft.functions.LshProbesAll.probesPerTable(p.bits, m, deep)
+    n.select(col(idCol),
+        posexplode(graft.functions.VectorExpressions.lshProbesAll(
+          col(vecCol), flatPlanes(p), p.tables, p.bits, p.dim, m, deep))
+          .as(Seq("pos", "probe")))
+      .select(col(idCol), (col("pos") / ppt).cast("int").as("tbl"),
+        col("probe"))
   }
 
   /** One bucket-code column per LSH table for `vecCol`. Requires
@@ -1892,12 +1971,31 @@ object Graft {
       .reduce(_ + _))
   }
 
-  /** (id, tbl, code) inverted index over all tables. */
+  /** The resolved plane matrix as one flat FLOAT array, table-major —
+    * the form [[graft.functions.LshProbesAll]] carries as plain data. */
+  private def flatPlanes(p: LshParams): Array[Float] = {
+    val values = tablePlaneValues(p, p.dim)
+    val flat = new Array[Float](p.tables * p.bits * p.dim)
+    var w = 0
+    for (t <- 0 until p.tables; j <- 0 until p.bits; k <- 0 until p.dim) {
+      flat(w) = values(t)(j)(k).toFloat; w += 1
+    }
+    flat
+  }
+
+  /** (id, tbl, code) inverted index over all tables — the probe kernel
+    * with zero flip bits, one native pass per row. The per-table
+    * expression formulation ([[lshCodeExprs]] under a posexplode) built
+    * a tables × bits × dim node tree whose generated method fell off
+    * the JIT at the derived 100×-scale layout and ran interpreted; the
+    * kernel computes the identical codes (same FLOAT planes, same
+    * double-accumulated fold, bit-for-bit) in one compiled loop. */
   def lshIndex(df: DataFrame, idCol: String, vecCol: String,
       p: LshParams = LshParams()): DataFrame = {
     val r = resolveLsh(df, vecCol, p)
     df.select(col(idCol),
-      posexplode(array(lshCodeExprs(vecCol, r, r.dim): _*))
+      posexplode(graft.functions.VectorExpressions.lshProbesAll(
+        col(vecCol), flatPlanes(r), r.tables, r.bits, r.dim, 0, 0))
         .as(Seq("tbl", "code")))
   }
 
@@ -1946,12 +2044,17 @@ object Graft {
     val n = normalized(df, idCol, vecCol)
     val p = resolveLsh(df, vecCol, p0)
     val codes = lshIndex(n, idCol, vecCol, p)
-    val probes =
-      (if (p.probeHamming1)
-        (0 until p.bits).map(i => col("code").bitwiseXOR(lit(1 << i)))
-      else Seq.empty) :+ col("code")
-    val probed = codes.select(col(idCol), col("tbl"),
-      explode(array(probes: _*)).as("probe"))
+    val probed =
+      if (p.probeHamming1 && p.probeBits > 0 && p.probeBits < p.bits)
+        lshMarginProbed(n, idCol, vecCol, p)
+      else {
+        val probes =
+          (if (p.probeHamming1)
+            (0 until p.bits).map(i => col("code").bitwiseXOR(lit(1 << i)))
+          else Seq.empty) :+ col("code")
+        codes.select(col(idCol), col("tbl"),
+          explode(array(probes: _*)).as("probe"))
+      }
     val cand = probed.as("a")
       .join(codes.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.probe") === col("b.code") &&
@@ -1981,6 +2084,55 @@ object Graft {
       .select(col("list_id"),
         expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("centroid"))
 
+  /** nlist above which the centroid-assignment ops leave the HOF
+    * broadcast fold for the native [[graft.functions.CentroidTopNF32]]
+    * kernel: the fold's interpreted lambdas cost ~µs per (row,
+    * centroid), invisible at fixture layouts but n·nlist ≈ 10¹⁰
+    * evaluations once deriveNlist's √n regime puts nlist in the
+    * thousands. Every committed fixture resolves below this (largest:
+    * 500 lists at the 100× slice), so gate plans and rows are
+    * unchanged; CentroidKernelSpec pins the two paths equal. */
+  private val KernelNlist = 1024
+
+  /** The centroid table collected for the kernel path: (flat row-major
+    * float matrix, cnrm per row, list_id per row, dim), or None when
+    * empty. Bounded driver data by construction — nlist never exceeds
+    * deriveNlist's 4√n cap (32 MB at 10⁹ vectors), the same class of
+    * build-time driver action as [[resolveLshDim]]'s LIMIT 1. cnrm is
+    * the identical double-accumulated float fold the HOF path computes
+    * via sqrt(dotF32(centroid, centroid)), so cosines agree bit for
+    * bit; short centroids are zero-padded, which the dot product and
+    * norm cannot observe. */
+  private def collectCentroids(centroids: DataFrame):
+      Option[(Array[Float], Array[Double], Array[Int], Int)] = {
+    val rows = centroids
+      .select(col("list_id").cast("int"), col("centroid")).collect()
+    if (rows.isEmpty) None
+    else {
+      val vecs = rows.map(r => (r.getInt(0), r.getSeq[Float](1)))
+      val dim = vecs.iterator.map(_._2.length).max
+      val flat = new Array[Float](vecs.length * dim)
+      val cnrms = new Array[Double](vecs.length)
+      val ids = new Array[Int](vecs.length)
+      var i = 0
+      while (i < vecs.length) {
+        val (id, v) = vecs(i)
+        ids(i) = id
+        var acc = 0.0
+        var k = 0
+        while (k < v.length) {
+          val f = v(k)
+          flat(i * dim + k) = f
+          acc += f.toDouble * f.toDouble
+          k += 1
+        }
+        cnrms(i) = math.sqrt(acc)
+        i += 1
+      }
+      Some((flat, cnrms, ids, dim))
+    }
+  }
+
   /** Assign every vector to its max-cosine centroid. The centroid table
     * (nlist rows) collapses to ONE broadcast row holding an
     * array<(list_id, centroid, cnrm)>, and each vector computes its
@@ -1993,10 +2145,25 @@ object Graft {
     * fold's winner condition (cos >, or cos = and list_id <) is
     * order-independent, so the nondeterministic `collect_list` order
     * cannot change the result; NaN cosines (zero-norm vectors) follow
-    * Spark's NaN-is-greatest comparison on both shapes. */
+    * Spark's NaN-is-greatest comparison on both shapes.
+    *
+    * `nlistHint`: callers that know the centroid count (every
+    * deriveNlist-driven build does) pass it; above [[KernelNlist]] the
+    * fold switches to the native kernel — same argmax, one compiled
+    * loop, centroids collected once on the driver instead of
+    * re-broadcast as an expression-tree literal. 0 (the default) keeps
+    * the HOF plan. */
   def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame): DataFrame = {
+      centroids: DataFrame, nlistHint: Int = 0): DataFrame = {
     val n = normalized(df, idCol, vecCol)
+    if (nlistHint > KernelNlist) collectCentroids(centroids) match {
+      case Some((flat, cnrms, ids, dim)) =>
+        return n.select(col(idCol), col(vecCol),
+          graft.functions.VectorExpressions.centroidTopN(
+            col(vecCol), col("nrm"), flat, cnrms, ids, dim,
+            probes = 1, nanWins = true).getItem(0).as("list_id"))
+      case None => // empty centroid table: fall through (zero rows out)
+    }
     val cn = centroids.agg(collect_list(struct(
       col("list_id"), col("centroid"),
       sqrt(dot(col("centroid"), col("centroid"))).as("cnrm"))).as("cents"))
@@ -2032,9 +2199,21 @@ object Graft {
     * for cluster-blocked operations: near-dups sitting just across a
     * cluster boundary share a probe with high probability. */
   def assignToCentroidsTopN(df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, probes: Int): DataFrame = {
+      centroids: DataFrame, probes: Int, nlistHint: Int = 0): DataFrame = {
     require(probes > 0, s"assignToCentroidsTopN(probes=$probes)")
     val n = normalized(df, idCol, vecCol)
+    if (nlistHint > KernelNlist) collectCentroids(centroids) match {
+      case Some((flat, cnrms, ids, dim)) =>
+        // nanWins = false: the sorted-slice HOF orders by (negcos,
+        // list_id) ascending, where a NaN negcos sorts GREATEST — the
+        // opposite NaN placement from the argmax fold; each path keeps
+        // its historical semantics (see CentroidTopNF32)
+        return n.select(col(idCol), col(vecCol),
+          explode(graft.functions.VectorExpressions.centroidTopN(
+            col(vecCol), col("nrm"), flat, cnrms, ids, dim,
+            probes = probes, nanWins = false)).as("list_id"))
+      case None => // empty centroid table: fall through (zero rows out)
+    }
     val cn = centroids.agg(collect_list(struct(
       col("list_id"), col("centroid"),
       sqrt(dot(col("centroid"), col("centroid"))).as("cnrm"))).as("cents"))
@@ -2052,9 +2231,14 @@ object Graft {
   /** Distributed Lloyd refinement for an IVF coarse quantizer:
     * deterministic init (id % nlist), then `iters` rounds of
     * assign-to-nearest + element-wise mean. Every step is joins and
-    * aggregations — no `collect()`, so the corpus never visits the
-    * driver and the shape holds at any scale. Returns
-    * (list_id, centroid). */
+    * aggregations — the CORPUS never visits the driver, so the shape
+    * holds at any scale. (Above [[KernelNlist]] each round's
+    * assignment collects the bounded nlist-row centroid table for the
+    * native argmax kernel — ≤ 4√n rows by the deriveNlist discipline,
+    * the Faiss-style build-time driver cost — which also keeps each
+    * round's plan flat: the collected values replace the nested
+    * centroid subplan, so round i+1 never re-executes round i.)
+    * Returns (list_id, centroid). */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int): DataFrame = {
     require(nlist > 0 && iters >= 0, s"kmeansCentroids($nlist, $iters)")
@@ -2062,7 +2246,7 @@ object Graft {
       df.select((col(idCol) % nlist).as("list_id"), col(vecCol)), vecCol)
     (0 until iters).foreach { _ =>
       cents = meanCentroids(
-        assignToCentroids(df, idCol, vecCol, cents)
+        assignToCentroids(df, idCol, vecCol, cents, nlist)
           .select(col("list_id"), col(vecCol)), vecCol)
     }
     cents

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
@@ -324,6 +324,349 @@ object PqEncodeF32 {
   }
 }
 
+/** Query-directed multiprobe probe-code generation for the sign-LSH
+  * pair index (Lv et al. 2007, "Multi-Probe LSH"): from one table's
+  * per-hyperplane margin array (ARRAY<DOUBLE>, the dot products whose
+  * signs are the code bits), emit the probe codes — the exact code,
+  * single-bit flips of the `m` lowest-|margin| bits, and pair flips of
+  * the `m2` lowest — as ARRAY<INT>, one pass, no allocation beyond the
+  * output.
+  *
+  * A true near-neighbor's code differs from the row's almost surely in
+  * low-margin bits, so m ≪ bits directed single flips retain nearly all
+  * of full hamming-1 multiprobe's recall, and the C(m2,2) directed PAIR
+  * flips add hamming-2 reach full multiprobe never had — measured at
+  * scale10: directed 6+C(4,2) probes (13/table) recall 0.983 vs full
+  * hamming-1's 0.973 (also 13/table at bits 12). The HOF formulation of
+  * the same selection (zip_with + array_sort + nested transforms per
+  * table) evaluates interpreted and dominated the probe build; this is
+  * the same retirement DotProductF32 applied to the cosine fold.
+  *
+  * Tie order matches `array_sort` over (|margin|, bit index): equal
+  * margins keep the lower bit index first. */
+case class LshDirectedProbes(child: Expression, bits: Int, m: Int, m2: Int)
+    extends UnaryExpression {
+  require(bits > 0 && bits <= 30 && m >= 0 && m <= bits && m2 >= 0 &&
+    m2 <= m, s"lsh_probes(bits=$bits, m=$m, m2=$m2)")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"lsh_probes requires ARRAY<DOUBLE> margins, got $t")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, false)
+  override def prettyName: String = "lsh_probes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    LshDirectedProbes.compute(input.asInstanceOf[ArrayData], bits, m, m2)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.LshDirectedProbes.compute($c, $bits, $m, $m2)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object LshDirectedProbes {
+  def compute(dots: ArrayData, bits: Int, m: Int, m2: Int): ArrayData = {
+    val b = math.min(bits, dots.numElements())
+    // one pass: the code bits, plus an insertion-select of the m
+    // smallest |margin| indices (ascending by (|margin|, index) — the
+    // strict `<` keeps the earlier index on ties, matching array_sort
+    // over named_struct(a, j))
+    val selA = new Array[Double](m)
+    val selJ = new Array[Int](m)
+    var cnt = 0
+    var code = 0
+    var j = 0
+    while (j < b) {
+      val d = dots.getDouble(j)
+      if (d > 0) code |= (1 << j)
+      val a = if (d < 0) -d else d
+      var pos = -1
+      if (cnt < m) { pos = cnt; cnt += 1 }
+      else if (m > 0 && a < selA(m - 1)) pos = m - 1
+      if (pos >= 0) {
+        while (pos > 0 && a < selA(pos - 1)) {
+          selA(pos) = selA(pos - 1); selJ(pos) = selJ(pos - 1); pos -= 1
+        }
+        selA(pos) = a; selJ(pos) = j
+      }
+      j += 1
+    }
+    val deep = math.min(m2, cnt)
+    val out = new Array[Int](1 + cnt + deep * (deep - 1) / 2)
+    out(0) = code
+    var i = 0
+    while (i < cnt) { out(1 + i) = code ^ (1 << selJ(i)); i += 1 }
+    var w = 1 + cnt
+    i = 1
+    while (i < deep) {
+      var k = 0
+      while (k < i) {
+        out(w) = code ^ (1 << selJ(i)) ^ (1 << selJ(k))
+        w += 1; k += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+/** Whole-index directed-multiprobe kernel: ALL tables' probe codes for
+  * one vector in one native pass. The per-table formulation
+  * ([[LshDirectedProbes]] under an `array()` of per-plane dotF32 nodes)
+  * builds a tables × bits × dim expression tree (~25k nodes at the
+  * derived 100×-scale layout) whose generated method blows past the JIT
+  * compile threshold — the probe build then runs in the bytecode
+  * interpreter at ~40µs per row-table, dwarfing the join it feeds. Here
+  * the hyperplanes ride along as a plain constructor array (no
+  * expression nodes at all) and the margins/codes/probes loop is one
+  * JIT-compiled method: vec · planes[t,j] exactly as [[DotProductF32]]
+  * folds it (planes stored as FLOAT, accumulated in double), so codes
+  * agree bit-for-bit with the `lshIndex` side's dotF32 codes.
+  *
+  * Output: ARRAY<INT> of tables · probesPerTable ints, table-major —
+  * probesPerTable = 1 + m + C(min(m2, m), 2) (exact code, directed
+  * single flips, directed pair flips; see [[LshDirectedProbes]] for why
+  * directed probing holds recall at a fraction of full multiprobe's
+  * probe rows). The caller derives (tbl, probe) from the flat position.
+  */
+case class LshProbesAll(child: Expression, planes: Array[Float],
+    tables: Int, bits: Int, dim: Int, m: Int, m2: Int)
+    extends UnaryExpression {
+  require(tables > 0 && bits > 0 && bits <= 30 && dim > 0 &&
+    m >= 0 && m <= bits && m2 >= 0 && m2 <= m &&
+    planes.length == tables * bits * dim,
+    s"lsh_probes_all(tables=$tables, bits=$bits, dim=$dim, m=$m, " +
+      s"m2=$m2, planes=${planes.length})")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"lsh_probes_all requires ARRAY<FLOAT> vectors, got $t")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, false)
+  override def prettyName: String = "lsh_probes_all"
+
+  override protected def nullSafeEval(input: Any): Any =
+    LshProbesAll.compute(input.asInstanceOf[ArrayData], planes,
+      tables, bits, dim, m, m2)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    // ship the plane matrix once per task as generated-class state, not
+    // per-row expression data
+    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "float[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.LshProbesAll.compute($c, $planesRef, " +
+        s"$tables, $bits, $dim, $m, $m2)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object LshProbesAll {
+  def probesPerTable(bits: Int, m: Int, m2: Int): Int = {
+    val cnt = math.min(m, bits)
+    val deep = math.min(m2, cnt)
+    1 + cnt + deep * (deep - 1) / 2
+  }
+
+  def compute(vec: ArrayData, planes: Array[Float], tables: Int,
+      bits: Int, dim: Int, m: Int, m2: Int): ArrayData = {
+    val d = math.min(dim, vec.numElements())
+    val v = new Array[Double](d)
+    var i = 0
+    while (i < d) { v(i) = vec.getFloat(i).toDouble; i += 1 }
+    val ppt = probesPerTable(bits, m, m2)
+    val out = new Array[Int](tables * ppt)
+    val selA = new Array[Double](math.max(m, 1))
+    val selJ = new Array[Int](math.max(m, 1))
+    var t = 0
+    while (t < tables) {
+      var code = 0
+      var cnt = 0
+      var j = 0
+      while (j < bits) {
+        val base = (t * bits + j) * dim
+        var acc = 0.0
+        var k = 0
+        while (k < d) { acc += v(k) * planes(base + k).toDouble; k += 1 }
+        if (acc > 0) code |= (1 << j)
+        val a = if (acc < 0) -acc else acc
+        // ascending insertion-select by (|margin|, bit): strict `<`
+        // keeps the earlier bit on ties (array_sort's struct order)
+        var pos = -1
+        if (cnt < m) { pos = cnt; cnt += 1 }
+        else if (m > 0 && a < selA(m - 1)) pos = m - 1
+        if (pos >= 0) {
+          while (pos > 0 && a < selA(pos - 1)) {
+            selA(pos) = selA(pos - 1); selJ(pos) = selJ(pos - 1); pos -= 1
+          }
+          selA(pos) = a; selJ(pos) = j
+        }
+        j += 1
+      }
+      val w0 = t * ppt
+      out(w0) = code
+      var s = 0
+      while (s < cnt) { out(w0 + 1 + s) = code ^ (1 << selJ(s)); s += 1 }
+      val deep = math.min(m2, cnt)
+      var w = w0 + 1 + cnt
+      var x = 1
+      while (x < deep) {
+        var y = 0
+        while (y < x) {
+          out(w) = code ^ (1 << selJ(x)) ^ (1 << selJ(y))
+          w += 1; y += 1
+        }
+        x += 1
+      }
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+/** Whole-table centroid ranking kernel: the `probes` nearest centroids
+  * (cosine desc, list_id asc) for one ARRAY<FLOAT> vector in one native
+  * pass, with the centroid matrix riding along as plain constructor data
+  * — the [[LshProbesAll]] treatment applied to the k-means assignment
+  * loop.
+  *
+  * The HOF formulation (`aggregate`/`array_sort` over a broadcast
+  * `collect_list` of centroid structs) evaluates its lambdas
+  * interpreted, one struct allocation per (row, centroid): fine at the
+  * fixture layouts (nlist ≤ ~500), but the derived-nlist builds past
+  * the deriveNlist √n crossover put nlist in the thousands and the
+  * assignment pass at n·nlist ≈ 10¹⁰ lambda evaluations — hours of
+  * interpreter overhead for ~1 minute of actual flops. This kernel is
+  * the same argmax/top-N as one JIT-compiled loop; [[graft.api.Graft]]
+  * switches to it above a fixed nlist threshold, so every committed
+  * fixture keeps the HOF plan bit for bit.
+  *
+  * Semantics match the two HOF shapes exactly (CentroidKernelSpec
+  * pins both against random data):
+  *  - cos = dotF32(vec, centroid) / (nrm · cnrm), the same
+  *    double-accumulated float fold, bounded by the shorter array;
+  *    `nrm` arrives as the second child (the `normalized` column),
+  *    cnrm is precomputed on the driver with the identical fold.
+  *  - ordering: cos desc, list_id asc on ties (primitive ==, so
+  *    -0.0 == 0.0 like Spark's nanSafeCompareDoubles).
+  *  - NaN cos (zero-norm vector or centroid): `nanWins = true` mirrors
+  *    the argmax fold's GreaterThan SQL semantics (NaN is GREATEST — a
+  *    NaN cosine wins), `nanWins = false` the top-N array_sort over
+  *    (negcos, list_id) (NaN negcos sorts LAST — a NaN cosine loses).
+  *    Under ANSI mode (the session default) the HOF paths cannot
+  *    actually reach NaN — the 0/0 raises DIVIDE_BY_ZERO first — so
+  *    the kernel's NaN ordering is deterministic-by-construction
+  *    rather than observed parity; real corpora never carry zero-norm
+  *    embeddings past `normalized`.
+  *
+  * Output: ARRAY<INT> of min(probes, nlist) list_ids, best first. */
+case class CentroidTopNF32(left: Expression, right: Expression,
+    cents: Array[Float], cnrms: Array[Double], listIds: Array[Int],
+    dim: Int, probes: Int, nanWins: Boolean)
+    extends BinaryExpression {
+  require(dim > 0 && probes > 0 && listIds.length == cnrms.length &&
+    cents.length == listIds.length * dim,
+    s"centroid_topn(dim=$dim, probes=$probes, nlist=${listIds.length}, " +
+      s"cents=${cents.length})")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"centroid_topn requires (ARRAY<FLOAT>, DOUBLE), got $l and $r")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, false)
+  override def prettyName: String = "centroid_topn"
+
+  override protected def nullSafeEval(vec: Any, nrm: Any): Any =
+    CentroidTopNF32.compute(vec.asInstanceOf[ArrayData],
+      nrm.asInstanceOf[Double], cents, cnrms, listIds, dim, probes,
+      nanWins)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    // centroid matrix ships once per task as generated-class state
+    val centsRef = ctx.addReferenceObj("centCents", cents, "float[]")
+    val cnrmsRef = ctx.addReferenceObj("centCnrms", cnrms, "double[]")
+    val idsRef = ctx.addReferenceObj("centIds", listIds, "int[]")
+    nullSafeCodeGen(ctx, ev, (v, n) =>
+      s"${ev.value} = graft.functions.CentroidTopNF32.compute($v, $n, " +
+        s"$centsRef, $cnrmsRef, $idsRef, $dim, $probes, $nanWins);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CentroidTopNF32 {
+  /** cos ordering: is (a, idA) strictly better than (b, idB)? Better =
+    * higher cos (NaN greatest when nanWins, least otherwise), ties by
+    * lower list_id; primitive == keeps -0.0 == 0.0 (nanSafe). */
+  private def better(a: Double, idA: Int, b: Double, idB: Int,
+      nanWins: Boolean): Boolean = {
+    val aN = java.lang.Double.isNaN(a)
+    val bN = java.lang.Double.isNaN(b)
+    if (aN || bN) {
+      if (aN && bN) idA < idB
+      else if (nanWins) aN
+      else bN
+    } else if (a == b) idA < idB
+    else a > b
+  }
+
+  def compute(vec: ArrayData, nrm: Double, cents: Array[Float],
+      cnrms: Array[Double], listIds: Array[Int], dim: Int, probes: Int,
+      nanWins: Boolean): ArrayData = {
+    val nlist = listIds.length
+    val d = math.min(dim, vec.numElements())
+    val v = new Array[Double](d)
+    var i = 0
+    while (i < d) { v(i) = vec.getFloat(i).toDouble; i += 1 }
+    val kept = math.min(probes, nlist)
+    val selC = new Array[Double](kept)
+    val selId = new Array[Int](kept)
+    var cnt = 0
+    var c = 0
+    while (c < nlist) {
+      val base = c * dim
+      var acc = 0.0
+      var k = 0
+      while (k < d) { acc += v(k) * cents(base + k).toDouble; k += 1 }
+      val cos = acc / (nrm * cnrms(c))
+      val id = listIds(c)
+      // descending insertion-select under `better`
+      var pos = -1
+      if (cnt < kept) { pos = cnt; cnt += 1 }
+      else if (better(cos, id, selC(kept - 1), selId(kept - 1), nanWins))
+        pos = kept - 1
+      if (pos >= 0) {
+        while (pos > 0 && better(cos, id, selC(pos - 1), selId(pos - 1),
+            nanWins)) {
+          selC(pos) = selC(pos - 1); selId(pos) = selId(pos - 1); pos -= 1
+        }
+        selC(pos) = cos; selId(pos) = id
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(selId, cnt))
+  }
+}
+
 object VectorExpressions {
   /** Column-level exact integer dot product over two ARRAY<INT>
     * columns (SQ8 scoring — see [[DotProductI32]]). */
@@ -349,6 +692,34 @@ object VectorExpressions {
         org.apache.spark.sql.graft.Bridge.expression(lut),
         org.apache.spark.sql.graft.Bridge.expression(code),
         ksub))
+
+  /** The `probes` nearest centroid list_ids for an ARRAY<FLOAT> vector
+    * with precomputed norm, best first (see [[CentroidTopNF32]]). */
+  def centroidTopN(vec: Column, nrm: Column, cents: Array[Float],
+      cnrms: Array[Double], listIds: Array[Int], dim: Int, probes: Int,
+      nanWins: Boolean): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      CentroidTopNF32(
+        org.apache.spark.sql.graft.Bridge.expression(vec),
+        org.apache.spark.sql.graft.Bridge.expression(nrm),
+        cents, cnrms, listIds, dim, probes, nanWins))
+
+  /** Directed multiprobe probe codes from one LSH table's margin
+    * array (see [[LshDirectedProbes]]). */
+  def lshProbes(margins: Column, bits: Int, m: Int, m2: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      LshDirectedProbes(
+        org.apache.spark.sql.graft.Bridge.expression(margins),
+        bits, m, m2))
+
+  /** ALL tables' directed probe codes for an ARRAY<FLOAT> vector, flat
+    * table-major (see [[LshProbesAll]]). */
+  def lshProbesAll(vec: Column, planes: Array[Float], tables: Int,
+      bits: Int, dim: Int, m: Int, m2: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      LshProbesAll(
+        org.apache.spark.sql.graft.Bridge.expression(vec),
+        planes, tables, bits, dim, m, m2))
 
   /** PQ encode: per-subspace argmax codes against the flattened
     * codebook (see [[PqEncodeF32]]). */
