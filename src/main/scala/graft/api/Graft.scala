@@ -1103,18 +1103,55 @@ object Graft {
     var cents = means(
       sub.withColumn("list_id", (col(idCol) % ksub).cast("int")))
     (0 until iters).foreach { _ =>
-      val cn = cents.agg(collect_list(struct(col("mi"), col("list_id"),
-        col("centroid"),
-        sqrt(dot(col("centroid"), col("centroid"))).as("cnrm"))).as("cs"))
-      val assigned = sub.join(broadcast(cn), lit(true))
-        .filter(size(col("cs")) > 0)
-        .withColumn("list_id", expr(
-          """array_min(transform(filter(cs, c -> c.mi = mi), c ->
-            |  struct(-aggregate(zip_with(sub, c.centroid,
-            |      (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-            |      CAST(0 AS DOUBLE), (a, v) -> a + v) / c.cnrm AS negd,
-            |    c.list_id AS list_id))).list_id""".stripMargin))
-        .drop("cs")
+      // Per-subspace argmax of dot/cnrm through the native
+      // CentroidTopNF32 kernel (nrm = 1: the row norm is constant per
+      // row, so max dot/cnrm IS the kernel's max cosine — identical
+      // double fold, identical (value, list_id) tie order to the
+      // array_min-over-structs HOF this replaces). The HOF evaluated
+      // interpreted at sample·m rows × m·ksub structs — ~10⁹ lambda
+      // evaluations once deriveNlist-sized samples (nlist·128 vectors)
+      // feed it, dominating the whole IVF-PQ build (measured 604 s of
+      // a 1M-vector s11 build; PqCodebooksKernelSpec pins parity).
+      // Collecting the codebook per round (m·ksub rows, a few KB) also
+      // keeps each round's plan flat — the Faiss-style bounded
+      // build-time driver state, same as kmeansCentroids' kernel path.
+      val rows = cents
+        .select(col("mi").cast("int"), col("list_id").cast("int"),
+          col("centroid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+      val byMi = rows.groupBy(_._1)
+      val assignFor: Int => Column = { mi =>
+        val cs = byMi(mi)
+        val flat = new Array[Float](cs.length * dsub)
+        val cnrms = new Array[Double](cs.length)
+        val ids = new Array[Int](cs.length)
+        var i = 0
+        while (i < cs.length) {
+          val v = cs(i)._3
+          ids(i) = cs(i)._2
+          var acc = 0.0
+          var k = 0
+          while (k < v.length && k < dsub) {
+            flat(i * dsub + k) = v(k)
+            acc += v(k).toDouble * v(k).toDouble
+            k += 1
+          }
+          cnrms(i) = math.sqrt(acc)
+          i += 1
+        }
+        graft.functions.VectorExpressions.centroidTopN(
+          col("sub"), lit(1.0), flat, cnrms, ids, dsub,
+          probes = 1, nanWins = false).getItem(0)
+      }
+      // empty-corpus degenerate: sub has no rows either, any value works
+      val assigned =
+        if (rows.isEmpty) sub.withColumn("list_id", lit(null).cast("int"))
+        else sub.withColumn("list_id",
+          (0 until m).filter(byMi.contains).map(mi =>
+            when(col("mi") === mi, assignFor(mi)))
+            // right fold: otherwise() chains once per CASE level
+            .reduceRight((a, b) => a.otherwise(b)))
       cents = means(assigned)
     }
     cents.select(col("mi").as("m"), col("list_id"), col("centroid"),
