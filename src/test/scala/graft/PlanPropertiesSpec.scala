@@ -234,6 +234,22 @@ class PlanPropertiesSpec extends AnyFunSuite with Matchers {
     (p should not).include("CartesianProduct")
   }
 
+  test("s12 kNN self-join: the per-(list, query) pre-rank reuses the " +
+    "candidate join's list_id partitioning — no new Exchange — so only " +
+    "k rows per (query, probe) reach the global query_id window (the " +
+    "occupancy term never shuffles)") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val p = graft.api.Graft.annKnnJoin(emb, "vec_id", "embedding", k = 5)
+      .queryExecution.explainString(FormattedMode)
+    // a (list_id, query_id) exchange would mean the local window failed
+    // to reuse the join's clustering — the full candidate set shuffling
+    // a second time
+    """hashpartitioning\(list_id#\d+, query_id""".r
+      .findFirstIn(p) shouldBe None
+    // exactly one query_id exchange: the final global top-k window
+    """hashpartitioning\(query_id""".r.findAllIn(p).size shouldBe 1
+  }
+
   test("t01 per-document text stats: map-only, no hash-shuffle before " +
     "the output sort") {
     val p = plan("t01_token_count")
