@@ -59,6 +59,41 @@ object VecProbe {
     }
 
     for (arm <- arms) arm match {
+      case "s04u" =>
+        // CONTROL: the fixed-occupancy derivation with the √n cap
+        // removed (what deriveNlist would do past the crossover if the
+        // r8 cap didn't exist) — same build pipeline as s04d, so the
+        // same-session wall difference isolates the cap's effect.
+        val nlistU = math.max(1L, n / 400).toInt
+        val t0 = System.nanoTime()
+        val cap = nlistU.toLong * 128
+        val train =
+          if (n <= cap) emb
+          else emb.filter(expr(
+            "pmod(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8)," +
+              " 16, 10), 1000000) < " +
+              s"${math.max(1L, cap * 1000000L / n)}"))
+        val cents = graft.api.Graft
+          .kmeansCentroids(train, "vec_id", "embedding", nlistU, iters = 2)
+          .localCheckpoint(true)
+        val assigned = graft.api.Graft
+          .assignToCentroids(emb, "vec_id", "embedding", cents, nlistU)
+          .select(col("vec_id"), col("list_id"))
+          .localCheckpoint(true)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val nrm = graft.api.Graft.normalized(emb, "vec_id", "embedding")
+        val q = nrm.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("qe"), col("nrm").as("qn"))
+        val nProbe = math.max(2, math.ceil(nlistU * 0.4).toInt)
+        val listing = graft.ops.Vector.ivfProbeSearch(
+          q, nrm.join(assigned, "vec_id"), cents, nProbe, K)
+        val r = recallOf(listing)
+        val tSearch = (System.nanoTime() - t1) / 1e9
+        println(f"s04u build=$tBuild%.1f search=$tSearch%.1f " +
+          f"recall=$r%.3f nlist_uncapped=$nlistU")
+        cents.unpersist(); assigned.unpersist()
       case "s04d" =>
         // the ivfPqTopK build discipline at derived nlist, minus PQ:
         // sampled Lloyd training, one full-corpus kernel assignment
