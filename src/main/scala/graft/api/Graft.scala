@@ -1313,13 +1313,20 @@ object Graft {
         .select(col(idCol).as("query_id"), col(vecCol).as("qe"),
           col("nrm").as("qn")),
       lookup, m, ksub, dsub)
+    // The ADC scan reads CODES and emits only (query_id, neighbor_id,
+    // adc) — m bytes scored, ~24 bytes shuffled per candidate. The raw
+    // vectors join back AFTER the shortlist cut (shortlist·n_q rows):
+    // dragging qe + the float vector through the full-corpus window
+    // was ~60× the shuffle bytes and contradicted the documented point
+    // of PQ (scan the 64×-smaller index; touch floats only on the
+    // shortlist). Same slimming as [[ivfPqTopK]]'s probed variant.
     val wShort = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("adc").desc, col("neighbor_id"))
-    val short = broadcast(q)
-      .join(enc, col("query_id") =!= col(idCol))
+    val short = broadcast(q.select(col("query_id"), col("qlut")))
+      .join(enc.select(col(idCol), col("code"), col("rnorm")),
+        col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
-        col("qe"), col("qn"), col(vecCol),
         (graft.functions.VectorExpressions
           .pqAdcLut(col("qlut"), col("code"), ksub) / col("rnorm"))
           .as("adc"))
@@ -1328,10 +1335,14 @@ object Graft {
     val wFull = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
+    val nvec = normalized(df, idCol, vecCol)
     short
+      .join(nvec, short("neighbor_id") === nvec(idCol))
+      .join(broadcast(q.select(col("query_id"), col("qe"), col("qn"))),
+        Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qe"), col(vecCol)) /
-          (col("qn") * sqrt(dot(col(vecCol), col(vecCol))))).as("cos"))
+          (col("qn") * col("nrm"))).as("cos"))
       .withColumn("rnk", row_number().over(wFull).cast("bigint"))
       .filter(col("rnk") <= k)
   }
@@ -1469,14 +1480,26 @@ object Graft {
         col("probe.list_id").as("list_id"))
     // Each corpus row lives in exactly ONE list (argmax assignment), so
     // a (query, neighbor) candidate appears at most once — no dedup.
+    // The ADC scan carries ONLY (query_id, neighbor_id, adc) into the
+    // shortlist window: the probe side sheds qe/qn and the encoded side
+    // sheds the raw vector before the join, so the shuffle is ~24 bytes
+    // per candidate instead of the ~1.5 KB (qe + qlut + float vector)
+    // the previous shape dragged through it — at a 5 M-vector corpus
+    // with the 40 %-probed-fraction fixture convention that was ~24 GB
+    // of shortlist shuffle for 8 queries. The raw vectors re-join AFTER
+    // the shortlist cut (shortlist·n_q rows, an equi-join on the id),
+    // which is also the only shape that works when the deployed index
+    // stores codes without vectors.
     val wShort = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("adc").desc, col("neighbor_id"))
-    val short = broadcast(probes)
-      .join(enc, probes("list_id") === enc("list_id") &&
-        col("query_id") =!= col(idCol))
+    val short = broadcast(probes.select(col("query_id"), col("qlut"),
+        col("list_id")))
+      .join(enc.select(col(idCol), col("list_id"), col("code"),
+          col("rnorm")),
+        Seq("list_id"))
+      .filter(col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
-        col("qe"), col("qn"), col(vecCol),
         (graft.functions.VectorExpressions
           .pqAdcLut(col("qlut"), col("code"), ksub) / col("rnorm"))
           .as("adc"))
@@ -1485,10 +1508,14 @@ object Graft {
     val wFull = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
+    val nvec = normalized(df, idCol, vecCol)
     short
+      .join(nvec, short("neighbor_id") === nvec(idCol))
+      .join(broadcast(q.select(col("query_id"), col("qe"), col("qn"))),
+        Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qe"), col(vecCol)) /
-          (col("qn") * sqrt(dot(col(vecCol), col(vecCol))))).as("cos"))
+          (col("qn") * col("nrm"))).as("cos"))
       .withColumn("rnk", row_number().over(wFull).cast("bigint"))
       .filter(col("rnk") <= k)
   }
