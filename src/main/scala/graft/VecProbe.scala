@@ -88,7 +88,8 @@ object VecProbe {
             col("embedding").as("qe"), col("nrm").as("qn"))
         val nProbe = math.max(2, math.ceil(nlistU * 0.4).toInt)
         val listing = graft.ops.Vector.ivfProbeSearch(
-          q, nrm.join(assigned, "vec_id"), cents, nProbe, K)
+          q, nrm.join(assigned, "vec_id"), cents, nProbe, K,
+          nlistHint = nlistU)
         val r = recallOf(listing)
         val tSearch = (System.nanoTime() - t1) / 1e9
         println(f"s04u build=$tBuild%.1f search=$tSearch%.1f " +
@@ -120,7 +121,8 @@ object VecProbe {
             col("embedding").as("qe"), col("nrm").as("qn"))
         val nProbe = math.max(2, math.ceil(nlist * 0.4).toInt)
         val listing = graft.ops.Vector.ivfProbeSearch(
-          q, nrm.join(assigned, "vec_id"), cents, nProbe, K)
+          q, nrm.join(assigned, "vec_id"), cents, nProbe, K,
+          nlistHint = nlist)
         val r = recallOf(listing)
         val tSearch = (System.nanoTime() - t1) / 1e9
         println(f"s04d build=$tBuild%.1f search=$tSearch%.1f " +

@@ -1073,7 +1073,15 @@ object Graft {
     * no driver collect). Returns (m, list_id, centroid, cnrm). At
     * corpus scale codebooks are trained on a SAMPLE (they are a few KB
     * of state describing the space, not the data); encoding the full
-    * corpus is then one map pass. */
+    * corpus is then one map pass.
+    *
+    * NOT lazy: each Lloyd round collects its bounded m·ksub-row
+    * codebook table on the driver (the kernel-path discipline — the
+    * collected values keep round i+1's plan flat instead of nesting
+    * round i's subplan), so the training jobs run when this DataFrame
+    * is CONSTRUCTED, not at the first action, and upstream errors
+    * surface at call time. Documented build-time driver cost, same
+    * class as [[kmeansCentroids]] above [[KernelNlist]]. */
   def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame = {
     require(m > 0 && dim % m == 0 && ksub > 1 && iters >= 0,
@@ -1413,8 +1421,10 @@ object Graft {
     * codebooks train in one Lloyd loop and encode each vector as `m`
     * codes ([[pqCodebooks]]/encode, map-only against broadcast
     * codebooks); (4) each query probes its `nProbe` max-cosine lists
-    * (per-row sorted slice over the broadcast centroid array, no
-    * window); (5) ADC scores ONLY the probed lists' codes — the
+    * ([[probeTopN]] — per-row sorted slice over the broadcast centroid
+    * array at fixture nlist, the native CentroidTopNF32 kernel above
+    * [[KernelNlist]]; no window either way); (5) ADC scores ONLY the
+    * probed lists' codes — the
     * candidate join is an EQUI-JOIN on the list id, never a flat scan
     * (s10's documented gap); (6) the per-query `shortlist` reranks by
     * exact cosine.
@@ -1466,18 +1476,12 @@ object Graft {
         .select(col(idCol).as("query_id"), col(vecCol).as("qe"),
           col("nrm").as("qn")),
       lookup, m, ksub, dsub)
-    val cn = cents.agg(collect_list(struct(col("list_id"), col("centroid"),
-      sqrt(dot(col("centroid"), col("centroid"))).as("cnrm"))).as("cents"))
-    val probes = q.join(broadcast(cn), lit(true))
-      .filter(size(col("cents")) > 0)
-      .select(col("query_id"), col("qe"), col("qn"), col("qlut"),
-        explode(slice(array_sort(transform(col("cents"), c => struct(
-          (-(dot(col("qe"), c("centroid")) / (col("qn") * c("cnrm"))))
-            .cast("double").as("negcos"),
-          c("list_id").cast("int").as("list_id")))), 1, nProbe))
-          .as("probe"))
-      .select(col("query_id"), col("qe"), col("qn"), col("qlut"),
-        col("probe.list_id").as("list_id"))
+    // Query-side probe selection through the shared [[probeTopN]] core:
+    // identical HOF sorted slice at fixture nlist, the CentroidTopNF32
+    // kernel above KernelNlist — a 10⁴⁺-query batch against a √n-capped
+    // nlist is the same interpreter cliff the corpus assignment hit.
+    val probes = probeTopN(q, "qe", Some("qn"), cents, nProbe,
+      nlistHint = nlist)
     // Each corpus row lives in exactly ONE list (argmax assignment), so
     // a (query, neighbor) candidate appears at most once — no dedup.
     // The ADC scan carries ONLY (query_id, neighbor_id, adc) into the
@@ -1916,7 +1920,17 @@ object Graft {
     * bits cap (corpus ≫ 10⁶ per partition-disjoint shard) switch
     * families (minhash banding over shingles, or IVF/k-means blocking
     * via [[semanticDedupPairs]]) rather than stretching sign-LSH. Pin
-    * either field to reproduce a specific index layout. */
+    * either field to reproduce a specific index layout.
+    *
+    * `probeBits`/`probeBits2` (query-directed multiprobe, Lv et al.
+    * 2007) engage ONLY when `probeHamming1 = true` — directed probing
+    * is a refinement of hamming multiprobe, and with multiprobe off the
+    * index probes exact codes alone, whatever the pinned widths. A
+    * pinned `probeBits ≥ bits` is CLAMPED to `bits − 1` at resolution
+    * (flipping every bit of a code enumerates the whole table — that
+    * is full multiprobe, spelled `probeBits = 0`), keeping the
+    * requested `probeBits2` pair flips live instead of silently
+    * falling back to the classic path. */
   final case class LshParams(tables: Int = 0, bits: Int = 0,
       dim: Int = 0, seed: Long = 42L, targetOccupancy: Int = 8,
       probeHamming1: Boolean = true, probeBits: Int = -1,
@@ -2007,7 +2021,13 @@ object Graft {
     // trades recall-per-probe efficiently; derive conservatively, let
     // the caller opt in.
     val (probeBits, probeBits2) =
-      if (p.probeBits >= 0) (p.probeBits, p.probeBits2)
+      if (p.probeBits >= 0)
+        // clamp a pinned width into the directed regime: probeBits ≥
+        // bits would silently lose the directed path (the caller's
+        // probeBits2 pair flips with it) to the classic fallback's
+        // `probeBits < bits` guard — flipping all bits IS full
+        // multiprobe, which is spelled probeBits = 0 (ADVICE r10)
+        (math.min(p.probeBits, bits - 1), p.probeBits2)
       else (0, p.probeBits2)
     p.copy(tables = tables, bits = bits, dim = dim,
       probeBits = probeBits, probeBits2 = probeBits2)
@@ -2314,6 +2334,70 @@ object Graft {
       .select(col(idCol), col(vecCol), col("probe.list_id").as("list_id"))
   }
 
+  /** QUERY-side probe selection shared by the IVF family ([[ivfPqTopK]]
+    * step 4 and the s03/s04/p16 probe core in `graft.ops.Vector`):
+    * append each row's `nProbe` best centroid lists as an exploded
+    * `list_id` INT column (score desc, list_id asc on ties), keeping
+    * every other column of `q`. The score is the cosine
+    * dotF32(vec, centroid) / (nrm · cnrm) when `nrmCol` is given, and
+    * the raw double-accumulated dot product when it is None — the
+    * probe-ordering convention of the s03/s04/p16 core (the per-query
+    * norm is constant within a query and cannot change its own probe
+    * ranking, so that core never divides).
+    *
+    * At or below [[KernelNlist]] this is the broadcast single-row HOF
+    * sorted slice — map-only, and one Exchange LIGHTER than the
+    * row_number window it replaced in the probe core (probe selection
+    * is per-row; it never needed a shuffle). Above the threshold it
+    * switches to the [[graft.functions.CentroidTopNF32]] kernel: the
+    * r10 corpus-side fix applied to the query side. The HOF's
+    * interpreted lambdas cost ~µs per (row, centroid) — invisible at
+    * the 8 fixture queries, but a real retrieval or SemDeDup batch
+    * probes 10⁴–10⁶ queries against a 4√n-capped nlist (~126k lists at
+    * 10⁹ vectors), the identical n·nlist interpreter cliff measured at
+    * 604 s on the corpus assignment side before its kernel.
+    * QueryProbeKernelSpec pins the two paths equal row for row in both
+    * scoring modes; a NaN score (NaN vector components — under ANSI
+    * the cosine path raises DIVIDE_BY_ZERO on a zero norm before any
+    * NaN exists) loses on both paths (array_sort's NaN-last placement;
+    * kernel `nanWins = false`). */
+  private[graft] def probeTopN(q: DataFrame, vecCol: String,
+      nrmCol: Option[String], centroids: DataFrame, nProbe: Int,
+      nlistHint: Int = 0): DataFrame = {
+    require(nProbe > 0, s"probeTopN(nProbe=$nProbe)")
+    val keep = q.columns.toSeq.map(col)
+    if (nlistHint > KernelNlist) collectCentroids(centroids) match {
+      case Some((flat, cnrms, ids, dim)) =>
+        val (nrm, cn) = nrmCol match {
+          case Some(c) => (col(c).cast("double"), cnrms)
+          case None => (lit(1.0), Array.fill(cnrms.length)(1.0))
+        }
+        return q.select((keep :+
+          explode(graft.functions.VectorExpressions.centroidTopN(
+            col(vecCol), nrm, flat, cn, ids, dim,
+            probes = nProbe, nanWins = false)).as("list_id")): _*)
+      case None => // empty centroid table: zero probe rows, same schema
+        return q.filter(lit(false))
+          .select((keep :+ lit(0).as("list_id")): _*)
+    }
+    val cn = centroids.agg(collect_list(struct(
+      col("list_id"), col("centroid"),
+      sqrt(dot(col("centroid"), col("centroid"))).as("cnrm"))).as("cents"))
+    def score(c: Column): Column = nrmCol match {
+      case Some(nc) =>
+        dot(col(vecCol), c("centroid")) / (col(nc) * c("cnrm"))
+      case None => dot(col(vecCol), c("centroid"))
+    }
+    q.join(broadcast(cn), lit(true)) // 1-row build side: adds one column
+      .filter(size(col("cents")) > 0)
+      .select((keep :+
+        explode(slice(array_sort(transform(col("cents"), c => struct(
+          (-score(c)).cast("double").as("negscore"),
+          c("list_id").cast("int").as("list_id")))), 1, nProbe))
+          .as("probe")): _*)
+      .select((keep :+ col("probe.list_id").as("list_id")): _*)
+  }
+
   /** Distributed Lloyd refinement for an IVF coarse quantizer:
     * deterministic init (id % nlist), then `iters` rounds of
     * assign-to-nearest + element-wise mean. Every step is joins and
@@ -2323,7 +2407,10 @@ object Graft {
     * native argmax kernel — ≤ 4√n rows by the deriveNlist discipline,
     * the Faiss-style build-time driver cost — which also keeps each
     * round's plan flat: the collected values replace the nested
-    * centroid subplan, so round i+1 never re-executes round i.)
+    * centroid subplan, so round i+1 never re-executes round i. That
+    * path is therefore NOT lazy — the Lloyd jobs run at DataFrame
+    * construction, and upstream errors surface at call time; below
+    * the threshold the loop stays fully lazy joins/aggregations.)
     * Returns (list_id, centroid). */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int): DataFrame = {

@@ -568,8 +568,12 @@ object LshProbesAll {
   *    Under ANSI mode (the session default) the HOF paths cannot
   *    actually reach NaN — the 0/0 raises DIVIDE_BY_ZERO first — so
   *    the kernel's NaN ordering is deterministic-by-construction
-  *    rather than observed parity; real corpora never carry zero-norm
-  *    embeddings past `normalized`.
+  *    rather than observed parity. The kernel deliberately does NOT
+  *    re-raise on a zero norm: zero-norm screening is `normalized`'s
+  *    job (real corpora never carry one past it), and an assignment
+  *    kernel that throws mid-build on one bad row at 10⁹ vectors
+  *    would trade a deterministic ordering for a lost cluster job —
+  *    callers that want ANSI's strictness filter `nrm > 0` upstream.
   *
   * Output: ARRAY<INT> of min(probes, nlist) list_ids, best first. */
 case class CentroidTopNF32(left: Expression, right: Expression,

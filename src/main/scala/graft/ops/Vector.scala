@@ -41,21 +41,20 @@ object Vector {
     * (s03/s04 derive them from a fixture predicate; p16 receives them
     * from a micro-batch): `q` = (query_id, qe, qn), `listed` = the
     * searchable index (vec_id, embedding, nrm, list_id). Queries pick
-    * their nProbe max-cosine lists from the (broadcast) centroid table,
-    * then ONLY the probed lists are searched and reranked by exact
-    * cosine — the candidate join is an equi-join on the list id, never
-    * a cross product. */
+    * their nProbe max-dot lists through [[graft.api.Graft.probeTopN]]
+    * — per-row map-side selection (no window shuffle; the native
+    * CentroidTopNF32 kernel above the KernelNlist threshold, so a
+    * 10⁴⁺-query batch against a √n-capped nlist never runs the
+    * interpreted HOF cliff), then ONLY the probed lists are searched
+    * and reranked by exact cosine — the candidate join is an equi-join
+    * on the list id, never a cross product. `nlistHint`: callers that
+    * know the centroid count pass it to engage the kernel switch (the
+    * fixture callers' nlist ≤ 10 keeps the HOF plan either way). */
   private[graft] def ivfProbeSearch(q: DataFrame, listed: DataFrame,
-      centroids: DataFrame, nProbe: Int, k: Int): DataFrame = {
-    val wProbe = Window.partitionBy("query_id")
-      .orderBy(col("cdist").desc, col("list_id"))
-    val probes = broadcast(q)
-      .join(broadcast(centroids), lit(true))
-      .select(col("query_id"), col("qe"), col("qn"), col("list_id"),
-        graft.functions.VectorExpressions
-          .dotF32(col("qe"), col("centroid")).as("cdist"))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nProbe)
+      centroids: DataFrame, nProbe: Int, k: Int,
+      nlistHint: Int = 0): DataFrame = {
+    val probes = graft.api.Graft
+      .probeTopN(q, "qe", nrmCol = None, centroids, nProbe, nlistHint)
       .select(col("query_id"), col("qe"), col("qn"), col("list_id"))
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
