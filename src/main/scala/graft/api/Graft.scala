@@ -1451,7 +1451,11 @@ object Graft {
     * full-corpus training makes index build O(n·nlist), quadratic once
     * nlist grows with the corpus (the d12 lesson's ANN twin: measured
     * 10.7× wall on 10× data before the sample, sub-linear after). The
-    * full corpus still takes exactly ONE assignment + ONE encode pass. */
+    * full corpus still takes exactly ONE assignment + ONE encode pass.
+    *
+    * This convenience composes [[ivfPqBuild]] + [[ivfPqSearch]] —
+    * deployments with a long-lived index or more than one query batch
+    * call those directly and pay the build once. */
   def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, dim: Int, nlist: Int, nProbe: Int = 4,
       m: Int = 8, ksub: Int = 16, iters: Int = 2,
@@ -1459,7 +1463,42 @@ object Graft {
     require(shortlist >= k && k > 0 && nlist > 0 && nProbe > 0 &&
       trainPerList > 0,
       s"ivfPqTopK(k=$k, shortlist=$shortlist, nlist=$nlist, nProbe=$nProbe)")
-    val dsub = dim / m
+    val index = ivfPqBuild(df, idCol, vecCol, dim, nlist, m, ksub,
+      iters, trainPerList)
+    ivfPqSearch(index, df.filter(queryPred)
+        .select(col(idCol).as("query_id"), col(vecCol)),
+      "query_id", vecCol, df, vecCol, k, nProbe, shortlist)
+  }
+
+  /** A built IVF-PQ index — the amortizable state [[ivfPqBuild]]
+    * produces ONCE and [[ivfPqSearch]] queries many times (the p16
+    * streaming-ANN deployment shape: index build is the per-corpus-byte
+    * cost; query batches arrive forever after).
+    *
+    *  - `cents` (list_id, centroid): the coarse quantizer, ≤ 4√n rows
+    *    under the [[deriveNlist]] discipline.
+    *  - `enc` (idCol, list_id, code, rnorm): the codes-only corpus —
+    *    `m` bytes of code + the reconstruction norm per vector, NO raw
+    *    vectors (the 64× compression IS the index; rerank re-joins the
+    *    vector store by id).
+    *  - `lookup`: the one-row broadcastable PQ codebook map.
+    *
+    * Persist/restore is plain parquet on the three frames. */
+  final case class IvfPqIndex(cents: DataFrame, enc: DataFrame,
+      lookup: DataFrame, idCol: String, nlist: Int, dim: Int, m: Int,
+      ksub: Int)
+
+  /** Build an [[IvfPqIndex]] over `df` — steps (1)–(3) of the
+    * [[ivfPqTopK]] pipeline (sampled Lloyd for centroids and codebooks,
+    * ONE full-corpus assignment pass, ONE full-corpus encode pass), with
+    * the per-query state factored out so a long-lived index amortizes
+    * the build over every later [[ivfPqSearch]] batch. */
+  def ivfPqBuild(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nlist: Int, m: Int = 8, ksub: Int = 16, iters: Int = 2,
+      trainPerList: Int = 128): IvfPqIndex = {
+    require(nlist > 0 && trainPerList > 0 && m > 0 && dim % m == 0 &&
+      ksub > 1 && iters >= 0,
+      s"ivfPqBuild(dim=$dim, nlist=$nlist, m=$m, ksub=$ksub)")
     val train = trainSample(df, idCol, nlist.toLong * trainPerList,
       df.count())
     // The centroid table feeds two subtrees (corpus assignment + query
@@ -1471,52 +1510,107 @@ object Graft {
       pqLookup(pqCodebooks(train, idCol, vecCol, dim, m, ksub, iters)))
     val enc = pqEncodeWith(assigned, idCol, vecCol, lookup, dim, m,
       ksub, carry = Seq("list_id"))
-    val q = pqQueryLut(
-      normalized(df.filter(queryPred), idCol, vecCol)
-        .select(col(idCol).as("query_id"), col(vecCol).as("qe"),
-          col("nrm").as("qn")),
-      lookup, m, ksub, dsub)
-    // Query-side probe selection through the shared [[probeTopN]] core:
-    // identical HOF sorted slice at fixture nlist, the CentroidTopNF32
-    // kernel above KernelNlist — a 10⁴⁺-query batch against a √n-capped
-    // nlist is the same interpreter cliff the corpus assignment hit.
-    val probes = probeTopN(q, "qe", Some("qn"), cents, nProbe,
-      nlistHint = nlist)
+      .select(col(idCol), col("list_id"), col("code"), col("rnorm"))
+    IvfPqIndex(cents, enc, lookup, idCol, nlist, dim, m, ksub)
+  }
+
+  /** Steps (4)–(6) of [[ivfPqTopK]] against a built [[IvfPqIndex]]:
+    * probe selection ([[probeTopN]] — the CentroidTopNF32 kernel above
+    * [[KernelNlist]]), ADC over ONLY the probed lists' codes (equi-join
+    * on the list id, never a flat scan), exact-cosine rerank of the
+    * per-query `shortlist`. `queries` carries (`qidCol`, `qvecCol`);
+    * `vectors` is the full-vector store (`index.idCol`, `vecCol`) the
+    * rerank re-joins by id — the codes-only index never stores vectors.
+    * A query whose id equals a corpus id is treated as that corpus row
+    * asking for neighbors: the row itself is excluded.
+    *
+    * Two physical regimes by query-batch size, identical results
+    * (IvfPqManyQuerySpec pins row-for-row parity; the switch probes
+    * `queries` with a LIMIT-bounded count, never a full scan):
+    *
+    *  - ≤ `broadcastQueries`: the probe rows (each carrying its ~KB
+    *    qlut) BROADCAST into the candidate join and the global
+    *    shortlist window shuffles the bounded n_q·nProbe·occupancy
+    *    candidate set — the right plan while n_q·nProbe·|qlut| fits an
+    *    executor.
+    *  - above it (batched retrieval, SemDeDup neighborhoods): probe
+    *    rows SHUFFLE-join the codes on list_id — qluts ride the
+    *    exchange, nothing query-sized is ever broadcast or collected —
+    *    and the shortlist cut is TWO-PHASE (the s12 discipline): rank
+    *    within (list_id, query_id) first, which the join output's
+    *    list_id hash partitioning already satisfies (a sort, ZERO new
+    *    Exchange — PlanPropertiesSpec), so the global window shuffles
+    *    n_q·nProbe·min(shortlist, occupancy) rows and occupancy — which
+    *    grows as √n/4 past the [[deriveNlist]] crossover — drops out of
+    *    the one unbounded shuffle. */
+  def ivfPqSearch(index: IvfPqIndex, queries: DataFrame, qidCol: String,
+      qvecCol: String, vectors: DataFrame, vecCol: String, k: Int,
+      nProbe: Int, shortlist: Int = 50,
+      broadcastQueries: Int = 4096): DataFrame = {
+    require(shortlist >= k && k > 0 && nProbe > 0 && broadcastQueries >= 0,
+      s"ivfPqSearch(k=$k, shortlist=$shortlist, nProbe=$nProbe)")
+    val dsub = index.dim / index.m
+    val q0 = normalized(queries, qidCol, qvecCol)
+      .select(col(qidCol).as("query_id"), col(qvecCol).as("qe"),
+        col("nrm").as("qn"))
+    val q = pqQueryLut(q0, index.lookup, index.m, index.ksub, dsub)
+    val probes = probeTopN(q, "qe", Some("qn"), index.cents, nProbe,
+      nlistHint = index.nlist)
+      .select(col("query_id"), col("qlut"), col("list_id"))
+    val probeLimit = (math.min(broadcastQueries.toLong, Int.MaxValue - 1L)
+      + 1L).toInt
+    val small =
+      queries.select(col(qidCol)).limit(probeLimit).count() <=
+        broadcastQueries
     // Each corpus row lives in exactly ONE list (argmax assignment), so
     // a (query, neighbor) candidate appears at most once — no dedup.
     // The ADC scan carries ONLY (query_id, neighbor_id, adc) into the
     // shortlist window: the probe side sheds qe/qn and the encoded side
-    // sheds the raw vector before the join, so the shuffle is ~24 bytes
-    // per candidate instead of the ~1.5 KB (qe + qlut + float vector)
-    // the previous shape dragged through it — at a 5 M-vector corpus
-    // with the 40 %-probed-fraction fixture convention that was ~24 GB
-    // of shortlist shuffle for 8 queries. The raw vectors re-join AFTER
-    // the shortlist cut (shortlist·n_q rows, an equi-join on the id),
-    // which is also the only shape that works when the deployed index
-    // stores codes without vectors.
+    // never stored the raw vector, so the shuffle is ~24 bytes per
+    // candidate instead of the ~1.5 KB (qe + qlut + float vector) the
+    // pre-r10 shape dragged through it. The raw vectors re-join AFTER
+    // the shortlist cut (shortlist·n_q rows, an equi-join on the id).
+    val adc = (graft.functions.VectorExpressions
+      .pqAdcLut(col("qlut"), col("code"), index.ksub) / col("rnorm"))
+      .as("adc")
     val wShort = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("adc").desc, col("neighbor_id"))
-    val short = broadcast(probes.select(col("query_id"), col("qlut"),
-        col("list_id")))
-      .join(enc.select(col(idCol), col("list_id"), col("code"),
-          col("rnorm")),
-        Seq("list_id"))
-      .filter(col("query_id") =!= col(idCol))
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
-        (graft.functions.VectorExpressions
-          .pqAdcLut(col("qlut"), col("code"), ksub) / col("rnorm"))
-          .as("adc"))
-      .withColumn("srnk", row_number().over(wShort))
-      .filter(col("srnk") <= shortlist)
+    val short =
+      if (small)
+        broadcast(probes)
+          .join(index.enc, Seq("list_id"))
+          .filter(col("query_id") =!= col(index.idCol))
+          .select(col("query_id"), col(index.idCol).as("neighbor_id"), adc)
+          .withColumn("srnk", row_number().over(wShort))
+          .filter(col("srnk") <= shortlist)
+      else {
+        val wLocal = org.apache.spark.sql.expressions.Window
+          .partitionBy("list_id", "query_id")
+          .orderBy(col("adc").desc, col("neighbor_id"))
+        probes
+          .join(index.enc, Seq("list_id"))
+          .filter(col("query_id") =!= col(index.idCol))
+          .select(col("list_id"), col("query_id"),
+            col(index.idCol).as("neighbor_id"), adc)
+          // Phase 1 is EXACT: a candidate in a query's global ADC
+          // top-shortlist is necessarily in the top-shortlist of its
+          // own (query, list) under the same (adc desc, neighbor asc)
+          // total order.
+          .withColumn("lrnk", row_number().over(wLocal))
+          .filter(col("lrnk") <= shortlist)
+          .select(col("query_id"), col("neighbor_id"), col("adc"))
+          .withColumn("srnk", row_number().over(wShort))
+          .filter(col("srnk") <= shortlist)
+      }
     val wFull = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
-    val nvec = normalized(df, idCol, vecCol)
+    val nvec = normalized(vectors, index.idCol, vecCol)
+    val qside = q0.select(col("query_id"), col("qe"), col("qn"))
     short
-      .join(nvec, short("neighbor_id") === nvec(idCol))
-      .join(broadcast(q.select(col("query_id"), col("qe"), col("qn"))),
-        Seq("query_id"))
+      .join(nvec, short("neighbor_id") === nvec(index.idCol))
+      .join(if (small) broadcast(qside) else qside, Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qe"), col(vecCol)) /
           (col("qn") * col("nrm"))).as("cos"))
