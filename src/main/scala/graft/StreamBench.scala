@@ -18,12 +18,20 @@ import graft.pubsub.EmbeddedBroker
   *    (8 × 16k), isolating per-batch overhead from per-message cost.
   *
   * Prints one JSON line, mirroring graft.Bench.
+  *
+  * Usage: StreamBench [N] [mode]
+  *   N    — messages per rep (default 100000, the committed headline)
+  *   mode — `all` (default: defaults+tuned+dynamic) or `dyn`
+  *          (defaults+dynamic only — the backlog-decade probe: at
+  *          N=1M the clamp plans ceil(1M/10000)=100 partitions, a
+  *          decade above the 10 it plans at the headline's 100k; the
+  *          256-partition ceiling binds from 2.56M)
   */
 object StreamBench {
 
-  private val N = 100000
-
   def main(args: Array[String]): Unit = {
+    val N = args.headOption.map(_.toInt).getOrElse(100000)
+    val mode = if (args.length > 1) args(1) else "all"
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-stream-bench")
@@ -89,7 +97,7 @@ object StreamBench {
       (1 to reps).map(r =>
         run(s"$name-r$r", partitions, maxPerPull, dynamic)).max
     val defaults = best("defaults", 4, 1000)
-    val tuned = best("tuned", 8, 16000)
+    val tuned = if (mode == "dyn") 0.0 else best("tuned", 8, 16000)
     // dynamic fan-out: num_partitions is only the floor — each batch
     // asks the backlog monitor for the partition count, pricing the
     // monitor + clamp path the static configs bypass.

@@ -32,8 +32,15 @@ import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroB
   */
 class PubsubMicroBatchStream(
     opts: PubsubReadOptions,
-    checkpointLocation: String)
+    checkpointLocation: String,
+    readSchema: org.apache.spark.sql.types.StructType =
+      PubsubOptions.ReadSchema)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  /** Emitted-field ordinals into the FULL source schema, in the pruned
+    * schema's order — what [[PubsubPartitionReader]] materializes. */
+  private val fieldOrdinals: Array[Int] =
+    readSchema.fieldNames.map(PubsubOptions.ReadSchema.fieldIndex)
 
   private val session = SparkSession.active
   private val endpoint = opts.endpoint.getOrElse(EmbeddedBroker.DefaultEndpoint)
@@ -180,7 +187,8 @@ class PubsubMicroBatchStream(
           maxMessages = partitionBudget(idx),
           cachePath = new Path(cacheRoot,
             s"batch=$endBatch/part=$idx").toString,
-          region = region)
+          region = region,
+          fieldOrdinals = fieldOrdinals)
       }
     }.toArray[InputPartition]
   }

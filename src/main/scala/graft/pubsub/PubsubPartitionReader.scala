@@ -11,7 +11,8 @@ import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, Par
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Serializable partition descriptor. Carries the replay-cache path for
-  * its (batch, partition) slot. Reference: PubsubInputPartition.scala:7-10.
+  * its (batch, partition) slot and the pruned-schema field ordinals the
+  * reader emits. Reference: PubsubInputPartition.scala:7-10.
   */
 final case class PubsubInputPartition(
     subscriptionPath: String,
@@ -20,7 +21,15 @@ final case class PubsubInputPartition(
     partitionIdx: Int,
     maxMessages: Int,
     cachePath: String,
-    region: String) extends InputPartition
+    region: String,
+    fieldOrdinals: Array[Int] = PubsubInputPartition.AllFields)
+  extends InputPartition
+
+object PubsubInputPartition {
+  /** Full-schema identity projection (ordinals into
+    * [[PubsubOptions.ReadSchema]]). */
+  val AllFields: Array[Int] = Array.range(0, 7)
+}
 
 class PubsubPartitionReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -76,20 +85,13 @@ class PubsubPartitionReader(p: PubsubInputPartition)
     if (iter.hasNext) { current = iter.next(); true } else false
   }
 
+  // Converted once per partition, shared by every row.
+  private lazy val subscriptionUtf8 =
+    UTF8String.fromString(p.subscriptionPath)
+
   override def get(): InternalRow = {
     val (ackId, m) = current
-    val keys = new GenericArrayData(
-      m.attributes.keysIterator.map(UTF8String.fromString).toArray[Any])
-    val values = new GenericArrayData(
-      m.attributes.valuesIterator.map(UTF8String.fromString).toArray[Any])
-    new GenericInternalRow(Array[Any](
-      UTF8String.fromString(p.subscriptionPath),
-      UTF8String.fromString(ackId),
-      UTF8String.fromString(m.messageId),
-      UTF8String.fromString(m.orderingKey),
-      m.data,
-      m.publishTimestampMicros,
-      new ArrayBasedMapData(keys, values)))
+    new PubsubMessageRow(subscriptionUtf8, ackId, m, p.fieldOrdinals)
   }
 
   override def close(): Unit = ()
@@ -98,6 +100,79 @@ class PubsubPartitionReader(p: PubsubInputPartition)
   private def writeCache(msgs: Seq[(String, EmbeddedBroker.Message)])
       : Seq[(String, EmbeddedBroker.Message)] =
     ReplayCache.write(p.cachePath, msgs)
+}
+
+/** Per-field LAZY row over one pulled message: each field converts to
+  * its catalyst form the first time its ordinal is ACCESSED, so the
+  * fused downstream Project touches only the columns the query reads —
+  * `CAST(data AS STRING)` (the reference README's first example,
+  * README.md:66-67) never pays the four UTF8String conversions or the
+  * attributes-map array build of the untouched columns. This is the
+  * narrow-projection win available WITHOUT optimizer pushdown: Spark
+  * 4.1's micro-batch planner never calls pruneColumns (see
+  * [[PubsubScanBuilder]]), but whole-stage codegen reads row fields by
+  * ordinal on demand, and a full-width consumer (an Exchange's
+  * UnsafeProjection) does the same per-field work the old eager
+  * GenericInternalRow did up front — lazy is never worse.
+  *
+  * `ordinals` maps emitted field index -> FULL-schema ordinal
+  * ([[PubsubOptions.ReadSchema]] order), so the same row type serves
+  * pruned scans. Converted values memoize (a field read twice converts
+  * once); `copy()` materializes every emitted field, preserving
+  * InternalRow's contract for buffering consumers. All source fields
+  * are non-null (`attributes` is `Map.empty` at minimum), so
+  * `isNullAt` answers without materializing. */
+final class PubsubMessageRow(
+    subscription: UTF8String,
+    ackId: String,
+    m: EmbeddedBroker.Message,
+    ordinals: Array[Int])
+  extends InternalRow
+  with org.apache.spark.sql.catalyst.expressions.BaseGenericInternalRow {
+
+  private[this] val cache = new Array[AnyRef](ordinals.length)
+
+  override def numFields: Int = ordinals.length
+
+  override protected def genericGet(i: Int): Any = {
+    var v = cache(i)
+    if (v == null) {
+      v = (ordinals(i): @scala.annotation.switch) match {
+        case 0 => subscription
+        case 1 => UTF8String.fromString(ackId)
+        case 2 => UTF8String.fromString(m.messageId)
+        case 3 => UTF8String.fromString(m.orderingKey)
+        case 4 => m.data
+        case 5 => java.lang.Long.valueOf(m.publishTimestampMicros)
+        case 6 =>
+          new ArrayBasedMapData(
+            new GenericArrayData(m.attributes.keysIterator
+              .map(UTF8String.fromString).toArray[Any]),
+            new GenericArrayData(m.attributes.valuesIterator
+              .map(UTF8String.fromString).toArray[Any]))
+      }
+      cache(i) = v.asInstanceOf[AnyRef]
+    }
+    v
+  }
+
+  // The timestamp is the one primitive column — skip the boxing the
+  // generic path would pay on every row of a time-windowed query.
+  override def getLong(i: Int): Long = {
+    require(ordinals(i) == 5, s"getLong on non-long field $i")
+    m.publishTimestampMicros
+  }
+
+  override def isNullAt(i: Int): Boolean = false
+  override def anyNull: Boolean = false
+
+  override def setNullAt(i: Int): Unit =
+    throw new UnsupportedOperationException("PubsubMessageRow is read-only")
+  override def update(i: Int, value: Any): Unit =
+    throw new UnsupportedOperationException("PubsubMessageRow is read-only")
+
+  override def copy(): GenericInternalRow =
+    new GenericInternalRow(Array.tabulate[Any](ordinals.length)(genericGet))
 }
 
 /** Pulled-batch persistence under the checkpoint location: one file per

@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, Write, WriteBuilder}
 import org.apache.spark.sql.connector.write.streaming.StreamingWrite
@@ -62,16 +62,41 @@ class PubsubTable(properties: Map[String, String])
   }
 }
 
-class PubsubScanBuilder(opts: PubsubReadOptions) extends ScanBuilder {
-  override def build(): Scan = new PubsubScan(opts)
+/** Scan builder with column-pruning pushdown (the reference's
+  * PubsubScanBuilder.scala:6-8 implements no pushdown mix-ins; every
+  * real user's first query is `CAST(data AS STRING)` — reference
+  * README.md:66-67 — so the 7-column row should narrow to what the
+  * query reads).
+  *
+  * HONESTY NOTE on who calls this: Spark 4.1's micro-batch planner
+  * builds streaming scans directly (MicroBatchExecution's relation
+  * transform calls `newScanBuilder(options).build()` with no
+  * V2ScanRelationPushDown pass — the rule only matches batch
+  * relations), so TODAY no streaming query triggers `pruneColumns`;
+  * the pushdown is exercised by direct builder use (PubsubPruningSpec)
+  * and engages automatically the release Spark extends pushdown to
+  * streaming. The narrow-projection win that IS reachable today comes
+  * from the reader's per-field LAZY row ([[PubsubMessageRow]]): the
+  * fused Project accesses only the ordinals it needs, so untouched
+  * columns never materialize regardless of pushdown. */
+class PubsubScanBuilder(opts: PubsubReadOptions)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = PubsubOptions.ReadSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // Spark passes a subset of the table schema in schema order; an
+    // empty projection (pure count) is legal and yields 0-field rows.
+    required = requiredSchema
+  override def build(): Scan = new PubsubScan(opts, required)
 }
 
 /** Row-oriented scan (columnar unsupported, as in the reference:
-  * PubsubScan.scala:13). */
-class PubsubScan(opts: PubsubReadOptions) extends Scan {
-  override def readSchema(): StructType = PubsubOptions.ReadSchema
+  * PubsubScan.scala:13) over the (possibly pruned) `schema`. */
+class PubsubScan(opts: PubsubReadOptions,
+    schema: StructType = PubsubOptions.ReadSchema) extends Scan {
+  override def readSchema(): StructType = schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new PubsubMicroBatchStream(opts, checkpointLocation)
+    new PubsubMicroBatchStream(opts, checkpointLocation, schema)
   override def description(): String =
-    s"PubsubScan(${opts.subscriptionPath})"
+    s"PubsubScan(${opts.subscriptionPath})" +
+      s"[${schema.fieldNames.mkString(",")}]"
 }
