@@ -3440,17 +3440,36 @@ object Graft {
   def bottomKContainmentPairsFromShingles(sh: DataFrame, idCol: String,
       k: Int = 16, threshold: Double = 0.8,
       maxShingleDf: Int = Int.MaxValue,
+      hotShingleGuardDf: Int = DefaultHotShingleGuardDf): DataFrame =
+    bottomKContainmentPairsFromHashes(hashShingles(sh, idCol), idCol,
+      k, threshold, maxShingleDf, hotShingleGuardDf)
+
+  /** The h0 hash projection of a distinct shingle table: DISTINCT
+    * (id, h) with h = the first 8 md5 hex chars of `"0:" + shingle` as
+    * int64 — seed 0 of the MinHash family, the same convention
+    * [[minhashSignatures]] uses, so the DuckDB oracle replays it bit
+    * for bit. Factored out (r10 verdict item 7) so a curation session
+    * materializes the corpus hash table ONCE and runs every
+    * [[bottomKContainmentPairsFromHashes]] probe against it; two
+    * disjoint-id corpora's hash tables union into the augmented
+    * corpus's (per-document distinct survives a disjoint union). */
+  def hashShingles(sh: DataFrame, idCol: String): DataFrame =
+    sh.select(col(idCol), graft.functions.TextExpressions.hexSliceLong(
+        md5(concat(lit("0:"), col("s"))), 1, 8).as("h"))
+      .distinct()
+
+  /** [[bottomKContainmentPairs]] over a PRECOMPUTED distinct hash
+    * table (id, h) from [[hashShingles]]: df admission, the
+    * per-document bottom-k window, and the sketch-vs-full equi-join
+    * run here; the corpus-scale hash build is the amortizable part a
+    * long-lived session pays once. */
+  def bottomKContainmentPairsFromHashes(hashedIn: DataFrame,
+      idCol: String, k: Int = 16, threshold: Double = 0.8,
+      maxShingleDf: Int = Int.MaxValue,
       hotShingleGuardDf: Int = DefaultHotShingleGuardDf): DataFrame = {
     require(k > 0 && threshold >= 0,
       s"bottomKContainmentPairs(k=$k, threshold=$threshold)")
-    // h0 of the MinHash family (seed "0:", first 8 md5 hex chars) — the
-    // same convention minhashSignatures uses, so the DuckDB oracle
-    // replays the sketch bit for bit.
-    val hashed = admittedShingles(
-      sh
-        .select(col(idCol), graft.functions.TextExpressions.hexSliceLong(
-          md5(concat(lit("0:"), col("s"))), 1, 8).as("h"))
-        .distinct(),
+    val hashed = admittedShingles(hashedIn,
       idCol, maxShingleDf, hotShingleGuardDf, "bottomKContainmentPairs",
       keyCol = "h")
     val cnt = hashed.groupBy(idCol).agg(count(lit(1)).as("nh"))

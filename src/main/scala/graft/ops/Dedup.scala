@@ -88,6 +88,19 @@ object Dedup {
       graft.api.Graft.shingles(docs(s, d), "doc_id", "text")
     }
 
+  /** The base corpus's h0 HASH table ([[graft.api.Graft.hashShingles]]
+    * over the shared shingle listing) — the second amortizable level:
+    * d18's bottom-k containment needs the hashed+distinct form, and at
+    * 100 TB a curation session computes that corpus hash table once
+    * and probes it many times. d18 owns the build (reuse = true only
+    * skips it when a prior run this session already left it). */
+  private[ops] def sharedShingleHashes(s: SparkSession, d: String,
+      reuse: Boolean = false): DataFrame =
+    ListingCache.shared("doc_shingle_h0", s, d, reuse) {
+      graft.api.Graft.hashShingles(sharedShingles(s, d, reuse = true),
+        "doc_id")
+    }
+
   /** Sequential-fold double dot product of two float arrays (native
     * codegen expression) — bit-identical to DuckDB's list_sum over the
     * same zip, see [[graft.functions.DotProductF32]]. */
@@ -687,15 +700,22 @@ object Dedup {
           .select((col("doc_id") + lit(1000000L)).as("doc_id"),
             concat_ws(" ", slice(split(col("text"), " "), 1, 12))
               .as("text"))
-        // The augmented corpus's shingle set = the session-shared base
-        // listing ∪ the fragments' own (small) shingle build: frag ids
-        // are disjoint from base ids (offset +1e6), so the per-document
-        // distinct is preserved by the union — the r9 verdict's fix for
-        // d18 rebuilding the whole corpus shingle table its siblings
-        // had just built (most of its 3.8 s sf0.1 wall).
-        val sh = sharedShingles(s, d, reuse = true).unionByName(
-          graft.api.Graft.shingles(frags, "doc_id", "text"))
-        graft.api.Graft.bottomKContainmentPairsFromShingles(
+        // The augmented corpus's HASH table = the session-shared base
+        // hash listing ∪ the fragments' own (small) shingle+hash build:
+        // frag ids are disjoint from base ids (offset +1e6), so the
+        // per-document distinct is preserved by the union. Both sides
+        // are session-shared materializations (r9: the shingle listing;
+        // r10 verdict item 7: the h0 hash tables on top) — the union
+        // feeds FOUR consumers inside the bottom-k op (df guard,
+        // per-doc counts, sketch window, full-side join), so an
+        // unmaterialized frag build would re-tokenize the corpus once
+        // per consumer per evaluation.
+        val sh = sharedShingleHashes(s, d, reuse = true).unionByName(
+          ListingCache.shared("d18_frag_h0", s, d, reuse = true) {
+            graft.api.Graft.hashShingles(
+              graft.api.Graft.shingles(frags, "doc_id", "text"), "doc_id")
+          })
+        graft.api.Graft.bottomKContainmentPairsFromHashes(
           sh, "doc_id", k = 16, threshold = 0.8)
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
             round(col("est_containment"), 4).as("est_containment"))
