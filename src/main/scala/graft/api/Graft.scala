@@ -1377,23 +1377,59 @@ object Graft {
   def sqTopK(df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, shortlist: Int = 50): DataFrame = {
     require(shortlist >= k && k > 0, s"sqTopK(k=$k, shortlist=$shortlist)")
-    val enc = normalized(df, idCol, vecCol)
-      .withColumn("mx", expr(
-        s"array_max(transform($vecCol, x -> abs(CAST(x AS DOUBLE))))"))
+    sqTopKFromEncoded(sq8Encode(df, idCol, vecCol), idCol, vecCol,
+      queryPred, k, shortlist)
+  }
+
+  /** The SQ8-encoded corpus — the amortizable state a deployment stores
+    * (s05 IS the storage op): (idCol, vecCol, nrm, mx, q) with
+    * `mx = max |x|` and `q = round(x · 127 / mx)` int8-range codes,
+    * zero-direction rows (mx = 0) excluded. Encode is pure per-row map
+    * work through the native [[graft.functions.MaxAbsF32]] /
+    * [[graft.functions.Sq8EncodeF32]] kernels: the
+    * `array_max(transform(...))` / `transform(round(...))` HOFs this
+    * replaces evaluate their lambdas INTERPRETED — measured 107 s of a
+    * 113 s sqTopK call at 1M vectors (the r11 many-query probe), paid
+    * per CALL because the encode was inlined; factoring it out both
+    * compiles the loop and lets one encode serve every later
+    * [[sqTopKFromEncoded]] batch. Kernel ≡ HOF bit-for-bit
+    * (Sq8KernelSpec). */
+  def sq8Encode(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    normalized(df, idCol, vecCol)
+      .withColumn("mx",
+        graft.functions.VectorExpressions.maxAbsF32(col(vecCol)))
       .filter(col("mx") > 0)
-      .withColumn("q", expr(
-        s"transform($vecCol, " +
-          "x -> CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS INT))"))
-    val qside = enc.filter(queryPred)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qe"),
+      .withColumn("q", graft.functions.VectorExpressions
+        .sq8EncodeF32(col(vecCol), col("mx")))
+
+  /** [[sqTopK]] steps (2)–(3) against a PRECOMPUTED [[sq8Encode]]
+    * corpus: the int-dot scan over the broadcast query batch and the
+    * exact-cosine rerank of the per-query `shortlist`. Per-query cost
+    * is O(corpus) BY DESIGN (SQ8 is the training-free flat-scan path —
+    * the scan just reads 4×-smaller codes); sub-linear per-query work
+    * is [[ivfPqBuild]]/[[ivfPqSearch]]'s job.
+    *
+    * The scan emits ONLY (query_id, neighbor_id, approx) into the
+    * shortlist window — ~24 bytes per candidate, the r10 codes-only
+    * discipline ([[pqTopK]]): the pre-r11 shape dragged qe + the float
+    * vector (~0.5 KB) through the n_q·corpus window shuffle, which
+    * inverted SQ8's whole premise (the int8 scan read 4× LESS but
+    * shuffled 20× MORE than the exact float scan). Raw vectors re-join
+    * AFTER the cut, shortlist·n_q rows by id. */
+  def sqTopKFromEncoded(enc: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k && k > 0,
+      s"sqTopKFromEncoded(k=$k, shortlist=$shortlist)")
+    val qcodes = enc.filter(queryPred)
+      .select(col(idCol).as("query_id"),
         col("nrm").as("qn"), col("mx").as("qmx"), col("q").as("qq"))
     val wShort = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("approx").desc, col("neighbor_id"))
-    val short = broadcast(qside)
-      .join(enc, col("query_id") =!= col(idCol))
+    val short = broadcast(qcodes)
+      .join(enc.select(col(idCol), col("mx"), col("q"), col("nrm")),
+        col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
-        col("qe"), col("qn"), col(vecCol), col("nrm"),
         (graft.functions.VectorExpressions.dotI32(col("qq"), col("q"))
           .cast("double") * col("qmx") * col("mx") / lit(16129.0) /
           (col("qn") * col("nrm"))).as("approx"))
@@ -1402,7 +1438,13 @@ object Graft {
     val wFull = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
+    val nvec = enc.select(col(idCol), col(vecCol), col("nrm"))
+    val qvec = enc.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qe"),
+        col("nrm").as("qn"))
     short
+      .join(nvec, short("neighbor_id") === nvec(idCol))
+      .join(broadcast(qvec), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qe"), col(vecCol)) / (col("qn") * col("nrm")))
           .as("cos"))

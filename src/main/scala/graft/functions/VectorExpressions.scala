@@ -671,6 +671,125 @@ object CentroidTopNF32 {
   }
 }
 
+/** Native max-|x| over an ARRAY<FLOAT> column — the per-vector SQ8
+  * scale (s05's storage convention). Semantics mirror the
+  * `array_max(transform(vec, x -> abs(CAST(x AS DOUBLE))))` HOF it
+  * replaces exactly: cast-then-abs per element, array_max's NaN-greatest
+  * ordering, null on an empty array. The HOF evaluates its lambda
+  * INTERPRETED per element — measured 107 s for one sqTopK call at 1M
+  * vectors (r11 many-query probe), the identical cliff class r10 fixed
+  * on the centroid/LSH paths — where this loop codegens into the
+  * surrounding stage. */
+case class MaxAbsF32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"max_abs_f32 requires ARRAY<FLOAT> input, got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "max_abs_f32"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any =
+    MaxAbsF32.eval(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      s"""
+         |Object $out = graft.functions.MaxAbsF32.eval($a);
+         |if ($out == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ((java.lang.Double) $out).doubleValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(newChild)
+}
+
+object MaxAbsF32 {
+  /** Null for an empty array (array_max's convention); NaN is greatest
+    * (catalyst ordering), so one NaN component poisons the scale the
+    * same way the HOF did. */
+  def eval(arr: ArrayData): AnyRef = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    var mx = java.lang.Math.abs(arr.getFloat(0).toDouble)
+    var i = 1
+    while (i < n) {
+      val v = java.lang.Math.abs(arr.getFloat(i).toDouble)
+      if (java.lang.Double.isNaN(v) || v > mx) mx = v
+      i += 1
+    }
+    java.lang.Double.valueOf(mx)
+  }
+}
+
+/** Native SQ8 encode: `round(CAST(x AS DOUBLE) * 127 / mx)` per element
+  * of an ARRAY<FLOAT>, as ARRAY<INT>. Rounding replays Spark's
+  * `round()` on DOUBLE bit for bit (NaN/Infinity pass through the
+  * rounding, then cast; otherwise java BigDecimal.valueOf → setScale(0,
+  * HALF_UP) — the exact RoundBase double path), so gate rows and the
+  * DuckDB oracle parity are unchanged; Sq8KernelSpec pins kernel ≡ HOF
+  * row-for-row. Same interpreted-lambda retirement as [[MaxAbsF32]]. */
+case class Sq8EncodeF32(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sq8_encode_f32 requires (ARRAY<FLOAT>, DOUBLE), got $l and $r")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "sq8_encode_f32"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Sq8EncodeF32.encode(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  graft.functions.Sq8EncodeF32.encode($a, $b);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
+object Sq8EncodeF32 {
+  /** Spark's RoundBase double path at scale 0: NaN/Infinity unchanged,
+    * else BigDecimal HALF_UP — NOT Math.round (HALF_UP rounds -2.5 to
+    * -3, Math.round to -2). */
+  private def roundHalfUp(v: Double): Double =
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) v
+    else java.math.BigDecimal.valueOf(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def encode(arr: ArrayData, mx: Double): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = roundHalfUp(arr.getFloat(i).toDouble * 127.0 / mx).toInt
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
 object VectorExpressions {
   /** Column-level exact integer dot product over two ARRAY<INT>
     * columns (SQ8 scoring — see [[DotProductI32]]). */
@@ -724,6 +843,20 @@ object VectorExpressions {
       LshProbesAll(
         org.apache.spark.sql.graft.Bridge.expression(vec),
         planes, tables, bits, dim, m, m2))
+
+  /** Per-vector SQ8 scale: max |x| over an ARRAY<FLOAT> column (see
+    * [[MaxAbsF32]]). */
+  def maxAbsF32(vec: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      MaxAbsF32(org.apache.spark.sql.graft.Bridge.expression(vec)))
+
+  /** SQ8 int8 codes: round(x · 127 / mx) per element (see
+    * [[Sq8EncodeF32]]). */
+  def sq8EncodeF32(vec: Column, mx: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      Sq8EncodeF32(
+        org.apache.spark.sql.graft.Bridge.expression(vec),
+        org.apache.spark.sql.graft.Bridge.expression(mx)))
 
   /** PQ encode: per-subspace argmax codes against the flattened
     * codebook (see [[PqEncodeF32]]). */

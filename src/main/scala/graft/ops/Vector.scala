@@ -463,19 +463,21 @@ object Vector {
       // storage/bandwidth step of a large-scale vector pipeline (4x
       // smaller than float32). Per-vector max-abs scale, q = round(x *
       // 127 / scale); emitted as exact integer summaries plus the max
-      // reconstruction error. Pure codegen higher-order functions, zero
-      // shuffle; hash-checked — the quantized values are integers, so
-      // parity is exact, and the float scale math is the same double
-      // sequence on both engines.
+      // reconstruction error. The scale + encode run through the
+      // native MaxAbsF32 / Sq8EncodeF32 kernels (the transform/
+      // array_max HOFs evaluate interpreted — the r11 many-query probe
+      // measured them at ~107 s per 1M-vector pass); rounding replays
+      // Spark round() bit for bit, so parity with the oracle is exact.
+      // Zero shuffle; hash-checked.
       (s, d) => Tables.load(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"),
-          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+          graft.functions.VectorExpressions.maxAbsF32(col("embedding"))
             .as("mx"))
         .filter(col("mx") > 0)
         .select(col("vec_id"),
-          expr("transform(embedding, " +
-            "x -> CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS BIGINT))")
-            .as("q"),
+          graft.functions.VectorExpressions
+            .sq8EncodeF32(col("embedding"), col("mx"))
+            .cast("array<bigint>").as("q"),
           col("embedding"), col("mx"))
         .select(col("vec_id"),
           expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)")
