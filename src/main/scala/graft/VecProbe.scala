@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * 2.56M-vector crossover where the 4·√n cap starts binding.
   *
   * Usage: VecProbe [dir] [arms]
-  *   arms ⊆ s04d,s11,s12 (comma-separated; default all three)
+  *   arms ⊆ s04d,s11,s12,mq,mqx (comma-separated; default the first
+  *   three — the √n-regime arms)
   *
   *  - s04d: trained IVF at DERIVED nlist (the gate's s04 pins nlist=10
   *    as a fixture; this arm is what a corpus-sized deployment runs) —
@@ -20,9 +21,21 @@ import org.apache.spark.sql.functions._
   *    deriveNlist, 40%-of-lists probes, n/10 shortlist).
   *  - s12: annKnnJoin over the full slice; recall measured on the
   *    fixture query ids (replica 0 keeps original ids).
+  *  - mq: the MANY-QUERY regime (r10 verdict item 2) — ONE ivfPqBuild,
+  *    then ivfPqSearch batches of growing n_q drawn evenly across
+  *    replicas, spanning the broadcastQueries=4096 regime switch; the
+  *    committed walls all use the 8-query fixture, this arm measures
+  *    whether per-query cost stays flat when a SemDeDup-neighborhood /
+  *    batched-retrieval workload probes 10⁴–10⁵ queries.
+  *  - mqx: the exact + flat-scan controls for mq (cosineTopK, sqTopK)
+  *    at small n_q — their per-query cost is O(corpus) by construction,
+  *    the number the indexed path's flat line is read against.
   *
   * Recall convention: pooled hits vs the exact cosine top-K for
-  * `vec_id < 8` (the s07 contract's query set), K = 5. */
+  * `vec_id < 8` (the s07 contract's query set), K = 5; the mq batches
+  * draw queries as `pmod(vec_id, 10⁷) < perReplica`, so the replica-0
+  * ids < 8 ride every batch and recall is measured on whichever of the
+  * 8 are present. */
 object VecProbe {
   private val K = 5
   private val NQueries = 8
@@ -146,6 +159,82 @@ object VecProbe {
           .select(col("query_id"), col("neighbor_id")))
         println(f"s12  wall=${(System.nanoTime() - t0) / 1e9}%.1f " +
           f"recall=$r%.3f")
+      case "mq" =>
+        // Deployment probe count, NOT the fixture's 40%-of-lists: a
+        // many-query batch pins a small absolute nProbe (the Faiss
+        // convention); recall here rides the slice's replica-cluster
+        // structure, the contract recall lives in s07.
+        val nProbe = 64
+        val shortlist = 256
+        val t0 = System.nanoTime()
+        val built = graft.api.Graft.ivfPqBuild(emb, "vec_id",
+          "embedding", dim = 64, nlist = nlist)
+        // Materialize the amortizable state once — the long-lived-index
+        // deployment shape ivfPqBuild/Search exists for.
+        val index = built.copy(
+          cents = built.cents.localCheckpoint(true),
+          enc = built.enc.localCheckpoint(true))
+        println(f"mq build=${(System.nanoTime() - t0) / 1e9}%.1f " +
+          s"nlist=$nlist nProbe=$nProbe shortlist=$shortlist " +
+          s"(probe kernel engaged: ${nlist > 1024})")
+        val IdStride = 10000000L
+        // (label, per-replica id cut): n_q = 500·perRep on a
+        // factor-500 slice, except the 8-query fixture baseline.
+        val batches = Seq(
+          ("8", col("vec_id") < 8),
+          ("1k", pmod(col("vec_id"), lit(IdStride)) < 2),
+          ("8k", pmod(col("vec_id"), lit(IdStride)) < 16),
+          ("64k", pmod(col("vec_id"), lit(IdStride)) < 128))
+        for ((label, pred) <- batches) {
+          val q = emb.filter(pred)
+            .select(col("vec_id").as("query_id"), col("embedding"))
+          val t1 = System.nanoTime()
+          val listing = graft.api.Graft.ivfPqSearch(index, q,
+            "query_id", "embedding", emb, "embedding", k = K,
+            nProbe = nProbe, shortlist = shortlist)
+            .localCheckpoint(true)
+          val wall = (System.nanoTime() - t1) / 1e9
+          val nq = listing.select("query_id").distinct().count()
+          val ap = listing.filter(col("query_id") < NQueries)
+            .select(col("query_id"), col("neighbor_id"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          val qids = ap.map(_._1)
+          val ex = exact.filter(p => qids.contains(p._1))
+          val r = if (ex.isEmpty) Double.NaN
+            else (ap & ex).size.toDouble / ex.size
+          println(f"mq nq=$label%-3s wall=$wall%7.1f " +
+            f"perq_ms=${wall * 1000 / math.max(1L, nq)}%8.2f " +
+            f"n_q=$nq recall=$r%.3f")
+          listing.unpersist()
+        }
+        index.cents.unpersist(); index.enc.unpersist()
+      case "mqx" =>
+        // Exact + SQ8 flat-scan controls: per-query cost is O(corpus)
+        // in both (every query scores every row; SQ8 just reads the
+        // 4x-smaller int8 column before its rerank). Small n_q only:
+        // the candidate set is n_q·corpus rows BY DESIGN — a 500-query
+        // exact batch at 1M vectors spilled >80 GB through the global
+        // top-k sort (measured, this host), which is the point the
+        // indexed path exists to make.
+        val ctl = Seq(
+          ("8", col("vec_id") < 8),
+          ("64", col("vec_id") < 64))
+        for ((label, pred) <- ctl) {
+          val t1 = System.nanoTime()
+          val ex1 = graft.api.Graft.cosineTopK(emb, "vec_id",
+            "embedding", queryPred = pred, k = K)
+          val n1 = ex1.select("query_id").distinct().count()
+          val w1 = (System.nanoTime() - t1) / 1e9
+          println(f"mqx exact nq=$label%-4s wall=$w1%7.1f " +
+            f"perq_ms=${w1 * 1000 / math.max(1L, n1)}%8.2f")
+          val t2 = System.nanoTime()
+          val sq = graft.api.Graft.sqTopK(emb, "vec_id", "embedding",
+            queryPred = pred, k = K, shortlist = 256)
+          val n2 = sq.select("query_id").distinct().count()
+          val w2 = (System.nanoTime() - t2) / 1e9
+          println(f"mqx sq8   nq=$label%-4s wall=$w2%7.1f " +
+            f"perq_ms=${w2 * 1000 / math.max(1L, n2)}%8.2f")
+        }
       case other => println(s"unknown arm: $other")
     }
     spark.stop()
