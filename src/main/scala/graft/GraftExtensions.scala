@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AHash60, AHashWide, ByteEntropyStats, DotProductF32, DotProductI32, FrameMeans, HexSliceToLong, Pcm16WindowEnergy, PqAdcLut, PqEncodeF32, RollingMinHash64, StrideSample}
+import graft.functions.{AHash60, AHashWide, ByteEntropyStats, DotProductF32, DotProductI32, FrameMeans, HexSliceToLong, MaxAbsF32, Pcm16WindowEnergy, PqAdcLut, PqEncodeF32, RollingMinHash64, Sq8EncodeF32, StrideSample}
 
 /** Library entry point for SQL users: registers the native expressions
   * under SQL names, so `spark.sql("SELECT dot_f32(a, b) ...")` works the
@@ -29,6 +29,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "dot_i32 takes exactly 2 arguments")
         DotProductI32(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("max_abs_f32"),
+      new ExpressionInfo(classOf[MaxAbsF32].getName, "max_abs_f32"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "max_abs_f32 takes exactly 1 argument")
+        MaxAbsF32(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sq8_encode_f32"),
+      new ExpressionInfo(classOf[Sq8EncodeF32].getName, "sq8_encode_f32"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "sq8_encode_f32 takes exactly 2 arguments")
+        Sq8EncodeF32(args.head, args(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("rolling_min_hash64"),

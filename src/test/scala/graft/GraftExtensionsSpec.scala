@@ -42,6 +42,13 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
           org.apache.spark.sql.functions.col("t")))
         .collect().head.getLong(0)
       fp shouldBe viaColumn
+      // r11 SQ8 natives: scale + encode
+      val sq = s.sql(
+        "SELECT sq8_encode_f32(array(CAST(-1.0 AS FLOAT), " +
+          "CAST(2.0 AS FLOAT)), max_abs_f32(array(CAST(-1.0 AS FLOAT), " +
+          "CAST(2.0 AS FLOAT)))) AS q")
+        .collect().head.getSeq[Int](0)
+      sq shouldBe Seq(-64, 127) // -63.5 rounds HALF_UP away from zero
       // round-4/5 natives: entropy struct, perceptual hash, PCM energy
       val ent = s.sql("SELECT byte_entropy_stats(encode('aabb', 'UTF-8')) AS e")
         .selectExpr("e.nbytes", "e.n_distinct", "e.entropy")
