@@ -24,6 +24,19 @@ import pyarrow.parquet as pq
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "target/verify_out"
 
+# Fail LOUDLY on swapped arguments (r11: (outdir, sfdir) made the
+# compare loop vacuous — zero dumps compared still printed "all
+# oracle-checked queries match" — and the auto-run below wrote into the
+# read-only testdata dir). An sfdir must hold the fixture tables; an
+# outdir must never be one.
+if not os.path.exists(os.path.join(SF_DIR, "documents.parquet")):
+    sys.exit(f"sfdir {SF_DIR} has no documents.parquet — "
+             "usage: check_correctness.py <sfdir> <outdir> (in that order)")
+if os.path.exists(os.path.join(OUT_DIR, "documents.parquet")) or \
+        os.path.abspath(OUT_DIR).startswith("/root/testdata"):
+    sys.exit(f"outdir {OUT_DIR} looks like a fixture dir — "
+             "usage: check_correctness.py <sfdir> <outdir> (in that order)")
+
 if not os.path.exists(os.path.join(OUT_DIR, "oracle_sql.json")):
     subprocess.run(
         ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT_DIR}'],
@@ -52,10 +65,12 @@ def norm(v):
 
 
 fails = []
+compared = 0
 for name in sorted(os.listdir(OUT_DIR)):
     path = os.path.join(OUT_DIR, name)
     if not os.path.isdir(path):
         continue
+    compared += 1
     spark_tbl = pq.read_table(path)
     if name not in oracle:
         print(f"{name:24s} rows={spark_tbl.num_rows:>7} (no oracle)")
@@ -110,4 +125,8 @@ if fails:
     for f_ in fails:
         print(" ", f_)
     sys.exit(1)
-print("all oracle-checked queries match")
+# A green verdict over ZERO dumps is the r11 swapped-args failure mode:
+# never let an empty loop read as success.
+if compared == 0:
+    sys.exit(f"no query dumps found under {OUT_DIR} — nothing compared")
+print(f"all oracle-checked queries match ({compared} compared)")
