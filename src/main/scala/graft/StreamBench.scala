@@ -62,6 +62,14 @@ object StreamBench {
         .option("endpoint", ep)
         .option("num_partitions", partitions.toString)
         .option("max_messages_per_partition", maxPerPull.toString)
+        // Size the ack deadline above the worst-case pull-to-commit
+        // latency (the source's own scaladoc guidance): at the 256-
+        // partition ceiling a 3M-backlog batch pulls 256k messages and
+        // outlives the broker's 10 s default mid-batch — the measured
+        // result was 1.87M at-least-once redeliveries into the drain
+        // (engine behaving as documented; the bench must configure the
+        // documented knob). 10 s at the 100k headline (the default).
+        .option("ack_deadline_seconds", math.max(10L, N / 10000L).toString)
         // The fixed configs (4x1000 / 8x16k) pin static partitioning —
         // the dynamic default would override num_partitions with the
         // backlog-derived count; the `dynamic` config leaves it ON to
@@ -91,7 +99,7 @@ object StreamBench {
     // throughput number — the same methodology the query bench uses
     // (BASELINE.md). The FIRST rep of the first config still pays the full
     // cold start; the min is the engine's actual per-batch cost.
-    val reps = 3
+    val reps = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "3").toInt
     def best(name: String, partitions: Int, maxPerPull: Int,
         dynamic: Boolean = false): Double =
       (1 to reps).map(r =>

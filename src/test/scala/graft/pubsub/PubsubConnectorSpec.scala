@@ -485,6 +485,21 @@ class PubsubConnectorSpec extends AnyFunSuite with Matchers
     m.refresh()
     val counts = m.regionPartitionCounts()
     counts.map(_._1) shouldBe Seq("eu-west1", "global", "us-east1")
+    // The CEILING binds: ceil(backlog/threshold) above maxPartitions
+    // clamps (the branch a 2.56M+ backlog hits at the 256/10k defaults,
+    // scaled down here via the conf knobs: 40k/1k = 40 > ceiling 32).
+    val tc = "projects/p/topics/ceil"
+    val sc = "projects/p/subscriptions/ceil"
+    broker.createTopic(tc)
+    broker.createSubscription(sc, tc)
+    (0 until 40).foreach(_ => broker.publishBatch(tc,
+      (0 until 1000).map(i => (Array[Byte](1), Map.empty[String, String], ""))))
+    val mCeil = new PubsubBacklogMonitor(broker, sc,
+      new org.apache.spark.SparkConf()
+        .set(PubsubBacklogMonitor.BacklogThreshold, "1000")
+        .set(PubsubBacklogMonitor.MaxDynamicPartitions, "32"))
+    try mCeil.partitionCount() shouldBe 32 // not ceil(40000/1000) = 40
+    finally mCeil.stop()
   }
 
   test("monitor honors the reference's spark.sql.pubsub.* config keys " +
