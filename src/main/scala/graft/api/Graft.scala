@@ -32,14 +32,17 @@ object Graft {
   // ---------------------------------------------------------------- text
 
   /** Distinct word n-gram shingles: (id, s). Documents shorter than n
-    * words yield no rows. */
+    * words yield no rows. The n-gram pass is the native
+    * [[graft.functions.WordNgrams]] kernel — the interpreted
+    * `transform(sequence)` HOF it replaces was 78% of this build at
+    * 150k docs (r11 TextProbe), and every shingle consumer (d02/d04/
+    * d14/d17/d18/t13/t25) shares this pass. */
   def shingles(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame =
     df.select(col(idCol), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= n)
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(0, size(w)-$n), " +
-          s"i -> concat_ws(' ', slice(w, i+1, $n)))")).as("s"))
+      .select(col(idCol), explode(
+        graft.functions.TextExpressions.wordNgrams(col("w"), n)).as("s"))
       .distinct()
 
   /** Per-document n-gram NOVELTY: the fraction of a document's distinct
@@ -404,9 +407,8 @@ object Graft {
       .agg(count(lit(1)).as("nw"), countDistinct("word").as("ndw"))
     val bgStats = w
       .filter(size(col("w")) >= 2)
-      .select(col(idCol), explode(expr(
-        "transform(sequence(0, size(w)-2), " +
-          "i -> concat_ws(' ', w[i], w[i+1]))")).as("bg"))
+      .select(col(idCol), explode(
+        graft.functions.TextExpressions.wordNgrams(col("w"), 2)).as("bg"))
       .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(idCol).agg(sum("c").as("nbg"), max("c").as("maxbg"))
     wordStats.join(bgStats, Seq(idCol), "left")
@@ -558,13 +560,15 @@ object Graft {
     require(windowWords > 0 && maxOcc >= 1,
       s"repeatedSpanStats($windowWords, $maxOcc)")
     val base = df.select(col(idCol), split(col(textCol), " ").as("w"))
+    // The window pass is the WordNgrams kernel (empty array below
+    // windowWords words — the old CASE guard built in) with the md5
+    // applied OUTSIDE the explode, where it codegens; the old
+    // md5-inside-the-transform-lambda ran interpreted per window.
     val wins = base
-      .select(col(idCol), posexplode(expr(
-        // guard: sequence(0, negative) would COUNT DOWN, not yield empty
-        s"CASE WHEN size(w) >= $windowWords THEN " +
-          s"transform(sequence(0, size(w) - $windowWords), " +
-          s"i -> md5(concat_ws(' ', slice(w, i + 1, $windowWords)))) " +
-          "ELSE array() END")).as(Seq("pos", "wh")))
+      .select(col(idCol), posexplode(
+        graft.functions.TextExpressions.wordNgrams(col("w"), windowWords))
+        .as(Seq("pos", "s")))
+      .select(col(idCol), col("pos"), md5(col("s")).as("wh"))
     val hot = wins.groupBy("wh").agg(count(lit(1)).as("occ"))
       .filter(col("occ") > maxOcc)
     val flagged = wins.join(hot, Seq("wh"), "left_semi")
@@ -889,9 +893,8 @@ object Graft {
     val evalSh = evalDf
       .select(split(col(evalTextCol), " ").as("w"))
       .filter(size(col("w")) >= n)
-      .select(explode(expr(
-        s"transform(sequence(0, size(w)-$n), " +
-          s"i -> concat_ws(' ', slice(w, i+1, $n)))")).as("s"))
+      .select(explode(
+        graft.functions.TextExpressions.wordNgrams(col("w"), n)).as("s"))
       .distinct()
     contaminationFlagsFromShingles(df, idCol,
       shingles(df, idCol, textCol, n), evalSh)
