@@ -787,16 +787,20 @@ object Graft {
     def h(c: Column): Column =
       graft.functions.TextExpressions.hexSliceLong(md5(c), 1, 15)
     val toks = df.select(col(idCol), split(col(textCol), " ").as("w"))
+    // Bigrams via the WordNgrams kernel (the struct-building transform
+    // lambda it replaces ran interpreted per pair). A 2-gram string has
+    // exactly ONE space -- words are space-split, so neither side can
+    // contain one -- which makes both hash keys derivable with codegen
+    // builtins: prev = the prefix before the space, and the
+    // \u0001-keyed bigram = the space translated (\u0001 cannot occur
+    // AS the separator in word-split text, so ("ab","c") never collides
+    // with ("a","bc"); DuckDB rebuilds it as `prev || chr(1) || cur`).
     val pairs = toks.filter(size(col("w")) >= 2)
-      .select(col(idCol), explode(expr(
-        "transform(sequence(1, size(w)-1), " +
-          "i -> struct(element_at(w, i) AS prev, " +
-          "element_at(w, i+1) AS cur))")).as("p"))
-      // the \u0001 separator cannot occur in word-split text, so the
-      // bigram key ("ab","c") never collides with ("a","bc"); DuckDB
-      // rebuilds it as `prev || chr(1) || cur`
-      .select(col(idCol), h(col("p.prev")).as("hp"),
-        h(concat(col("p.prev"), lit("\u0001"), col("p.cur"))).as("hb"))
+      .select(col(idCol), explode(
+        graft.functions.TextExpressions.wordNgrams(col("w"), 2)).as("bg"))
+      .select(col(idCol),
+        h(substring_index(col("bg"), " ", 1)).as("hp"),
+        h(translate(col("bg"), " ", "\u0001")).as("hb"))
     val cb = pairs.groupBy("hb").agg(count(lit(1)).as("cb"))
     val cc = pairs.groupBy("hp").agg(count(lit(1)).as("cc"))
     val vocab = df
