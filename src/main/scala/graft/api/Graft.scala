@@ -439,13 +439,14 @@ object Graft {
   def duplicatePassageStats(df: DataFrame, idCol: String, textCol: String,
       unitWords: Int = 10): DataFrame = {
     require(unitWords > 0, s"duplicatePassageStats($unitWords)")
+    // WordChunks kernel + md5 OUTSIDE the explode (both halves of the
+    // old lambda ran interpreted per chunk).
     val units = df
       .select(col(idCol), split(col(textCol), " ").as("w"))
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(0, CAST((size(w) + $unitWords - 1) " +
-          s"DIV $unitWords AS INT) - 1), " +
-          s"i -> md5(concat_ws(' ', slice(w, i * $unitWords + 1, " +
-          s"$unitWords))))")).as("uh"))
+      .select(col(idCol), explode(
+        graft.functions.TextExpressions.wordChunks(col("w"), unitWords))
+        .as("unit"))
+      .select(col(idCol), md5(col("unit")).as("uh"))
     val occ = units.groupBy("uh").agg(count(lit(1)).as("occ"))
     units.join(occ, "uh")
       .groupBy(idCol)
@@ -477,11 +478,9 @@ object Graft {
       s"scrubDuplicatePassages($unitWords, $maxOcc)")
     val units = df
       .select(col(idCol), split(col(textCol), " ").as("w"))
-      .select(col(idCol), posexplode(expr(
-        s"transform(sequence(0, CAST((size(w) + $unitWords - 1) " +
-          s"DIV $unitWords AS INT) - 1), " +
-          s"i -> concat_ws(' ', slice(w, i * $unitWords + 1, " +
-          s"$unitWords)))")).as(Seq("pos", "unit")))
+      .select(col(idCol), posexplode(
+        graft.functions.TextExpressions.wordChunks(col("w"), unitWords))
+        .as(Seq("pos", "unit")))
       .withColumn("uh", md5(col("unit")))
     val hot = units.groupBy("uh").agg(count(lit(1)).as("occ"))
       .filter(col("occ") > maxOcc)

@@ -401,6 +401,66 @@ object WordNgrams {
   }
 }
 
+/** Native TUMBLING word-chunk builder — [[WordNgrams]]'s stride-n
+  * sibling for the passage ops (t17/t22): `ceil(size(w)/unit)`
+  * space-joined chunks of `unit` words each, the LAST chunk partial —
+  * exactly `transform(sequence(0, ceil(size(w)/unit)-1), i ->
+  * concat_ws(' ', slice(w, i·unit+1, unit)))`, compiled. */
+case class WordChunks(child: Expression, unit: Int)
+    extends UnaryExpression {
+  require(unit > 0, s"word_chunks(unit=$unit)")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"word_chunks requires ARRAY<STRING> input, got $other")
+    }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_chunks"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordChunks.chunks(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      unit)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  graft.functions.WordChunks.chunks($c, $unit);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object WordChunks {
+  private val Space = UTF8String.fromString(" ")
+
+  def chunks(words: org.apache.spark.sql.catalyst.util.ArrayData,
+      unit: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val sz = words.numElements()
+    val n = (sz + unit - 1) / unit
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val start = i * unit
+      val len = math.min(unit, sz - start)
+      val parts = new Array[UTF8String](len)
+      var j = 0
+      while (j < len) { parts(j) = words.getUTF8String(start + j); j += 1 }
+      out(i) = UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object TextExpressions {
   /** Min-of-rolling-8-byte-window xxhash64 fingerprint of a STRING column. */
   def rollingMinHash64(c: Column): Column =
@@ -422,6 +482,12 @@ object TextExpressions {
   def wordNgrams(c: Column, n: Int): Column =
     org.apache.spark.sql.graft.Bridge.column(
       WordNgrams(org.apache.spark.sql.graft.Bridge.expression(c), n))
+
+  /** Tumbling `unit`-word chunks (last partial) of a pre-split
+    * ARRAY<STRING> column. */
+  def wordChunks(c: Column, unit: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      WordChunks(org.apache.spark.sql.graft.Bridge.expression(c), unit))
 
   /** Argmax profile language of a pre-lowercased STRING column. */
   def trigramLangId(c: Column, profiles: Seq[(String, Seq[String])],

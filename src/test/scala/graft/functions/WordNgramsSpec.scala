@@ -59,6 +59,29 @@ class WordNgramsSpec extends AnyFunSuite with Matchers {
       .head().getSeq[String](0) shouldBe Seq.empty
   }
 
+  test("WordChunks matches the tumbling HOF chunk-for-chunk, partial " +
+    "tail included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows: Seq[(Long, Seq[String])] =
+      (0L until 150L).map { i =>
+        (i, Seq.fill(1 + rnd.nextInt(25))("w" + rnd.nextInt(50)))
+      } ++ Seq((1000L, Seq("a")), (1001L, Seq.fill(10)("x")),
+        (1002L, Seq.fill(11)("y")), (1003L, Seq("", "b", "")))
+    val df = rows.toDF("id", "w")
+    for (unit <- Seq(1, 3, 10)) {
+      val h = df.select(col("id"), expr(
+          s"transform(sequence(0, CAST((size(w) + $unit - 1) " +
+            s"DIV $unit AS INT) - 1), " +
+            s"i -> concat_ws(' ', slice(w, i * $unit + 1, $unit)))").as("c"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1))).sortBy(_._1)
+      val k = df.select(col("id"),
+          TextExpressions.wordChunks(col("w"), unit).as("c"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1))).sortBy(_._1)
+      k shouldBe h
+    }
+  }
+
   test("Graft.shingles end-to-end is unchanged by the kernel swap") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001",
       "documents").select(col("doc_id"), col("text"))
