@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AHash60, AHashWide, ByteEntropyStats, DotProductF32, DotProductI32, FrameMeans, HexSliceToLong, MaxAbsF32, Pcm16WindowEnergy, PqAdcLut, PqEncodeF32, RollingMinHash64, Sq8EncodeF32, StrideSample}
+import graft.functions.{AHash60, AHashWide, ByteEntropyStats, DotProductF32, DotProductI32, FrameMeans, HexSliceToLong, MaxAbsF32, Pcm16WindowEnergy, PqAdcLut, PqEncodeF32, RollingMinHash64, Sq8EncodeF32, StrideSample, WordChunks, WordNgrams}
 
 /** Library entry point for SQL users: registers the native expressions
   * under SQL names, so `spark.sql("SELECT dot_f32(a, b) ...")` works the
@@ -29,6 +29,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "dot_i32 takes exactly 2 arguments")
         DotProductI32(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "word_ngrams takes exactly 2 arguments")
+        WordNgrams(args.head, intLit("word_ngrams", args(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("word_chunks"),
+      new ExpressionInfo(classOf[WordChunks].getName, "word_chunks"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "word_chunks takes exactly 2 arguments")
+        WordChunks(args.head, intLit("word_chunks", args(1)))
       }))
     ext.injectFunction((
       FunctionIdentifier("max_abs_f32"),

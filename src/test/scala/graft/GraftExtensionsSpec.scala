@@ -49,6 +49,11 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
           "CAST(2.0 AS FLOAT)))) AS q")
         .collect().head.getSeq[Int](0)
       sq shouldBe Seq(-64, 127) // -63.5 rounds HALF_UP away from zero
+      // r11 text kernels: n-grams + tumbling chunks
+      s.sql("SELECT word_ngrams(array('a','b','c'), 2) AS g")
+        .collect().head.getSeq[String](0) shouldBe Seq("a b", "b c")
+      s.sql("SELECT word_chunks(array('a','b','c'), 2) AS c")
+        .collect().head.getSeq[String](0) shouldBe Seq("a b", "c")
       // round-4/5 natives: entropy struct, perceptual hash, PCM energy
       val ent = s.sql("SELECT byte_entropy_stats(encode('aabb', 'UTF-8')) AS e")
         .selectExpr("e.nbytes", "e.n_distinct", "e.entropy")
