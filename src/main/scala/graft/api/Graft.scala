@@ -1193,24 +1193,27 @@ object Graft {
     * The per-CANDIDATE ADC score then degenerates to m array reads via
     * the codegen'd [[graft.functions.PqAdcLut]] instead of the m×dsub
     * interpreted multiply-adds the inline HOF paid per row (the r7
-    * bench's slowest per-byte code, s10). Each cell uses the identical
-    * sequential `zip_with`/`aggregate` fold the inline version used, so
-    * ADC scores are bit-identical and shortlist order is unchanged.
-    * Dead codebook lists (Lloyd can empty a cell) fill with 0.0 — no
-    * corpus row carries a dead code, so those cells are never read. */
+    * bench's slowest per-byte code, s10). The table build itself runs
+    * as the [[graft.functions.PqQueryLutF32]] kernel against the same
+    * flattened codebook the encode kernel uses — the nested-transform
+    * HOF it replaces evaluated m·ksub·dsub interpreted lambda calls
+    * plus two map lookups PER QUERY, a per-batch term the r11
+    * many-query regime multiplies by 10⁵ (r10's codes-only ADC made
+    * the read side cheap; the build side was the leftover). Each
+    * cell's dot is the identical ascending sequential fold, so ADC
+    * scores are bit-identical and shortlist order is unchanged
+    * (QueryLutKernelSpec). Dead codebook cells (Lloyd can empty one)
+    * fill with 0.0 — no corpus row carries a dead code, so those cells
+    * are never read. */
   private def pqQueryLut(q: DataFrame, lookup: DataFrame,
       m: Int, ksub: Int, dsub: Int): DataFrame =
-    q.join(broadcast(lookup), lit(true))
-      .withColumn("qlut", expr(
-        s"""flatten(transform(sequence(0, ${m - 1}), mi ->
-           |  transform(sequence(0, ${ksub - 1}), ki ->
-           |    coalesce(aggregate(zip_with(
-           |      slice(qe, mi * $dsub + 1, $dsub),
-           |      try_element_at(element_at(mb, mi), ki).centroid,
-           |      (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-           |      CAST(0 AS DOUBLE), (a, v) -> a + v),
-           |      CAST(0 AS DOUBLE)))))""".stripMargin))
-      .drop("mb")
+    q.join(broadcast(pqFlatLookup(lookup, m, ksub)
+        .select(col("cells").as("__qlcells"),
+          col("cents").as("__qlcents"))), lit(true))
+      .withColumn("qlut", graft.functions.VectorExpressions
+        .pqQueryLutF32(col("qe"), col("__qlcells"), col("__qlcents"),
+          m, ksub, dsub))
+      .drop("__qlcells", "__qlcents")
 
   /** The broadcastable codebook lookup: one row holding
     * mb: MAP<m, MAP<list_id, STRUCT<centroid, cnrm>>>. */

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
@@ -671,6 +671,88 @@ object CentroidTopNF32 {
   }
 }
 
+/** Native per-query PQ ADC lookup-table build (the other half of
+  * Jégou et al.'s table trick, [[PqAdcLut]] being the read side): from
+  * a query vector and the flattened broadcast codebook (sorted live
+  * `cells` + concatenated `cents`, the [[PqEncodeF32]] layout), the
+  * dense m·ksub qlut with `qlut[mi·ksub+code] = dot(qe_sub(mi),
+  * centroid(mi,code))` and 0.0 at dead cells. Each cell's dot is the
+  * identical ascending sequential fold the nested
+  * `transform(transform(aggregate(zip_with(...))))` HOF used — ADC
+  * scores stay bit-identical — but the HOF evaluated ~m·ksub·dsub
+  * interpreted lambda calls plus two map lookups PER QUERY, which the
+  * r11 many-query regime multiplies by 10⁵ queries per batch. */
+case class PqQueryLutF32(first: Expression, second: Expression,
+    third: Expression, m: Int, ksub: Int, dsub: Int)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(IntegerType, _),
+            ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_query_lut_f32 requires (ARRAY<FLOAT>, ARRAY<INT>, " +
+          s"ARRAY<FLOAT>), got $other")
+    }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def prettyName: String = "pq_query_lut_f32"
+
+  override protected def nullSafeEval(qeA: Any, cellsA: Any,
+      centsA: Any): Any =
+    PqQueryLutF32.lut(qeA.asInstanceOf[ArrayData],
+      cellsA.asInstanceOf[ArrayData], centsA.asInstanceOf[ArrayData],
+      m, ksub, dsub)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (qe, cells, cents) => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  graft.functions.PqQueryLutF32.lut(
+         |    $qe, $cells, $cents, $m, $ksub, $dsub);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(newFirst, newSecond, newThird)
+}
+
+object PqQueryLutF32 {
+  /** Cells whose subvector runs past the query's length keep 0.0 — the
+    * HOF behaved identically there (zip_with pads the short slice with
+    * nulls, the fold goes null, coalesce lands 0.0), and no resolved
+    * call path produces a short query vector. */
+  def lut(qe: ArrayData, cells: ArrayData, cents: ArrayData,
+      m: Int, ksub: Int, dsub: Int): ArrayData = {
+    val out = new Array[Double](m * ksub)
+    val nCells = cells.numElements()
+    val qn = qe.numElements()
+    var j = 0
+    while (j < nCells) {
+      val cell = cells.getInt(j)
+      val mi = cell / ksub
+      val vOff = mi * dsub
+      val cOff = j * dsub
+      if (vOff + dsub <= qn && cell < out.length) {
+        var acc = 0.0
+        var t = 0
+        while (t < dsub) {
+          acc += qe.getFloat(vOff + t).toDouble *
+            cents.getFloat(cOff + t).toDouble
+          t += 1
+        }
+        out(cell) = acc
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
 /** Native max-|x| over an ARRAY<FLOAT> column — the per-vector SQ8
   * scale (s05's storage convention). Semantics mirror the
   * `array_max(transform(vec, x -> abs(CAST(x AS DOUBLE))))` HOF it
@@ -857,6 +939,17 @@ object VectorExpressions {
       Sq8EncodeF32(
         org.apache.spark.sql.graft.Bridge.expression(vec),
         org.apache.spark.sql.graft.Bridge.expression(mx)))
+
+  /** Per-query dense m·ksub ADC lookup table against the flattened
+    * codebook (see [[PqQueryLutF32]]). */
+  def pqQueryLutF32(qe: Column, cells: Column, cents: Column,
+      m: Int, ksub: Int, dsub: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      PqQueryLutF32(
+        org.apache.spark.sql.graft.Bridge.expression(qe),
+        org.apache.spark.sql.graft.Bridge.expression(cells),
+        org.apache.spark.sql.graft.Bridge.expression(cents),
+        m, ksub, dsub))
 
   /** PQ encode: per-subspace argmax codes against the flattened
     * codebook (see [[PqEncodeF32]]). */
