@@ -2774,6 +2774,13 @@ object Graft {
   def chunkDedupStats(df: DataFrame, idCol: String, payloadCol: String,
       chunkBytes: Int = 16): DataFrame = {
     require(chunkBytes > 0, s"chunkDedupStats($chunkBytes)")
+    // Deliberately the md5-inside-the-lambda shape: the r11 HOF sweep
+    // A/B'd the explode-positions-then-md5 rewrite (the t17/t22 move)
+    // and it measured ~15% SLOWER here — the exploded rows carry the
+    // payload once per chunk (a 64x byte amplification at 16-byte
+    // chunks), which costs more than the interpreted-lambda overhead
+    // saved, because md5 dominates per-chunk work (unlike the
+    // cheap-per-element word n-grams). Digests-only explode wins.
     val chunks = df.select(col(idCol), col(payloadCol).as("p"))
       .filter(length(col("p")) >= 1)
       .select(col(idCol), explode(expr(
