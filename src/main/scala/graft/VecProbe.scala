@@ -235,6 +235,24 @@ object VecProbe {
           println(f"mqx sq8   nq=$label%-4s wall=$w2%7.1f " +
             f"perq_ms=${w2 * 1000 / math.max(1L, n2)}%8.2f")
         }
+        // The stored-codes deployment shape: pay sq8Encode once, then
+        // sqTopKFromEncoded per batch — the amortized per-query scan
+        // cost next to sqTopK's encode-per-call walls above.
+        val tE = System.nanoTime()
+        val encoded = graft.api.Graft
+          .sq8Encode(emb, "vec_id", "embedding").localCheckpoint(true)
+        println(f"mqx sq8-encode-once wall=" +
+          f"${(System.nanoTime() - tE) / 1e9}%.1f")
+        for ((label, pred) <- ctl) {
+          val t3 = System.nanoTime()
+          val sq = graft.api.Graft.sqTopKFromEncoded(encoded, "vec_id",
+            "embedding", queryPred = pred, k = K, shortlist = 256)
+          val n3 = sq.select("query_id").distinct().count()
+          val w3 = (System.nanoTime() - t3) / 1e9
+          println(f"mqx sq8-enc nq=$label%-3s wall=$w3%7.1f " +
+            f"perq_ms=${w3 * 1000 / math.max(1L, n3)}%8.2f")
+        }
+        encoded.unpersist()
       case other => println(s"unknown arm: $other")
     }
     spark.stop()
