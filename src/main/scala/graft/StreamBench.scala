@@ -105,13 +105,18 @@ object StreamBench {
       (1 to reps).map(r =>
         run(s"$name-r$r", partitions, maxPerPull, dynamic)).max
     val defaults = best("defaults", 4, 1000)
-    val tuned = if (mode == "dyn") 0.0 else best("tuned", 8, 16000)
+    // In dyn mode the tuned config is never run — OMIT its key rather
+    // than printing 0, which any downstream BASELINE merge would read
+    // as a measured throughput (r11 advice).
+    val tuned = if (mode == "dyn") None else Some(best("tuned", 8, 16000))
     // dynamic fan-out: num_partitions is only the floor — each batch
     // asks the backlog monitor for the partition count, pricing the
     // monitor + clamp path the static configs bypass.
     val dynamic = best("dynamic", 4, 1000, dynamic = true)
+    val tunedField =
+      tuned.map(t => f""""tuned_8x16000":${t}%.0f,""").getOrElse("")
     println(f"""{"metric":"stream_roundtrip_msgs_per_sec","n":$N,"reps":$reps,""" +
-      f""""defaults_4x1000":${defaults}%.0f,"tuned_8x16000":${tuned}%.0f,""" +
+      f""""defaults_4x1000":${defaults}%.0f,""" + tunedField +
       f""""dynamic_4x1000":${dynamic}%.0f}""")
     spark.stop()
   }

@@ -404,8 +404,16 @@ object WordNgrams {
 /** Native TUMBLING word-chunk builder — [[WordNgrams]]'s stride-n
   * sibling for the passage ops (t17/t22): `ceil(size(w)/unit)`
   * space-joined chunks of `unit` words each, the LAST chunk partial —
-  * exactly `transform(sequence(0, ceil(size(w)/unit)-1), i ->
-  * concat_ws(' ', slice(w, i·unit+1, unit)))`, compiled. */
+  * `transform(sequence(0, ceil(size(w)/unit)-1), i ->
+  * concat_ws(' ', slice(w, i·unit+1, unit)))`, compiled.
+  *
+  * ONE domain divergence from that HOF (r11 advice): on an EMPTY input
+  * array this returns `[]`, where the HOF's `sequence(0, -1)` counts
+  * DOWN and yields two empty-string chunks. Unreachable from the
+  * library's call sites (`split()` always yields >= 1 element) but
+  * reachable through the registered `word_chunks` SQL function; the
+  * `[]` behavior is the intended semantics. Pinned by
+  * WordNgramsSpec's empty-array case. */
 case class WordChunks(child: Expression, unit: Int)
     extends UnaryExpression {
   require(unit > 0, s"word_chunks(unit=$unit)")

@@ -775,14 +775,14 @@ case class MaxAbsF32(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any): Any =
-    MaxAbsF32.eval(a.asInstanceOf[ArrayData])
+    MaxAbsF32.maxAbs(a.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val out = ctx.freshName("out")
       s"""
-         |Object $out = graft.functions.MaxAbsF32.eval($a);
+         |Object $out = graft.functions.MaxAbsF32.maxAbs($a);
          |if ($out == null) {
          |  ${ev.isNull} = true;
          |} else {
@@ -798,18 +798,33 @@ case class MaxAbsF32(child: Expression) extends UnaryExpression {
 object MaxAbsF32 {
   /** Null for an empty array (array_max's convention); NaN is greatest
     * (catalyst ordering), so one NaN component poisons the scale the
-    * same way the HOF did. */
-  def eval(arr: ArrayData): AnyRef = {
+    * same way the HOF did. Null ELEMENTS are skipped — array_max's
+    * null handling (r11 advice: the previous version read them as 0.0
+    * via ArrayData.getFloat, silently diverging from the HOF on
+    * user-supplied containsNull arrays); an all-null array is null,
+    * like the empty one.
+    *
+    * Named `maxAbs`, NOT `eval`: the case class inherits
+    * `eval(InternalRow)` from UnaryExpression, and scalac suppresses
+    * the companion's static forwarder on a name clash — generated
+    * code calling `MaxAbsF32.eval(ArrayData)` then failed Janino
+    * compilation and SILENTLY disabled whole-stage codegen for every
+    * stage containing max_abs_f32 (35 fallbacks in one sf0.1 verify
+    * sweep, r12 find). */
+  def maxAbs(arr: ArrayData): AnyRef = {
     val n = arr.numElements()
-    if (n == 0) return null
-    var mx = java.lang.Math.abs(arr.getFloat(0).toDouble)
-    var i = 1
+    var mx = 0.0
+    var seen = false
+    var i = 0
     while (i < n) {
-      val v = java.lang.Math.abs(arr.getFloat(i).toDouble)
-      if (java.lang.Double.isNaN(v) || v > mx) mx = v
+      if (!arr.isNullAt(i)) {
+        val v = java.lang.Math.abs(arr.getFloat(i).toDouble)
+        if (!seen || java.lang.Double.isNaN(v) || v > mx) mx = v
+        seen = true
+      }
       i += 1
     }
-    java.lang.Double.valueOf(mx)
+    if (!seen) null else java.lang.Double.valueOf(mx)
   }
 }
 
@@ -819,7 +834,17 @@ object MaxAbsF32 {
   * rounding, then cast; otherwise java BigDecimal.valueOf → setScale(0,
   * HALF_UP) — the exact RoundBase double path), so gate rows and the
   * DuckDB oracle parity are unchanged; Sq8KernelSpec pins kernel ≡ HOF
-  * row-for-row. Same interpreted-lambda retirement as [[MaxAbsF32]]. */
+  * row-for-row. Same interpreted-lambda retirement as [[MaxAbsF32]].
+  *
+  * ONE domain divergence from the `transform(round(...))` HOF (r11
+  * advice): a null ARRAY ELEMENT encodes as 0 (ArrayData.getFloat
+  * reads it as 0.0f), where the HOF's transform would emit a null
+  * code. The output type is ARRAY<INT> containsNull=false BY DESIGN —
+  * every downstream consumer ([[DotProductI32]]) folds primitive int
+  * arrays — so null propagation cannot round-trip; 0 is the zero-
+  * contribution encoding. Internal call sites never see null elements
+  * (split/normalized embeddings); reachable only via the registered
+  * `sq8_encode_f32` SQL function. Pinned by Sq8KernelSpec. */
 case class Sq8EncodeF32(left: Expression, right: Expression)
     extends BinaryExpression {
 

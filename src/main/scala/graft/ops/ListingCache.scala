@@ -20,7 +20,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the blocks are gone (r8 advice), instead of surfacing an opaque
   * block-fetch failure from deep inside the consumer's plan.
   */
-private[ops] object ListingCache {
+private[graft] object ListingCache {
 
   private val cache = scala.collection.concurrent.TrieMap
     .empty[(String, String, String), DataFrame]

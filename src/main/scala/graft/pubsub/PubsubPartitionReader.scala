@@ -157,11 +157,14 @@ final class PubsubMessageRow(
   }
 
   // The timestamp is the one primitive column — skip the boxing the
-  // generic path would pay on every row of a time-windowed query.
-  override def getLong(i: Int): Long = {
-    require(ordinals(i) == 5, s"getLong on non-long field $i")
-    m.publishTimestampMicros
-  }
+  // generic path would pay on every row of a time-windowed query. Any
+  // OTHER long-typed field (none in today's fixed schema, but a schema
+  // evolution could add one) falls back to the generic boxed path
+  // instead of throwing (r11 advice: a hard require here was a silent
+  // trap coupled to the current schema shape).
+  override def getLong(i: Int): Long =
+    if (ordinals(i) == 5) m.publishTimestampMicros
+    else genericGet(i).asInstanceOf[java.lang.Long].longValue()
 
   override def isNullAt(i: Int): Boolean = false
   override def anyNull: Boolean = false

@@ -92,6 +92,60 @@ class Sq8KernelSpec extends AnyFunSuite with Matchers {
     h(1).getDouble(1).isNaN shouldBe true
   }
 
+  test("null ARRAY ELEMENTS: MaxAbsF32 skips them exactly like " +
+    "array_max (all-null = null scale); Sq8EncodeF32 encodes them as 0 " +
+    "— the documented divergence from transform's null code (r11 " +
+    "advice)") {
+    import spark.implicits._
+    val df = Seq(
+        (0L, Seq[java.lang.Float](1.0f, null, -3.0f)),
+        (1L, Seq[java.lang.Float](null, null)))
+      .toDF("id", "v")
+    // scale: kernel ≡ HOF even with null elements now
+    val k = df.withColumn("mx", VectorExpressions.maxAbsF32(col("v")))
+      .select("id", "mx").collect().sortBy(_.getLong(0))
+    val h = df.withColumn("mx",
+        expr("array_max(transform(v, x -> abs(CAST(x AS DOUBLE))))"))
+      .select("id", "mx").collect().sortBy(_.getLong(0))
+    k(0).getDouble(1) shouldBe 3.0
+    h(0).getDouble(1) shouldBe 3.0
+    k(1).isNullAt(1) shouldBe true
+    h(1).isNullAt(1) shouldBe true
+    // codes: the kernel's null element -> 0 (zero-contribution,
+    // containsNull=false output by design); the HOF would emit null
+    val q = df.filter(col("id") === 0L)
+      .withColumn("mx", VectorExpressions.maxAbsF32(col("v")))
+      .withColumn("q", VectorExpressions.sq8EncodeF32(col("v"), col("mx")))
+      .select("q").head().getSeq[Int](0)
+    q shouldBe Seq(42, 0, -127)
+    val qh = df.filter(col("id") === 0L)
+      .withColumn("mx",
+        expr("array_max(transform(v, x -> abs(CAST(x AS DOUBLE))))"))
+      .select(expr(
+        "transform(v, x -> CAST(round(CAST(x AS DOUBLE) * 127 / mx) " +
+          "AS INT))").as("q"))
+      .head().getSeq[java.lang.Integer](0)
+    qh shouldBe Seq[java.lang.Integer](42, null, -127)
+  }
+
+  test("sqTopK's session encode-cache keys on SOURCE identity: two " +
+    "same-schema corpora back-to-back do not share an encode (the r12 " +
+    "collision class — canonicalized plan strings elide file paths)") {
+    import spark.implicits._
+    val a = Seq((0L, Seq(1f, 0f)), (1L, Seq(0.99f, 0.14f)),
+        (2L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    // same schema, same shape — only the DATA differs
+    val b = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
+        (2L, Seq(0.99f, 0.14f))).toDF("vec_id", "embedding")
+    def nn(df: org.apache.spark.sql.DataFrame): Long =
+      graft.api.Graft.sqTopK(df, "vec_id", "embedding",
+          queryPred = col("vec_id") < 1, k = 1, shortlist = 1)
+        .select("neighbor_id").head().getLong(0)
+    nn(a) shouldBe 1L
+    nn(b) shouldBe 2L // a collided cache would replay corpus A's codes
+    nn(a) shouldBe 1L // and returning to A must not see B's
+  }
+
   test("sqTopK end-to-end is unchanged by the kernel swap (fixture " +
     "slice, vs an inline HOF reimplementation)") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001",

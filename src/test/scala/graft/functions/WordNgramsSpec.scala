@@ -82,6 +82,24 @@ class WordNgramsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("WordChunks on an EMPTY array yields [] — the documented domain " +
+    "divergence from the HOF, whose sequence(0,-1) counts down to two " +
+    "empty-string chunks (r11 advice)") {
+    import spark.implicits._
+    val df = Seq((0L, Seq.empty[String])).toDF("id", "w")
+    val kernel = df.select(
+        TextExpressions.wordChunks(col("w"), 3).as("c"))
+      .collect().head.getSeq[String](0)
+    kernel shouldBe Seq.empty
+    // and the HOF really does diverge here — pin the reason the
+    // scaladoc stops claiming exact equivalence on this domain
+    val hofEmpty = df.select(expr(
+        "transform(sequence(0, CAST((size(w) + 2) DIV 3 AS INT) - 1), " +
+          "i -> concat_ws(' ', slice(w, i * 3 + 1, 3)))").as("c"))
+      .collect().head.getSeq[String](0)
+    hofEmpty shouldBe Seq("", "")
+  }
+
   test("Graft.shingles end-to-end is unchanged by the kernel swap") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001",
       "documents").select(col("doc_id"), col("text"))

@@ -111,7 +111,10 @@ class PubsubPruningSpec extends AnyFunSuite with Matchers {
     rev.numFields shouldBe 2
     rev.getLong(0) shouldBe 42L
     new String(rev.getBinary(1)) shouldBe "abc"
-    an[IllegalArgumentException] should be thrownBy rev.getLong(1)
+    // typed access on a non-long field falls back to the generic boxed
+    // path (r11 advice: the old hard require was a schema-shape trap) —
+    // the generic path's own cast failure is what surfaces
+    an[ClassCastException] should be thrownBy rev.getLong(1)
 
     val empty = new PubsubMessageRow(sub, "ack-1", msg, Array.empty)
     empty.numFields shouldBe 0
