@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AHash60, AHashWide, ByteEntropyStats, DotProductF32, DotProductI32, FrameMeans, HexSliceToLong, MaxAbsF32, Pcm16WindowEnergy, PqAdcLut, PqEncodeF32, RollingMinHash64, Sq8EncodeF32, StrideSample, WordChunks, WordNgrams}
+import graft.functions.{AHash60, AHashWide, ByteEntropyStats, DotProductF32, DotProductI32, FrameMeans, HexSliceToLong, MaxAbsF32, Pcm16WindowEnergy, PqAdcLut, PqEncodeF32, RollingMinHash64, Sq8EncodeF32, StrideSample, VecSubF32, WordChunks, WordNgrams}
 
 /** Library entry point for SQL users: registers the native expressions
   * under SQL names, so `spark.sql("SELECT dot_f32(a, b) ...")` works the
@@ -57,6 +57,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "sq8_encode_f32 takes exactly 2 arguments")
         Sq8EncodeF32(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_sub_f32"),
+      new ExpressionInfo(classOf[VecSubF32].getName, "vec_sub_f32"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_sub_f32 takes exactly 2 arguments")
+        VecSubF32(args.head, args(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("rolling_min_hash64"),

@@ -208,6 +208,100 @@ object VecProbe {
           listing.unpersist()
         }
         index.cents.unpersist(); index.enc.unpersist()
+      case "recallm" =>
+        // Margin-slice recall sweep (r11 verdict item 2): deployment
+        // probe fractions on data with real cluster structure
+        // (ScaleDataGen `margin` mode), against the exact top-K of a
+        // 64-query sample. The replicated slices' mq recall of 0.375
+        // was adjudicated as the jittered-replica tie lottery — this
+        // arm verifies that adjudication by construction: if recall at
+        // ~2.6% probes stays below 0.9 HERE, it is a real quality bug,
+        // not the fixture.
+        val qPred = col("vec_id") < 64
+        val t0 = System.nanoTime()
+        val exact64 = graft.api.Graft
+          .cosineTopK(emb, "vec_id", "embedding", queryPred = qPred,
+            k = K)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(f"recallm exact64 wall=" +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f n=${exact64.size}")
+        def recall64(listing: org.apache.spark.sql.DataFrame): Double = {
+          val ap = listing.filter(col("query_id") < 64)
+            .select(col("query_id"), col("neighbor_id"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          (ap & exact64).size.toDouble / exact64.size
+        }
+        val shortlist =
+          sys.env.getOrElse("SPARK_GRAFT_RECALLM_SHORTLIST", "256").toInt
+        val pqM = sys.env.getOrElse("SPARK_GRAFT_RECALLM_M", "8").toInt
+        val pqKsub = sys.env.getOrElse("SPARK_GRAFT_RECALLM_KSUB", "16").toInt
+        val tB = System.nanoTime()
+        val built = graft.api.Graft.ivfPqBuild(emb, "vec_id",
+          "embedding", dim = 64, nlist = nlist, m = pqM, ksub = pqKsub)
+        val index = built.copy(
+          cents = built.cents.localCheckpoint(true),
+          enc = built.enc.localCheckpoint(true))
+        println(f"recallm s11-build wall=" +
+          f"${(System.nanoTime() - tB) / 1e9}%.1f nlist=$nlist " +
+          s"m=$pqM ksub=$pqKsub shortlist=$shortlist")
+        val q64 = emb.filter(qPred)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        for (nProbe <- Seq(16, 64, 256)) {
+          val t1 = System.nanoTime()
+          val listing = graft.api.Graft.ivfPqSearch(index, q64,
+            "query_id", "embedding", emb, "embedding", k = K,
+            nProbe = nProbe, shortlist = shortlist)
+            .localCheckpoint(true)
+          val r = recall64(listing)
+          println(f"recallm s11 nProbe=$nProbe%-4d " +
+            f"probe_pct=${100.0 * nProbe / nlist}%5.2f " +
+            f"wall=${(System.nanoTime() - t1) / 1e9}%6.1f recall=$r%.3f")
+          listing.unpersist()
+        }
+        index.cents.unpersist(); index.enc.unpersist()
+        val t2 = System.nanoTime()
+        val sq = graft.api.Graft.sqTopK(emb, "vec_id", "embedding",
+          queryPred = qPred, k = K, shortlist = shortlist)
+        println(f"recallm s13 shortlist=$shortlist " +
+          f"wall=${(System.nanoTime() - t2) / 1e9}%6.1f " +
+          f"recall=${recall64(sq)}%.3f")
+        val t3 = System.nanoTime()
+        val knn = graft.api.Graft.annKnnJoin(emb, "vec_id", "embedding",
+          k = K)
+        println(f"recallm s12 wall=" +
+          f"${(System.nanoTime() - t3) / 1e9}%6.1f " +
+          f"recall=${recall64(knn)}%.3f")
+      case "sqab" =>
+        // ORDER-SWAPPED A/B for the sqTopK session cache (r12): mqx
+        // runs per-call BEFORE the warm control, so JIT/page-cache
+        // warm-up rides entirely on the per-call readings. Here the
+        // control goes FIRST and each shape runs twice — compare the
+        // SECOND readings of each (both fully warm).
+        val pred64 = col("vec_id") < 64
+        val tE = System.nanoTime()
+        val encoded = graft.api.Graft
+          .sq8Encode(emb, "vec_id", "embedding").localCheckpoint(true)
+        println(f"sqab encode-once wall=" +
+          f"${(System.nanoTime() - tE) / 1e9}%.1f")
+        for (rep <- 1 to 2) {
+          val t = System.nanoTime()
+          val n = graft.api.Graft.sqTopKFromEncoded(encoded, "vec_id",
+            "embedding", queryPred = pred64, k = K, shortlist = 256)
+            .select("query_id").distinct().count()
+          println(f"sqab warm    rep$rep nq=$n%-3d " +
+            f"wall=${(System.nanoTime() - t) / 1e9}%6.1f")
+        }
+        encoded.unpersist()
+        for (rep <- 1 to 2) {
+          val t = System.nanoTime()
+          val n = graft.api.Graft.sqTopK(emb, "vec_id", "embedding",
+            queryPred = pred64, k = K, shortlist = 256)
+            .select("query_id").distinct().count()
+          println(f"sqab percall rep$rep nq=$n%-3d " +
+            f"wall=${(System.nanoTime() - t) / 1e9}%6.1f " +
+            s"enc_builds=${graft.ops.ListingCache.builds.get()}")
+        }
       case "mqx" =>
         // Exact + SQ8 flat-scan controls: per-query cost is O(corpus)
         // in both (every query scores every row; SQ8 just reads the
@@ -233,7 +327,8 @@ object VecProbe {
           val n2 = sq.select("query_id").distinct().count()
           val w2 = (System.nanoTime() - t2) / 1e9
           println(f"mqx sq8   nq=$label%-4s wall=$w2%7.1f " +
-            f"perq_ms=${w2 * 1000 / math.max(1L, n2)}%8.2f")
+            f"perq_ms=${w2 * 1000 / math.max(1L, n2)}%8.2f " +
+            s"enc_builds=${graft.ops.ListingCache.builds.get()}")
         }
         // The stored-codes deployment shape: pay sq8Encode once, then
         // sqTopKFromEncoded per batch — the amortized per-query scan

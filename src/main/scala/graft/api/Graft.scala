@@ -1087,9 +1087,19 @@ object Graft {
     * round i's subplan), so the training jobs run when this DataFrame
     * is CONSTRUCTED, not at the first action, and upstream errors
     * surface at call time. Documented build-time driver cost, same
-    * class as [[kmeansCentroids]] above [[KernelNlist]]. */
+    * class as [[kmeansCentroids]] above [[KernelNlist]].
+    *
+    * `l2 = true` trains under the L2 objective (Lloyd assignment by
+    * argmin ‖sub − c‖², the Jégou/Faiss PQ formulation) — REQUIRED for
+    * residual codebooks ([[ivfPqBuild]]): under max-cosine a grown
+    * codebook just accumulates near-duplicate DIRECTIONS at wrong
+    * magnitudes and reconstruction worsens (measured r12: margin-slice
+    * recall fell 0.778 → 0.475 going ksub 16 → 256 under cosine).
+    * Default stays cosine for the flat [[pqTopK]] path's committed
+    * behavior. */
   def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, m: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame = {
+      dim: Int, m: Int = 8, ksub: Int = 16, iters: Int = 2,
+      l2: Boolean = false): DataFrame = {
     require(m > 0 && dim % m == 0 && ksub > 1 && iters >= 0,
       s"pqCodebooks(dim=$dim, m=$m, ksub=$ksub, iters=$iters)")
     val dsub = dim / m
@@ -1156,7 +1166,7 @@ object Graft {
         }
         graft.functions.VectorExpressions.centroidTopN(
           col("sub"), lit(1.0), flat, cnrms, ids, dsub,
-          probes = 1, nanWins = false).getItem(0)
+          probes = 1, nanWins = false, l2 = l2).getItem(0)
       }
       // empty-corpus degenerate: sub has no rows either, any value works
       val assigned =
@@ -1268,7 +1278,7 @@ object Graft {
 
   private def pqEncodeWith(df: DataFrame, idCol: String, vecCol: String,
       lookup: DataFrame, dim: Int, m: Int, ksub: Int,
-      carry: Seq[String] = Nil): DataFrame = {
+      carry: Seq[String] = Nil, l2: Boolean = false): DataFrame = {
     require(m > 0 && dim % m == 0 && ksub > 1,
       s"pqEncode(dim=$dim, m=$m, ksub=$ksub)")
     val dsub = dim / m
@@ -1282,7 +1292,7 @@ object Graft {
     df.join(broadcast(pqFlatLookup(lookup, m, ksub)), lit(true))
       .withColumn("code", graft.functions.VectorExpressions.pqEncodeF32(
         col(vecCol), col("cells"), col("cents"), col("cnrms"),
-        m, ksub, dsub))
+        m, ksub, dsub, l2 = l2))
       .withColumn("rnorm", sqrt(graft.functions.VectorExpressions
         .pqAdcLut(col("cnrm2"), col("code"), ksub)))
       .select(col(idCol) +: carry.map(col) :+ col(vecCol) :+
@@ -1580,25 +1590,81 @@ object Graft {
     * [[ivfPqTopK]] pipeline (sampled Lloyd for centroids and codebooks,
     * ONE full-corpus assignment pass, ONE full-corpus encode pass), with
     * the per-query state factored out so a long-lived index amortizes
-    * the build over every later [[ivfPqSearch]] batch. */
+    * the build over every later [[ivfPqSearch]] batch.
+    *
+    * The PQ encodes RESIDUALS — `x − centroid(list)`, the Faiss
+    * IndexIVFPQ `by_residual` convention — not raw vectors. On
+    * clustered data (every real embedding corpus) the members of one
+    * coarse list agree on the centroid and differ only in the
+    * residual; raw-vector PQ therefore assigns near-IDENTICAL codes to
+    * a whole list and the ADC shortlist degenerates to an id-ordered
+    * lottery over it. Measured (r12, margin-bearing 1M-vector slice,
+    * 1000 true clusters): raw-code recall@5 was 0.300 FLAT in nProbe ∈
+    * {16, 64, 256} — the shortlist, not probe selection, was the loss
+    * — while SQ8/exact read 1.000 on the same slice. Residual encoding
+    * spends the codebook's resolution inside the list, where the
+    * candidates actually differ. ADC scores become
+    * `(q·c + LUT_r(q, code)) / ‖c + r̂‖` ([[ivfPqSearch]]): `q·c` is
+    * exact per (query, list) — one extra double on each probe row —
+    * and the stored `rnorm` is the FULL reconstruction norm
+    * `‖c + r̂‖ = √(‖c‖² + 2·c·r̂ + ‖r̂‖²)`, each term a code-indexed
+    * LUT read against per-list tables of bounded size (nlist rows —
+    * driver/broadcast-safe under the [[deriveNlist]] 4√n cap). */
   def ivfPqBuild(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, nlist: Int, m: Int = 8, ksub: Int = 16, iters: Int = 2,
       trainPerList: Int = 128): IvfPqIndex = {
     require(nlist > 0 && trainPerList > 0 && m > 0 && dim % m == 0 &&
       ksub > 1 && iters >= 0,
       s"ivfPqBuild(dim=$dim, nlist=$nlist, m=$m, ksub=$ksub)")
+    val dsub = dim / m
     val train = trainSample(df, idCol, nlist.toLong * trainPerList,
       df.count())
     // The centroid table feeds two subtrees (corpus assignment + query
     // probes); materialize the Lloyd loop once.
     val cents =
       iterCheckpoint(kmeansCentroids(train, idCol, vecCol, nlist, iters))
-    val assigned = assignToCentroids(df, idCol, vecCol, cents, nlist)
-    val lookup = iterCheckpoint(
-      pqLookup(pqCodebooks(train, idCol, vecCol, dim, m, ksub, iters)))
-    val enc = pqEncodeWith(assigned, idCol, vecCol, lookup, dim, m,
-      ksub, carry = Seq("list_id"))
+    // assignment + residual: one broadcast equi-join on the bounded
+    // centroid table, subtraction through the codegen'd VecSubF32
+    // kernel (an interpreted zip_with here would put a lambda on the
+    // full-corpus encode pass — the r10/r11 cliff class)
+    val centSide = broadcast(cents
+      .select(col("list_id"), col("centroid").as("__cent")))
+    def residuals(src: DataFrame): DataFrame =
+      assignToCentroids(src, idCol, vecCol, cents, nlist)
+        .join(centSide, "list_id")
+        .withColumn("__res", graft.functions.VectorExpressions
+          .vecSubF32(col(vecCol), col("__cent")))
+    // codebooks train on the SAMPLE's residuals (one shared PQ across
+    // lists, the Faiss shape — per-list codebooks would be nlist·m·ksub
+    // driver state for nothing)
+    // L2 objective throughout the residual PQ (train AND encode): the
+    // residual is a small displacement to RECONSTRUCT, not a direction
+    // to match — see [[pqCodebooks]]'s l2 note for the measured cosine
+    // failure mode
+    val lookup = iterCheckpoint(pqLookup(pqCodebooks(
+      residuals(train), idCol, "__res", dim, m, ksub, iters, l2 = true)))
+    // per-list reconstruction terms for rnorm: clut[cell] =
+    // c_sub(mi)·codebook(mi, code) (the query-LUT kernel run with the
+    // centroid as the "query"), cn2 = ‖c‖² — nlist rows, built once
+    val centTerms = cents
+      .join(broadcast(pqFlatLookup(lookup, m, ksub)
+        .select(col("cells").as("__ctcells"),
+          col("cents").as("__ctcents"))), lit(true))
+      .select(col("list_id"),
+        graft.functions.VectorExpressions.pqQueryLutF32(col("centroid"),
+          col("__ctcells"), col("__ctcents"), m, ksub, dsub).as("__clut"),
+        dot(col("centroid"), col("centroid")).as("__cn2"))
+    val enc = pqEncodeWith(residuals(df), idCol, "__res", lookup, dim, m,
+      ksub, carry = Seq("list_id"), l2 = true)
       .select(col(idCol), col("list_id"), col("code"), col("rnorm"))
+      .join(broadcast(centTerms), "list_id")
+      // greatest(0, ·): the three LUT terms are float-rounded; a zero
+      // reconstruction must read 0.0, not √(-1e-17) = NaN
+      .select(col(idCol), col("list_id"), col("code"),
+        sqrt(greatest(lit(0.0), col("__cn2") +
+          lit(2.0) * graft.functions.VectorExpressions
+            .pqAdcLut(col("__clut"), col("code"), ksub) +
+          col("rnorm") * col("rnorm"))).as("rnorm"))
     IvfPqIndex(cents, enc, lookup, idCol, nlist, dim, m, ksub)
   }
 
@@ -1642,9 +1708,16 @@ object Graft {
       .select(col(qidCol).as("query_id"), col(qvecCol).as("qe"),
         col("nrm").as("qn"))
     val q = pqQueryLut(q0, index.lookup, index.m, index.ksub, dsub)
+    // Each probe row also carries qc = q·centroid(list): the exact
+    // coarse term of the residual ADC score (see [[ivfPqBuild]]) — one
+    // broadcast equi-join on the bounded centroid table, one extra
+    // double per probe row.
     val probes = probeTopN(q, "qe", Some("qn"), index.cents, nProbe,
       nlistHint = index.nlist)
-      .select(col("query_id"), col("qlut"), col("list_id"))
+      .join(broadcast(index.cents
+        .select(col("list_id"), col("centroid").as("__qcent"))), "list_id")
+      .select(col("query_id"), col("qlut"), col("list_id"),
+        dot(col("qe"), col("__qcent")).as("qc"))
     val probeLimit = (math.min(broadcastQueries.toLong, Int.MaxValue - 1L)
       + 1L).toInt
     val small =
@@ -1658,8 +1731,8 @@ object Graft {
     // candidate instead of the ~1.5 KB (qe + qlut + float vector) the
     // pre-r10 shape dragged through it. The raw vectors re-join AFTER
     // the shortlist cut (shortlist·n_q rows, an equi-join on the id).
-    val adc = (graft.functions.VectorExpressions
-      .pqAdcLut(col("qlut"), col("code"), index.ksub) / col("rnorm"))
+    val adc = ((col("qc") + graft.functions.VectorExpressions
+      .pqAdcLut(col("qlut"), col("code"), index.ksub)) / col("rnorm"))
       .as("adc")
     val wShort = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")

@@ -18,6 +18,60 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * zero per-element allocation (the HOF materializes a zipped struct
   * array per row-pair, which dominated the d05/s01 profile).
   */
+/** Element-wise float difference of two ARRAY<FLOAT> columns — the
+  * residual step of residual IVF-PQ encoding (`x - centroid(list)`,
+  * the Faiss IndexIVFPQ convention; see [[graft.api.Graft.ivfPqBuild]]).
+  * Exactly `zip_with(a, b, (x, y) -> x - y)` (float arithmetic,
+  * truncated to the shorter array — the HOF's null-fill domain for
+  * unequal lengths never occurs at the call sites, where both arrays
+  * are dim-length), compiled: the HOF's lambda evaluates INTERPRETED
+  * per element, and this runs on the FULL-CORPUS encode pass — the
+  * exact r10/r11 cliff class (107 s of interpreted lambda in one
+  * 1M-vector encode before the SQ8 kernels). VecSubKernelSpec pins
+  * kernel ≡ HOF. */
+case class VecSubF32(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_sub_f32 requires ARRAY<FLOAT> inputs, got $l and $r")
+    }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "vec_sub_f32"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecSubF32.sub(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  graft.functions.VecSubF32.sub($a, $b);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
+object VecSubF32 {
+  def sub(x: ArrayData, y: ArrayData): ArrayData = {
+    val n = math.min(x.numElements(), y.numElements())
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      out(i) = x.getFloat(i) - y.getFloat(i)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
 case class DotProductF32(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -228,7 +282,8 @@ object PqAdcLut {
   * null row instead of emitting a poisoned sentinel code.
   */
 case class PqEncodeF32(first: Expression, second: Expression,
-    third: Expression, fourth: Expression, m: Int, ksub: Int, dsub: Int)
+    third: Expression, fourth: Expression, m: Int, ksub: Int, dsub: Int,
+    l2: Boolean = false)
     extends QuaternaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -251,7 +306,7 @@ case class PqEncodeF32(first: Expression, second: Expression,
       cnrmsA: Any): Any =
     PqEncodeF32.encode(vecA.asInstanceOf[ArrayData],
       cellsA.asInstanceOf[ArrayData], centsA.asInstanceOf[ArrayData],
-      cnrmsA.asInstanceOf[ArrayData], m, ksub, dsub)
+      cnrmsA.asInstanceOf[ArrayData], m, ksub, dsub, l2)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
@@ -259,7 +314,7 @@ case class PqEncodeF32(first: Expression, second: Expression,
       val out = ctx.freshName("out")
       s"""
          |Object $out = graft.functions.PqEncodeF32.encode(
-         |  $vec, $cells, $cents, $cnrms, $m, $ksub, $dsub);
+         |  $vec, $cells, $cents, $cnrms, $m, $ksub, $dsub, $l2);
          |if ($out == null) {
          |  ${ev.isNull} = true;
          |} else {
@@ -277,9 +332,12 @@ case class PqEncodeF32(first: Expression, second: Expression,
 object PqEncodeF32 {
   /** The encode kernel: primitive-array loops, zero per-candidate
     * allocation. Returns null (not an exception) for vectors shorter
-    * than m·dsub — the HOF folded null there. */
+    * than m·dsub — the HOF folded null there. `l2`: argmin L2 distance
+    * (dot − cnrm²/2 argmax, the Faiss PQ objective — see
+    * [[CentroidTopNF32.compute]]) instead of max cosine. */
   def encode(vec: ArrayData, cells: ArrayData, cents: ArrayData,
-      cnrms: ArrayData, m: Int, ksub: Int, dsub: Int): AnyRef = {
+      cnrms: ArrayData, m: Int, ksub: Int, dsub: Int,
+      l2: Boolean = false): AnyRef = {
     if (vec.numElements() < m * dsub) return null
     val nEntries = cells.numElements()
     val bestNegd = new Array[Double](m)
@@ -300,7 +358,9 @@ object PqEncodeF32 {
           cents.getFloat(cOff + t).toDouble
         t += 1
       }
-      val negd = -acc / cnrms.getDouble(j)
+      val negd =
+        if (l2) { val cn = cnrms.getDouble(j); 0.5 * cn * cn - acc }
+        else -acc / cnrms.getDouble(j)
       val cmp = java.lang.Double.compare(negd, bestNegd(mi))
       if (cmp < 0 || (cmp == 0 && code < bestCode(mi))) {
         bestNegd(mi) = negd
@@ -578,7 +638,7 @@ object LshProbesAll {
   * Output: ARRAY<INT> of min(probes, nlist) list_ids, best first. */
 case class CentroidTopNF32(left: Expression, right: Expression,
     cents: Array[Float], cnrms: Array[Double], listIds: Array[Int],
-    dim: Int, probes: Int, nanWins: Boolean)
+    dim: Int, probes: Int, nanWins: Boolean, l2: Boolean = false)
     extends BinaryExpression {
   require(dim > 0 && probes > 0 && listIds.length == cnrms.length &&
     cents.length == listIds.length * dim,
@@ -598,7 +658,7 @@ case class CentroidTopNF32(left: Expression, right: Expression,
   override protected def nullSafeEval(vec: Any, nrm: Any): Any =
     CentroidTopNF32.compute(vec.asInstanceOf[ArrayData],
       nrm.asInstanceOf[Double], cents, cnrms, listIds, dim, probes,
-      nanWins)
+      nanWins, l2)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
@@ -608,7 +668,7 @@ case class CentroidTopNF32(left: Expression, right: Expression,
     val idsRef = ctx.addReferenceObj("centIds", listIds, "int[]")
     nullSafeCodeGen(ctx, ev, (v, n) =>
       s"${ev.value} = graft.functions.CentroidTopNF32.compute($v, $n, " +
-        s"$centsRef, $cnrmsRef, $idsRef, $dim, $probes, $nanWins);")
+        s"$centsRef, $cnrmsRef, $idsRef, $dim, $probes, $nanWins, $l2);")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
@@ -632,9 +692,17 @@ object CentroidTopNF32 {
     else a > b
   }
 
+  /** `l2 = false`: score = dot/(nrm·cnrm) — max cosine, the coarse-
+    * quantizer/probe convention. `l2 = true`: score = dot − cnrm²/2 —
+    * argmax is EXACTLY argmin of the L2 distance ‖v − c‖² (the ‖v‖²
+    * term is constant per row), the Faiss PQ train/encode objective;
+    * cosine here picks directionally-close cells regardless of
+    * MAGNITUDE, which wrecks residual reconstruction (r12: recall
+    * DROPPED 0.778 → 0.475 when ksub grew 16 → 256 under cosine —
+    * more near-duplicate directions at wrong scales to mis-pick). */
   def compute(vec: ArrayData, nrm: Double, cents: Array[Float],
       cnrms: Array[Double], listIds: Array[Int], dim: Int, probes: Int,
-      nanWins: Boolean): ArrayData = {
+      nanWins: Boolean, l2: Boolean = false): ArrayData = {
     val nlist = listIds.length
     val d = math.min(dim, vec.numElements())
     val v = new Array[Double](d)
@@ -650,7 +718,9 @@ object CentroidTopNF32 {
       var acc = 0.0
       var k = 0
       while (k < d) { acc += v(k) * cents(base + k).toDouble; k += 1 }
-      val cos = acc / (nrm * cnrms(c))
+      val cos =
+        if (l2) acc - 0.5 * cnrms(c) * cnrms(c)
+        else acc / (nrm * cnrms(c))
       val id = listIds(c)
       // descending insertion-select under `better`
       var pos = -1
@@ -927,12 +997,12 @@ object VectorExpressions {
     * with precomputed norm, best first (see [[CentroidTopNF32]]). */
   def centroidTopN(vec: Column, nrm: Column, cents: Array[Float],
       cnrms: Array[Double], listIds: Array[Int], dim: Int, probes: Int,
-      nanWins: Boolean): Column =
+      nanWins: Boolean, l2: Boolean = false): Column =
     org.apache.spark.sql.graft.Bridge.column(
       CentroidTopNF32(
         org.apache.spark.sql.graft.Bridge.expression(vec),
         org.apache.spark.sql.graft.Bridge.expression(nrm),
-        cents, cnrms, listIds, dim, probes, nanWins))
+        cents, cnrms, listIds, dim, probes, nanWins, l2))
 
   /** Directed multiprobe probe codes from one LSH table's margin
     * array (see [[LshDirectedProbes]]). */
@@ -950,6 +1020,14 @@ object VectorExpressions {
       LshProbesAll(
         org.apache.spark.sql.graft.Bridge.expression(vec),
         planes, tables, bits, dim, m, m2))
+
+  /** Element-wise float difference (see [[VecSubF32]]) — the residual
+    * step of residual IVF-PQ. */
+  def vecSubF32(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      VecSubF32(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
 
   /** Per-vector SQ8 scale: max |x| over an ARRAY<FLOAT> column (see
     * [[MaxAbsF32]]). */
@@ -979,12 +1057,13 @@ object VectorExpressions {
   /** PQ encode: per-subspace argmax codes against the flattened
     * codebook (see [[PqEncodeF32]]). */
   def pqEncodeF32(vec: Column, cells: Column, cents: Column,
-      cnrms: Column, m: Int, ksub: Int, dsub: Int): Column =
+      cnrms: Column, m: Int, ksub: Int, dsub: Int,
+      l2: Boolean = false): Column =
     org.apache.spark.sql.graft.Bridge.column(
       PqEncodeF32(
         org.apache.spark.sql.graft.Bridge.expression(vec),
         org.apache.spark.sql.graft.Bridge.expression(cells),
         org.apache.spark.sql.graft.Bridge.expression(cents),
         org.apache.spark.sql.graft.Bridge.expression(cnrms),
-        m, ksub, dsub))
+        m, ksub, dsub, l2))
 }

@@ -40,6 +40,13 @@ private[graft] object ListingCache {
   private val retired = scala.collection.concurrent.TrieMap
     .empty[(String, String, String), DataFrame]
 
+  /** Process-wide count of materialize() runs — test-scope reads diff
+    * it around calls to pin hit/miss behavior (the r12 sqTopK cache
+    * shipped with a silent every-call MISS first; a wall-clock "it got
+    * faster" assertion would have been host-noise-flaky, this is
+    * exact). */
+  private[graft] val builds = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Free a checkpointed listing's storage. `Dataset.unpersist` only
     * clears CacheManager entries — a localCheckpoint's blocks belong to
     * the UNDERLYING RDD (the plan is a LogicalRDD over it), so they
@@ -65,6 +72,7 @@ private[graft] object ListingCache {
       reuse: Boolean)(build: => DataFrame): DataFrame = {
     val key = (s.sparkContext.applicationId, d, method)
     def materialize(): DataFrame = {
+      builds.incrementAndGet()
       val m =
         if (s.sparkContext.getCheckpointDir.isDefined)
           build.checkpoint(eager = true)

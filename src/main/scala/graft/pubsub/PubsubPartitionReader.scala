@@ -132,6 +132,12 @@ final class PubsubMessageRow(
 
   private[this] val cache = new Array[AnyRef](ordinals.length)
 
+  /** Test-scope visibility for the lazy-materialization win: how many
+    * emitted fields have actually been converted. The timestamp fast
+    * path ([[getLong]]) materializes nothing, so a timestamp-only
+    * consumer reads 0. */
+  private[pubsub] def touchedCount: Int = cache.count(_ != null)
+
   override def numFields: Int = ordinals.length
 
   override protected def genericGet(i: Int): Any = {

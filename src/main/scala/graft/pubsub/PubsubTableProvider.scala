@@ -82,11 +82,25 @@ class PubsubTable(properties: Map[String, String])
 class PubsubScanBuilder(opts: PubsubReadOptions)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = PubsubOptions.ReadSchema
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  override def pruneColumns(requiredSchema: StructType): Unit = {
     // Spark passes a subset of the table schema in schema order; an
     // empty projection (pure count) is legal and yields 0-field rows.
+    PubsubScanBuilder.pruneCalls.incrementAndGet()
     required = requiredSchema
+  }
   override def build(): Scan = new PubsubScan(opts, required)
+}
+
+object PubsubScanBuilder {
+  /** Counts every planner-initiated pruneColumns call — exists for the
+    * canary spec that pins the honesty note above: the day a Spark
+    * release starts running a pushdown pass over streaming relations,
+    * PubsubPruningSpec's canary FAILS, which is the signal to wire the
+    * (already-working) pushdown into p01's PLANS.md plan assertion and
+    * retire the note. Monotonic process-wide counter; test-scope reads
+    * diff it around a query. */
+  private[pubsub] val pruneCalls =
+    new java.util.concurrent.atomic.AtomicLong(0)
 }
 
 /** Row-oriented scan (columnar unsupported, as in the reference:

@@ -12,17 +12,29 @@ import org.scalatest.matchers.should.Matchers
   * `broadcastQueries` (the many-query retrieval regime — r10 verdict
   * item 2). `broadcastQueries` is the ONLY switch — identical results,
   * row for row, either side of it. */
-class IvfPqManyQuerySpec extends AnyFunSuite with Matchers {
+class IvfPqManyQuerySpec extends AnyFunSuite with Matchers
+    with org.scalatest.BeforeAndAfterAll {
 
   private lazy val spark = org.apache.spark.sql.SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
-    // fixture rows all sit under the auto-broadcast threshold; disable
-    // it so the hint-free joins plan the shape a real corpus would get
-    // (the explicit broadcast() hints of the small regime still apply)
-    .config("spark.sql.autoBroadcastJoinThreshold", "-1")
     .getOrCreate()
+
+  // Fixture rows all sit under the auto-broadcast threshold; disable it
+  // so the hint-free joins plan the shape a real corpus would get (the
+  // explicit broadcast() hints still apply). Set/RESTORED around the
+  // suite — putting it in the BUILDER poisoned every suite that ran
+  // after this one in the shared getOrCreate session (r12: three
+  // PlanPropertiesSpec plan shapes flipped to SMJ/CartesianProduct
+  // purely from test order).
+  private var prevThreshold: String = _
+  override def beforeAll(): Unit = {
+    prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+  }
+  override def afterAll(): Unit =
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
 
   private val Dim = 16
 
@@ -66,12 +78,29 @@ class IvfPqManyQuerySpec extends AnyFunSuite with Matchers {
         .count() shouldBe 0L
   }
 
-  test("large regime broadcasts nothing query-sized: no " +
-    "BroadcastHashJoin (probes and the rerank query side both shuffle) " +
-    "and the phase-1 window reuses the candidate join's list_id " +
-    "clustering — no (list_id, query_id) Exchange") {
+  test("large regime broadcasts nothing QUERY-sized: the only " +
+    "broadcast join is the bounded centroid table (the residual ADC's " +
+    "qc term — the same table the probe kernel collects); probes and " +
+    "the rerank query side shuffle, and the phase-1 window reuses the " +
+    "candidate join's list_id clustering — no (list_id, query_id) " +
+    "Exchange") {
     val p = search(bq = 0).queryExecution.explainString(FormattedMode)
-    (p should not).include("BroadcastHashJoin")
+    // broadcast joins exist (the residual machinery: centroid-residual
+    // join and rnorm terms inside the unmaterialized index plan, and
+    // the qc term on the probe side — every build side an nlist-row
+    // table, bounded by the deriveNlist 4√n cap)...
+    """\n\(\d+\) BroadcastHashJoin""".r
+      .findAllIn(p).size should be >= 1
+    // and no broadcast build side carries per-query state (qlut/qe) —
+    // query-sized data must only ever move by shuffle in this regime
+    val bcastInputs =
+      """\(\d+\) BroadcastExchange\s*\nInput \[\d+\]: \[([^\]]*)\]""".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+    bcastInputs should not be empty
+    bcastInputs.foreach { cols =>
+      cols should not include "qlut"
+      cols should not include "qe#"
+    }
     """hashpartitioning\(list_id#\d+, query_id""".r
       .findFirstIn(p) shouldBe None
   }

@@ -146,6 +146,25 @@ class Sq8KernelSpec extends AnyFunSuite with Matchers {
     nn(a) shouldBe 1L // and returning to A must not see B's
   }
 
+  test("sqTopK's session encode-cache HITS on a repeat call over the " +
+    "same corpus — exactly one encode build for two calls (r12: the " +
+    "first ship silently missed every call)") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    def call(pred: org.apache.spark.sql.Column): Long =
+      graft.api.Graft.sqTopK(emb, "vec_id", "embedding",
+        queryPred = pred, k = 3, shortlist = 8).count()
+    val before = graft.ops.ListingCache.builds.get()
+    call(col("vec_id") < 4) should be > 0L
+    val afterFirst = graft.ops.ListingCache.builds.get()
+    call(col("vec_id") < 8) should be > 0L // different pred, same corpus
+    val afterSecond = graft.ops.ListingCache.builds.get()
+    // first call may build (or reuse an earlier suite's entry for this
+    // same fixture); the second call must NOT build again
+    (afterFirst - before) should be <= 1L
+    afterSecond shouldBe afterFirst
+  }
+
   test("sqTopK end-to-end is unchanged by the kernel swap (fixture " +
     "slice, vs an inline HOF reimplementation)") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001",

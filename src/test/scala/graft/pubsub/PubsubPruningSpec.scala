@@ -132,6 +132,72 @@ class PubsubPruningSpec extends AnyFunSuite with Matchers {
     copied.getMap(6).numElements() shouldBe 2
   }
 
+  test("CANARY: Spark 4.1's micro-batch planner does NOT call " +
+    "pruneColumns on streaming relations — when this FAILS, the " +
+    "pushdown has gone live: wire it into p01's PLANS.md plan " +
+    "assertion and retire the honesty notes here and on " +
+    "PubsubScanBuilder") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val ep = s"canary-${System.nanoTime()}"
+    val b = EmbeddedBroker.get(ep)
+    b.createTopic("projects/p/topics/t")
+    b.createSubscription("projects/p/subscriptions/s",
+      "projects/p/topics/t")
+    (0 until 5).foreach(i =>
+      b.publish("projects/p/topics/t", s"m$i".getBytes, Map.empty))
+    val before = PubsubScanBuilder.pruneCalls.get()
+    val got = new java.util.concurrent.atomic.AtomicLong(0)
+    // a NARROW projection — exactly the shape a pushdown pass would
+    // prune to (data only) if it ran on streaming relations
+    val q = spark.readStream.format("pubsub")
+      .option("project_id", "p").option("subscription", "s")
+      .option("endpoint", ep).option("num_partitions", "1")
+      .load()
+      .selectExpr("CAST(data AS STRING) AS text")
+      .writeStream
+      .foreachBatch {
+        (ds: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) => got.addAndGet(ds.count()); ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("canary-cp").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000) shouldBe true
+    got.get() shouldBe 5L
+    withClue("Spark's planner called pruneColumns on a streaming " +
+      "relation — the pushdown is LIVE now; update p01's plan " +
+      "assertion in PLANS.md to expect the pruned readSchema and " +
+      "retire the honesty notes: ") {
+      PubsubScanBuilder.pruneCalls.get() shouldBe before
+    }
+  }
+
+  test("lazy row: a narrow UnsafeProjection through the real codegen " +
+    "path converts ONLY the accessed ordinal — the reachable " +
+    "narrow-projection win the honesty note claims") {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+    import org.apache.spark.sql.types.BinaryType
+    val row = new PubsubMessageRow(sub, "ack-1", msg,
+      PubsubInputPartition.AllFields)
+    row.touchedCount shouldBe 0
+    // project `data` (ordinal 4) the way a fused Project does
+    val proj = UnsafeProjection.create(
+      Seq(BoundReference(4, BinaryType, nullable = false)))
+    new String(proj(row).getBinary(0)) shouldBe "abc"
+    row.touchedCount shouldBe 1
+    // the timestamp fast path materializes nothing at all
+    val row2 = new PubsubMessageRow(sub, "ack-1", msg,
+      PubsubInputPartition.AllFields)
+    row2.getLong(5) shouldBe 42L
+    row2.touchedCount shouldBe 0
+    // a full-width copy() (an Exchange buffering the row) pays all 7
+    val row3 = new PubsubMessageRow(sub, "ack-1", msg,
+      PubsubInputPartition.AllFields)
+    row3.copy()
+    row3.touchedCount shouldBe 7
+  }
+
   test("lazy row is read-only") {
     val row = new PubsubMessageRow(sub, "ack-1", msg,
       PubsubInputPartition.AllFields)
