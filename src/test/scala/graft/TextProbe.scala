@@ -34,6 +34,10 @@ object TextProbe {
     docs.persist(); val nd = docs.count()
     println(s"[textprobe] docs=$nd dir=$sfDir")
 
+    // SPARK_GRAFT_TEXTPROBE_ONLY=t18 skips the shingle sections (the
+    // t18 adjudication at scale30/100 doesn't need to re-pay them).
+    val only = sys.env.get("SPARK_GRAFT_TEXTPROBE_ONLY")
+    if (only.forall(_ != "t18")) {
     // Control: tokenize + explode words (no n-gram lambda, no distinct).
     time("tokenize+explode") {
       docs.select(col("doc_id"), explode(split(col("text"), " ")).as("s"))
@@ -66,6 +70,7 @@ object TextProbe {
       graft.api.Graft.hashShingles(
         graft.api.Graft.shingles(docs, "doc_id", "text"), "doc_id")
         .agg(count(lit(1))).head().getLong(0)
+    }
     }
     // t18 adjudication (r11 verdict item 7): bpePairCounts' per-word
     // char-pair lambda is interpreted, but runs over the DISTINCT
