@@ -25,7 +25,15 @@ import graft.pubsub.EmbeddedBroker
   *          (defaults+dynamic only — the backlog-decade probe: at
   *          N=1M the clamp plans ceil(1M/10000)=100 partitions, a
   *          decade above the 10 it plans at the headline's 100k; the
-  *          256-partition ceiling binds from 2.56M)
+  *          256-partition ceiling binds from 2.56M), or `shard<K>`
+  *          (e.g. `shard4`: N messages split over K endpoint-sharded
+  *          brokers, K concurrent dynamic source→sink streams — the
+  *          r11 3M finding was that ONE single-JVM broker saturates
+  *          past ~1M retained messages and the bench starts measuring
+  *          its test double; sharding keeps each broker inside its
+  *          honest decade so the aggregate measures the CONNECTOR's
+  *          clamp fan-out at 3M, the way a real deployment spreads
+  *          load over many brokers)
   */
 object StreamBench {
 
@@ -41,6 +49,65 @@ object StreamBench {
       .getOrCreate()
 
     val payload = ("x" * 64).getBytes
+
+    if (mode.startsWith("shard")) {
+      val shards = mode.stripPrefix("shard").toInt
+      require(shards > 1 && shards <= 16, s"shard count: $shards")
+      val perShard = N / shards
+      // publish each shard's slice to its own broker endpoint
+      val eps = (0 until shards).map { s =>
+        val ep = s"stream-bench-shard-$s"
+        val b = EmbeddedBroker.get(ep)
+        b.createTopic("projects/p/topics/in")
+        b.createTopic("projects/p/topics/out")
+        b.createSubscription("projects/p/subscriptions/in-sub",
+          "projects/p/topics/in")
+        b.createSubscription("projects/p/subscriptions/out-sub",
+          "projects/p/topics/out")
+        (0 until perShard).grouped(5000).foreach { g =>
+          b.publishBatch("projects/p/topics/in",
+            g.map(i => (payload, Map("i" -> i.toString), "")))
+        }
+        ep
+      }
+      // K concurrent dynamic streams, one per endpoint — the aggregate
+      // drain wall is the throughput denominator
+      val t0 = System.nanoTime()
+      val qs = eps.zipWithIndex.map { case (ep, s) =>
+        spark.readStream.format("pubsub")
+          .option("project_id", "p")
+          .option("subscription", "in-sub")
+          .option("endpoint", ep)
+          .option("num_partitions", "4")
+          .option("max_messages_per_partition", "1000")
+          .option("ack_deadline_seconds",
+            math.max(10L, perShard / 10000L).toString)
+          .option("dynamic_partitioning", "true")
+          .load()
+          .select("data", "attributes")
+          .writeStream.format("pubsub")
+          .option("project_id", "p")
+          .option("topic", "out")
+          .option("endpoint", ep)
+          .option("checkpointLocation",
+            Files.createTempDirectory(s"graft-sbench-shard-$s").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
+      qs.foreach(_.awaitTermination(600000))
+      val sec = (System.nanoTime() - t0) / 1e9
+      eps.foreach { ep =>
+        val got = EmbeddedBroker.get(ep)
+          .backlog("projects/p/subscriptions/out-sub")
+        require(got == perShard, s"shard $ep lost messages: $got")
+      }
+      println(f"""{"metric":"stream_roundtrip_msgs_per_sec","n":${
+        perShard * shards},"shards":$shards,""" +
+        f""""sharded_dynamic":${perShard * shards / sec}%.0f}""")
+      spark.stop()
+      return
+    }
+
     def run(label: String, partitions: Int, maxPerPull: Int,
         dynamic: Boolean = false): Double = {
       val ep = s"stream-bench-$label"

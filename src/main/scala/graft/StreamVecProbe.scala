@@ -1,0 +1,109 @@
+package graft
+
+import java.util.UUID
+
+import graft.pubsub.EmbeddedBroker
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Dev measurement main (SCALE.md cites its numbers; not library
+  * surface): the MANY-QUERY regime of the STREAMING retrieval path
+  * (r11 verdict item 6). p16's gate pins correctness with 10-query
+  * micro-batches against a small label index; the online-retrieval
+  * deployment shape is micro-batches of 10³–10⁴ query vectors probing
+  * a STATIC corpus-scale IVF-PQ index. This main builds the index once
+  * over a vectors-only slice (ScaleDataGen `embeddings`/`margin`
+  * mode), publishes batches·batchSize query vectors through the
+  * embedded broker, streams them back under a
+  * `max_messages_per_trigger = batchSize` admission cap, and times the
+  * [[graft.api.Graft.ivfPqSearch]] probe per micro-batch — per-query
+  * ms should stay FLAT across batches (no state accumulates; the
+  * replay cache holds one batch).
+  *
+  * Usage: StreamVecProbe [dir] [batchSize] [nBatches] [nProbe]
+  */
+object StreamVecProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("target/vec1m")
+    val batchSize = if (args.length > 1) args(1).toInt else 1000
+    val nBatches = if (args.length > 2) args(2).toInt else 8
+    val nProbe = if (args.length > 3) args(3).toInt else 64
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = Tables.load(spark, dir, "embeddings")
+    val n = emb.count()
+    val nlist = graft.api.Graft.deriveNlist(n)
+    val shortlist = 256
+    val t0 = System.nanoTime()
+    val built = graft.api.Graft.ivfPqBuild(emb, "vec_id", "embedding",
+      dim = 64, nlist = nlist)
+    val index = built.copy(
+      cents = built.cents.localCheckpoint(true),
+      enc = built.enc.localCheckpoint(true))
+    println(f"[streamvec] index build=${(System.nanoTime() - t0) / 1e9}%.1f " +
+      s"n=$n nlist=$nlist nProbe=$nProbe batch=$batchSize x $nBatches")
+
+    // publish nBatches·batchSize queries drawn evenly across the slice
+    val nQ = batchSize.toLong * nBatches
+    val topic = "projects/p/topics/svp-queries"
+    val ep = s"svp-${UUID.randomUUID()}"
+    EmbeddedBroker.get(ep).createTopic(topic)
+    emb.filter(pmod(col("vec_id"), lit(math.max(1L, n / nQ))) === 0)
+      .limit(nQ.toInt)
+      .select(col("vec_id"), col("embedding"))
+      .repartition(1)
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val b = EmbeddedBroker.get(ep)
+        rows.grouped(5000).foreach { g =>
+          b.publishBatch(topic, g.map { r =>
+            (r.getSeq[Float](1).mkString(",").getBytes("UTF-8"),
+              Map("vec_id" -> r.getLong(0).toString), "")
+          })
+        }
+      }
+    val sub = s"svp-sub-${UUID.randomUUID().toString.take(8)}"
+    EmbeddedBroker.get(ep).createSubscription(
+      s"projects/p/subscriptions/$sub", topic, backfill = true)
+
+    val walls = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Long)]()
+    val q = spark.readStream.format("pubsub")
+      .option("project_id", "p")
+      .option("subscription", sub)
+      .option("endpoint", ep)
+      .option("max_messages_per_trigger", batchSize.toString)
+      .option("max_messages_per_partition", "50000")
+      .option("dynamic_partitioning", "false")
+      .option("ack_deadline_seconds", "600")
+      .load()
+      .selectExpr(
+        "CAST(attributes['vec_id'] AS BIGINT) AS query_id",
+        "transform(split(CAST(data AS STRING), ','), " +
+          "x -> CAST(x AS FLOAT)) AS embedding")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val t = System.nanoTime()
+        val got = graft.api.Graft.ivfPqSearch(index, batch,
+          "query_id", "embedding", emb, "embedding", k = 5,
+          nProbe = nProbe, shortlist = shortlist)
+          .select("query_id").distinct().count()
+        walls.add((id, (System.nanoTime() - t) / 1e9, got))
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("svp-cp").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(1200000)
+    import scala.jdk.CollectionConverters._
+    walls.asScala.toSeq.sortBy(_._1).foreach { case (id, w, nq) =>
+      println(f"[streamvec] batch=$id nq=$nq wall=$w%7.2f " +
+        f"perq_ms=${w * 1000 / math.max(1L, nq)}%7.2f")
+    }
+    index.cents.unpersist(); index.enc.unpersist()
+    spark.stop()
+  }
+}
