@@ -99,10 +99,19 @@ object StreamVecProbe {
       .start()
     q.awaitTermination(1200000)
     import scala.jdk.CollectionConverters._
-    walls.asScala.toSeq.sortBy(_._1).foreach { case (id, w, nq) =>
+    val got = walls.asScala.toSeq.sortBy(_._1)
+    got.foreach { case (id, w, nq) =>
       println(f"[streamvec] batch=$id nq=$nq wall=$w%7.2f " +
         f"perq_ms=${w * 1000 / math.max(1L, nq)}%7.2f")
     }
+    // Fail LOUDLY if the stream drained nothing — one r12 run printed
+    // only the build line and exited 0 (an empty AvailableNow pass over
+    // a subscription that saw no backfill), which reads as success to
+    // anything scraping the walls. A measurement main must not be able
+    // to succeed without measuring.
+    require(got.map(_._3).sum == nQ,
+      s"stream drained ${got.map(_._3).sum} of $nQ published queries " +
+        s"across ${got.size} batches — measurement incomplete")
     index.cents.unpersist(); index.enc.unpersist()
     spark.stop()
   }
