@@ -180,6 +180,37 @@ object StreamingOps {
       (ep, sub)
     }
 
+  /** ALL embeddings rows, vec_id-sorted, with the label attribute riding
+    * along — the ingest stream for p17 (label = the frozen coarse
+    * quantizer's routing, computed upstream the way a real ingest
+    * pipeline routes before publish). */
+  private def publishEmbeddingsAll(s: SparkSession, d: String): (String, String) =
+    synchronized {
+      val topic = "projects/p/topics/emb-ingest"
+      val ep = publishedBrokers.getOrElseUpdate((topic, d, -1), {
+        val ep0 = s"embi-${UUID.randomUUID()}"
+        EmbeddedBroker.get(ep0).createTopic(topic)
+        Tables.load(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"), col("label"))
+          .repartition(1).sortWithinPartitions("vec_id")
+          .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+            val b = EmbeddedBroker.get(ep0)
+            rows.grouped(5000).foreach { g =>
+              b.publishBatch(topic, g.map { r =>
+                (r.getSeq[Float](1).mkString(",").getBytes("UTF-8"),
+                  Map("vec_id" -> r.getLong(0).toString,
+                    "label" -> r.getInt(2).toString), "")
+              })
+            }
+          }
+        ep0
+      })
+      val sub = s"embi-sub-${UUID.randomUUID().toString.take(8)}"
+      EmbeddedBroker.get(ep).createSubscription(
+        s"projects/p/subscriptions/$sub", topic, backfill = true)
+      (ep, sub)
+    }
+
   /** Events rows as (event_type payload, ts/value/eid/uid attributes). */
   private def publishEvents(s: SparkSession, d: String,
       copies: Int = 1): (String, String) =
@@ -1059,6 +1090,119 @@ object StreamingOps {
         deleteRecursively(new java.io.File(outDir))
         out
       },
-      Some(Vector.annContractSqlWhere("WHERE vec_id < 40")))
+      Some(Vector.annContractSqlWhere("WHERE vec_id < 40"))),
+
+    Q("p17_stream_ann_ingest",
+      // Streaming index MAINTENANCE — the other half of the retrieval
+      // deployment p16 covers: there the index is static and queries
+      // stream; here the VECTORS stream and the index grows, the Faiss
+      // `add` semantics (quantizer frozen — training is batch work on
+      // historical data; ingest only assigns + appends). Each
+      // micro-batch of arriving vectors is normalized map-side and
+      // APPENDED to a list_id-BUCKETED index table (the p15 discipline:
+      // the corpus-sized index never reshuffles for a batch-sized
+      // append — each append writes its own bucket files), with no
+      // rebuild and no corpus shuffle per batch. After the drain the
+      // fixed query set probes the fully-ingested table through the
+      // same probe+rerank core as s03/s04/p16 — incremental ingest must
+      // equal a batch build over the same vectors, so the gate row is
+      // the per-query structural contract PLUS the ingested count
+      // (DuckDB recomputes both from the embeddings table alone).
+      (s, d) => {
+        val (ep, sub) = publishEmbeddingsAll(s, d)
+        val emb = Tables.load(s, d, "embeddings")
+        val n = emb.count()
+        val cap = math.max(50L, (n + 3) / 4)
+        // frozen coarse quantizer: batch-trained before the stream
+        val centroids = Vector.labelCentroids(emb).localCheckpoint(true)
+        val idxDir = Files.createTempDirectory("graft-p17-idx").toString
+        val idxTbl = s"p17_idx_${UUID.randomUUID().toString.take(8)}"
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("vec_id", LongType),
+            StructField("embedding",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.FloatType)),
+            StructField("nrm", org.apache.spark.sql.types.DoubleType),
+            StructField("list_id", org.apache.spark.sql.types.IntegerType))))
+          .write.bucketBy(8, "list_id").sortBy("list_id")
+          .option("path", s"$idxDir/t").saveAsTable(idxTbl)
+        val sizes =
+          new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        val q = s.readStream.format("pubsub")
+          .option("project_id", "p")
+          .option("subscription", sub)
+          .option("endpoint", ep)
+          .option("max_messages_per_trigger", cap.toString)
+          .option("max_messages_per_partition", "50000")
+          .option("dynamic_partitioning", "false")
+          .option("ack_deadline_seconds", "600")
+          .load()
+          .selectExpr(
+            "CAST(attributes['vec_id'] AS BIGINT) AS vec_id",
+            "transform(split(CAST(data AS STRING), ','), " +
+              "x -> CAST(x AS FLOAT)) AS embedding",
+            "CAST(attributes['label'] AS INT) AS list_id")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            // assign (upstream-routed here) + normalize: pure map work;
+            // the append writes straight into the bucket layout
+            val enc = batch.withColumn("nrm",
+              sqrt(graft.functions.VectorExpressions
+                .dotF32(col("embedding"), col("embedding"))))
+              .select(col("vec_id"), col("embedding"), col("nrm"),
+                col("list_id"))
+            sizes.add(enc.count())
+            enc.write.mode("append")
+              .bucketBy(8, "list_id").sortBy("list_id")
+              .option("path", s"$idxDir/t").saveAsTable(idxTbl)
+            ()
+          }
+          .option("checkpointLocation", tmpCheckpoint("graft-p17"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(300000)
+        s.catalog.refreshTable(idxTbl)
+        val listed = s.table(idxTbl)
+        val nIndexed = listed.count()
+        import scala.jdk.CollectionConverters._
+        val sz = sizes.asScala.toSeq
+        require(nIndexed == n && sz.forall(_ <= cap) &&
+          sz.count(_ > 0) == (n + cap - 1) / cap,
+          s"p17 ingest broke: indexed $nIndexed of $n over batches $sz " +
+            s"(cap $cap)")
+        val queries = listed.filter(col("vec_id") < 40)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("qe"), col("nrm").as("qn"))
+        val search = Vector.ivfProbeSearch(queries, listed, centroids,
+          nProbe = 4, k = 5)
+        // The scale property on the checked path: the ingested index
+        // never moves at query time either — the probe side broadcasts
+        // into the candidate join, so no Exchange in the search plan
+        // hash-partitions on list_id (the shuffles that remain are the
+        // bounded nlist-row centroid fold, the rerank window keyed on
+        // query_id, and the output sort — all query-sized, never
+        // corpus-sized).
+        val plan = search.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        require(plan.contains("BroadcastHashJoin") &&
+          !plan.contains("hashpartitioning(list_id"),
+          "p17 probe plan moved the index: the candidate join must " +
+            "broadcast the probes, never reshuffle the ingested table " +
+            "on list_id")
+        val contract = Vector.annContract(search)
+          .withColumn("n_indexed", lit(nIndexed))
+        val rows = contract.collect()
+        val out = s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), contract.schema)
+        ListingCache.release(centroids)
+        s.sql(s"DROP TABLE IF EXISTS $idxTbl")
+        deleteRecursively(new java.io.File(idxDir))
+        out
+      },
+      Some("SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_ret, " +
+        "CAST(15 AS BIGINT) AS rnk_sum, CAST(5 AS BIGINT) AS n_distinct, " +
+        "true AS self_excluded, true AS cos_bounded, true AS ranked_desc, " +
+        "(SELECT COUNT(*) FROM embeddings) AS n_indexed " +
+        "FROM embeddings WHERE vec_id < 40 ORDER BY query_id"))
   )
 }
