@@ -21,11 +21,23 @@ import org.apache.spark.sql.streaming.Trigger
   * ms should stay FLAT across batches (no state accumulates; the
   * replay cache holds one batch).
   *
+  * The `ingest` mode measures p17's deployment shape at corpus scale
+  * instead: vectors stream in and the list_id-bucketed index GROWS by
+  * batch-sized appends (frozen kmeans quantizer, map-side
+  * normalize+assign) — per-batch append wall should stay FLAT as the
+  * index grows, because an append writes its own bucket files and
+  * never touches the accumulated table.
+  *
   * Usage: StreamVecProbe [dir] [batchSize] [nBatches] [nProbe]
+  *        StreamVecProbe [dir] ingest [batchSize]
   */
 object StreamVecProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("target/vec1m")
+    if (args.length > 1 && args(1) == "ingest") {
+      ingest(dir, if (args.length > 2) args(2).toInt else 100000)
+      return
+    }
     val batchSize = if (args.length > 1) args(1).toInt else 1000
     val nBatches = if (args.length > 2) args(2).toInt else 8
     val nProbe = if (args.length > 3) args(3).toInt else 64
@@ -113,6 +125,128 @@ object StreamVecProbe {
       s"stream drained ${got.map(_._3).sum} of $nQ published queries " +
         s"across ${got.size} batches — measurement incomplete")
     index.cents.unpersist(); index.enc.unpersist()
+    spark.stop()
+  }
+
+  /** p17's shape at corpus scale: stream `n` vectors through the broker
+    * in `batchSize` micro-batches, each batch map-side assigned against
+    * a FROZEN kmeans quantizer and appended to a list_id-bucketed index
+    * table. Prints per-batch append walls (should be flat in the
+    * accumulated index size) and a post-drain probe wall over the
+    * fully-ingested table. */
+  private def ingest(dir: String, batchSize: Int): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = Tables.load(spark, dir, "embeddings")
+    val n = emb.count()
+    val nlist = graft.api.Graft.deriveNlist(n)
+    // frozen quantizer: batch-trained on a bounded historical sample
+    val t0 = System.nanoTime()
+    val train = emb.filter(pmod(col("vec_id"), lit(math.max(1L,
+      n / (nlist.toLong * 128)))) === 0)
+    val cents = graft.api.Graft
+      .kmeansCentroids(train, "vec_id", "embedding", nlist, iters = 2)
+      .localCheckpoint(true)
+    println(f"[ingest] quantizer train=${(System.nanoTime() - t0) / 1e9}%.1f " +
+      s"n=$n nlist=$nlist batch=$batchSize")
+
+    val topic = "projects/p/topics/svp-ingest"
+    val ep = s"svpi-${UUID.randomUUID()}"
+    EmbeddedBroker.get(ep).createTopic(topic)
+    emb.select(col("vec_id"), col("embedding")).repartition(8)
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val b = EmbeddedBroker.get(ep)
+        rows.grouped(5000).foreach { g =>
+          b.publishBatch(topic, g.map { r =>
+            (r.getSeq[Float](1).mkString(",").getBytes("UTF-8"),
+              Map("vec_id" -> r.getLong(0).toString), "")
+          })
+        }
+      }
+    val sub = s"svpi-sub-${UUID.randomUUID().toString.take(8)}"
+    EmbeddedBroker.get(ep).createSubscription(
+      s"projects/p/subscriptions/$sub", topic, backfill = true)
+
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("svp-ingest-idx").toString
+    val idxTbl = s"svp_idx_${UUID.randomUUID().toString.take(8)}"
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("nrm",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("list_id",
+          org.apache.spark.sql.types.IntegerType))))
+      .write.bucketBy(32, "list_id").sortBy("list_id")
+      .option("path", s"$idxDir/t").saveAsTable(idxTbl)
+
+    val walls = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Long)]()
+    val q = spark.readStream.format("pubsub")
+      .option("project_id", "p")
+      .option("subscription", sub)
+      .option("endpoint", ep)
+      .option("max_messages_per_trigger", batchSize.toString)
+      .option("max_messages_per_partition", "50000")
+      .option("dynamic_partitioning", "false")
+      .option("ack_deadline_seconds", "600")
+      .load()
+      .selectExpr(
+        "CAST(attributes['vec_id'] AS BIGINT) AS vec_id",
+        "transform(split(CAST(data AS STRING), ','), " +
+          "x -> CAST(x AS FLOAT)) AS embedding")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val t = System.nanoTime()
+        val assigned = graft.api.Graft
+          .assignToCentroids(batch, "vec_id", "embedding", cents, nlist)
+          .withColumn("nrm", sqrt(graft.functions.VectorExpressions
+            .dotF32(col("embedding"), col("embedding"))))
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            col("list_id"))
+        assigned.write.mode("append")
+          .bucketBy(32, "list_id").sortBy("list_id")
+          .option("path", s"$idxDir/t").saveAsTable(idxTbl)
+        // batch size only (batch-sized work) — counting the accumulated
+        // table here would add the O(index) scan the measurement exists
+        // to rule out
+        walls.add((id, (System.nanoTime() - t) / 1e9, batch.count()))
+        ()
+      }
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("svp-ingest-cp").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(3600000)
+    import scala.jdk.CollectionConverters._
+    val got = walls.asScala.toSeq.sortBy(_._1)
+    var acc = 0L
+    got.foreach { case (id, w, bn) =>
+      acc += bn
+      println(f"[ingest] batch=$id nq=$bn wall=$w%7.2f accumulated=$acc")
+    }
+    spark.catalog.refreshTable(idxTbl)
+    val listed = spark.table(idxTbl)
+    val nIndexed = listed.count()
+    require(nIndexed == n,
+      s"ingest drained $nIndexed of $n published vectors")
+    // the ingested table serves queries immediately, no build step
+    val t1 = System.nanoTime()
+    val queries = listed.filter(col("vec_id") % 10000 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+    val hits = graft.ops.Vector.ivfProbeSearch(queries, listed, cents,
+        nProbe = 64, k = 5, nlistHint = nlist)
+      .count()
+    println(f"[ingest] post-drain probe rows=$hits " +
+      f"wall=${(System.nanoTime() - t1) / 1e9}%.1f")
+    spark.sql(s"DROP TABLE IF EXISTS $idxTbl")
     spark.stop()
   }
 }
