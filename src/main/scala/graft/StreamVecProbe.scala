@@ -184,7 +184,7 @@ object StreamVecProbe {
           org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.StructField("list_id",
           org.apache.spark.sql.types.IntegerType))))
-      .write.bucketBy(32, "list_id").sortBy("list_id")
+      .write.bucketBy(256, "list_id").sortBy("list_id")
       .option("path", s"$idxDir/t").saveAsTable(idxTbl)
 
     val walls = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Long)]()
@@ -211,7 +211,7 @@ object StreamVecProbe {
           .select(col("vec_id"), col("embedding"), col("nrm"),
             col("list_id"))
         assigned.write.mode("append")
-          .bucketBy(32, "list_id").sortBy("list_id")
+          .bucketBy(256, "list_id").sortBy("list_id")
           .option("path", s"$idxDir/t").saveAsTable(idxTbl)
         // batch size only (batch-sized work) — counting the accumulated
         // table here would add the O(index) scan the measurement exists
@@ -246,6 +246,30 @@ object StreamVecProbe {
       .count()
     println(f"[ingest] post-drain probe rows=$hits " +
       f"wall=${(System.nanoTime() - t1) / 1e9}%.1f")
+    // The serving shape: a SMALL query batch probes few lists, so the
+    // pruned path (isin pushdown on the bucketed/sorted list_id) should
+    // read only the probed buckets' row groups instead of scanning the
+    // whole ingested table. A/B with identical-results require, 2 reps
+    // each, pruned first so page-cache warm-up favors the full scan.
+    val q8 = listed.filter(col("vec_id") % 125000 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+      .localCheckpoint(true)
+    def probe(prune: Boolean): (Double, Array[org.apache.spark.sql.Row]) = {
+      val t = System.nanoTime()
+      val rows = graft.ops.Vector.ivfProbeSearch(q8, listed, cents,
+        nProbe = 16, k = 5, nlistHint = nlist, pruneLists = prune)
+        .collect()
+      ((System.nanoTime() - t) / 1e9, rows)
+    }
+    for (rep <- 1 to 2) {
+      val (wp, rp) = probe(prune = true)
+      val (wf, rf) = probe(prune = false)
+      require(rp.toSeq == rf.toSeq,
+        s"pruned probe diverged: ${rp.length} vs ${rf.length} rows")
+      println(f"[ingest] serving probe rep=$rep n_q=${q8.count()} " +
+        f"pruned=$wp%6.2f full=$wf%6.2f")
+    }
     spark.sql(s"DROP TABLE IF EXISTS $idxTbl")
     spark.stop()
   }

@@ -52,14 +52,37 @@ object Vector {
     * fixture callers' nlist ≤ 10 keeps the HOF plan either way). */
   private[graft] def ivfProbeSearch(q: DataFrame, listed: DataFrame,
       centroids: DataFrame, nProbe: Int, k: Int,
-      nlistHint: Int = 0): DataFrame = {
-    val probes = graft.api.Graft
+      nlistHint: Int = 0, pruneLists: Boolean = false): DataFrame = {
+    val probes0 = graft.api.Graft
       .probeTopN(q, "qe", nrmCol = None, centroids, nProbe, nlistHint)
       .select(col("query_id"), col("qe"), col("qn"), col("list_id"))
+    // pruneLists: the online-serving path. The broadcast equi-join
+    // already touches only the probed lists' ROWS, but the index SCAN
+    // under it reads the whole table — O(corpus) per micro-batch no
+    // matter how few lists a small query batch probes. Collecting the
+    // batch's distinct probed list ids (bounded by min(n_q·nProbe,
+    // nlist) ints — driver-sized by construction) and pushing them as
+    // an isin() filter turns the scan into bucket-pruned, row-group-
+    // skipped reads of just those lists when the index is a table
+    // bucketed/sorted on list_id: per-batch cost becomes O(probed
+    // occupancy), not O(corpus). Worth it exactly when the probed
+    // fraction is small (low-latency serving batches); a throughput
+    // batch probing most lists should keep the full scan.
+    val listedSide =
+      if (!pruneLists) listed
+      else {
+        // the probe subplan runs once more for this collect — bounded
+        // map-side work on n_q rows, cheaper than checkpointing blocks
+        // the caller would have to release
+        val ids = probes0.select("list_id").distinct()
+          .collect().map(_.get(0)).toSeq
+        listed.filter(col("list_id").isin(ids: _*))
+      }
+    val probes = probes0
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(probes)
-      .join(listed, probes("list_id") === listed("list_id") &&
+      .join(listedSide, probes("list_id") === listedSide("list_id") &&
         col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot("qe", "embedding") / (col("qn") * col("nrm"))).as("cos"))
