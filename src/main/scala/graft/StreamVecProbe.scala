@@ -28,14 +28,25 @@ import org.apache.spark.sql.streaming.Trigger
   * index grows, because an append writes its own bucket files and
   * never touches the accumulated table.
   *
+  * The `persist` mode measures the build-once / serve-for-weeks shape:
+  * build the IVF-PQ index over the slice, [[graft.api.Graft.ivfPqSave]]
+  * it (bucket-partitioned codes), [[graft.api.Graft.ivfPqLoad]] it
+  * back, and A/B a small serving batch pruned vs full-scan against the
+  * loaded index, with a row-parity require.
+  *
   * Usage: StreamVecProbe [dir] [batchSize] [nBatches] [nProbe]
   *        StreamVecProbe [dir] ingest [batchSize]
+  *        StreamVecProbe [dir] persist [buckets]
   */
 object StreamVecProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("target/vec1m")
     if (args.length > 1 && args(1) == "ingest") {
       ingest(dir, if (args.length > 2) args(2).toInt else 100000)
+      return
+    }
+    if (args.length > 1 && args(1) == "persist") {
+      persist(dir, if (args.length > 2) args(2).toInt else 256)
       return
     }
     val batchSize = if (args.length > 1) args(1).toInt else 1000
@@ -125,6 +136,54 @@ object StreamVecProbe {
       s"stream drained ${got.map(_._3).sum} of $nQ published queries " +
         s"across ${got.size} batches — measurement incomplete")
     index.cents.unpersist(); index.enc.unpersist()
+    spark.stop()
+  }
+
+  /** Build-once / serve-for-weeks: build the IVF-PQ index over the
+    * slice, save it bucket-partitioned, load it back, and A/B the
+    * pruned serving probe against the loaded index's full scan. */
+  private def persist(dir: String, buckets: Int): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = Tables.load(spark, dir, "embeddings")
+    val n = emb.count()
+    val nlist = graft.api.Graft.deriveNlist(n)
+    val t0 = System.nanoTime()
+    val built = graft.api.Graft.ivfPqBuild(emb, "vec_id", "embedding",
+      dim = 64, nlist = nlist)
+    val index = built.copy(
+      cents = built.cents.localCheckpoint(true),
+      enc = built.enc.localCheckpoint(true))
+    println(f"[persist] build=${(System.nanoTime() - t0) / 1e9}%.1f " +
+      s"n=$n nlist=$nlist buckets=$buckets")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("svp-persist").toString
+    val t1 = System.nanoTime()
+    graft.api.Graft.ivfPqSave(index, idxDir, buckets)
+    println(f"[persist] save=${(System.nanoTime() - t1) / 1e9}%.1f")
+    index.cents.unpersist(); index.enc.unpersist()
+    val loaded = graft.api.Graft.ivfPqLoad(spark, idxDir)
+    val q8 = emb.filter(col("vec_id") % (n / 8) === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+      .localCheckpoint(true)
+    def probe(prune: Boolean): (Double, Array[org.apache.spark.sql.Row]) = {
+      val t = System.nanoTime()
+      val rows = graft.api.Graft.ivfPqSearch(loaded, q8, "qid",
+        "embedding", emb, "embedding", k = 5, nProbe = 16,
+        shortlist = 256, pruneLists = prune)
+        .orderBy("query_id", "rnk").collect()
+      ((System.nanoTime() - t) / 1e9, rows)
+    }
+    for (rep <- 1 to 2) {
+      val (wp, rp) = probe(prune = true)
+      val (wf, rf) = probe(prune = false)
+      require(rp.toSeq == rf.toSeq,
+        s"pruned probe diverged: ${rp.length} vs ${rf.length} rows")
+      println(f"[persist] serving probe rep=$rep n_q=${q8.count()} " +
+        f"pruned=$wp%6.2f full=$wf%6.2f")
+    }
     spark.stop()
   }
 

@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reusable library surface for LLM-data-pipeline operators: every
@@ -1581,10 +1581,14 @@ object Graft {
     *    vector store by id).
     *  - `lookup`: the one-row broadcastable PQ codebook map.
     *
-    * Persist/restore is plain parquet on the three frames. */
+    * Persist/restore: [[ivfPqSave]]/[[ivfPqLoad]] — plain parquet on the
+    * three frames, with the codes hive-partitioned by
+    * `bucket = pmod(list_id, buckets)` so a loaded index's serving-time
+    * probe partition-prunes to the probed lists' buckets
+    * (`buckets` = 0 means in-session/unpartitioned — the build shape). */
   final case class IvfPqIndex(cents: DataFrame, enc: DataFrame,
       lookup: DataFrame, idCol: String, nlist: Int, dim: Int, m: Int,
-      ksub: Int)
+      ksub: Int, buckets: Int = 0)
 
   /** Build an [[IvfPqIndex]] over `df` — steps (1)–(3) of the
     * [[ivfPqTopK]] pipeline (sampled Lloyd for centroids and codebooks,
@@ -1668,6 +1672,49 @@ object Graft {
     IvfPqIndex(cents, enc, lookup, idCol, nlist, dim, m, ksub)
   }
 
+  /** Persist an [[IvfPqIndex]] as plain parquet under `dir` — the
+    * build-once / serve-for-weeks deployment shape. Centroids, PQ
+    * lookup, and a one-row meta frame are tiny; the codes write
+    * hive-partitioned by `bucket = pmod(list_id, buckets)` and SORTED
+    * by list_id within each partition, so a loaded index's
+    * `pruneLists` probe partition-prunes to the probed lists' buckets
+    * and row-group-skips within them. The codes pay one bounded
+    * shuffle here (repartition into buckets — persist-time batch work,
+    * a few dozen bytes per vector); size `buckets` to the serving
+    * batch's probed-list count — more buckets prune sharper but write
+    * more files. */
+  def ivfPqSave(index: IvfPqIndex, dir: String, buckets: Int = 64): Unit = {
+    require(buckets > 0, s"ivfPqSave(buckets=$buckets)")
+    index.cents.write.mode("overwrite").parquet(s"$dir/cents.parquet")
+    index.lookup.write.mode("overwrite").parquet(s"$dir/lookup.parquet")
+    val s = index.cents.sparkSession
+    import s.implicits._
+    Seq((index.idCol, index.nlist, index.dim, index.m, index.ksub,
+      buckets))
+      .toDF("id_col", "nlist", "dim", "m", "ksub", "buckets")
+      .write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    index.enc
+      .withColumn("bucket", pmod(col("list_id"), lit(buckets)))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("list_id")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/codes.parquet")
+  }
+
+  /** Restore an [[ivfPqSave]]d index. The codes frame keeps its
+    * `bucket` partition column (harmless to the search joins; it is
+    * what makes `pruneLists` partition-prune). */
+  def ivfPqLoad(spark: SparkSession, dir: String): IvfPqIndex = {
+    val meta = spark.read.parquet(s"$dir/meta.parquet").head()
+    IvfPqIndex(
+      cents = spark.read.parquet(s"$dir/cents.parquet"),
+      enc = spark.read.parquet(s"$dir/codes.parquet"),
+      lookup = spark.read.parquet(s"$dir/lookup.parquet"),
+      idCol = meta.getString(0), nlist = meta.getInt(1),
+      dim = meta.getInt(2), m = meta.getInt(3), ksub = meta.getInt(4),
+      buckets = meta.getInt(5))
+  }
+
   /** Steps (4)–(6) of [[ivfPqTopK]] against a built [[IvfPqIndex]]:
     * probe selection ([[probeTopN]] — the CentroidTopNF32 kernel above
     * [[KernelNlist]]), ADC over ONLY the probed lists' codes (equi-join
@@ -1700,7 +1747,8 @@ object Graft {
   def ivfPqSearch(index: IvfPqIndex, queries: DataFrame, qidCol: String,
       qvecCol: String, vectors: DataFrame, vecCol: String, k: Int,
       nProbe: Int, shortlist: Int = 50,
-      broadcastQueries: Int = 4096): DataFrame = {
+      broadcastQueries: Int = 4096,
+      pruneLists: Boolean = false): DataFrame = {
     require(shortlist >= k && k > 0 && nProbe > 0 && broadcastQueries >= 0,
       s"ivfPqSearch(k=$k, shortlist=$shortlist, nProbe=$nProbe)")
     val dsub = index.dim / index.m
@@ -1723,6 +1771,27 @@ object Graft {
     val small =
       queries.select(col(qidCol)).limit(probeLimit).count() <=
         broadcastQueries
+    // pruneLists: the serving path for a LOADED index ([[ivfPqLoad]]) —
+    // the equi-join already touches only the probed lists' code ROWS,
+    // but the codes SCAN reads the whole table. Collecting the batch's
+    // distinct probed list ids (bounded by min(n_q·nProbe, nlist) ints;
+    // the probe subplan runs once more for it — map-side work on n_q
+    // rows) and pushing them as filters lets a bucket-partitioned codes
+    // layout partition-prune and row-group-skip to just the probed
+    // lists: per-batch scan cost becomes O(probed occupancy), not
+    // O(corpus). Right for small low-latency batches; a throughput
+    // batch probing most lists should keep the full scan.
+    val encSide =
+      if (!pruneLists) index.enc
+      else {
+        val ids = probes.select("list_id").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val byList = index.enc.filter(col("list_id").isin(ids: _*))
+        if (index.buckets > 0)
+          byList.filter(col("bucket").isin(
+            ids.map(_ % index.buckets).distinct: _*))
+        else byList
+      }
     // Each corpus row lives in exactly ONE list (argmax assignment), so
     // a (query, neighbor) candidate appears at most once — no dedup.
     // The ADC scan carries ONLY (query_id, neighbor_id, adc) into the
@@ -1740,7 +1809,7 @@ object Graft {
     val short =
       if (small)
         broadcast(probes)
-          .join(index.enc, Seq("list_id"))
+          .join(encSide, Seq("list_id"))
           .filter(col("query_id") =!= col(index.idCol))
           .select(col("query_id"), col(index.idCol).as("neighbor_id"), adc)
           .withColumn("srnk", row_number().over(wShort))
@@ -1750,7 +1819,7 @@ object Graft {
           .partitionBy("list_id", "query_id")
           .orderBy(col("adc").desc, col("neighbor_id"))
         probes
-          .join(index.enc, Seq("list_id"))
+          .join(encSide, Seq("list_id"))
           .filter(col("query_id") =!= col(index.idCol))
           .select(col("list_id"), col("query_id"),
             col(index.idCol).as("neighbor_id"), adc)

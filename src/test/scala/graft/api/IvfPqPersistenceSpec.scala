@@ -1,0 +1,72 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** [[Graft.ivfPqSave]]/[[Graft.ivfPqLoad]] — the build-once /
+  * serve-for-weeks deployment shape: a saved-and-loaded index must
+  * return row-identical results to the in-session build, the
+  * `pruneLists` serving path must change nothing but the scan, and the
+  * loaded layout must actually partition-prune (the codes are
+  * hive-partitioned by bucket = pmod(list_id, buckets)). */
+class IvfPqPersistenceSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val Dim = 16
+
+  private lazy val corpus: DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    (0 until 800).map(i =>
+      (i.toLong, Array.fill(Dim)((rnd.nextGaussian() + 0.1).toFloat)))
+      .toDF("vec_id", "embedding")
+  }
+
+  private lazy val queries = corpus
+    .filter(pmod(col("vec_id"), lit(100)) === 0)
+    .select(col("vec_id").as("qid"), col("embedding"))
+
+  private def rows(df: DataFrame): Seq[(Long, Long, Long)] = {
+    import spark.implicits._
+    df.select(col("query_id"), col("neighbor_id"), col("rnk"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+  }
+
+  test("saved+loaded index returns row-identical results, pruned and " +
+      "plain, and the pruned scan partition-prunes") {
+    val built = Graft.ivfPqBuild(corpus, "vec_id", "embedding",
+      dim = Dim, nlist = 12, m = 4, ksub = 8, iters = 2)
+    def search(idx: Graft.IvfPqIndex, prune: Boolean): DataFrame =
+      Graft.ivfPqSearch(idx, queries, "qid", "embedding",
+        corpus, "embedding", k = 4, nProbe = 3, shortlist = 12,
+        pruneLists = prune)
+    val expected = rows(search(built, prune = false))
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivfpq-persist").toString
+    Graft.ivfPqSave(built, dir, buckets = 8)
+    val loaded = Graft.ivfPqLoad(spark, dir)
+    loaded.buckets shouldBe 8
+    loaded.nlist shouldBe built.nlist
+
+    rows(search(loaded, prune = false)) shouldBe expected
+    val pruned = search(loaded, prune = true)
+    rows(pruned) shouldBe expected
+
+    // the pruned plan's codes scan carries a partition filter on bucket
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    withClue(s"no partition pruning on the codes scan:\n$plan") {
+      plan should include("PartitionFilters")
+      """PartitionFilters: \[[^\]]*bucket""".r
+        .findFirstIn(plan).isDefined shouldBe true
+    }
+  }
+}
