@@ -269,7 +269,14 @@ object StreamVecProbe {
             .dotF32(col("embedding"), col("embedding"))))
           .select(col("vec_id"), col("embedding"), col("nrm"),
             col("list_id"))
-        assigned.write.mode("append")
+        // repartition onto the bucket count BY the bucket column —
+        // repartition(n, col)'s murmur3-pmod IS the bucketing hash, so
+        // each task holds exactly one bucket and the append writes
+        // <= buckets files. Without it the write emits one file per
+        // (task x touched bucket): measured 991 files per 10k-row
+        // append, 99,080 files after 100 appends, and a serving probe
+        // 10x slower than the clean layout purely from file count.
+        assigned.repartition(256, col("list_id")).write.mode("append")
           .bucketBy(256, "list_id").sortBy("list_id")
           .option("path", s"$idxDir/t").saveAsTable(idxTbl)
         // batch size only (batch-sized work) — counting the accumulated
@@ -329,6 +336,44 @@ object StreamVecProbe {
       println(f"[ingest] serving probe rep=$rep n_q=${q8.count()} " +
         f"pruned=$wp%6.2f full=$wf%6.2f")
     }
+    // Fragmentation: every append wrote its own bucket files, so the
+    // table accrues nBatches·buckets files — the small-files wall a
+    // long-running ingest stream hits. Compact = one batch rewrite into
+    // the same bucket layout; A/B the serving probe fragmented vs
+    // compacted (identical rows require()'d).
+    val nFiles = new java.io.File(s"$idxDir/t")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val cTbl = s"${idxTbl}_c"
+    val t2 = System.nanoTime()
+    // Read the table's FILES as plain parquet, not spark.table(...):
+    // the bucketed scan claims HashPartitioning(list_id, 256), the
+    // repartition below is then elided as redundant, and the write
+    // keeps the fragmentation (measured: 25,101 -> 16,272 files through
+    // the table read; 57 -> 47 in a minimal repro, vs the correct 16
+    // through a plain-parquet read of the same files).
+    spark.read.parquet(s"$idxDir/t")
+      .repartition(256, col("list_id"))
+      .write.bucketBy(256, "list_id").sortBy("list_id")
+      .option("path", s"$idxDir/c").saveAsTable(cTbl)
+    val compactWall = (System.nanoTime() - t2) / 1e9
+    val compacted = spark.table(cTbl)
+    val cFiles = new java.io.File(s"$idxDir/c")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    def probeOn(tbl: org.apache.spark.sql.DataFrame, prune: Boolean) = {
+      val t = System.nanoTime()
+      val rows = graft.ops.Vector.ivfProbeSearch(q8, tbl, cents,
+        nProbe = 16, k = 5, nlistHint = nlist, pruneLists = prune)
+        .collect()
+      ((System.nanoTime() - t) / 1e9, rows)
+    }
+    for (rep <- 1 to 2) {
+      val (wc, rc) = probeOn(compacted, prune = true)
+      val (wfr, rfr) = probeOn(listed, prune = true)
+      require(rc.toSeq == rfr.toSeq, "compacted probe diverged")
+      println(f"[ingest] compact rep=$rep files=$nFiles->$cFiles " +
+        f"compactWall=$compactWall%6.1f frag=$wfr%6.2f compacted=$wc%6.2f")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $cTbl")
     spark.sql(s"DROP TABLE IF EXISTS $idxTbl")
     spark.stop()
   }

@@ -1152,7 +1152,15 @@ object StreamingOps {
               .select(col("vec_id"), col("embedding"), col("nrm"),
                 col("list_id"))
             sizes.add(enc.count())
-            enc.write.mode("append")
+            // repartition onto the bucket count BY the bucket column:
+            // repartition(n, col)'s murmur3-pmod IS the bucketing hash,
+            // so each task holds exactly one bucket and an append writes
+            // ≤ buckets files. Without it a bucketed write emits one
+            // file per (task × touched bucket) and a long-running ingest
+            // stream fragments the table at tasks× the expected rate
+            // (measured r12: ~1.6k files per 10k-row append at 256
+            // buckets). The shuffle this adds is batch-sized.
+            enc.repartition(8, col("list_id")).write.mode("append")
               .bucketBy(8, "list_id").sortBy("list_id")
               .option("path", s"$idxDir/t").saveAsTable(idxTbl)
             ()
