@@ -48,6 +48,9 @@ class IvfPqPersistenceSpec extends AnyFunSuite with Matchers {
         corpus, "embedding", k = 4, nProbe = 3, shortlist = 12,
         pruneLists = prune)
     val expected = rows(search(built, prune = false))
+    // the pruned path on an IN-SESSION index (buckets = 0: list_id
+    // isin only, no partition filter) must also change nothing
+    rows(search(built, prune = true)) shouldBe expected
 
     val dir = java.nio.file.Files
       .createTempDirectory("ivfpq-persist").toString
