@@ -49,6 +49,10 @@ object StreamVecProbe {
       persist(dir, if (args.length > 2) args(2).toInt else 256)
       return
     }
+    if (args.length > 1 && args(1) == "mixed") {
+      mixed(dir)
+      return
+    }
     val batchSize = if (args.length > 1) args(1).toInt else 1000
     val nBatches = if (args.length > 2) args(2).toInt else 8
     val nProbe = if (args.length > 3) args(3).toInt else 64
@@ -193,6 +197,156 @@ object StreamVecProbe {
     * table. Prints per-batch append walls (should be flat in the
     * accumulated index size) and a post-drain probe wall over the
     * fully-ingested table. */
+  /** The mixed shape: queries SERVE while the index GROWS — an ingest
+    * stream appends 100k-vector batches to the bucketed table and a
+    * concurrent query stream (ProcessingTime trigger) probes the
+    * CURRENT table per micro-batch (refreshTable, pruneLists) — each
+    * probe's wall is recorded next to the index size it actually saw.
+    * Appends only ADD files, so concurrent reads are safe: a new file
+    * is simply invisible until the next refresh. */
+  private def mixed(dir: String): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = Tables.load(spark, dir, "embeddings")
+    val n = emb.count()
+    val nlist = graft.api.Graft.deriveNlist(n)
+    val cents = graft.api.Graft
+      .kmeansCentroids(emb.filter(pmod(col("vec_id"), lit(math.max(1L,
+        n / (nlist.toLong * 128)))) === 0), "vec_id", "embedding",
+        nlist, iters = 2)
+      .localCheckpoint(true)
+    println(s"[mixed] n=$n nlist=$nlist")
+
+    // ingest stream: 10 batches of 100k
+    val epI = s"svpm-i-${UUID.randomUUID()}"
+    EmbeddedBroker.get(epI).createTopic("projects/p/topics/mi")
+    emb.select(col("vec_id"), col("embedding")).repartition(8)
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val b = EmbeddedBroker.get(epI)
+        rows.grouped(5000).foreach { g =>
+          b.publishBatch("projects/p/topics/mi", g.map { r =>
+            (r.getSeq[Float](1).mkString(",").getBytes("UTF-8"),
+              Map("vec_id" -> r.getLong(0).toString), "")
+          })
+        }
+      }
+    EmbeddedBroker.get(epI).createSubscription(
+      "projects/p/subscriptions/mi-sub", "projects/p/topics/mi",
+      backfill = true)
+    // query stream: 100-query batches every 2s while ingest runs
+    val epQ = s"svpm-q-${UUID.randomUUID()}"
+    EmbeddedBroker.get(epQ).createTopic("projects/p/topics/mq")
+    emb.filter(pmod(col("vec_id"), lit(n / 2000)) === 0).limit(2000)
+      .select(col("vec_id"), col("embedding")).repartition(1)
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val b = EmbeddedBroker.get(epQ)
+        rows.grouped(5000).foreach { g =>
+          b.publishBatch("projects/p/topics/mq", g.map { r =>
+            (r.getSeq[Float](1).mkString(",").getBytes("UTF-8"),
+              Map("vec_id" -> r.getLong(0).toString), "")
+          })
+        }
+      }
+    EmbeddedBroker.get(epQ).createSubscription(
+      "projects/p/subscriptions/mq-sub", "projects/p/topics/mq",
+      backfill = true)
+
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("svp-mixed-idx").toString
+    val idxTbl = s"svp_mix_${UUID.randomUUID().toString.take(8)}"
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("nrm",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("list_id",
+          org.apache.spark.sql.types.IntegerType))))
+      .write.bucketBy(256, "list_id").sortBy("list_id")
+      .option("path", s"$idxDir/t").saveAsTable(idxTbl)
+
+    val qi = spark.readStream.format("pubsub")
+      .option("project_id", "p").option("subscription", "mi-sub")
+      .option("endpoint", epI)
+      .option("max_messages_per_trigger", "100000")
+      .option("max_messages_per_partition", "50000")
+      .option("dynamic_partitioning", "false")
+      .option("ack_deadline_seconds", "600")
+      .load()
+      .selectExpr("CAST(attributes['vec_id'] AS BIGINT) AS vec_id",
+        "transform(split(CAST(data AS STRING), ','), " +
+          "x -> CAST(x AS FLOAT)) AS embedding")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.api.Graft
+          .assignToCentroids(batch, "vec_id", "embedding", cents, nlist)
+          .withColumn("nrm", sqrt(graft.functions.VectorExpressions
+            .dotF32(col("embedding"), col("embedding"))))
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            col("list_id"))
+          .repartition(256, col("list_id")).write.mode("append")
+          .bucketBy(256, "list_id").sortBy("list_id")
+          .option("path", s"$idxDir/t").saveAsTable(idxTbl)
+        ()
+      }
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("svp-mi-cp").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+    val probes = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Double, Long, Long)]()
+    val qq = spark.readStream.format("pubsub")
+      .option("project_id", "p").option("subscription", "mq-sub")
+      .option("endpoint", epQ)
+      .option("max_messages_per_trigger", "100")
+      .option("max_messages_per_partition", "50000")
+      .option("dynamic_partitioning", "false")
+      .option("ack_deadline_seconds", "600")
+      .load()
+      .selectExpr("CAST(attributes['vec_id'] AS BIGINT) AS query_id",
+        "transform(split(CAST(data AS STRING), ','), " +
+          "x -> CAST(x AS FLOAT)) AS qe")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val sess = batch.sparkSession
+        sess.catalog.refreshTable(idxTbl)
+        val seen = sess.table(idxTbl).count()
+        val q = batch.withColumn("qn",
+          sqrt(graft.functions.VectorExpressions.dotF32(col("qe"),
+            col("qe"))))
+          .select(col("query_id"), col("qe"), col("qn"))
+        val t = System.nanoTime()
+        val rows = graft.ops.Vector.ivfProbeSearch(q, sess.table(idxTbl),
+          cents, nProbe = 16, k = 5, nlistHint = nlist,
+          pruneLists = true).count()
+        probes.add((id, (System.nanoTime() - t) / 1e9, seen, rows))
+        ()
+      }
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("svp-mq-cp").toString)
+      .trigger(Trigger.ProcessingTime("2 seconds"))
+      .start()
+
+    qi.awaitTermination(3600000)   // ingest drains fully
+    Thread.sleep(8000)             // a few post-drain probes
+    qq.stop(); qq.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    probes.asScala.toSeq.sortBy(_._1).foreach { case (id, w, seen, r) =>
+      println(f"[mixed] probe batch=$id indexSeen=$seen wall=$w%6.2f " +
+        s"rows=$r")
+    }
+    require(!probes.isEmpty, "mixed run probed nothing")
+    spark.sql(s"DROP TABLE IF EXISTS $idxTbl")
+    spark.stop()
+  }
+
   private def ingest(dir: String, batchSize: Int): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
