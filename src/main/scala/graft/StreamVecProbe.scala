@@ -74,14 +74,23 @@ object StreamVecProbe {
     println(f"[streamvec] index build=${(System.nanoTime() - t0) / 1e9}%.1f " +
       s"n=$n nlist=$nlist nProbe=$nProbe batch=$batchSize x $nBatches")
 
-    // publish nBatches·batchSize queries drawn evenly across the slice
+    // publish nBatches·batchSize queries drawn evenly across the slice.
+    // The stride filter can emit FEWER than nQ rows (nQ > n, or the
+    // stride rounding leaves < nQ survivors), so the drain guard below
+    // compares against the ACTUAL published count, not the request
+    // (r12 advice: a healthy small-slice run used to fail the require
+    // with a misleading "measurement incomplete").
     val nQ = batchSize.toLong * nBatches
     val topic = "projects/p/topics/svp-queries"
     val ep = s"svp-${UUID.randomUUID()}"
     EmbeddedBroker.get(ep).createTopic(topic)
-    emb.filter(pmod(col("vec_id"), lit(math.max(1L, n / nQ))) === 0)
+    val pubFrame = emb
+      .filter(pmod(col("vec_id"), lit(math.max(1L, n / nQ))) === 0)
       .limit(nQ.toInt)
       .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val nPublished = pubFrame.count()
+    pubFrame
       .repartition(1)
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         val b = EmbeddedBroker.get(ep)
@@ -96,7 +105,10 @@ object StreamVecProbe {
     EmbeddedBroker.get(ep).createSubscription(
       s"projects/p/subscriptions/$sub", topic, backfill = true)
 
-    val walls = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Long)]()
+    // per batch: (id, wall, rows drained, result-bearing query count) —
+    // drained is the drain-guard term; the result count is a separate
+    // diagnostic (a query CAN legitimately return zero neighbors).
+    val walls = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Long, Long)]()
     val q = spark.readStream.format("pubsub")
       .option("project_id", "p")
       .option("subscription", sub)
@@ -112,12 +124,14 @@ object StreamVecProbe {
           "x -> CAST(x AS FLOAT)) AS embedding")
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = batch.localCheckpoint(true)
+        val drained = b.count()
         val t = System.nanoTime()
-        val got = graft.api.Graft.ivfPqSearch(index, batch,
+        val got = graft.api.Graft.ivfPqSearch(index, b,
           "query_id", "embedding", emb, "embedding", k = 5,
           nProbe = nProbe, shortlist = shortlist)
           .select("query_id").distinct().count()
-        walls.add((id, (System.nanoTime() - t) / 1e9, got))
+        walls.add((id, (System.nanoTime() - t) / 1e9, drained, got))
         ()
       }
       .option("checkpointLocation",
@@ -127,18 +141,20 @@ object StreamVecProbe {
     q.awaitTermination(1200000)
     import scala.jdk.CollectionConverters._
     val got = walls.asScala.toSeq.sortBy(_._1)
-    got.foreach { case (id, w, nq) =>
-      println(f"[streamvec] batch=$id nq=$nq wall=$w%7.2f " +
-        f"perq_ms=${w * 1000 / math.max(1L, nq)}%7.2f")
+    got.foreach { case (id, w, nq, nr) =>
+      println(f"[streamvec] batch=$id nq=$nq with_results=$nr " +
+        f"wall=$w%7.2f perq_ms=${w * 1000 / math.max(1L, nq)}%7.2f")
     }
     // Fail LOUDLY if the stream drained nothing — one r12 run printed
     // only the build line and exited 0 (an empty AvailableNow pass over
     // a subscription that saw no backfill), which reads as success to
     // anything scraping the walls. A measurement main must not be able
-    // to succeed without measuring.
-    require(got.map(_._3).sum == nQ,
-      s"stream drained ${got.map(_._3).sum} of $nQ published queries " +
-        s"across ${got.size} batches — measurement incomplete")
+    // to succeed without measuring. The guard compares ROWS DRAINED
+    // against ROWS PUBLISHED — the result-bearing query count is a
+    // diagnostic, not the guard term.
+    require(got.map(_._3).sum == nPublished,
+      s"stream drained ${got.map(_._3).sum} of $nPublished published " +
+        s"queries across ${got.size} batches — measurement incomplete")
     index.cents.unpersist(); index.enc.unpersist()
     spark.stop()
   }
@@ -238,7 +254,12 @@ object StreamVecProbe {
     // query stream: 100-query batches every 2s while ingest runs
     val epQ = s"svpm-q-${UUID.randomUUID()}"
     EmbeddedBroker.get(epQ).createTopic("projects/p/topics/mq")
-    emb.filter(pmod(col("vec_id"), lit(n / 2000)) === 0).limit(2000)
+    // max(1, ·): a slice under 2000 vectors would otherwise compute
+    // stride 0 — pmod by zero is null, the filter selects nothing, and
+    // the run dies on the misleading "probed nothing" require (r12
+    // advice).
+    emb.filter(pmod(col("vec_id"), lit(math.max(1L, n / 2000))) === 0)
+      .limit(2000)
       .select(col("vec_id"), col("embedding")).repartition(1)
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         val b = EmbeddedBroker.get(epQ)
@@ -271,6 +292,8 @@ object StreamVecProbe {
       .write.bucketBy(256, "list_id").sortBy("list_id")
       .option("path", s"$idxDir/t").saveAsTable(idxTbl)
 
+    val cpI = java.nio.file.Files.createTempDirectory("svp-mi-cp").toString
+    val cpQ = java.nio.file.Files.createTempDirectory("svp-mq-cp").toString
     val qi = spark.readStream.format("pubsub")
       .option("project_id", "p").option("subscription", "mi-sub")
       .option("endpoint", epI)
@@ -295,8 +318,7 @@ object StreamVecProbe {
           .option("path", s"$idxDir/t").saveAsTable(idxTbl)
         ()
       }
-      .option("checkpointLocation", java.nio.file.Files
-        .createTempDirectory("svp-mi-cp").toString)
+      .option("checkpointLocation", cpI)
       .trigger(Trigger.AvailableNow())
       .start()
 
@@ -329,8 +351,7 @@ object StreamVecProbe {
         probes.add((id, (System.nanoTime() - t) / 1e9, seen, rows))
         ()
       }
-      .option("checkpointLocation", java.nio.file.Files
-        .createTempDirectory("svp-mq-cp").toString)
+      .option("checkpointLocation", cpQ)
       .trigger(Trigger.ProcessingTime("2 seconds"))
       .start()
 
@@ -344,7 +365,18 @@ object StreamVecProbe {
     }
     require(!probes.isEmpty, "mixed run probed nothing")
     spark.sql(s"DROP TABLE IF EXISTS $idxTbl")
+    // temp hygiene (r12 advice): the checkpoint and index dirs are
+    // per-run scratch, not artifacts — a repeated dev loop should not
+    // accumulate them.
+    Seq(cpI, cpQ, idxDir).foreach(p =>
+      deleteDir(new java.io.File(p)))
     spark.stop()
+  }
+
+  private def deleteDir(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteDir)
+    f.delete()
+    ()
   }
 
   private def ingest(dir: String, batchSize: Int): Unit = {

@@ -1685,20 +1685,48 @@ object Graft {
     * more files. */
   def ivfPqSave(index: IvfPqIndex, dir: String, buckets: Int = 64): Unit = {
     require(buckets > 0, s"ivfPqSave(buckets=$buckets)")
-    index.cents.write.mode("overwrite").parquet(s"$dir/cents.parquet")
-    index.lookup.write.mode("overwrite").parquet(s"$dir/lookup.parquet")
     val s = index.cents.sparkSession
     import s.implicits._
-    Seq((index.idCol, index.nlist, index.dim, index.m, index.ksub,
-      buckets))
-      .toDF("id_col", "nlist", "dim", "m", "ksub", "buckets")
-      .write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    // Write-into-temp, swap-at-the-end: the sub-frames write
+    // independently, so writing in place would let a mid-save failure
+    // leave NEW codes under OLD meta (or vice versa) — a later
+    // ivfPqLoad + pruneLists would then filter on bucket = id % the
+    // WRONG modulus and silently drop whole probed lists (r12 advice).
+    // With the swap, the failure window leaves either the intact old
+    // index or NO directory — a load can fail loudly but never read a
+    // torn one.
+    val hconf = s.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(
+      dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    // codes: sortWithinPartitions by (bucket, list_id) — the write's
+    // required ordering on the partition column is then satisfied by
+    // PREFIX, so Spark inserts no sort of its own (a bare list_id sort
+    // would be followed by a planner-inserted, not-guaranteed-stable
+    // sort on bucket that forfeits the intra-bucket list_id order the
+    // row-group-skip property needs — r12 advice).
     index.enc
       .withColumn("bucket", pmod(col("list_id"), lit(buckets)))
       .repartition(col("bucket"))
-      .sortWithinPartitions("list_id")
+      .sortWithinPartitions("bucket", "list_id")
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$dir/codes.parquet")
+      .parquet(s"$tmp/codes.parquet")
+    index.cents.write.mode("overwrite").parquet(s"$tmp/cents.parquet")
+    index.lookup.write.mode("overwrite").parquet(s"$tmp/lookup.parquet")
+    // meta LAST — the commit marker within the temp dir: a temp tree
+    // missing meta is visibly incomplete even if the swap below is
+    // interrupted between delete and rename.
+    Seq((index.idCol, index.nlist, index.dim, index.m, index.ksub,
+      buckets))
+      .toDF("id_col", "nlist", "dim", "m", "ksub", "buckets")
+      .write.mode("overwrite").parquet(s"$tmp/meta.parquet")
+    if (fs.exists(target) && !fs.delete(target, true))
+      throw new java.io.IOException(s"ivfPqSave: cannot replace $dir")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(
+        s"ivfPqSave: rename $tmp -> $dir failed (old index removed; " +
+          "the complete new index remains at the temp path)")
   }
 
   /** Restore an [[ivfPqSave]]d index. The codes frame keeps its
@@ -1743,7 +1771,15 @@ object Graft {
     *    Exchange — PlanPropertiesSpec), so the global window shuffles
     *    n_q·nProbe·min(shortlist, occupancy) rows and occupancy — which
     *    grows as √n/4 past the [[deriveNlist]] crossover — drops out of
-    *    the one unbounded shuffle. */
+    *    the one unbounded shuffle.
+    *
+    * `pruneLists = true` (the [[ivfPqLoad]] serving path) is EAGER and
+    * BLOCKING at call time: the probe subplan is localCheckpoint-pinned
+    * and its distinct list ids collected (bounded by min(n_q·nProbe,
+    * nlist) ints) before this method returns, so the pushdown filter is
+    * derived from the exact probe rows the candidate join will read —
+    * never from a re-execution that nondeterministic inputs could
+    * change. */
   def ivfPqSearch(index: IvfPqIndex, queries: DataFrame, qidCol: String,
       qvecCol: String, vectors: DataFrame, vecCol: String, k: Int,
       nProbe: Int, shortlist: Int = 50,
@@ -1760,12 +1796,21 @@ object Graft {
     // coarse term of the residual ADC score (see [[ivfPqBuild]]) — one
     // broadcast equi-join on the bounded centroid table, one extra
     // double per probe row.
-    val probes = probeTopN(q, "qe", Some("qn"), index.cents, nProbe,
+    val probes0 = probeTopN(q, "qe", Some("qn"), index.cents, nProbe,
       nlistHint = index.nlist)
       .join(broadcast(index.cents
         .select(col("list_id"), col("centroid").as("__qcent"))), "list_id")
       .select(col("query_id"), col("qlut"), col("list_id"),
         dot(col("qe"), col("__qcent")).as("qc"))
+    // pruneLists pins the probe rows (localCheckpoint) BEFORE deriving
+    // the pushdown id set below — ids collected from one execution
+    // joined against a re-execution would silently drop candidates
+    // whenever the query input or probe scoring is nondeterministic
+    // between the runs (r12 advice). The pin makes pruneLists EAGER at
+    // call time; bounded at n_q·nProbe rows (~KB qlut each), the
+    // serving-batch size this path exists for.
+    val probes =
+      if (!pruneLists) probes0 else probes0.localCheckpoint(true)
     val probeLimit = (math.min(broadcastQueries.toLong, Int.MaxValue - 1L)
       + 1L).toInt
     val small =
@@ -1774,13 +1819,13 @@ object Graft {
     // pruneLists: the serving path for a LOADED index ([[ivfPqLoad]]) —
     // the equi-join already touches only the probed lists' code ROWS,
     // but the codes SCAN reads the whole table. Collecting the batch's
-    // distinct probed list ids (bounded by min(n_q·nProbe, nlist) ints;
-    // the probe subplan runs once more for it — map-side work on n_q
-    // rows) and pushing them as filters lets a bucket-partitioned codes
-    // layout partition-prune and row-group-skip to just the probed
-    // lists: per-batch scan cost becomes O(probed occupancy), not
-    // O(corpus). Right for small low-latency batches; a throughput
-    // batch probing most lists should keep the full scan.
+    // distinct probed list ids (bounded by min(n_q·nProbe, nlist) ints,
+    // read from the PINNED probe rows above) and pushing them as
+    // filters lets a bucket-partitioned codes layout partition-prune
+    // and row-group-skip to just the probed lists: per-batch scan cost
+    // becomes O(probed occupancy), not O(corpus). Right for small
+    // low-latency batches; a throughput batch probing most lists
+    // should keep the full scan.
     val encSide =
       if (!pruneLists) index.enc
       else {

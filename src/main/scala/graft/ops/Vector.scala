@@ -68,17 +68,25 @@ object Vector {
     // occupancy), not O(corpus). Worth it exactly when the probed
     // fraction is small (low-latency serving batches); a throughput
     // batch probing most lists should keep the full scan.
-    val listedSide =
-      if (!pruneLists) listed
+    // When pruning, PIN the probe rows before deriving the pushdown
+    // id set: collecting ids from one execution and joining against a
+    // RE-execution would silently drop candidates whenever the probe
+    // input or scoring is nondeterministic between the two runs
+    // (sampled/rand-derived queries, tie reshuffles) — the isin filter
+    // must come from the EXACT rows the join will see (r12 advice).
+    // localCheckpoint materializes the bounded n_q·nProbe probe rows
+    // once and both consumers read the pinned copy; this makes
+    // pruneLists EAGER at call time (checkpoint + id collect run
+    // before the DataFrame returns) — the serving path's intended
+    // trade, noted in the param doc above.
+    val (probes, listedSide) =
+      if (!pruneLists) (probes0, listed)
       else {
-        // the probe subplan runs once more for this collect — bounded
-        // map-side work on n_q rows, cheaper than checkpointing blocks
-        // the caller would have to release
-        val ids = probes0.select("list_id").distinct()
+        val pinned = probes0.localCheckpoint(true)
+        val ids = pinned.select("list_id").distinct()
           .collect().map(_.get(0)).toSeq
-        listed.filter(col("list_id").isin(ids: _*))
+        (pinned, listed.filter(col("list_id").isin(ids: _*)))
       }
-    val probes = probes0
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(probes)

@@ -71,5 +71,55 @@ class IvfPqPersistenceSpec extends AnyFunSuite with Matchers {
       """PartitionFilters: \[[^\]]*bucket""".r
         .findFirstIn(plan).isDefined shouldBe true
     }
+    // r12 advice (determinism): the pruned plan joins the PINNED probe
+    // rows (a localCheckpoint scan), not a re-execution of the probe
+    // subplan — ids collected from one run joined against another run
+    // could silently drop candidates under nondeterministic inputs.
+    withClue(s"pruned probe side is not checkpoint-pinned:\n$plan") {
+      plan should include("Scan ExistingRDD")
+    }
+  }
+
+  test("re-save over an existing dir with different buckets swaps " +
+      "atomically: consistent meta+codes, no temp leftovers, " +
+      "list_id sorted within each bucket file") {
+    val built = Graft.ivfPqBuild(corpus, "vec_id", "embedding",
+      dim = Dim, nlist = 12, m = 4, ksub = 8, iters = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivfpq-resave").toString + "/idx"
+    Graft.ivfPqSave(built, dir, buckets = 8)
+    val rows8 = spark.read.parquet(s"$dir/codes.parquet").count()
+    // re-save with a DIFFERENT modulus over the same dir — the r12
+    // advice failure shape: in-place sub-path overwrites could leave
+    // new meta over old codes (bucket = id % wrong-modulus at load)
+    Graft.ivfPqSave(built, dir, buckets = 4)
+    val loaded = Graft.ivfPqLoad(spark, dir)
+    loaded.buckets shouldBe 4
+    spark.read.parquet(s"$dir/codes.parquet").count() shouldBe rows8
+    // every surviving codes partition dir obeys the LOADED modulus
+    val bucketDirs = new java.io.File(s"$dir/codes.parquet").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(_.getName.stripPrefix("bucket=").toInt)
+    bucketDirs should not be empty
+    all(bucketDirs) should be < 4
+    // the swap leaves no temp sibling behind
+    new java.io.File(dir).getParentFile.listFiles()
+      .map(_.getName).filter(_.contains(".tmp-")) shouldBe empty
+    // r12 advice (sort order): intra-bucket list_id order is the
+    // row-group-skip property ivfPqSave documents; sortWithinPartitions
+    // must sort by (bucket, list_id) so the write's required bucket
+    // sort is satisfied by prefix and no planner sort reorders rows.
+    import spark.implicits._
+    for (b <- bucketDirs) {
+      val files = new java.io.File(s"$dir/codes.parquet/bucket=$b")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      for (f <- files) {
+        val ids = spark.read.parquet(f.getAbsolutePath)
+          .select("list_id").as[Int].collect()
+        withClue(s"bucket=$b file ${f.getName} not list_id-sorted") {
+          ids.toSeq shouldBe ids.toSeq.sorted
+        }
+      }
+    }
   }
 }
