@@ -34,9 +34,17 @@ import org.apache.spark.sql.streaming.Trigger
   * back, and A/B a small serving batch pruned vs full-scan against the
   * loaded index, with a row-parity require.
   *
+  * The `soak` mode composes the whole deployment loop — appends,
+  * tombstone deletes ([[graft.api.Graft.ivfDelete]]), the compaction
+  * cadence ([[graft.api.Graft.compactBucketedIndex]]), probes sampled
+  * after every append — and fails loudly on any tombstoned neighbor or
+  * broken row accounting; its latency table is SCALE.md's bounded-
+  * sawtooth evidence.
+  *
   * Usage: StreamVecProbe [dir] [batchSize] [nBatches] [nProbe]
   *        StreamVecProbe [dir] ingest [batchSize]
   *        StreamVecProbe [dir] persist [buckets]
+  *        StreamVecProbe [dir] soak [nAppends] [compactEvery]
   */
 object StreamVecProbe {
   def main(args: Array[String]): Unit = {
@@ -51,6 +59,12 @@ object StreamVecProbe {
     }
     if (args.length > 1 && args(1) == "mixed") {
       mixed(dir)
+      return
+    }
+    if (args.length > 1 && args(1) == "soak") {
+      soak(dir,
+        nAppends = if (args.length > 2) args(2).toInt else 100,
+        compactEvery = if (args.length > 3) args(3).toInt else 20)
       return
     }
     val batchSize = if (args.length > 1) args(1).toInt else 1000
@@ -379,6 +393,148 @@ object StreamVecProbe {
     ()
   }
 
+  /** The end-to-end deployment soak (r13): appends + tombstone deletes
+    * + compaction cadence + probes sampled THROUGHOUT — composes the
+    * three r12 measurements (flat appends, fragmentation wall,
+    * compaction recovery) into one long run. The guards are
+    * correctness (a probe can NEVER return a tombstoned neighbor; row
+    * accounting holds through every compaction) and the mechanism
+    * bound (every compaction lands the table back at ≤ buckets files);
+    * the probe-latency table is the SCALE.md artifact — bounded
+    * sawtooth, no creep. Appends are batch-driven through the
+    * identical foreachBatch write path (`ingest`/`mixed` cover the
+    * broker-driven regimes; the file/serving dynamics live in the
+    * write path, not the transport) and everything runs on ONE thread,
+    * so compaction is serialized with appends — the documented
+    * compactBucketedIndex discipline. */
+  private def soak(dir: String, nAppends: Int, compactEvery: Int): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = Tables.load(spark, dir, "embeddings")
+    val n = emb.count()
+    val appendRows = math.max(1L, n / nAppends)
+    val nlist = graft.api.Graft.deriveNlist(n)
+    val train = emb.filter(pmod(col("vec_id"), lit(math.max(1L,
+      n / (nlist.toLong * 128)))) === 0)
+    val cents = graft.api.Graft
+      .kmeansCentroids(train, "vec_id", "embedding", nlist, iters = 2)
+      .localCheckpoint(true)
+    println(s"[soak] n=$n nlist=$nlist appends=$nAppends x $appendRows " +
+      s"compactEvery=$compactEvery")
+
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("svp-soak-idx").toString
+    val idxTbl = s"svp_soak_${UUID.randomUUID().toString.take(8)}"
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("nrm",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("list_id",
+          org.apache.spark.sql.types.IntegerType))))
+      .write.bucketBy(256, "list_id").sortBy("list_id")
+      .option("path", s"$idxDir/t").saveAsTable(idxTbl)
+
+    val probeQ = emb.filter(pmod(col("vec_id"), lit(math.max(1L, n / 8)))
+        === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        sqrt(graft.functions.VectorExpressions
+          .dotF32(col("embedding"), col("embedding"))).as("qn"))
+      .localCheckpoint(true)
+    val deletedIds = scala.collection.mutable.Set[Long]()
+    var ingested = 0L
+    var purged = 0L
+    def files(): Int = new java.io.File(s"$idxDir/t")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+
+    for (i <- 0 until nAppends) {
+      val lo = i * appendRows
+      val hi = if (i == nAppends - 1) n else lo + appendRows
+      val batch = emb
+        .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      val tA = System.nanoTime()
+      graft.api.Graft
+        .assignToCentroids(batch, "vec_id", "embedding", cents, nlist)
+        .withColumn("nrm", sqrt(graft.functions.VectorExpressions
+          .dotF32(col("embedding"), col("embedding"))))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("list_id"))
+        .repartition(256, col("list_id")).write.mode("append")
+        .bucketBy(256, "list_id").sortBy("list_id")
+        .option("path", s"$idxDir/t").saveAsTable(idxTbl)
+      val wAppend = (System.nanoTime() - tA) / 1e9
+      ingested += hi - lo
+
+      // deletes: every 5th append tombstones ~1% of the PREVIOUS
+      // append's ids (a curation pipeline dropping documents it
+      // ingested earlier)
+      if (i % 5 == 4 && i > 0) {
+        val dLo = (i - 1) * appendRows
+        val delFrame = emb.filter(col("vec_id") >= dLo &&
+            col("vec_id") < lo &&
+            pmod(col("vec_id"), lit(97)) === 0)
+          .select("vec_id")
+        val ids = delFrame.collect().map(_.getLong(0))
+        if (ids.nonEmpty) {
+          graft.api.Graft.ivfDelete(spark, idxTbl, delFrame)
+          deletedIds ++= ids
+        }
+      }
+
+      // compaction cadence — physically drops the pending tombstones
+      var wCompact = 0.0
+      var compactNote = ""
+      if ((i + 1) % compactEvery == 0) {
+        val tC = System.nanoTime()
+        val st = graft.api.Graft.compactBucketedIndex(spark, idxTbl)
+        wCompact = (System.nanoTime() - tC) / 1e9
+        purged += st.tombstonesPurged
+        require(st.filesAfter <= 256,
+          s"soak: compaction left ${st.filesAfter} files (> buckets)")
+        require(st.rows == ingested - purged,
+          s"soak: row accounting broke at append $i: table ${st.rows}" +
+            s" vs ingested $ingested - purged $purged")
+        compactNote = s" compact=${st.filesBefore}->${st.filesAfter}"
+      }
+
+      // probe the SERVING view every append — tombstoned neighbors
+      // must never appear, compacted or not
+      val served = graft.api.Graft.applyTombstones(spark, idxTbl)
+      val tP = System.nanoTime()
+      val hits = graft.ops.Vector.ivfProbeSearch(probeQ, served, cents,
+        nProbe = 16, k = 5, nlistHint = nlist, pruneLists = true)
+        .collect()
+      val wProbe = (System.nanoTime() - tP) / 1e9
+      val bad = hits.map(_.getLong(1)).filter(deletedIds.contains)
+      require(bad.isEmpty,
+        s"soak: probe returned tombstoned neighbors ${bad.toSeq} at " +
+          s"append $i")
+      println(f"[soak] append=$i%3d rows=$ingested files=${files()}%6d " +
+        f"tombs=${deletedIds.size - purged}%5d append=$wAppend%6.2f " +
+        f"probe=$wProbe%6.2f" +
+        (if (wCompact > 0) f" compactWall=$wCompact%6.1f" else "") +
+        compactNote)
+    }
+    // close out: one final compaction must reconcile the books exactly
+    val fin = graft.api.Graft.compactBucketedIndex(spark, idxTbl)
+    purged += fin.tombstonesPurged
+    require(fin.rows == n - deletedIds.size && purged == deletedIds.size,
+      s"soak: final accounting ${fin.rows} rows, purged $purged, " +
+        s"expected ${n - deletedIds.size} rows / ${deletedIds.size} purged")
+    println(s"[soak] done rows=${fin.rows} files=${fin.filesAfter} " +
+      s"purged=$purged")
+    spark.sql(s"DROP TABLE IF EXISTS $idxTbl")
+    deleteDir(new java.io.File(idxDir))
+    spark.stop()
+  }
+
   private def ingest(dir: String, batchSize: Int): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -524,42 +680,30 @@ object StreamVecProbe {
     }
     // Fragmentation: every append wrote its own bucket files, so the
     // table accrues nBatches·buckets files — the small-files wall a
-    // long-running ingest stream hits. Compact = one batch rewrite into
-    // the same bucket layout; A/B the serving probe fragmented vs
-    // compacted (identical rows require()'d).
-    val nFiles = new java.io.File(s"$idxDir/t")
-      .listFiles().count(_.getName.endsWith(".parquet"))
-    val cTbl = s"${idxTbl}_c"
+    // long-running ingest stream hits. Compact through the first-class
+    // API (in place, same catalog entry — the r12 hand-rolled rewrite
+    // into a SECOND table is now [[graft.api.Graft.compactBucketedIndex]],
+    // which also encodes the plain-parquet-read gotcha); A/B the
+    // serving probe fragmented-then-compacted with identical-results
+    // require.
+    val (wFrag, rFrag) = probe(prune = true)
     val t2 = System.nanoTime()
-    // Read the table's FILES as plain parquet, not spark.table(...):
-    // the bucketed scan claims HashPartitioning(list_id, 256), the
-    // repartition below is then elided as redundant, and the write
-    // keeps the fragmentation (measured: 25,101 -> 16,272 files through
-    // the table read; 57 -> 47 in a minimal repro, vs the correct 16
-    // through a plain-parquet read of the same files).
-    spark.read.parquet(s"$idxDir/t")
-      .repartition(256, col("list_id"))
-      .write.bucketBy(256, "list_id").sortBy("list_id")
-      .option("path", s"$idxDir/c").saveAsTable(cTbl)
+    val stats = graft.api.Graft.compactBucketedIndex(spark, idxTbl)
     val compactWall = (System.nanoTime() - t2) / 1e9
-    val compacted = spark.table(cTbl)
-    val cFiles = new java.io.File(s"$idxDir/c")
-      .listFiles().count(_.getName.endsWith(".parquet"))
-    def probeOn(tbl: org.apache.spark.sql.DataFrame, prune: Boolean) = {
-      val t = System.nanoTime()
-      val rows = graft.ops.Vector.ivfProbeSearch(q8, tbl, cents,
-        nProbe = 16, k = 5, nlistHint = nlist, pruneLists = prune)
-        .collect()
-      ((System.nanoTime() - t) / 1e9, rows)
-    }
+    require(stats.rows == n,
+      s"compaction changed the row count: ${stats.rows} of $n")
+    val recompacted = spark.table(idxTbl)
     for (rep <- 1 to 2) {
-      val (wc, rc) = probeOn(compacted, prune = true)
-      val (wfr, rfr) = probeOn(listed, prune = true)
-      require(rc.toSeq == rfr.toSeq, "compacted probe diverged")
-      println(f"[ingest] compact rep=$rep files=$nFiles->$cFiles " +
-        f"compactWall=$compactWall%6.1f frag=$wfr%6.2f compacted=$wc%6.2f")
+      val t = System.nanoTime()
+      val rows = graft.ops.Vector.ivfProbeSearch(q8, recompacted, cents,
+        nProbe = 16, k = 5, nlistHint = nlist, pruneLists = true)
+        .collect()
+      val wc = (System.nanoTime() - t) / 1e9
+      require(rows.toSeq == rFrag.toSeq, "compacted probe diverged")
+      println(f"[ingest] compact rep=$rep " +
+        f"files=${stats.filesBefore}->${stats.filesAfter} " +
+        f"compactWall=$compactWall%6.1f frag=$wFrag%6.2f compacted=$wc%6.2f")
     }
-    spark.sql(s"DROP TABLE IF EXISTS $cTbl")
     spark.sql(s"DROP TABLE IF EXISTS $idxTbl")
     spark.stop()
   }

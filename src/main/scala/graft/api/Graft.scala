@@ -1743,6 +1743,192 @@ object Graft {
       buckets = meta.getInt(5))
   }
 
+  /** What [[compactBucketedIndex]] did: `rows` survived the rewrite
+    * (require()'d inside the call: input rows minus purged tombstones),
+    * `filesBefore`/`filesAfter` are the data-file counts under the
+    * table location, `tombstonesPurged` the rows physically dropped
+    * because an [[ivfDelete]] had tombstoned their ids. */
+  final case class CompactionStats(rows: Long, filesBefore: Int,
+      filesAfter: Int, tombstonesPurged: Long = 0L)
+
+  private def bucketedTableLocation(spark: SparkSession, table: String)
+      : org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+
+  private def tombstoneDir(loc: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(loc.toString + ".tombstones")
+
+  /** Tombstone-delete ids from a bucketed index table (the streaming-
+    * ingest layout [[compactBucketedIndex]] maintains) — the Faiss
+    * `remove_ids` analog for an append-only index: a curation pipeline
+    * deletes vectors (dedup drops documents) without rewriting the
+    * corpus-sized table. `ids` must be a ONE-column frame of the
+    * table's id column (same name and type); the ids append to a side
+    * tombstone table next to the index files — batch-sized write, no
+    * index shuffle. Deletes become visible through
+    * [[applyTombstones]] (serve-time anti-join) immediately and are
+    * physically dropped at the next [[compactBucketedIndex]], which
+    * also clears the tombstone table. Deleting an id not in the index
+    * is a no-op; re-deleting is idempotent (the serve-side anti-join
+    * and the compaction distinct both absorb duplicates). */
+  def ivfDelete(spark: SparkSession, table: String, ids: DataFrame): Unit = {
+    require(ids.schema.length == 1,
+      s"ivfDelete($table): ids must be a single-column frame of the " +
+        s"index id column, got ${ids.schema.map(_.name).mkString(", ")}")
+    ids.write.mode("append")
+      .parquet(tombstoneDir(bucketedTableLocation(spark, table)).toString)
+  }
+
+  /** The pending (not yet compacted-away) tombstones of a bucketed
+    * index table — empty-schema None if nothing was ever deleted. */
+  def pendingTombstones(spark: SparkSession, table: String)
+      : Option[DataFrame] = {
+    val dir = tombstoneDir(bucketedTableLocation(spark, table))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) Some(spark.read.parquet(dir.toString)) else None
+  }
+
+  /** The SERVING view of a bucketed index table: the table minus its
+    * pending tombstones. The anti-join BROADCASTS the tombstone side
+    * (bounded by deletes since the last compaction — keep the
+    * compaction cadence ahead of the delete rate), so the corpus-sized
+    * index never shuffles for a delete; a probe against this view can
+    * never return a tombstoned neighbor ([[graft.ops.Vector]] s14 is
+    * the oracle-checked contract). */
+  def applyTombstones(spark: SparkSession, table: String): DataFrame = {
+    val base = spark.table(table)
+    pendingTombstones(spark, table) match {
+      case None => base
+      case Some(t) =>
+        val idCol = t.schema.head.name
+        require(base.columns.contains(idCol),
+          s"applyTombstones($table): tombstone column $idCol not in " +
+            s"the index schema ${base.columns.mkString(", ")}")
+        base.join(broadcast(t), Seq(idCol), "left_anti")
+    }
+  }
+
+  /** Rewrite a bucketed index TABLE (the [[graft.ops.StreamingOps]] p17
+    * / streaming-ingest layout: `bucketBy(n, bucketCol).sortBy(...)`
+    * over an external path) down to ≤ n data files — the maintenance
+    * op a long-running ingest stream needs on a cadence.
+    *
+    * Why this must exist as an API and not a doc paragraph (r12
+    * verdict): every streaming append writes its own bucket files, so
+    * the table accrues O(appends · buckets) files and the serving
+    * probe degrades linearly in the file count — measured 4.0 → 15.5 s
+    * (≈16×) by ~100 appends at 1M vectors, recovered to 0.95 s by one
+    * compaction. The rewrite itself has a measured footgun this method
+    * encodes: the files must be read as PLAIN parquet, NOT through
+    * `spark.table(...)` — the bucketed scan claims
+    * `HashPartitioning(bucketCol, n)`, the planner then elides the
+    * repartition below as redundant, and the "compacted" write keeps
+    * the per-task fragmentation (measured: 25,101 → 16,272 files
+    * through the table read vs ≤ buckets through the plain read;
+    * CompactIndexSpec pins the failure shape so a Spark version that
+    * changes the elision surfaces by name).
+    *
+    * Mechanics: plain-parquet read of the table's files →
+    * `repartition(n, bucketCol)` (repartition's murmur3-pmod IS the
+    * bucketing hash, so each task holds exactly one bucket and the
+    * bucketed write emits ≤ n files, sorted per `sortBy`) → bucketed
+    * write to a temp path → row-parity require → swap the data files
+    * under the ORIGINAL location and refresh. The catalog entry never
+    * changes; readers between the delete and the move see a partial
+    * table, so run it from the ingest loop's `foreachBatch` thread
+    * (the p15/p17 discipline serializes it with appends — see
+    * `StreamVecProbe soak`) or during a serving pause. Pending
+    * [[ivfDelete]] tombstones are physically dropped by the rewrite
+    * and their side table cleared once the swap holds. Cost: one
+    * corpus-sized shuffle — batch maintenance work, amortized across
+    * the appends since the last compaction. */
+  def compactBucketedIndex(spark: SparkSession, table: String)
+      : CompactionStats = {
+    val cat = spark.sessionState.catalog
+    val meta = cat.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val bucketSpec = meta.bucketSpec.getOrElse(throw new
+        IllegalArgumentException(s"compactBucketedIndex($table): not a " +
+          "bucketed table"))
+    val nBuckets = bucketSpec.numBuckets
+    val bucketCols = bucketSpec.bucketColumnNames
+    val sortCols = bucketSpec.sortColumnNames
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Seq[org.apache.hadoop.fs.Path] = {
+      val it = fs.listFiles(loc, true)
+      val out = scala.collection.mutable.ArrayBuffer[
+        org.apache.hadoop.fs.Path]()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) out += f.getPath
+      }
+      out.toSeq
+    }
+    val before = dataFiles()
+    // PLAIN parquet read — see the scaladoc; spark.table() here keeps
+    // the fragmentation.
+    val src = spark.read.parquet(loc.toString)
+    val rowsBefore = src.count()
+    // compaction is where [[ivfDelete]]'s tombstones physically drop:
+    // the rewrite anti-joins them out (broadcast — bounded by deletes
+    // since the last compaction) and the tombstone table clears after
+    // the swap succeeds
+    val tombs = pendingTombstones(spark, table).map(_.distinct()
+      .localCheckpoint(true))
+    val cleaned = tombs match {
+      case None => src
+      case Some(t) =>
+        src.join(broadcast(t), Seq(t.schema.head.name), "left_anti")
+    }
+    val expected =
+      if (tombs.isEmpty) rowsBefore else cleaned.count()
+    val tmpPath = new org.apache.hadoop.fs.Path(
+      loc.toString + ".compact-" +
+        java.util.UUID.randomUUID().toString.take(8))
+    val tmpTbl = table + "_compact_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    var w = cleaned.repartition(nBuckets, bucketCols.map(col): _*)
+      .write.bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty)
+      w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.option("path", tmpPath.toString).saveAsTable(tmpTbl)
+    try {
+      val rowsAfter = spark.table(tmpTbl).count()
+      require(rowsAfter == expected,
+        s"compactBucketedIndex($table): rewrite produced $rowsAfter " +
+          s"of $expected rows — original left untouched")
+      // swap: remove the fragmented data files, move the compacted
+      // ones in (bucketed file NAMES carry the bucket id, so a plain
+      // move preserves the bucketed-read contract)
+      before.foreach(p => fs.delete(p, false))
+      val it = fs.listFiles(tmpPath, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          if (!fs.rename(f.getPath,
+              new org.apache.hadoop.fs.Path(loc, f.getPath.getName)))
+            throw new java.io.IOException(
+              s"compactBucketedIndex($table): move ${f.getPath} failed")
+      }
+    } finally {
+      cat.dropTable(org.apache.spark.sql.catalyst.TableIdentifier(tmpTbl),
+        ignoreIfNotExists = true, purge = false)
+      fs.delete(tmpPath, true)
+    }
+    // only now that the swap holds do the tombstones clear — a failed
+    // compaction leaves them pending and the serve-time anti-join
+    // ([[applyTombstones]]) still hides the deleted rows
+    if (tombs.nonEmpty) fs.delete(tombstoneDir(loc), true)
+    spark.catalog.refreshTable(table)
+    val after = dataFiles()
+    CompactionStats(expected, before.size, after.size,
+      tombstonesPurged = rowsBefore - expected)
+  }
+
   /** Steps (4)–(6) of [[ivfPqTopK]] against a built [[IvfPqIndex]]:
     * probe selection ([[probeTopN]] — the CentroidTopNF32 kernel above
     * [[KernelNlist]]), ADC over ONLY the probed lists' codes (equi-join

@@ -599,6 +599,69 @@ object Vector {
       (s, d) => annContract(sqListing(s, d)),
       Some(annContractSql)),
 
+    Q("s14_ivf_tombstone",
+      // Index lifecycle DELETES (r12 verdict item 2) — the Faiss
+      // remove_ids analog on the streaming-ingest bucketed layout: a
+      // curation pipeline that drops documents (dedup) must drop their
+      // vectors without rewriting the corpus-sized index. ivfDelete
+      // appends the ids to a side tombstone table (batch-sized write,
+      // no index shuffle); applyTombstones is the serving view — a
+      // BROADCAST anti-join, so the index side never moves — and the
+      // next compactBucketedIndex drops the rows physically and clears
+      // the tombstones (CompactIndexSpec pins that half). Gate: index
+      // the embeddings in the bucketed-table layout, tombstone every
+      // vec_id % 10 == 3, probe through the serving view — the
+      // per-query structural contract must hold AND no returned
+      // neighbor may be tombstoned, with the served count pinned.
+      // DuckDB recomputes everything from the embeddings table minus
+      // the deletions.
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val centroids = labelCentroids(emb).localCheckpoint(true)
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-s14-idx").toString
+        val tbl = s"s14_idx_${java.util.UUID.randomUUID().toString.take(8)}"
+        emb
+          .select(col("vec_id"), col("embedding"),
+            sqrt(dot("embedding", "embedding")).as("nrm"),
+            col("label").as("list_id"))
+          .repartition(8, col("list_id"))
+          .write.bucketBy(8, "list_id").sortBy("list_id")
+          .option("path", s"$idxDir/t").saveAsTable(tbl)
+        graft.api.Graft.ivfDelete(s, tbl,
+          emb.filter(pmod(col("vec_id"), lit(10)) === 3).select("vec_id"))
+        val served = graft.api.Graft.applyTombstones(s, tbl)
+        val nServed = served.count()
+        val queries = served.filter(col("vec_id") < 40)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("qe"), col("nrm").as("qn"))
+        val search = ivfProbeSearch(queries, served, centroids,
+          nProbe = 4, k = K)
+        val contract = annContract(search)
+          .join(search.groupBy("query_id")
+            .agg(min(pmod(col("neighbor_id"), lit(10)) =!= 3)
+              .as("no_tombstoned")), "query_id")
+          .withColumn("n_served", lit(nServed))
+          .orderBy("query_id")
+        // materialize the bounded contract rows so the temp table and
+        // dir can be dropped before returning (the p17 discipline)
+        val rows = contract.collect()
+        val out = s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), contract.schema)
+        ListingCache.release(centroids)
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        StreamingOps.deleteRecursively(new java.io.File(idxDir))
+        out
+      },
+      Some("SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_ret, " +
+        "CAST(15 AS BIGINT) AS rnk_sum, CAST(5 AS BIGINT) AS n_distinct, " +
+        "true AS self_excluded, true AS cos_bounded, true AS ranked_desc, " +
+        "true AS no_tombstoned, " +
+        "(SELECT COUNT(*) FROM embeddings WHERE vec_id % 10 != 3) " +
+        "AS n_served " +
+        "FROM embeddings WHERE vec_id < 40 AND vec_id % 10 != 3 " +
+        "ORDER BY query_id")),
+
     Q("s07_ann_recall",
       // The recall CONTRACT for every ANN variant, promoted from
       // SketchAccuracySpec into the oracle gate: the exact top-k (s01's

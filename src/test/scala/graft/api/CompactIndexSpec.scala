@@ -1,0 +1,168 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** [[Graft.compactBucketedIndex]] — the streaming-ingest maintenance op
+  * (r12 verdict item 1). Pins the three properties that make it an API
+  * instead of a doc paragraph: (a) a fragmented bucketed table rewrites
+  * to ≤ buckets data files with row AND content parity, still served
+  * through the same catalog entry; (b) the bucketed-scan-read variant
+  * FAILS the file-count bound — the `spark.table` elision gotcha the
+  * API exists to encode; (c) repeated appends + compaction keep
+  * converging (the cadence shape `StreamVecProbe soak` measures). */
+class CompactIndexSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val Buckets = 8
+
+  /** A batch of (vec_id, list_id) rows spread over several input
+    * partitions, so an un-repartitioned bucketed append fragments at
+    * tasks × touched-buckets rate — the streaming failure shape. */
+  private def batch(offset: Long, rows: Int): DataFrame = {
+    import spark.implicits._
+    (0 until rows).map(i => (offset + i, ((offset + i) % 23).toInt))
+      .toDF("vec_id", "list_id")
+      .repartition(4)
+  }
+
+  private def mkTable(name: String): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"compact-$name").toString
+    batch(0, 500).write.bucketBy(Buckets, "list_id").sortBy("list_id")
+      .option("path", s"$dir/t").saveAsTable(name)
+    // five fragmenting appends: each writes up to 4 tasks × buckets
+    // files because nothing co-locates the buckets per task
+    (1 to 5).foreach { i =>
+      batch(i * 500L, 500).write.mode(SaveMode.Append)
+        .bucketBy(Buckets, "list_id").sortBy("list_id")
+        .option("path", s"$dir/t").saveAsTable(name)
+    }
+    s"$dir/t"
+  }
+
+  private def parquetFiles(dir: String): Seq[java.io.File] =
+    new java.io.File(dir).listFiles().toSeq
+      .filter(_.getName.endsWith(".parquet"))
+
+  test("compaction bounds the file count at <= buckets with row and " +
+      "content parity, through the live catalog entry") {
+    val tbl = s"cmp_ok_${System.nanoTime()}"
+    val dir = mkTable(tbl)
+    val nBefore = parquetFiles(dir).size
+    nBefore should be > Buckets // fragmented, or the test proves nothing
+    val expect = spark.table(tbl).collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+
+    val stats = Graft.compactBucketedIndex(spark, tbl)
+    stats.rows shouldBe 3000L
+    stats.filesBefore shouldBe nBefore
+    stats.filesAfter should be <= Buckets
+    parquetFiles(dir).size shouldBe stats.filesAfter
+
+    // the SAME catalog entry serves the compacted rows, content-equal
+    val got = spark.table(tbl).collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    got shouldBe expect
+    // and it still reads as a bucketed table (bucket-pruned filters work)
+    spark.table(tbl).filter(col("list_id") === 3).count() shouldBe
+      expect.count(_._2 == 3)
+  }
+
+  test("the spark.table-read variant KEEPS the fragmentation — the " +
+      "gotcha the API's plain-parquet read exists to dodge") {
+    val tbl = s"cmp_gotcha_${System.nanoTime()}"
+    val dir = mkTable(tbl)
+    parquetFiles(dir).size should be > Buckets
+    // hand-rolled compaction through the bucketed scan: the scan claims
+    // HashPartitioning(list_id, Buckets), the planner elides the
+    // repartition as redundant, and the write keeps one file per
+    // original task grouping instead of one per bucket
+    val out = java.nio.file.Files
+      .createTempDirectory("compact-gotcha-out").toString + "/t"
+    val tmpTbl = s"${tbl}_out"
+    spark.table(tbl).repartition(Buckets, col("list_id"))
+      .write.bucketBy(Buckets, "list_id").sortBy("list_id")
+      .option("path", out).saveAsTable(tmpTbl)
+    val naive = parquetFiles(out).size
+    withClue("Spark no longer elides the repartition under a bucketed " +
+      "scan — compactBucketedIndex's plain-parquet read may be " +
+      "droppable; re-measure before simplifying: ") {
+      naive should be > Buckets
+    }
+    spark.sql(s"DROP TABLE $tmpTbl")
+  }
+
+  test("append -> compact -> append -> compact converges every time " +
+      "(the maintenance-cadence shape)") {
+    val tbl = s"cmp_cadence_${System.nanoTime()}"
+    val dir = mkTable(tbl)
+    var total = 3000L
+    for (round <- 1 to 2) {
+      val stats = Graft.compactBucketedIndex(spark, tbl)
+      stats.rows shouldBe total
+      stats.filesAfter should be <= Buckets
+      batch(10000L * round, 300).write.mode(SaveMode.Append)
+        .bucketBy(Buckets, "list_id").sortBy("list_id")
+        .option("path", dir).saveAsTable(tbl)
+      total += 300
+    }
+    val last = Graft.compactBucketedIndex(spark, tbl)
+    last.rows shouldBe total
+    last.filesAfter should be <= Buckets
+    spark.table(tbl).count() shouldBe total
+  }
+
+  test("ivfDelete tombstones hide rows at serve time immediately and " +
+      "drop physically at compaction, which clears them") {
+    import spark.implicits._
+    val tbl = s"cmp_tomb_${System.nanoTime()}"
+    mkTable(tbl) // 3000 rows, vec_id 0..2999
+    // delete every vec_id % 100 == 0 (30 real ids), one id twice, and
+    // one id that was never indexed — idempotent no-ops
+    Graft.ivfDelete(spark, tbl,
+      (0L until 3000L by 100L).toDF("vec_id"))
+    Graft.ivfDelete(spark, tbl, Seq(200L, 999999L).toDF("vec_id"))
+
+    // serve-time: hidden immediately, nothing else lost
+    val served = Graft.applyTombstones(spark, tbl)
+    served.count() shouldBe 2970L
+    served.filter(col("vec_id") % 100 === 0).count() shouldBe 0L
+    // the anti-join must broadcast the tombstones, never shuffle the
+    // corpus-sized index side
+    val plan = served.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    withClue(s"tombstone anti-join is not broadcast:\n$plan") {
+      plan should include("BroadcastHashJoin")
+      plan.toLowerCase should not include "sortmergejoin"
+    }
+
+    // compaction purges physically and clears the tombstone table
+    val stats = Graft.compactBucketedIndex(spark, tbl)
+    stats.rows shouldBe 2970L
+    stats.tombstonesPurged shouldBe 30L
+    stats.filesAfter should be <= Buckets
+    spark.table(tbl).count() shouldBe 2970L
+    spark.table(tbl).filter(col("vec_id") % 100 === 0)
+      .count() shouldBe 0L
+    Graft.pendingTombstones(spark, tbl) shouldBe None
+    // serving view == table once nothing is pending
+    Graft.applyTombstones(spark, tbl).count() shouldBe 2970L
+  }
+
+  test("ivfDelete rejects a multi-column ids frame") {
+    import spark.implicits._
+    val tbl = s"cmp_tombbad_${System.nanoTime()}"
+    mkTable(tbl)
+    an[IllegalArgumentException] should be thrownBy
+      Graft.ivfDelete(spark, tbl,
+        Seq((1L, 2)).toDF("vec_id", "list_id"))
+  }
+}
