@@ -272,6 +272,92 @@ object VecProbe {
         println(f"recallm s12 wall=" +
           f"${(System.nanoTime() - t3) / 1e9}%6.1f " +
           f"recall=${recall64(knn)}%.3f")
+      case "recallx" =>
+        // r12 verdict item 5: margin-slice recall for the REMAINING
+        // ANN arms — s03 (label IVF), s04 (trained IVF), s02 (LSH) —
+        // the indexes p16/p17 actually serve. The recallm sweep
+        // covered s11/s12/s13; the plain-IVF arms' recall at
+        // deployment probe fractions was inferred, not measured.
+        // Same convention as recallm: recall@5 over a 64-query sample
+        // vs the exact cosine top-K, on margin data (real cluster
+        // structure, 1000 centers).
+        val qPred = col("vec_id") < 64
+        val t0 = System.nanoTime()
+        val exact64 = graft.api.Graft
+          .cosineTopK(emb, "vec_id", "embedding", queryPred = qPred,
+            k = K)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(f"recallx exact64 wall=" +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f n=${exact64.size}")
+        def recall64(listing: org.apache.spark.sql.DataFrame): Double = {
+          val ap = listing.filter(col("query_id") < 64)
+            .select(col("query_id"), col("neighbor_id"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          (ap & exact64).size.toDouble / exact64.size
+        }
+        val normed = graft.api.Graft
+          .normalized(emb, "vec_id", "embedding").localCheckpoint(true)
+        val q64 = normed.filter(qPred)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("qe"), col("nrm").as("qn"))
+          .localCheckpoint(true)
+
+        // s03: the label column IS the coarse quantizer (margin data's
+        // labels are the true generating clusters — the BEST case for
+        // label IVF; a deployment with noisy labels sits below this).
+        val cents03 = graft.ops.Vector.labelCentroids(emb)
+          .localCheckpoint(true)
+        val nlist03 = cents03.count().toInt
+        val listed03 = normed
+          .join(emb.select(col("vec_id"), col("label").as("list_id")),
+            "vec_id")
+          .localCheckpoint(true)
+        for (nProbe <- Seq(16, 64, 256)) {
+          val t1 = System.nanoTime()
+          val r = recall64(graft.ops.Vector.ivfProbeSearch(q64, listed03,
+            cents03, nProbe, K, nlistHint = nlist03))
+          println(f"recallx s03 nlist=$nlist03 nProbe=$nProbe%-4d " +
+            f"probe_pct=${100.0 * nProbe / nlist03}%5.2f " +
+            f"wall=${(System.nanoTime() - t1) / 1e9}%6.1f recall=$r%.3f")
+        }
+
+        // s04: trained quantizer at the deriveNlist deployment
+        // occupancy (what p17's frozen quantizer is built with).
+        val nlist04 = graft.api.Graft.deriveNlist(n)
+        val tB = System.nanoTime()
+        val cents04 = graft.api.Graft.kmeansCentroids(emb, "vec_id",
+          "embedding", nlist = nlist04, iters = 2).localCheckpoint(true)
+        val listed04 = normed
+          .join(graft.api.Graft.assignToCentroids(emb, "vec_id",
+              "embedding", cents04, nlistHint = nlist04)
+              .select(col("vec_id"), col("list_id")), "vec_id")
+          .localCheckpoint(true)
+        println(f"recallx s04-build wall=" +
+          f"${(System.nanoTime() - tB) / 1e9}%.1f nlist=$nlist04")
+        for (nProbe <- Seq(16, 64, 256)) {
+          val t1 = System.nanoTime()
+          val r = recall64(graft.ops.Vector.ivfProbeSearch(q64, listed04,
+            cents04, nProbe, K, nlistHint = nlist04))
+          println(f"recallx s04 nlist=$nlist04 nProbe=$nProbe%-4d " +
+            f"probe_pct=${100.0 * nProbe / nlist04}%5.2f " +
+            f"wall=${(System.nanoTime() - t1) / 1e9}%6.1f recall=$r%.3f")
+        }
+
+        // s02: LSH at the DERIVED deployment params (occupancy 8 →
+        // 16 bits × 64 tables at 1M, full hamming-1 multiprobe), plus
+        // coarser occupancies as the recall-vs-cost sweep axis (the
+        // LSH analog of the nProbe axis: more rows per bucket = more
+        // candidates = higher recall, more rerank work).
+        for (occ <- Seq(8, 64, 512)) {
+          val t1 = System.nanoTime()
+          val r = recall64(graft.api.Graft.annLshTopK(emb, "vec_id",
+            "embedding", queryPred = qPred, k = K,
+            p0 = graft.api.Graft.LshParams(targetOccupancy = occ)))
+          println(f"recallx s02 occupancy=$occ%-4d " +
+            f"wall=${(System.nanoTime() - t1) / 1e9}%6.1f recall=$r%.3f")
+        }
+
       case "sqab" =>
         // ORDER-SWAPPED A/B for the sqTopK session cache (r12): mqx
         // runs per-call BEFORE the warm control, so JIT/page-cache
