@@ -48,6 +48,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 for t in TABLES:
     p = os.path.join(SF_DIR, f"{t}.parquet")
     if os.path.exists(p):
+        # driver fixtures are single files; ScaleDataGen slices are
+        # Spark-written DIRECTORIES of part files — glob those
+        if os.path.isdir(p):
+            p = os.path.join(p, "*.parquet")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 with open(os.path.join(OUT_DIR, "oracle_sql.json")) as f:

@@ -1790,6 +1790,16 @@ object Graft {
     require(ids.schema.length == 1,
       s"ivfDelete($table): ids must be a single-column frame of the " +
         s"index id column, got ${ids.schema.map(_.name).mkString(", ")}")
+    // validate against the index schema NOW, not at serve time — a
+    // misnamed id column would otherwise sit silently in the tombstone
+    // table until the first applyTombstones call fails
+    val idCol = ids.schema.head
+    val indexField = spark.table(table).schema.find(_.name == idCol.name)
+    require(indexField.exists(_.dataType == idCol.dataType),
+      s"ivfDelete($table): id column ${idCol.name}: ${idCol.dataType
+        .simpleString} does not match the index schema " +
+        spark.table(table).schema.map(f =>
+          s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
     ids.write.mode("append")
       .parquet(tombstoneDir(bucketedTableLocation(spark, table)).toString)
   }
@@ -1800,7 +1810,13 @@ object Graft {
       : Option[DataFrame] = {
     val dir = tombstoneDir(bucketedTableLocation(spark, table))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(dir)) Some(spark.read.parquet(dir.toString)) else None
+    // a compaction clears tombstones FILE by file (so an ivfDelete
+    // racing it survives), which can leave the dir present but empty
+    // of data files — that's "nothing pending", not a read error
+    if (!fs.exists(dir)) None
+    else if (!fs.listStatus(dir).exists(_.getPath.getName
+        .endsWith(".parquet"))) None
+    else Some(spark.read.parquet(dir.toString))
   }
 
   /** The SERVING view of a bucketed index table: the table minus its
@@ -1847,12 +1863,16 @@ object Graft {
     * `repartition(n, bucketCol)` (repartition's murmur3-pmod IS the
     * bucketing hash, so each task holds exactly one bucket and the
     * bucketed write emits ≤ n files, sorted per `sortBy`) → bucketed
-    * write to a temp path → row-parity require → swap the data files
+    * write to a temp path → row-parity require → DIRECTORY-rename swap
     * under the ORIGINAL location and refresh. The catalog entry never
-    * changes; readers between the delete and the move see a partial
-    * table, so run it from the ingest loop's `foreachBatch` thread
-    * (the p15/p17 discipline serializes it with appends — see
-    * `StreamVecProbe soak`) or during a serving pause. Pending
+    * changes; between the two renames the location is briefly absent —
+    * a concurrent reader errors loudly rather than ever seeing a
+    * partial table, and a failure at any step leaves at least one
+    * complete file set on disk (original restored, or preserved under
+    * a named `.old-*` sibling). Run it from the ingest loop's
+    * `foreachBatch` thread (the p15/p17 discipline serializes it with
+    * appends — see `StreamVecProbe soak`) or during a serving pause
+    * so no probe lands in the rename window. Pending
     * [[ivfDelete]] tombstones are physically dropped by the rewrite
     * and their side table cleared once the swap holds. Cost: one
     * corpus-sized shuffle — batch maintenance work, amortized across
@@ -1888,9 +1908,19 @@ object Graft {
     // compaction is where [[ivfDelete]]'s tombstones physically drop:
     // the rewrite anti-joins them out (broadcast — bounded by deletes
     // since the last compaction) and the tombstone table clears after
-    // the swap succeeds
-    val tombs = pendingTombstones(spark, table).map(_.distinct()
-      .localCheckpoint(true))
+    // the swap succeeds. Snapshot the tombstone FILES, read only
+    // those, and later delete only those — an ivfDelete racing this
+    // compaction appends a new file, which survives the clear and
+    // stays pending instead of being silently dropped unapplied.
+    val tombDir = tombstoneDir(loc)
+    val tombFiles: Seq[org.apache.hadoop.fs.Path] =
+      if (!fs.exists(tombDir)) Seq.empty
+      else fs.listStatus(tombDir).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+    val tombs =
+      if (tombFiles.isEmpty) None
+      else Some(spark.read.parquet(tombFiles.map(_.toString): _*)
+        .distinct().localCheckpoint(true))
     val cleaned = tombs match {
       case None => src
       case Some(t) =>
@@ -1908,33 +1938,51 @@ object Graft {
     if (sortCols.nonEmpty)
       w = w.sortBy(sortCols.head, sortCols.tail: _*)
     w.option("path", tmpPath.toString).saveAsTable(tmpTbl)
+    // Swap by DIRECTORY rename, never by per-file delete-then-move: a
+    // failure mid-swap must leave at least one COMPLETE file set on
+    // disk. With renames the table is briefly ABSENT (a loud reader
+    // error) rather than ever partially present (silently wrong
+    // results), and a crash between the two renames leaves both
+    // complete sets under named sibling dirs — recoverable, never
+    // lossy. (The first cut deleted the fragmented files and then
+    // moved the compacted ones in one by one; a failed move midway
+    // would have destroyed both copies — the finally-block temp
+    // cleanup deleted the not-yet-moved remainder.)
+    var tmpDisposable = true
     try {
       val rowsAfter = spark.table(tmpTbl).count()
       require(rowsAfter == expected,
         s"compactBucketedIndex($table): rewrite produced $rowsAfter " +
           s"of $expected rows — original left untouched")
-      // swap: remove the fragmented data files, move the compacted
-      // ones in (bucketed file NAMES carry the bucket id, so a plain
-      // move preserves the bucketed-read contract)
-      before.foreach(p => fs.delete(p, false))
-      val it = fs.listFiles(tmpPath, true)
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet"))
-          if (!fs.rename(f.getPath,
-              new org.apache.hadoop.fs.Path(loc, f.getPath.getName)))
-            throw new java.io.IOException(
-              s"compactBucketedIndex($table): move ${f.getPath} failed")
+      val trash = new org.apache.hadoop.fs.Path(loc.toString + ".old-" +
+        java.util.UUID.randomUUID().toString.take(8))
+      if (!fs.rename(loc, trash))
+        throw new java.io.IOException(
+          s"compactBucketedIndex($table): could not move $loc aside — " +
+            "original left untouched")
+      tmpDisposable = false
+      if (!fs.rename(tmpPath, loc)) {
+        val restored = fs.rename(trash, loc)
+        if (restored) tmpDisposable = true
+        throw new java.io.IOException(
+          s"compactBucketedIndex($table): could not move $tmpPath into " +
+            s"place; original " +
+            (if (restored) "restored"
+             else s"left COMPLETE at $trash — rename it back to $loc") +
+            (if (restored) "" else s"; compacted copy left at $tmpPath"))
       }
+      tmpDisposable = true // moved wholesale; nothing left to lose
+      fs.delete(trash, true)
     } finally {
       cat.dropTable(org.apache.spark.sql.catalyst.TableIdentifier(tmpTbl),
         ignoreIfNotExists = true, purge = false)
-      fs.delete(tmpPath, true)
+      if (tmpDisposable) fs.delete(tmpPath, true)
     }
-    // only now that the swap holds do the tombstones clear — a failed
-    // compaction leaves them pending and the serve-time anti-join
-    // ([[applyTombstones]]) still hides the deleted rows
-    if (tombs.nonEmpty) fs.delete(tombstoneDir(loc), true)
+    // only now that the swap holds do the SNAPSHOTTED tombstone files
+    // clear — a failed compaction leaves them pending (the serve-time
+    // anti-join still hides the deleted rows), and tombstones appended
+    // DURING the compaction survive to the next one
+    tombFiles.foreach(p => fs.delete(p, false))
     spark.catalog.refreshTable(table)
     val after = dataFiles()
     CompactionStats(expected, before.size, after.size,

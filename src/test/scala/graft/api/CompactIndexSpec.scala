@@ -165,4 +165,42 @@ class CompactIndexSpec extends AnyFunSuite with Matchers {
       Graft.ivfDelete(spark, tbl,
         Seq((1L, 2)).toDF("vec_id", "list_id"))
   }
+
+  test("ivfDelete validates the id column against the index schema " +
+      "EAGERLY — a misnamed or mistyped column fails at delete time, " +
+      "not at the first serve") {
+    import spark.implicits._
+    val tbl = s"cmp_tombval_${System.nanoTime()}"
+    mkTable(tbl)
+    // wrong name
+    an[IllegalArgumentException] should be thrownBy
+      Graft.ivfDelete(spark, tbl, Seq(1L).toDF("doc_id"))
+    // right name, wrong type (index vec_id is LONG)
+    an[IllegalArgumentException] should be thrownBy
+      Graft.ivfDelete(spark, tbl, Seq(1).toDF("vec_id"))
+    // neither bad call may have left anything pending
+    Graft.pendingTombstones(spark, tbl) shouldBe None
+  }
+
+  test("delete/compact cycles repeat: the file-scoped tombstone clear " +
+      "leaves the side table reusable, and each compaction purges " +
+      "exactly what it snapshotted") {
+    import spark.implicits._
+    val tbl = s"cmp_tombrace_${System.nanoTime()}"
+    mkTable(tbl)
+    Graft.ivfDelete(spark, tbl, Seq(100L).toDF("vec_id"))
+    // (the true mid-compaction race needs a write hook to pin; what
+    // IS pinnable from the public surface: clears are file-scoped —
+    // a delete landing after one compaction is pending for the next,
+    // never wiped unapplied by a dir-level clear)
+    val s1 = Graft.compactBucketedIndex(spark, tbl)
+    s1.tombstonesPurged shouldBe 1L
+    Graft.ivfDelete(spark, tbl, Seq(200L).toDF("vec_id"))
+    Graft.pendingTombstones(spark, tbl).map(_.count()) shouldBe Some(1L)
+    val s2 = Graft.compactBucketedIndex(spark, tbl)
+    s2.tombstonesPurged shouldBe 1L
+    Graft.pendingTombstones(spark, tbl) shouldBe None
+    spark.table(tbl).filter(col("vec_id").isin(100L, 200L))
+      .count() shouldBe 0L
+  }
 }
