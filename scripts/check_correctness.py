@@ -43,6 +43,11 @@ if not os.path.exists(os.path.join(OUT_DIR, "oracle_sql.json")):
         check=True)
 
 con = duckdb.connect()
+# big ScaleDataGen slices can make a list-heavy oracle spill without
+# bound — cap the spill so a runaway query errors instead of filling
+# the disk (observed: 54 GB of duckdb_temp at scale30)
+con.execute("SET max_temp_directory_size='%s'"
+            % os.environ.get("CHECK_TEMP_CAP", "30GB"))
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 for t in TABLES:
@@ -70,16 +75,30 @@ def norm(v):
 
 fails = []
 compared = 0
+# Optional comma-separated name-prefix filter (resume a big sweep past
+# a query that errored, or isolate one): CHECK_ONLY=d08,t
+only = [p for p in os.environ.get("CHECK_ONLY", "").split(",") if p]
 for name in sorted(os.listdir(OUT_DIR)):
     path = os.path.join(OUT_DIR, name)
     if not os.path.isdir(path):
+        continue
+    if only and not any(name.startswith(p) for p in only):
         continue
     compared += 1
     spark_tbl = pq.read_table(path)
     if name not in oracle:
         print(f"{name:24s} rows={spark_tbl.num_rows:>7} (no oracle)")
         continue
-    duck = con.execute(oracle[name]).fetch_arrow_table()
+    try:
+        duck = con.execute(oracle[name]).fetch_arrow_table()
+    except Exception as e:
+        # an oracle-side resource failure is NOT a divergence — name it
+        # and keep sweeping (a scale30 list-heavy oracle can out-spill
+        # the temp cap while every other query compares fine)
+        fails.append(f"{name}: oracle errored: {type(e).__name__}: "
+                     f"{str(e).splitlines()[0]}")
+        print(f"{name:24s} ORACLE ERR")
+        continue
     ok = True
     # Arrow-level TYPE parity (the r7 t23 failure class): the driver
     # hashes values column-wise, so a DuckDB decimal128/HUGEINT against
