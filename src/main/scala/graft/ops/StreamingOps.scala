@@ -1143,27 +1143,21 @@ object StreamingOps {
               "x -> CAST(x AS FLOAT)) AS embedding",
             "CAST(attributes['label'] AS INT) AS list_id")
           .writeStream
-          .foreachBatch { (batch: DataFrame, id: Long) =>
-            // assign (upstream-routed here) + normalize: pure map work;
-            // the append writes straight into the bucket layout
-            val enc = batch.withColumn("nrm",
-              sqrt(graft.functions.VectorExpressions
-                .dotF32(col("embedding"), col("embedding"))))
-              .select(col("vec_id"), col("embedding"), col("nrm"),
-                col("list_id"))
-            sizes.add(enc.count())
-            // repartition onto the bucket count BY the bucket column:
-            // repartition(n, col)'s murmur3-pmod IS the bucketing hash,
-            // so each task holds exactly one bucket and an append writes
-            // ≤ buckets files. Without it a bucketed write emits one
-            // file per (task × touched bucket) and a long-running ingest
-            // stream fragments the table at tasks× the expected rate
-            // (measured r12: ~1.6k files per 10k-row append at 256
-            // buckets). The shuffle this adds is batch-sized.
-            enc.repartition(8, col("list_id")).write.mode("append")
-              .bucketBy(8, "list_id").sortBy("list_id")
-              .option("path", s"$idxDir/t").saveAsTable(idxTbl)
-            ()
+          .foreachBatch {
+            // the write path IS the deployment API: assign (upstream-
+            // routed here, so no quantizer) + normalize + repartition-
+            // by-bucket (each task holds exactly one bucket, an append
+            // writes ≤ buckets files — the r12 fragmentation fix) +
+            // bucketed append, via Graft.bucketedIndexAppender — the
+            // gate drives the exact function a deployment wires into
+            // its own writeStream
+            val append = graft.api.Graft.bucketedIndexAppender(idxTbl,
+              buckets = 8, centroids = None, idCol = "vec_id",
+              vecCol = "embedding")
+            (batch: DataFrame, id: Long) => {
+              sizes.add(batch.count())
+              append(batch, id)
+            }
           }
           .option("checkpointLocation", tmpCheckpoint("graft-p17"))
           .trigger(Trigger.AvailableNow())

@@ -203,4 +203,54 @@ class CompactIndexSpec extends AnyFunSuite with Matchers {
     spark.table(tbl).filter(col("vec_id").isin(100L, 200L))
       .count() shouldBe 0L
   }
+
+  test("bucketedIndexAppender drives the whole lifecycle: assign + " +
+      "normalize + bounded appends + the compaction cadence purging " +
+      "tombstones, as one foreachBatch function") {
+    import spark.implicits._
+    val tbl = s"cmp_appender_${System.nanoTime()}"
+    val dir = java.nio.file.Files
+      .createTempDirectory("compact-appender").toString
+    // empty bucketed table, the streaming-ingest layout
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("nrm",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("list_id",
+          org.apache.spark.sql.types.IntegerType))))
+      .write.bucketBy(Buckets, "list_id").sortBy("list_id")
+      .option("path", s"$dir/t").saveAsTable(tbl)
+    // a 4-centroid frozen quantizer over a 8-dim toy corpus
+    def vecs(offset: Long, rows: Int) = {
+      val rnd = new scala.util.Random(7 + offset)
+      (0 until rows).map(i => (offset + i,
+        Array.fill(8)((rnd.nextGaussian() + 0.2).toFloat)))
+        .toDF("vec_id", "embedding").repartition(4)
+    }
+    val cents = Graft.kmeansCentroids(vecs(0, 200), "vec_id",
+      "embedding", nlist = 4, iters = 1).localCheckpoint(true)
+    val append = Graft.bucketedIndexAppender(tbl, Buckets,
+      Some(cents), "vec_id", "embedding", compactEvery = 3)
+    (0 until 6).foreach { i =>
+      append(vecs(i * 200L, 200), i)
+      if (i == 3) // a delete mid-stream, purged by the next cadence hit
+        Graft.ivfDelete(spark, tbl, Seq(0L, 777L).toDF("vec_id"))
+    }
+    // two cadence compactions ran (after batches 2 and 5): bounded
+    // files, exact rows (1200 ingested − 2 tombstoned), nothing pending
+    parquetFiles(s"$dir/t").size should be <= Buckets
+    spark.table(tbl).count() shouldBe 1198L
+    Graft.pendingTombstones(spark, tbl) shouldBe None
+    spark.table(tbl).filter(col("vec_id").isin(0L, 777L))
+      .count() shouldBe 0L
+    // the appended rows carry real norms and kernel-assigned lists
+    spark.table(tbl).filter(col("nrm") <= 0 || col("list_id") < 0 ||
+      col("list_id") >= 4).count() shouldBe 0L
+  }
 }
