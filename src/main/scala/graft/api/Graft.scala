@@ -2028,6 +2028,19 @@ object Graft {
     require(compactEvery >= 0,
       s"bucketedIndexAppender(compactEvery=$compactEvery)")
     (batch: DataFrame, batchId: Long) => {
+      // fail by NAME on a layout mismatch before any data moves — the
+      // append itself would only throw Spark's generic bucket-spec
+      // error after the batch-sized shuffle ran
+      val spec = batch.sparkSession.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .bucketSpec
+      require(spec.exists(s => s.numBuckets == buckets &&
+          s.bucketColumnNames == Seq("list_id")),
+        s"bucketedIndexAppender($table): table bucket spec " +
+          s"${spec.map(s => s"(${s.numBuckets}, ${s.bucketColumnNames
+            .mkString(",")})").getOrElse("(none)")} does not match " +
+          s"appender ($buckets, list_id)")
       val assigned = centroids match {
         case Some(c) =>
           assignToCentroids(batch, idCol, vecCol, c, nlistHint)

@@ -252,5 +252,12 @@ class CompactIndexSpec extends AnyFunSuite with Matchers {
     // the appended rows carry real norms and kernel-assigned lists
     spark.table(tbl).filter(col("nrm") <= 0 || col("list_id") < 0 ||
       col("list_id") >= 4).count() shouldBe 0L
+    // a bucket-count mismatch fails by NAME before any data moves
+    val bad = Graft.bucketedIndexAppender(tbl, Buckets * 2,
+      Some(cents), "vec_id", "embedding")
+    val e = the[IllegalArgumentException] thrownBy
+      bad(vecs(9999L, 10), 99L)
+    e.getMessage should include("bucket spec")
+    spark.table(tbl).count() shouldBe 1198L // nothing appended
   }
 }
