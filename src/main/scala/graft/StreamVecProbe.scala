@@ -61,6 +61,11 @@ object StreamVecProbe {
       mixed(dir)
       return
     }
+    if (args.length > 1 && args(1) == "mixedc") {
+      mixed(dir, compactEvery =
+        if (args.length > 2) args(2).toInt else 3)
+      return
+    }
     if (args.length > 1 && args(1) == "soak") {
       soak(dir,
         nAppends = if (args.length > 2) args(2).toInt else 100,
@@ -234,7 +239,15 @@ object StreamVecProbe {
     * probe's wall is recorded next to the index size it actually saw.
     * Appends only ADD files, so concurrent reads are safe: a new file
     * is simply invisible until the next refresh. */
-  private def mixed(dir: String): Unit = {
+  /** `compactEvery > 0` (the `mixedc` arm) runs the appender's
+    * compaction cadence WHILE the query stream serves — the question a
+    * zero-downtime deployment asks. Compaction is serialized with
+    * appends (same foreachBatch thread) but NOT with probes: a probe
+    * whose scan was planned before the directory-rename swap can read
+    * moved files. The serving policy this arm measures: retry once on
+    * a transient scan failure (refreshTable + re-plan re-lists the
+    * swapped layout). The run fails loudly if any probe fails twice. */
+  private def mixed(dir: String, compactEvery: Int = 0): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -320,24 +333,37 @@ object StreamVecProbe {
         "transform(split(CAST(data AS STRING), ','), " +
           "x -> CAST(x AS FLOAT)) AS embedding")
       .writeStream
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        graft.api.Graft
-          .assignToCentroids(batch, "vec_id", "embedding", cents, nlist)
-          .withColumn("nrm", sqrt(graft.functions.VectorExpressions
-            .dotF32(col("embedding"), col("embedding"))))
-          .select(col("vec_id"), col("embedding"), col("nrm"),
-            col("list_id"))
-          .repartition(256, col("list_id")).write.mode("append")
-          .bucketBy(256, "list_id").sortBy("list_id")
-          .option("path", s"$idxDir/t").saveAsTable(idxTbl)
-        ()
+      .foreachBatch {
+        // the deployment write path: assign + normalize + bounded
+        // bucketed append, with the compaction cadence when mixedc
+        // asks for it (runs in THIS thread — serialized with appends,
+        // concurrent with the query stream below)
+        val append = graft.api.Graft.bucketedIndexAppender(idxTbl,
+          buckets = 256, centroids = Some(cents), idCol = "vec_id",
+          vecCol = "embedding", nlistHint = nlist,
+          compactEvery = compactEvery)
+        (batch: DataFrame, id: Long) => append(batch, id)
       }
       .option("checkpointLocation", cpI)
       .trigger(Trigger.AvailableNow())
       .start()
 
     val probes = new java.util.concurrent.ConcurrentLinkedQueue[
-      (Long, Double, Long, Long)]()
+      (Long, Double, Long, Long, Int)]()
+    // a scan planned before a concurrent compaction's directory swap
+    // reads moved files — the ONE transient failure class the serving
+    // retry policy absorbs (anything else propagates, fail-loud)
+    def transientScan(e: Throwable): Boolean = {
+      var c: Throwable = e
+      while (c != null) {
+        if (c.isInstanceOf[java.io.FileNotFoundException] ||
+            (c.getMessage != null &&
+              (c.getMessage.contains("FileNotFound") ||
+               c.getMessage.contains("does not exist")))) return true
+        c = c.getCause
+      }
+      false
+    }
     val qq = spark.readStream.format("pubsub")
       .option("project_id", "p").option("subscription", "mq-sub")
       .option("endpoint", epQ)
@@ -352,17 +378,26 @@ object StreamVecProbe {
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val sess = batch.sparkSession
-        sess.catalog.refreshTable(idxTbl)
-        val seen = sess.table(idxTbl).count()
         val q = batch.withColumn("qn",
           sqrt(graft.functions.VectorExpressions.dotF32(col("qe"),
             col("qe"))))
           .select(col("query_id"), col("qe"), col("qn"))
+        def probeOnce(): (Long, Long) = {
+          sess.catalog.refreshTable(idxTbl)
+          val seen = sess.table(idxTbl).count()
+          val rows = graft.ops.Vector.ivfProbeSearch(q,
+            sess.table(idxTbl), cents, nProbe = 16, k = 5,
+            nlistHint = nlist, pruneLists = true).count()
+          (seen, rows)
+        }
         val t = System.nanoTime()
-        val rows = graft.ops.Vector.ivfProbeSearch(q, sess.table(idxTbl),
-          cents, nProbe = 16, k = 5, nlistHint = nlist,
-          pruneLists = true).count()
-        probes.add((id, (System.nanoTime() - t) / 1e9, seen, rows))
+        val ((seen, rows), retried) =
+          try ((probeOnce(), 0))
+          catch { case e: Throwable if transientScan(e) =>
+            (probeOnce(), 1) // a SECOND failure propagates — fail loud
+          }
+        probes.add((id, (System.nanoTime() - t) / 1e9, seen, rows,
+          retried))
         ()
       }
       .option("checkpointLocation", cpQ)
@@ -373,10 +408,16 @@ object StreamVecProbe {
     Thread.sleep(8000)             // a few post-drain probes
     qq.stop(); qq.awaitTermination()
     import scala.jdk.CollectionConverters._
-    probes.asScala.toSeq.sortBy(_._1).foreach { case (id, w, seen, r) =>
-      println(f"[mixed] probe batch=$id indexSeen=$seen wall=$w%6.2f " +
-        s"rows=$r")
+    probes.asScala.toSeq.sortBy(_._1).foreach {
+      case (id, w, seen, r, retried) =>
+        println(f"[mixed] probe batch=$id indexSeen=$seen wall=$w%6.2f " +
+          s"rows=$r" + (if (retried > 0) " RETRIED" else ""))
     }
+    val nRetried = probes.asScala.count(_._5 > 0)
+    if (compactEvery > 0)
+      println(s"[mixed] compactEvery=$compactEvery probes=" +
+        s"${probes.size} retried=$nRetried (every probe succeeded; " +
+        "retries are the transient swap-window collisions)")
     require(!probes.isEmpty, "mixed run probed nothing")
     spark.sql(s"DROP TABLE IF EXISTS $idxTbl")
     // temp hygiene (r12 advice): the checkpoint and index dirs are
