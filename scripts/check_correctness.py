@@ -95,8 +95,8 @@ for name in sorted(os.listdir(OUT_DIR)):
         # an oracle-side resource failure is NOT a divergence — name it
         # and keep sweeping (a scale30 list-heavy oracle can out-spill
         # the temp cap while every other query compares fine)
-        fails.append(f"{name}: oracle errored: {type(e).__name__}: "
-                     f"{str(e).splitlines()[0]}")
+        first = (str(e).splitlines() or ["<no message>"])[0]
+        fails.append(f"{name}: oracle errored: {type(e).__name__}: {first}")
         print(f"{name:24s} ORACLE ERR")
         continue
     ok = True

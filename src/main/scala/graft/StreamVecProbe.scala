@@ -242,11 +242,14 @@ object StreamVecProbe {
   /** `compactEvery > 0` (the `mixedc` arm) runs the appender's
     * compaction cadence WHILE the query stream serves — the question a
     * zero-downtime deployment asks. Compaction is serialized with
-    * appends (same foreachBatch thread) but NOT with probes: a probe
-    * whose scan was planned before the directory-rename swap can read
-    * moved files. The serving policy this arm measures: retry once on
-    * a transient scan failure (refreshTable + re-plan re-lists the
-    * swapped layout). The run fails loudly if any probe fails twice. */
+    * appends (same foreachBatch thread) but NOT with probes. With the
+    * catalog-pointer swap there is no absence window by design — the
+    * rename-swap predecessor measured 2 swap-window collisions in 21
+    * probes here; the pointer swap measured 0 — but a probe in flight
+    * ACROSS two full compactions could still outlive its generation's
+    * grace files, so the retry-once-on-transient-scan-failure policy
+    * stays as the belt to the design's braces. The run fails loudly if
+    * any probe fails twice. */
   private def mixed(dir: String, compactEvery: Int = 0): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -424,14 +427,8 @@ object StreamVecProbe {
     // per-run scratch, not artifacts — a repeated dev loop should not
     // accumulate them.
     Seq(cpI, cpQ, idxDir).foreach(p =>
-      deleteDir(new java.io.File(p)))
+      graft.ops.StreamingOps.deleteRecursively(new java.io.File(p)))
     spark.stop()
-  }
-
-  private def deleteDir(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteDir)
-    f.delete()
-    ()
   }
 
   /** The end-to-end deployment soak (r13): appends + tombstone deletes
@@ -492,12 +489,21 @@ object StreamVecProbe {
     val deletedIds = scala.collection.mutable.Set[Long]()
     var ingested = 0L
     var purged = 0L
-    def files(): Int = new java.io.File(s"$idxDir/t")
-      .listFiles().count(_.getName.endsWith(".parquet"))
+    // resolve the LIVE location from the catalog — each catalog-swap
+    // compaction moves it to a fresh .compact-* generation dir
+    def files(): Int = Option(new java.io.File(
+        graft.api.Graft.bucketedTableLocation(spark, idxTbl).toUri)
+      .listFiles()).map(_.count(_.getName.endsWith(".parquet")))
+      .getOrElse(0)
 
     for (i <- 0 until nAppends) {
       val lo = i * appendRows
-      val hi = if (i == nAppends - 1) n else lo + appendRows
+      // clamp BOTH bounds into [0, n]: with nAppends > n the tail
+      // batches are empty, and naive hi-lo accounting would overcount
+      // (middle) then go negative (last) and fail the compaction
+      // require on a healthy table (r13 review)
+      val hi = math.min(n,
+        if (i == nAppends - 1) math.max(lo, n) else lo + appendRows)
       val batch = emb
         .filter(col("vec_id") >= lo && col("vec_id") < hi)
       val tA = System.nanoTime()
@@ -508,15 +514,16 @@ object StreamVecProbe {
         .select(col("vec_id"), col("embedding"), col("nrm"),
           col("list_id"))
         .repartition(256, col("list_id")).write.mode("append")
-        .bucketBy(256, "list_id").sortBy("list_id")
-        .option("path", s"$idxDir/t").saveAsTable(idxTbl)
+        // no path option on APPEND: the catalog location is
+        // authoritative, and it MOVES at each catalog-swap compaction
+        .bucketBy(256, "list_id").sortBy("list_id").saveAsTable(idxTbl)
       val wAppend = (System.nanoTime() - tA) / 1e9
-      ingested += hi - lo
+      ingested += math.max(0L, hi - math.min(lo, hi))
 
       // deletes: every 5th append tombstones ~1% of the PREVIOUS
       // append's ids (a curation pipeline dropping documents it
       // ingested earlier)
-      if (i % 5 == 4 && i > 0) {
+      if (i % 5 == 4) {
         val dLo = (i - 1) * appendRows
         val delFrame = emb.filter(col("vec_id") >= dLo &&
             col("vec_id") < lo &&
@@ -572,7 +579,7 @@ object StreamVecProbe {
     println(s"[soak] done rows=${fin.rows} files=${fin.filesAfter} " +
       s"purged=$purged")
     spark.sql(s"DROP TABLE IF EXISTS $idxTbl")
-    deleteDir(new java.io.File(idxDir))
+    graft.ops.StreamingOps.deleteRecursively(new java.io.File(idxDir))
     spark.stop()
   }
 
@@ -660,8 +667,7 @@ object StreamVecProbe {
         // append, 99,080 files after 100 appends, and a serving probe
         // 10x slower than the clean layout purely from file count.
         assigned.repartition(256, col("list_id")).write.mode("append")
-          .bucketBy(256, "list_id").sortBy("list_id")
-          .option("path", s"$idxDir/t").saveAsTable(idxTbl)
+          .bucketBy(256, "list_id").sortBy("list_id").saveAsTable(idxTbl)
         // batch size only (batch-sized work) — counting the accumulated
         // table here would add the O(index) scan the measurement exists
         // to rule out

@@ -1710,29 +1710,43 @@ object Graft {
     val hconf = s.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(dir)
     val fs = target.getFileSystem(hconf)
-    val tmp = new org.apache.hadoop.fs.Path(
-      dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
-    // codes: sortWithinPartitions by (bucket, list_id) — the write's
-    // required ordering on the partition column is then satisfied by
-    // PREFIX, so Spark inserts no sort of its own (a bare list_id sort
-    // would be followed by a planner-inserted, not-guaranteed-stable
-    // sort on bucket that forfeits the intra-bucket list_id order the
-    // row-group-skip property needs — r12 advice).
-    index.enc
-      .withColumn("bucket", pmod(col("list_id"), lit(buckets)))
-      .repartition(col("bucket"))
-      .sortWithinPartitions("bucket", "list_id")
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$tmp/codes.parquet")
-    index.cents.write.mode("overwrite").parquet(s"$tmp/cents.parquet")
-    index.lookup.write.mode("overwrite").parquet(s"$tmp/lookup.parquet")
-    // meta LAST — the commit marker within the temp dir: a temp tree
-    // missing meta is visibly incomplete even if the swap below is
-    // interrupted between delete and rename.
-    Seq((index.idCol, index.nlist, index.dim, index.m, index.ksub,
-      buckets))
-      .toDF("id_col", "nlist", "dim", "m", "ksub", "buckets")
-      .write.mode("overwrite").parquet(s"$tmp/meta.parquet")
+    // the temp tree must be a SIBLING of the target, composed from the
+    // normalized Path — string concatenation on a trailing-slash `dir`
+    // nests it INSIDE the target and the pre-rename delete would then
+    // destroy both the old index and the freshly written new one
+    // (r13 review)
+    val tmp = new org.apache.hadoop.fs.Path(target.getParent,
+      target.getName + ".tmp-" +
+        java.util.UUID.randomUUID().toString.take(8))
+    try {
+      // codes: sortWithinPartitions by (bucket, list_id) — the write's
+      // required ordering on the partition column is then satisfied by
+      // PREFIX, so Spark inserts no sort of its own (a bare list_id sort
+      // would be followed by a planner-inserted, not-guaranteed-stable
+      // sort on bucket that forfeits the intra-bucket list_id order the
+      // row-group-skip property needs — r12 advice).
+      index.enc
+        .withColumn("bucket", pmod(col("list_id"), lit(buckets)))
+        .repartition(col("bucket"))
+        .sortWithinPartitions("bucket", "list_id")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$tmp/codes.parquet")
+      index.cents.write.mode("overwrite").parquet(s"$tmp/cents.parquet")
+      index.lookup.write.mode("overwrite").parquet(s"$tmp/lookup.parquet")
+      // meta LAST — the commit marker within the temp dir: a temp tree
+      // missing meta is visibly incomplete even if the swap below is
+      // interrupted between delete and rename.
+      Seq((index.idCol, index.nlist, index.dim, index.m, index.ksub,
+        buckets))
+        .toDF("id_col", "nlist", "dim", "m", "ksub", "buckets")
+        .write.mode("overwrite").parquet(s"$tmp/meta.parquet")
+    } catch { case e: Throwable =>
+      // a failed WRITE leaves known-incomplete data — clean it up (a
+      // failed RENAME below deliberately keeps the tmp tree: it is
+      // complete and the message names it)
+      fs.delete(tmp, true)
+      throw e
+    }
     if (fs.exists(target) && !fs.delete(target, true))
       throw new java.io.IOException(s"ivfPqSave: cannot replace $dir")
     if (!fs.rename(tmp, target))
@@ -1763,15 +1777,32 @@ object Graft {
   final case class CompactionStats(rows: Long, filesBefore: Int,
       filesAfter: Int, tombstonesPurged: Long = 0L)
 
-  private def bucketedTableLocation(spark: SparkSession, table: String)
-      : org.apache.hadoop.fs.Path =
+  /** Parse, don't wrap: `TableIdentifier("db.t")` would treat the whole
+    * string as an unqualified name in the current database (r13
+    * review); the parser handles `db.table` and backticks. */
+  private def tableIdent(spark: SparkSession, table: String)
+      : org.apache.spark.sql.catalyst.TableIdentifier =
+    spark.sessionState.sqlParser.parseTableIdentifier(table)
+
+  private[graft] def bucketedTableLocation(spark: SparkSession,
+      table: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(spark.sessionState.catalog
-      .getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+      .getTableMetadata(tableIdent(spark, table)).location)
+
+  /** The table's ORIGINAL location, with any `.compact-<id>` suffixes
+    * the catalog-swap compaction appends stripped — the stable name
+    * generation-independent side state (tombstones) keys on. */
+  private def stableRoot(loc: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(loc.getParent,
+      loc.getName.replaceAll("(\\.compact-[0-9a-f]{8})+$", ""))
 
   private def tombstoneDir(loc: org.apache.hadoop.fs.Path)
-      : org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(loc.toString + ".tombstones")
+      : org.apache.hadoop.fs.Path = {
+    val root = stableRoot(loc)
+    new org.apache.hadoop.fs.Path(root.getParent,
+      root.getName + ".tombstones")
+  }
 
   /** Tombstone-delete ids from a bucketed index table (the streaming-
     * ingest layout [[compactBucketedIndex]] maintains) — the Faiss
@@ -1863,25 +1894,33 @@ object Graft {
     * `repartition(n, bucketCol)` (repartition's murmur3-pmod IS the
     * bucketing hash, so each task holds exactly one bucket and the
     * bucketed write emits ≤ n files, sorted per `sortBy`) → bucketed
-    * write to a temp path → row-parity require → DIRECTORY-rename swap
-    * under the ORIGINAL location and refresh. The catalog entry never
-    * changes; between the two renames the location is briefly absent —
-    * a concurrent reader errors loudly rather than ever seeing a
-    * partial table, and a failure at any step leaves at least one
-    * complete file set on disk (original restored, or preserved under
-    * a named `.old-*` sibling). Run it from the ingest loop's
-    * `foreachBatch` thread (the p15/p17 discipline serializes it with
-    * appends — see `StreamVecProbe soak`) or during a serving pause
-    * so no probe lands in the rename window. Pending
-    * [[ivfDelete]] tombstones are physically dropped by the rewrite
-    * and their side table cleared once the swap holds. Cost: one
-    * corpus-sized shuffle — batch maintenance work, amortized across
-    * the appends since the last compaction. */
+    * write to a fresh `.compact-<id>` sibling dir → row-parity
+    * require → METADATA-POINTER swap: the catalog entry's LOCATION is
+    * repointed at the compacted dir (the Iceberg/Delta commit shape,
+    * scaled down to one pointer). There is NO absence window: a reader
+    * planned before the swap keeps reading the previous generation's
+    * files — still on disk — and one planned after reads the new; a
+    * directory-rename swap instead leaves an instant where the
+    * location does not exist, which Spark's tolerant file listing
+    * reads as an EMPTY table, silently returning zero rows to a
+    * concurrent serve (r13 review). The previous generation is kept
+    * for one full compaction cycle (deleted at the START of the next
+    * call), so even scans in flight across the swap instant finish;
+    * a failure at any step leaves the catalog pointing at exactly one
+    * complete file set. Appends must still be serialized with this
+    * call (the p15/p17 foreachBatch discipline — see
+    * [[bucketedIndexAppender]]): an append committing between the
+    * plain read and the swap would be silently dropped by the swap.
+    * Pending [[ivfDelete]] tombstones are physically dropped by the
+    * rewrite and their side table (keyed on the STABLE root name, so
+    * it never moves across generations) cleared once the swap holds.
+    * Cost: one corpus-sized shuffle — batch maintenance work,
+    * amortized across the appends since the last compaction. */
   def compactBucketedIndex(spark: SparkSession, table: String)
       : CompactionStats = {
     val cat = spark.sessionState.catalog
-    val meta = cat.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val ident = tableIdent(spark, table)
+    val meta = cat.getTableMetadata(ident)
     val bucketSpec = meta.bucketSpec.getOrElse(throw new
         IllegalArgumentException(s"compactBucketedIndex($table): not a " +
           "bucketed table"))
@@ -1890,8 +1929,11 @@ object Graft {
     val sortCols = bucketSpec.sortColumnNames
     val loc = new org.apache.hadoop.fs.Path(meta.location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles(): Seq[org.apache.hadoop.fs.Path] = {
-      val it = fs.listFiles(loc, true)
+    val root = stableRoot(loc)
+    def dataFiles(p: org.apache.hadoop.fs.Path)
+        : Seq[org.apache.hadoop.fs.Path] = {
+      if (!fs.exists(p)) return Seq.empty
+      val it = fs.listFiles(p, true)
       val out = scala.collection.mutable.ArrayBuffer[
         org.apache.hadoop.fs.Path]()
       while (it.hasNext) {
@@ -1900,11 +1942,28 @@ object Graft {
       }
       out.toSeq
     }
-    val before = dataFiles()
+    // grace cleanup: previous-generation dirs (the stable root and any
+    // older .compact-* siblings that are not the CURRENT location) were
+    // kept through one full cycle for readers in flight across the last
+    // swap — they are stale by construction now
+    val genPattern = ("\\Q" + root.getName + "\\E" +
+      "(\\.compact-[0-9a-f]{8})*").r
+    if (fs.exists(root.getParent))
+      fs.listStatus(root.getParent).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n != loc.getName &&
+            genPattern.pattern.matcher(n).matches())
+          fs.delete(st.getPath, true)
+      }
+    val before = dataFiles(loc)
+    // a freshly created (or fully empty) index has no data files —
+    // nothing to compact and no schema to infer; leave any pending
+    // tombstones pending (there is nothing to apply them to)
+    if (before.isEmpty)
+      return CompactionStats(0L, 0, 0, 0L)
     // PLAIN parquet read — see the scaladoc; spark.table() here keeps
     // the fragmentation.
     val src = spark.read.parquet(loc.toString)
-    val rowsBefore = src.count()
     // compaction is where [[ivfDelete]]'s tombstones physically drop:
     // the rewrite anti-joins them out (broadcast — bounded by deletes
     // since the last compaction) and the tombstone table clears after
@@ -1921,70 +1980,64 @@ object Graft {
       if (tombFiles.isEmpty) None
       else Some(spark.read.parquet(tombFiles.map(_.toString): _*)
         .distinct().localCheckpoint(true))
+    // ONE corpus scan yields both sides of the accounting (total and
+    // survivors); a separate cleaned.count() would re-scan the corpus
+    // purely to derive tombstonesPurged (r13 review)
+    val (rowsBefore, expected) = tombs match {
+      case None =>
+        val c = src.count(); (c, c)
+      case Some(t) =>
+        val k = t.schema.head.name
+        val r = src
+          .join(broadcast(t.withColumn("__tomb", lit(1))), Seq(k), "left")
+          .agg(count(lit(1)).as("n"),
+            count(when(col("__tomb").isNull, lit(1))).as("kept"))
+          .head()
+        (r.getLong(0), r.getLong(1))
+    }
     val cleaned = tombs match {
       case None => src
       case Some(t) =>
         src.join(broadcast(t), Seq(t.schema.head.name), "left_anti")
     }
-    val expected =
-      if (tombs.isEmpty) rowsBefore else cleaned.count()
-    val tmpPath = new org.apache.hadoop.fs.Path(
-      loc.toString + ".compact-" +
+    // the new generation: a fresh sibling of the STABLE root (never a
+    // suffix of the current location — names would otherwise grow a
+    // .compact segment per cycle)
+    val newLoc = new org.apache.hadoop.fs.Path(root.getParent,
+      root.getName + ".compact-" +
         java.util.UUID.randomUUID().toString.take(8))
-    val tmpTbl = table + "_compact_" +
+    val tmpTbl = ident.table + "_compact_" +
       java.util.UUID.randomUUID().toString.take(8)
     var w = cleaned.repartition(nBuckets, bucketCols.map(col): _*)
       .write.bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     if (sortCols.nonEmpty)
       w = w.sortBy(sortCols.head, sortCols.tail: _*)
-    w.option("path", tmpPath.toString).saveAsTable(tmpTbl)
-    // Swap by DIRECTORY rename, never by per-file delete-then-move: a
-    // failure mid-swap must leave at least one COMPLETE file set on
-    // disk. With renames the table is briefly ABSENT (a loud reader
-    // error) rather than ever partially present (silently wrong
-    // results), and a crash between the two renames leaves both
-    // complete sets under named sibling dirs — recoverable, never
-    // lossy. (The first cut deleted the fragmented files and then
-    // moved the compacted ones in one by one; a failed move midway
-    // would have destroyed both copies — the finally-block temp
-    // cleanup deleted the not-yet-moved remainder.)
-    var tmpDisposable = true
+    w.option("path", newLoc.toString).saveAsTable(tmpTbl)
+    var swapped = false
     try {
       val rowsAfter = spark.table(tmpTbl).count()
       require(rowsAfter == expected,
         s"compactBucketedIndex($table): rewrite produced $rowsAfter " +
           s"of $expected rows — original left untouched")
-      val trash = new org.apache.hadoop.fs.Path(loc.toString + ".old-" +
-        java.util.UUID.randomUUID().toString.take(8))
-      if (!fs.rename(loc, trash))
-        throw new java.io.IOException(
-          s"compactBucketedIndex($table): could not move $loc aside — " +
-            "original left untouched")
-      tmpDisposable = false
-      if (!fs.rename(tmpPath, loc)) {
-        val restored = fs.rename(trash, loc)
-        if (restored) tmpDisposable = true
-        throw new java.io.IOException(
-          s"compactBucketedIndex($table): could not move $tmpPath into " +
-            s"place; original " +
-            (if (restored) "restored"
-             else s"left COMPLETE at $trash — rename it back to $loc") +
-            (if (restored) "" else s"; compacted copy left at $tmpPath"))
-      }
-      tmpDisposable = true // moved wholesale; nothing left to lose
-      fs.delete(trash, true)
+      // the METADATA-POINTER swap (see the scaladoc): repoint the
+      // catalog entry's location at the compacted generation. Both
+      // file sets stay on disk — no absence window, no partial state;
+      // if the alter fails the catalog still points at the old one.
+      cat.alterTable(meta.copy(storage = meta.storage.copy(
+        locationUri = Some(newLoc.toUri))))
+      swapped = true
     } finally {
-      cat.dropTable(org.apache.spark.sql.catalyst.TableIdentifier(tmpTbl),
+      cat.dropTable(tableIdent(spark, tmpTbl),
         ignoreIfNotExists = true, purge = false)
-      if (tmpDisposable) fs.delete(tmpPath, true)
+      if (!swapped) fs.delete(newLoc, true)
     }
+    spark.catalog.refreshTable(table)
     // only now that the swap holds do the SNAPSHOTTED tombstone files
     // clear — a failed compaction leaves them pending (the serve-time
     // anti-join still hides the deleted rows), and tombstones appended
     // DURING the compaction survive to the next one
     tombFiles.foreach(p => fs.delete(p, false))
-    spark.catalog.refreshTable(table)
-    val after = dataFiles()
+    val after = dataFiles(newLoc)
     CompactionStats(expected, before.size, after.size,
       tombstonesPurged = rowsBefore - expected)
   }

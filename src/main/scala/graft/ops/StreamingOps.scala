@@ -57,7 +57,7 @@ object StreamingOps {
   /** Remove a per-rep scratch directory once its contents have been
     * materialized (p16 — r9 review: temp probe output accumulated one
     * copy per bench/verify rep). */
-  private[ops] def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete()
     ()

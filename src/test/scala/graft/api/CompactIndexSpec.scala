@@ -49,8 +49,13 @@ class CompactIndexSpec extends AnyFunSuite with Matchers {
   }
 
   private def parquetFiles(dir: String): Seq[java.io.File] =
-    new java.io.File(dir).listFiles().toSeq
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
       .filter(_.getName.endsWith(".parquet"))
+
+  /** The table's LIVE data dir — each catalog-swap compaction moves it
+    * to a fresh `.compact-*` generation. */
+  private def liveDir(tbl: String): String =
+    Graft.bucketedTableLocation(spark, tbl).toUri.getPath
 
   test("compaction bounds the file count at <= buckets with row and " +
       "content parity, through the live catalog entry") {
@@ -65,7 +70,12 @@ class CompactIndexSpec extends AnyFunSuite with Matchers {
     stats.rows shouldBe 3000L
     stats.filesBefore shouldBe nBefore
     stats.filesAfter should be <= Buckets
-    parquetFiles(dir).size shouldBe stats.filesAfter
+    // the swap is a catalog-location move: the live generation dir
+    // holds the compacted files, the PREVIOUS generation survives one
+    // cycle for readers in flight (deleted at the next compaction)
+    liveDir(tbl) should not be dir
+    parquetFiles(liveDir(tbl)).size shouldBe stats.filesAfter
+    parquetFiles(dir).size shouldBe nBefore // grace copy intact
 
     // the SAME catalog entry serves the compacted rows, content-equal
     val got = spark.table(tbl).collect().toSeq
@@ -109,15 +119,37 @@ class CompactIndexSpec extends AnyFunSuite with Matchers {
       val stats = Graft.compactBucketedIndex(spark, tbl)
       stats.rows shouldBe total
       stats.filesAfter should be <= Buckets
+      // no path option on APPEND — the live location moved with the
+      // compaction above; the catalog resolves it
       batch(10000L * round, 300).write.mode(SaveMode.Append)
         .bucketBy(Buckets, "list_id").sortBy("list_id")
-        .option("path", dir).saveAsTable(tbl)
+        .saveAsTable(tbl)
       total += 300
     }
     val last = Graft.compactBucketedIndex(spark, tbl)
     last.rows shouldBe total
     last.filesAfter should be <= Buckets
     spark.table(tbl).count() shouldBe total
+    // generation hygiene: after 3 compactions at most the live dir and
+    // ONE grace predecessor remain — older generations were deleted at
+    // the start of each subsequent call
+    val base = new java.io.File(dir)
+    val gens = Option(base.getParentFile.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && (f.getName == base.getName ||
+        f.getName.startsWith(base.getName + ".compact-")))
+    gens.size should be <= 2
+  }
+
+  test("compacting an index with no data files is a named no-op, not " +
+      "a schema-inference crash") {
+    val tbl = s"cmp_empty_${System.nanoTime()}"
+    val dir = java.nio.file.Files
+      .createTempDirectory("compact-empty").toString
+    batch(0, 1).filter(col("vec_id") < 0) // zero rows -> zero files
+      .write.bucketBy(Buckets, "list_id").sortBy("list_id")
+      .option("path", s"$dir/t").saveAsTable(tbl)
+    val st = Graft.compactBucketedIndex(spark, tbl)
+    st shouldBe Graft.CompactionStats(0L, 0, 0, 0L)
   }
 
   test("ivfDelete tombstones hide rows at serve time immediately and " +
@@ -244,7 +276,7 @@ class CompactIndexSpec extends AnyFunSuite with Matchers {
     }
     // two cadence compactions ran (after batches 2 and 5): bounded
     // files, exact rows (1200 ingested − 2 tombstoned), nothing pending
-    parquetFiles(s"$dir/t").size should be <= Buckets
+    parquetFiles(liveDir(tbl)).size should be <= Buckets
     spark.table(tbl).count() shouldBe 1198L
     Graft.pendingTombstones(spark, tbl) shouldBe None
     spark.table(tbl).filter(col("vec_id").isin(0L, 777L))
