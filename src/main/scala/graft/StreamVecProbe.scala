@@ -518,7 +518,7 @@ object StreamVecProbe {
         // authoritative, and it MOVES at each catalog-swap compaction
         .bucketBy(256, "list_id").sortBy("list_id").saveAsTable(idxTbl)
       val wAppend = (System.nanoTime() - tA) / 1e9
-      ingested += math.max(0L, hi - math.min(lo, hi))
+      ingested += math.max(0L, hi - lo)
 
       // deletes: every 5th append tombstones ~1% of the PREVIOUS
       // append's ids (a curation pipeline dropping documents it

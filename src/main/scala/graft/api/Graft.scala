@@ -1743,8 +1743,11 @@ object Graft {
     } catch { case e: Throwable =>
       // a failed WRITE leaves known-incomplete data — clean it up (a
       // failed RENAME below deliberately keeps the tmp tree: it is
-      // complete and the message names it)
-      fs.delete(tmp, true)
+      // complete and the message names it). The cleanup itself may
+      // fail for the same reason the write did — never let it mask
+      // the root cause.
+      try fs.delete(tmp, true)
+      catch { case c: Throwable => e.addSuppressed(c) }
       throw e
     }
     if (fs.exists(target) && !fs.delete(target, true))
@@ -1924,6 +1927,16 @@ object Graft {
     val bucketSpec = meta.bucketSpec.getOrElse(throw new
         IllegalArgumentException(s"compactBucketedIndex($table): not a " +
           "bucketed table"))
+    // EXTERNAL tables only: the pointer swap moves the data to sibling
+    // generation dirs, and DROP TABLE on a MANAGED table would purge
+    // only the live generation — the grace copy would leak forever in
+    // the warehouse (r13 review). The streaming-ingest layout creates
+    // its tables with an explicit path, which is exactly this.
+    require(meta.tableType ==
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      s"compactBucketedIndex($table): only EXTERNAL tables (created " +
+        "with an explicit path) are supported — the generation swap " +
+        "would strand a managed table's grace files in the warehouse")
     val nBuckets = bucketSpec.numBuckets
     val bucketCols = bucketSpec.bucketColumnNames
     val sortCols = bucketSpec.sortColumnNames
@@ -1983,17 +1996,24 @@ object Graft {
     // ONE corpus scan yields both sides of the accounting (total and
     // survivors); a separate cleaned.count() would re-scan the corpus
     // purely to derive tombstonesPurged (r13 review)
+    val marker = "__graft_tombstone_marker"
     val (rowsBefore, expected) = tombs match {
       case None =>
         val c = src.count(); (c, c)
-      case Some(t) =>
+      case Some(t) if !src.columns.contains(marker) =>
         val k = t.schema.head.name
         val r = src
-          .join(broadcast(t.withColumn("__tomb", lit(1))), Seq(k), "left")
+          .join(broadcast(t.withColumn(marker, lit(1))), Seq(k), "left")
           .agg(count(lit(1)).as("n"),
-            count(when(col("__tomb").isNull, lit(1))).as("kept"))
+            count(when(col(marker).isNull, lit(1))).as("kept"))
           .head()
         (r.getLong(0), r.getLong(1))
+      case Some(t) =>
+        // the index itself carries the marker name (pathological but
+        // possible on user tables) — fall back to two exact scans
+        // rather than an ambiguous-reference crash
+        (src.count(), src.join(broadcast(t),
+          Seq(t.schema.head.name), "left_anti").count())
     }
     val cleaned = tombs match {
       case None => src
@@ -2012,7 +2032,17 @@ object Graft {
       .write.bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     if (sortCols.nonEmpty)
       w = w.sortBy(sortCols.head, sortCols.tail: _*)
-    w.option("path", newLoc.toString).saveAsTable(tmpTbl)
+    try w.option("path", newLoc.toString).saveAsTable(tmpTbl)
+    catch { case e: Throwable =>
+      // a failed rewrite must not leak a torn generation dir until the
+      // next compaction's grace cleanup happens to reclaim it
+      try {
+        cat.dropTable(tableIdent(spark, tmpTbl),
+          ignoreIfNotExists = true, purge = false)
+        fs.delete(newLoc, true)
+      } catch { case c: Throwable => e.addSuppressed(c) }
+      throw e
+    }
     var swapped = false
     try {
       val rowsAfter = spark.table(tmpTbl).count()
@@ -2085,8 +2115,7 @@ object Graft {
       // append itself would only throw Spark's generic bucket-spec
       // error after the batch-sized shuffle ran
       val spec = batch.sparkSession.sessionState.catalog
-        .getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .getTableMetadata(tableIdent(batch.sparkSession, table))
         .bucketSpec
       require(spec.exists(s => s.numBuckets == buckets &&
           s.bucketColumnNames == Seq("list_id")),
