@@ -1919,6 +1919,14 @@ object Graft {
     * it never moves across generations) cleared once the swap holds.
     * Cost: one corpus-sized shuffle — batch maintenance work,
     * amortized across the appends since the last compaction. */
+  /** Test seam for [[compactBucketedIndex]]: invoked AFTER the
+    * tombstone snapshot and before the rewrite's reads begin. Lets
+    * CompactIndexSpec inject an [[ivfDelete]] racing the compaction
+    * and pin the claim the file-scoped clear makes: a tombstone file
+    * landing after the snapshot survives to stay pending, never wiped
+    * unapplied. No-op in production; specs must reset it. */
+  private[graft] var compactionTestHook: () => Unit = () => ()
+
   def compactBucketedIndex(spark: SparkSession, table: String)
       : CompactionStats = {
     val cat = spark.sessionState.catalog
@@ -1993,6 +2001,7 @@ object Graft {
       if (tombFiles.isEmpty) None
       else Some(spark.read.parquet(tombFiles.map(_.toString): _*)
         .distinct().localCheckpoint(true))
+    compactionTestHook() // test seam — see its scaladoc; no-op in prod
     // ONE corpus scan yields both sides of the accounting (total and
     // survivors); a separate cleaned.count() would re-scan the corpus
     // purely to derive tombstonesPurged (r13 review)

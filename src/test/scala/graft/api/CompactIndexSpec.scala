@@ -236,6 +236,32 @@ class CompactIndexSpec extends AnyFunSuite with Matchers {
       .count() shouldBe 0L
   }
 
+  test("an ivfDelete RACING a compaction (landing after its tombstone " +
+      "snapshot) survives the file-scoped clear and stays pending") {
+    import spark.implicits._
+    val tbl = s"cmp_race_${System.nanoTime()}"
+    mkTable(tbl)
+    Graft.ivfDelete(spark, tbl, Seq(100L).toDF("vec_id"))
+    // inject the race through the test seam: this delete lands between
+    // the compaction's tombstone snapshot and its clear
+    Graft.compactionTestHook =
+      () => Graft.ivfDelete(spark, tbl, Seq(200L).toDF("vec_id"))
+    val st =
+      try Graft.compactBucketedIndex(spark, tbl)
+      finally Graft.compactionTestHook = () => ()
+    // only the SNAPSHOTTED tombstone purged; the racing one is pending
+    st.tombstonesPurged shouldBe 1L
+    spark.table(tbl).filter(col("vec_id") === 100L).count() shouldBe 0L
+    spark.table(tbl).filter(col("vec_id") === 200L).count() shouldBe 1L
+    Graft.pendingTombstones(spark, tbl)
+      .map(_.collect().map(_.getLong(0)).toSeq) shouldBe Some(Seq(200L))
+    // the serving view hides it NOW; the next compaction purges it
+    Graft.applyTombstones(spark, tbl)
+      .filter(col("vec_id") === 200L).count() shouldBe 0L
+    Graft.compactBucketedIndex(spark, tbl).tombstonesPurged shouldBe 1L
+    Graft.pendingTombstones(spark, tbl) shouldBe None
+  }
+
   test("bucketedIndexAppender drives the whole lifecycle: assign + " +
       "normalize + bounded appends + the compaction cadence purging " +
       "tombstones, as one foreachBatch function") {
