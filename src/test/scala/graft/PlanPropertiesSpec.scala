@@ -432,4 +432,16 @@ class PlanPropertiesSpec extends AnyFunSuite with Matchers {
     // n_chars; lang would appear in ReadSchema if the layout were flat
     p should include("ReadSchema: struct<n_chars:bigint>")
   }
+
+  test("t18 pair expansion is explode + NATIVE substring — no " +
+    "interpreted HOF lambda, so the shape holds at web-scale " +
+    "vocabularies (the r13 reshape)") {
+    val p = plan("t18_bpe_pairs")
+    // the pair column comes from a plain substring projection over the
+    // exploded positions; a transform(sequence(...), i -> ...) HOF
+    // would surface as a lambdafunction in the plan and evaluate
+    // interpreted per vocab row
+    p should include("substring(")
+    (p.toLowerCase should not).include("lambdafunction")
+  }
 }
