@@ -662,6 +662,59 @@ object Vector {
         "FROM embeddings WHERE vec_id < 40 AND vec_id % 10 != 3 " +
         "ORDER BY query_id")),
 
+    Q("s15_filtered_ann",
+      // FILTERED ANN — the retrieval-deployment shape every vector
+      // store ships (Qdrant/Vespa payload filters, Faiss + metadata
+      // stores): "top-k neighbors among documents WHERE lang = 'en'".
+      // The Spark-first answer is PRE-filtering, not post-filtering:
+      // the predicate is an ordinary relational filter on the INDEX
+      // side of the search, applied BEFORE probe-candidate generation,
+      // so Catalyst pushes it beneath the candidate equi-join into the
+      // metadata scan (PushedFilters: EqualTo(lang,'en') —
+      // FilteredAnnSpec pins the plan) and every probed list
+      // contributes only matching candidates. Post-filtering an
+      // unfiltered top-k instead returns < k rows whenever the
+      // unfiltered neighborhood is filter-sparse — at a 40% match rate
+      // an unfiltered top-5 post-filtered keeps ~2 — and re-searching
+      // with inflated k to compensate is unbounded for rare filters.
+      // Pre-filtering keeps the k-of-matching contract exact at any
+      // selectivity: candidates are the probed lists ∩ filter, cost
+      // SHRINKS with selectivity (the scan prunes first), and the
+      // per-query contract below holds deterministically, which is
+      // what lets DuckDB recompute it. Queries themselves are NOT
+      // filtered (an any-language query asks for English neighbors).
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val emb = Tables.load(s, d, "embeddings")
+        val centroids = labelCentroids(emb)
+        val n = Dedup.normed(s, d)
+        // the index side: vectors + their list routing, restricted to
+        // the filter BEFORE any search work — the lang predicate
+        // reaches the documents parquet scan
+        val listed = n
+          .join(emb.select(col("vec_id"), col("label").as("list_id")),
+            "vec_id")
+          .join(docs.filter(col("lang") === "en")
+            .select(col("doc_id").as("vec_id")), "vec_id")
+        val q = n.filter(col("vec_id") < 40)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("qe"), col("nrm").as("qn"))
+        val search = ivfProbeSearch(q, listed, centroids, nProbe = 4,
+          k = K)
+        annContract(search)
+          .join(search
+            .join(docs.select(col("doc_id").as("neighbor_id"),
+              col("lang")), "neighbor_id")
+            .groupBy("query_id")
+            .agg(min(col("lang") === "en").as("all_match")), "query_id")
+          .orderBy("query_id")
+      },
+      Some("SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_ret, " +
+        "CAST(15 AS BIGINT) AS rnk_sum, CAST(5 AS BIGINT) AS n_distinct, " +
+        "true AS self_excluded, true AS cos_bounded, true AS ranked_desc, " +
+        "true AS all_match " +
+        "FROM embeddings WHERE vec_id < 40 ORDER BY query_id")),
+
     Q("s07_ann_recall",
       // The recall CONTRACT for every ANN variant, promoted from
       // SketchAccuracySpec into the oracle gate: the exact top-k (s01's

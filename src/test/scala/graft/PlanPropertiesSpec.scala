@@ -51,6 +51,20 @@ class PlanPropertiesSpec extends AnyFunSuite with Matchers {
     "HashAggregate".r.findAllIn(p).size should be >= 2
   }
 
+  test("s15 filtered ANN: the metadata predicate is pushed into the " +
+    "documents scan (pre-filter, not post-filter) and the scan is " +
+    "pruned to the join/filter columns") {
+    val p = plan("s15_filtered_ann")
+    // the lang predicate must reach the parquet scan — a post-filter
+    // shape (predicate above the search) passes correctness on dense
+    // filters but returns < k rows on sparse ones and reads the full
+    // metadata table at any selectivity
+    p should include("EqualTo(lang,en)")
+    // the documents scan reads only the id it joins on and the filter
+    // column, never the text payload
+    (p should not).include("text:string")
+  }
+
   test("d11 blocked dedup: the within-block pair join is an equi-join " +
     "on the block key, never a cartesian product") {
     val p = plan("d11_blocked_dedup")
