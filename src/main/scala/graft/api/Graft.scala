@@ -1928,6 +1928,34 @@ object Graft {
   private[graft] var compactionTestHook: () => Unit = () => ()
 
   def compactBucketedIndex(spark: SparkSession, table: String)
+      : CompactionStats =
+    rewriteIndexGeneration(spark, table, transform = identity,
+      beforeSwap = (newLoc, fs) => {
+        // the quantizer travels WITH the generation (it is published by
+        // the same pointer swap that publishes the rows encoded under
+        // it) — a compaction that dropped it would strand the next
+        // append/serve without its routing table
+        val conf = spark.sparkContext.hadoopConfiguration
+        val old = quantizerPath(bucketedTableLocation(spark, table))
+        if (fs.exists(old))
+          org.apache.hadoop.fs.FileUtil.copy(fs, old, fs,
+            quantizerPath(newLoc), false, conf)
+      })
+
+  /** The shared generation-rewrite core behind [[compactBucketedIndex]]
+    * and [[retrainIndex]]: plain-parquet read of the live generation,
+    * snapshot-scoped tombstone fold, a ROW-PRESERVING `transform` of the
+    * cleaned rows (identity for compaction; re-assignment for retrain),
+    * bucketed rewrite into a fresh `.compact-<id>` sibling generation,
+    * row-parity require, `beforeSwap(newGenerationDir, fs)` (quantizer
+    * carry/replace — runs inside the failure scope, so a throw deletes
+    * the torn generation), catalog-pointer swap, snapshotted-tombstone
+    * clear. All the atomicity and race arguments in
+    * [[compactBucketedIndex]]'s scaladoc apply to every caller. */
+  private def rewriteIndexGeneration(spark: SparkSession, table: String,
+      transform: DataFrame => DataFrame,
+      beforeSwap: (org.apache.hadoop.fs.Path,
+        org.apache.hadoop.fs.FileSystem) => Unit)
       : CompactionStats = {
     val cat = spark.sessionState.catalog
     val ident = tableIdent(spark, table)
@@ -1959,7 +1987,14 @@ object Graft {
         org.apache.hadoop.fs.Path]()
       while (it.hasNext) {
         val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) out += f.getPath
+        // skip hidden side state (the _quantizer dir, _SUCCESS markers):
+        // table scans never read it, so the file accounting must not
+        // count it either
+        val rel = f.getPath.toUri.getPath
+          .stripPrefix(p.toUri.getPath).split("/").filter(_.nonEmpty)
+        val hidden = rel.exists(s => s.startsWith("_") || s.startsWith("."))
+        if (!hidden && f.getPath.getName.endsWith(".parquet"))
+          out += f.getPath
       }
       out.toSeq
     }
@@ -2037,7 +2072,12 @@ object Graft {
         java.util.UUID.randomUUID().toString.take(8))
     val tmpTbl = ident.table + "_compact_" +
       java.util.UUID.randomUUID().toString.take(8)
-    var w = cleaned.repartition(nBuckets, bucketCols.map(col): _*)
+    // the transform must be row-preserving (the parity require below
+    // holds it to that) and schema-preserving up to column order — the
+    // bucketed write needs the table's exact column set
+    val rewritten = transform(cleaned)
+      .select(cleaned.columns.map(col): _*)
+    var w = rewritten.repartition(nBuckets, bucketCols.map(col): _*)
       .write.bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     if (sortCols.nonEmpty)
       w = w.sortBy(sortCols.head, sortCols.tail: _*)
@@ -2056,8 +2096,9 @@ object Graft {
     try {
       val rowsAfter = spark.table(tmpTbl).count()
       require(rowsAfter == expected,
-        s"compactBucketedIndex($table): rewrite produced $rowsAfter " +
+        s"rewriteIndexGeneration($table): rewrite produced $rowsAfter " +
           s"of $expected rows — original left untouched")
+      beforeSwap(newLoc, fs)
       // the METADATA-POINTER swap (see the scaladoc): repoint the
       // catalog entry's location at the compacted generation. Both
       // file sets stay on disk — no absence window, no partial state;
@@ -2079,6 +2120,121 @@ object Graft {
     val after = dataFiles(newLoc)
     CompactionStats(expected, before.size, after.size,
       tombstonesPurged = rowsBefore - expected)
+  }
+
+  /** The quantizer's home INSIDE the generation dir: `_`-prefixed, so
+    * every table/parquet scan ignores it, and it is published by the
+    * same catalog-pointer swap that publishes the rows encoded under
+    * it — no window where rows and routing disagree. */
+  private def quantizerPath(loc: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(loc, "_quantizer")
+
+  /** Persist `centroids` (`list_id`, `centroid`) as the bucketed index
+    * table's quantizer — stored under `_quantizer` inside the CURRENT
+    * generation dir, invisible to table scans, carried forward by
+    * [[compactBucketedIndex]] and replaced by [[retrainIndex]]. Call
+    * once at deployment setup (after training, before wiring
+    * [[bucketedIndexAppender]]); this is a setup-time overwrite, not
+    * a concurrent-safe commit. */
+  def saveQuantizer(spark: SparkSession, table: String,
+      centroids: DataFrame): Unit =
+    centroids.write.mode("overwrite")
+      .parquet(quantizerPath(bucketedTableLocation(spark, table)).toString)
+
+  /** The persisted quantizer of a bucketed index table — None when the
+    * table was never given one ([[saveQuantizer]] / [[retrainIndex]]). */
+  def loadQuantizer(spark: SparkSession, table: String)
+      : Option[DataFrame] = {
+    val dir = quantizerPath(bucketedTableLocation(spark, table))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return None
+    // read the leaf files EXPLICITLY: the dir itself is `_`-prefixed
+    // (hidden from table scans by design), and a directory read of a
+    // hidden path is a warn-and-proceed edge Spark does not promise
+    val files = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    if (files.isEmpty) None
+    else Some(spark.read.parquet(files.map(_.toString).toSeq: _*))
+  }
+
+  final case class RetrainStats(rows: Long, filesBefore: Int,
+      filesAfter: Int, tombstonesPurged: Long, nlist: Int)
+
+  /** Re-train the coarse quantizer of a streaming-ingested bucketed
+    * index table from its CURRENT live rows and re-assign every row to
+    * the new lists — the lifecycle step after compaction
+    * ([[compactBucketedIndex]]) and deletes ([[ivfDelete]]): the
+    * appender's quantizer is FROZEN (Faiss `add` semantics), so an
+    * ingest whose distribution drifts away from the training slice
+    * routes new vectors into the nearest OLD lists — occupancy skews,
+    * per-probe candidate quality decays, and recall at a fixed nProbe
+    * degrades without any error (measured in SCALE.md's drift section:
+    * a quantizer trained on half the cluster space serves the other
+    * half at materially lower recall until retrain). Faiss has no
+    * in-place analog (deployments rebuild and re-`add`); here the
+    * rebuild IS the maintenance op, reusing the generation machinery:
+    *
+    *  1. plain-parquet read of the live generation, pending tombstones
+    *     folded out (retrain is a full rewrite — the same
+    *     snapshot-scoped clear discipline as compaction),
+    *  2. `nlist` derived from the CURRENT corpus size when 0
+    *     ([[deriveNlist]] — growth re-derives the width that the
+    *     build-time derivation froze),
+    *  3. sampled Lloyd over the live rows ([[trainSample]] +
+    *     [[kmeansCentroids]] — bounded driver/train cost, identical to
+    *     the build path),
+    *  4. ONE full-corpus re-assignment pass (map-side against the
+    *     broadcast centroid table; payload columns carried through),
+    *  5. bucketed rewrite + catalog-pointer swap ([[compactBucketedIndex]]'s
+    *     no-absence-window commit), with the NEW quantizer written
+    *     into the new generation dir before the swap — rows and
+    *     routing publish atomically.
+    *
+    * After it returns, serve probes against `loadQuantizer(...)` and
+    * rebuild the appender with the new centroids AT A BATCH BOUNDARY
+    * (the appender must stay serialized with this call, exactly like
+    * compaction — an append between the read and the swap would be
+    * dropped by the swap). Cost: one corpus scan for training sample +
+    * count, one re-assignment pass, one corpus-sized bucketed shuffle —
+    * the same order as a compaction plus the assignment map work.
+    * An empty index is a named no-op (`nlist = 0`, nothing trained). */
+  def retrainIndex(spark: SparkSession, table: String, idCol: String,
+      vecCol: String, nlist: Int = 0, iters: Int = 2,
+      trainPerList: Int = 128): RetrainStats = {
+    require(nlist >= 0 && iters >= 0 && trainPerList > 0,
+      s"retrainIndex($table, nlist=$nlist, iters=$iters, " +
+        s"trainPerList=$trainPerList)")
+    var chosenNlist = 0
+    var trained: Option[DataFrame] = None
+    val stats = rewriteIndexGeneration(spark, table,
+      transform = cleaned => {
+        require(cleaned.columns.contains(idCol) &&
+            cleaned.columns.contains(vecCol) &&
+            cleaned.columns.contains("list_id"),
+          s"retrainIndex($table): index schema " +
+            s"${cleaned.columns.mkString(", ")} lacks $idCol/$vecCol/" +
+            "list_id")
+        val n = cleaned.count()
+        val nl = if (nlist > 0) nlist else deriveNlist(n)
+        chosenNlist = nl
+        val train = trainSample(cleaned, idCol, nl.toLong * trainPerList, n)
+        val cents = iterCheckpoint(
+          kmeansCentroids(train, idCol, vecCol, nl, iters))
+        trained = Some(cents)
+        val payload = cleaned.columns
+          .filterNot(c => c == idCol || c == vecCol || c == "list_id")
+        assignToCentroids(cleaned, idCol, vecCol, cents,
+          nlistHint = nl, carry = payload.toSeq)
+      },
+      beforeSwap = (newLoc, _) =>
+        // write, not copy: the new generation's rows are encoded under
+        // the NEW quantizer; publishing the old one would mis-route
+        // every probe
+        trained.get.write.mode("overwrite")
+          .parquet(quantizerPath(newLoc).toString))
+    RetrainStats(stats.rows, stats.filesBefore, stats.filesAfter,
+      stats.tombstonesPurged, chosenNlist)
   }
 
   /** The streaming-ingest write path as a first-class `foreachBatch`
@@ -3042,14 +3198,24 @@ object Graft {
     * re-broadcast as an expression-tree literal. 0 (the default) keeps
     * the HOF plan. */
   def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, nlistHint: Int = 0): DataFrame = {
-    val n = normalized(df, idCol, vecCol)
+      centroids: DataFrame, nlistHint: Int = 0,
+      carry: Seq[String] = Nil): DataFrame = {
+    // `carry`: extra columns to pass through the assignment (payload
+    // columns of an index row). A carried column named `nrm` is
+    // RECOMPUTED as the L2 norm of `vecCol` — identical when it held
+    // that norm already (the index layouts all do).
+    val n =
+      if (carry.isEmpty) normalized(df, idCol, vecCol)
+      else df.select(col(idCol) +: col(vecCol) +:
+        carry.filterNot(_ == "nrm").map(col) :+
+        sqrt(dot(col(vecCol), col(vecCol))).as("nrm"): _*)
+    val carried = carry.map(col)
     if (nlistHint > KernelNlist) collectCentroids(centroids) match {
       case Some((flat, cnrms, ids, dim)) =>
-        return n.select(col(idCol), col(vecCol),
+        return n.select(col(idCol) +: col(vecCol) +: carried :+
           graft.functions.VectorExpressions.centroidTopN(
             col(vecCol), col("nrm"), flat, cnrms, ids, dim,
-            probes = 1, nanWins = true).getItem(0).as("list_id"))
+            probes = 1, nanWins = true).getItem(0).as("list_id"): _*)
       case None => // empty centroid table: fall through (zero rows out)
     }
     val cn = centroids.agg(collect_list(struct(
@@ -3060,7 +3226,7 @@ object Graft {
       // the fold would then "assign" every vector to the Int.MaxValue
       // sentinel — an empty centroid table must mean zero assignments
       .filter(size(col("cents")) > 0)
-      .select(col(idCol), col(vecCol),
+      .select(col(idCol) +: col(vecCol) +: carried :+
         aggregate(
           // cosine computed ONCE per (vector, centroid): HOF lambdas run
           // interpreted with no common-subexpression elimination, so a
@@ -3075,7 +3241,7 @@ object Graft {
           (acc, e) =>
             when(e("cos") > acc("cos") ||
                 (e("cos") === acc("cos") && e("list_id") < acc("list_id")),
-              e).otherwise(acc))("list_id").as("list_id"))
+              e).otherwise(acc))("list_id").as("list_id"): _*)
   }
 
   /** Multi-probe assignment: each vector joins its `probes` nearest

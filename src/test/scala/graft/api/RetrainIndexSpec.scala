@@ -1,0 +1,195 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** [[Graft.retrainIndex]] — the quantizer-drift lifecycle op — plus the
+  * `_quantizer` persistence contract ([[Graft.saveQuantizer]] /
+  * [[Graft.loadQuantizer]] / compaction carry).
+  *
+  * The drift fixture is DETERMINISTIC by construction: four
+  * axis-aligned clusters (cluster = vec_id % 4), the frozen quantizer
+  * trained on clusters {0, 1} only. Drifted rows carry a small tilt
+  * toward one OLD axis (cluster 2 → axis 0, cluster 3 → axis 1), so
+  * frozen-quantizer ingest routes them deterministically; the drift
+  * query for cluster 2 is tilted toward the OTHER old axis, so a
+  * pre-retrain nProbe=1 probe provably lands in the list that holds
+  * cluster 3 — zero cluster-2 neighbors, no tie lottery. After
+  * retrain (nlist=4), the same query's probe list IS cluster 2's list
+  * and every neighbor is from cluster 2.
+  */
+class RetrainIndexSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val Buckets = 4
+  private val K = 5
+
+  /** cluster = id % 4; jitter rides the dominant axis only (keeps the
+    * direction, makes every vector distinct). */
+  private def vec(id: Long): Array[Float] = {
+    val v = new Array[Float](4)
+    val c = (id % 4).toInt
+    val mag = 10f + 0.01f * (id % 10)
+    c match {
+      case 0 => v(0) = mag
+      case 1 => v(1) = mag
+      case 2 => v(2) = mag; v(0) = 0.5f // tilt toward OLD axis 0
+      case 3 => v(3) = mag; v(1) = 0.5f // tilt toward OLD axis 1
+    }
+    v
+  }
+
+  private def rows(ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i, vec(i))).toDF("vec_id", "embedding")
+  }
+
+  /** The frozen quantizer: exactly the two OLD axes. */
+  private def oldQuantizer(): DataFrame = {
+    import spark.implicits._
+    Seq((0, Array(1f, 0f, 0f, 0f)), (1, Array(0f, 1f, 0f, 0f)))
+      .toDF("list_id", "centroid")
+  }
+
+  private def nrmd(df: DataFrame): DataFrame =
+    df.withColumn("nrm", sqrt(graft.functions.VectorExpressions
+      .dotF32(col("embedding"), col("embedding"))))
+
+  /** Index the TRAINING-era rows (clusters 0/1) under the old
+    * quantizer, then frozen-ingest the DRIFTED rows (clusters 2/3)
+    * through the appender. Returns the table name. */
+  private def mkDriftedTable(name: String): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"retrain-$name").toString
+    val a = (0L until 80L).filter(i => i % 4 < 2)
+    val b = (0L until 80L).filter(i => i % 4 >= 2)
+    nrmd(Graft.assignToCentroids(rows(a), "vec_id", "embedding",
+        oldQuantizer(), carry = Seq.empty))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("list_id"))
+      .write.bucketBy(Buckets, "list_id").sortBy("list_id")
+      .option("path", s"$dir/t").saveAsTable(name)
+    Graft.saveQuantizer(spark, name, oldQuantizer())
+    Graft.bucketedIndexAppender(name, Buckets, Some(oldQuantizer()),
+      "vec_id", "embedding")(rows(b), 0L)
+    name
+  }
+
+  /** Probe for cluster 2, deliberately tilted toward old axis 1. */
+  private def driftQuery(): DataFrame = {
+    import spark.implicits._
+    nrmd(Seq((1000L, Array(0f, 0.4f, 10f, 0f)))
+      .toDF("query_id", "embedding"))
+      .select(col("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+  }
+
+  private def neighbors(tbl: String, cents: DataFrame): Seq[Long] =
+    graft.ops.Vector.ivfProbeSearch(driftQuery(),
+        Graft.applyTombstones(spark, tbl), cents, nProbe = 1, k = K)
+      .collect().map(_.getLong(1)).toSeq
+
+  test("frozen-quantizer drift mis-routes deterministically; retrain " +
+      "re-derives the lists and recovers the probe") {
+    val tbl = s"rt_drift_${System.nanoTime()}"
+    mkDriftedTable(tbl)
+
+    // pre-retrain: the cluster-2 query probes old list 1 (its tilt),
+    // which holds clusters 1 and 3 — ZERO cluster-2 neighbors
+    val pre = neighbors(tbl, Graft.loadQuantizer(spark, tbl).get)
+    pre should have size K
+    pre.count(_ % 4 == 2) shouldBe 0
+
+    val stats = Graft.retrainIndex(spark, tbl, "vec_id", "embedding",
+      nlist = 4)
+    stats.rows shouldBe 80L
+    stats.nlist shouldBe 4
+    stats.filesAfter should be <= Buckets
+    stats.tombstonesPurged shouldBe 0L
+
+    // the NEW quantizer published with the swap: 4 lists now
+    val newCents = Graft.loadQuantizer(spark, tbl).get
+    newCents.count() shouldBe 4L
+
+    // the same probe now lands in cluster 2's own list — every
+    // neighbor is a cluster-2 row
+    val post = neighbors(tbl, newCents)
+    post should have size K
+    post.count(_ % 4 == 2) shouldBe K
+
+    // assignment coherence: every served row's list_id equals a fresh
+    // argmax assignment under the published quantizer
+    val served = spark.table(tbl)
+    val reassigned = Graft.assignToCentroids(
+      served.select("vec_id", "embedding"), "vec_id", "embedding",
+      newCents)
+    served.select(col("vec_id"), col("list_id"))
+      .join(reassigned.select(col("vec_id"),
+        col("list_id").as("fresh")), "vec_id")
+      .filter(col("list_id") =!= col("fresh"))
+      .count() shouldBe 0L
+  }
+
+  test("retrain folds pending tombstones and clears them, like " +
+      "compaction") {
+    val tbl = s"rt_tomb_${System.nanoTime()}"
+    mkDriftedTable(tbl)
+    import spark.implicits._
+    // delete all of cluster 0 (20 rows)
+    Graft.ivfDelete(spark, tbl,
+      (0L until 80L).filter(_ % 4 == 0).toDF("vec_id"))
+    val stats = Graft.retrainIndex(spark, tbl, "vec_id", "embedding",
+      nlist = 3)
+    stats.rows shouldBe 60L
+    stats.tombstonesPurged shouldBe 20L
+    Graft.pendingTombstones(spark, tbl) shouldBe None
+    spark.table(tbl).filter(pmod(col("vec_id"), lit(4)) === 0)
+      .count() shouldBe 0L
+  }
+
+  test("compaction CARRIES the quantizer into the new generation; " +
+      "appends keep working with the retrained centroids") {
+    val tbl = s"rt_carry_${System.nanoTime()}"
+    mkDriftedTable(tbl)
+    Graft.retrainIndex(spark, tbl, "vec_id", "embedding", nlist = 4)
+    val cents = Graft.loadQuantizer(spark, tbl).get
+
+    // a post-retrain append through the appender, with the NEW
+    // quantizer: a fresh row aligned EXACTLY with the drift query
+    // routes to cluster 2's list and ranks first in its probe
+    import spark.implicits._
+    Graft.bucketedIndexAppender(tbl, Buckets, Some(cents),
+      "vec_id", "embedding")(
+      Seq((202L, Array(0f, 0.4f, 10f, 0f))).toDF("vec_id", "embedding"),
+      1L)
+    val post = neighbors(tbl, cents)
+    post.head shouldBe 202L
+
+    // compaction (identity rewrite) must carry _quantizer forward —
+    // dropping it would strand the serving path after maintenance
+    Graft.compactBucketedIndex(spark, tbl)
+    val carried = Graft.loadQuantizer(spark, tbl)
+    carried should not be empty
+    carried.get.collect().map(r => r.getInt(0)).sorted shouldBe
+      cents.collect().map(r => r.getInt(0)).sorted
+  }
+
+  test("an empty index is a named retrain no-op") {
+    val tbl = s"rt_empty_${System.nanoTime()}"
+    val dir = java.nio.file.Files
+      .createTempDirectory("retrain-empty").toString
+    rows(Seq.empty).withColumn("nrm", lit(0f))
+      .withColumn("list_id", lit(0))
+      .filter(lit(false))
+      .write.bucketBy(Buckets, "list_id").sortBy("list_id")
+      .option("path", s"$dir/t").saveAsTable(tbl)
+    val stats = Graft.retrainIndex(spark, tbl, "vec_id", "embedding")
+    stats shouldBe Graft.RetrainStats(0L, 0, 0, 0L, 0)
+  }
+}
