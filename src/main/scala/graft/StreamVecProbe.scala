@@ -41,10 +41,19 @@ import org.apache.spark.sql.streaming.Trigger
   * broken row accounting; its latency table is SCALE.md's bounded-
   * sawtooth evidence.
   *
+  * The `drift` mode measures the quantizer-drift lifecycle
+  * [[graft.api.Graft.retrainIndex]] exists for: train the quantizer on
+  * HALF the cluster space (labels < 500 of the margin slice), ingest
+  * that half, then frozen-ingest the OTHER half (the distribution
+  * shift), and read the bill — list-occupancy skew, probe latency, and
+  * recall for drifted vs historical queries — before and after one
+  * retrainIndex call.
+  *
   * Usage: StreamVecProbe [dir] [batchSize] [nBatches] [nProbe]
   *        StreamVecProbe [dir] ingest [batchSize]
   *        StreamVecProbe [dir] persist [buckets]
   *        StreamVecProbe [dir] soak [nAppends] [compactEvery]
+  *        StreamVecProbe [dir] drift
   */
 object StreamVecProbe {
   def main(args: Array[String]): Unit = {
@@ -70,6 +79,10 @@ object StreamVecProbe {
       soak(dir,
         nAppends = if (args.length > 2) args(2).toInt else 100,
         compactEvery = if (args.length > 3) args(3).toInt else 20)
+      return
+    }
+    if (args.length > 1 && args(1) == "drift") {
+      drift(dir)
       return
     }
     val batchSize = if (args.length > 1) args(1).toInt else 1000
@@ -578,6 +591,154 @@ object StreamVecProbe {
         s"expected ${n - deletedIds.size} rows / ${deletedIds.size} purged")
     println(s"[soak] done rows=${fin.rows} files=${fin.filesAfter} " +
       s"purged=$purged")
+    spark.sql(s"DROP TABLE IF EXISTS $idxTbl")
+    graft.ops.StreamingOps.deleteRecursively(new java.io.File(idxDir))
+    spark.stop()
+  }
+
+  /** Quantizer drift, measured (see the object scaladoc). Pre-phase
+    * trains on labels < 500 ONLY; ingest phase B shifts the
+    * distribution to labels >= 500 under the frozen quantizer; one
+    * retrainIndex call re-derives nlist from the doubled corpus and
+    * re-assigns. Prints occupancy skew, probe latency, and recall for
+    * drifted vs historical query slices at each stage. */
+  private def drift(dir: String): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = Tables.load(spark, dir, "embeddings")
+      .localCheckpoint(true)
+    require(emb.columns.contains("label"),
+      "drift needs the margin slice (label = cluster id)")
+    val hist = emb.filter(col("label") < 500)
+    val drifted = emb.filter(col("label") >= 500)
+    val (nHist, nDrift) = (hist.count(), drifted.count())
+    val n = nHist + nDrift
+    // the deployment trains for the corpus it HAS: nlist sized to the
+    // historical half
+    val nlist0 = graft.api.Graft.deriveNlist(nHist)
+    val t0 = System.nanoTime()
+    val train = hist.filter(pmod(col("vec_id"), lit(math.max(1L,
+      nHist / (nlist0.toLong * 128)))) === 0)
+    val cents0 = graft.api.Graft
+      .kmeansCentroids(train, "vec_id", "embedding", nlist0, iters = 2)
+      .localCheckpoint(true)
+    println(f"[drift] n=$n (hist=$nHist drift=$nDrift) nlist0=$nlist0 " +
+      f"train=${(System.nanoTime() - t0) / 1e9}%.1f")
+
+    val buckets = 256
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("svp-drift-idx").toString
+    val idxTbl = s"svp_drift_${UUID.randomUUID().toString.take(8)}"
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("nrm",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("list_id",
+          org.apache.spark.sql.types.IntegerType))))
+      .write.bucketBy(buckets, "list_id").sortBy("list_id")
+      .option("path", s"$idxDir/t").saveAsTable(idxTbl)
+    graft.api.Graft.saveQuantizer(spark, idxTbl, cents0)
+
+    // ingest through the deployment write path, 10 appends per phase
+    def ingestPhase(name: String, rows: DataFrame,
+        quant: DataFrame): Unit = {
+      val append = graft.api.Graft.bucketedIndexAppender(idxTbl,
+        buckets, Some(quant), "vec_id", "embedding",
+        nlistHint = nlist0)
+      val withSlice = rows.withColumn("__slice",
+        pmod(col("vec_id"), lit(10)))
+      val t = System.nanoTime()
+      (0 until 10).foreach { i =>
+        append(withSlice.filter(col("__slice") === i)
+          .drop("__slice"), i.toLong)
+      }
+      println(f"[drift] ingest $name wall=" +
+        f"${(System.nanoTime() - t) / 1e9}%.1f")
+    }
+
+    def occupancy(tag: String): Unit = {
+      val occ = spark.table(idxTbl).groupBy("list_id").count()
+        .agg(count(lit(1)).as("lists"), avg("count").as("mean"),
+          max("count").as("max"),
+          expr("percentile_approx(count, 0.99)").as("p99"),
+          sum("count").as("rows"))
+        .head()
+      println(f"[drift] occupancy $tag lists=${occ.getLong(0)} " +
+        f"mean=${occ.getDouble(1)}%.0f p99=${occ.getLong(3)} " +
+        f"max=${occ.getLong(2)} rows=${occ.getLong(4)}")
+    }
+
+    // query slices: 64 drifted + 64 historical corpus vectors
+    def queries(src: DataFrame, nSrc: Long): DataFrame = src
+      .filter(pmod(col("vec_id"), lit(math.max(1L, nSrc / 64))) === 0)
+      .limit(64)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        sqrt(graft.functions.VectorExpressions
+          .dotF32(col("embedding"), col("embedding"))).as("qn"))
+      .localCheckpoint(true)
+    val qDrift = queries(drifted, nDrift)
+    val qHist = queries(hist, nHist)
+    val k = 5
+    def exact(q: DataFrame): Set[(Long, Long)] = {
+      val ids = q.select("query_id").collect().map(_.getLong(0)).toSet
+      graft.api.Graft.cosineTopK(emb, "vec_id", "embedding",
+          queryPred = col("vec_id").isin(ids.toSeq: _*), k = k)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val (exDrift, exHist) = (exact(qDrift), exact(qHist))
+
+    def probe(tag: String, q: DataFrame, truth: Set[(Long, Long)],
+        quant: DataFrame, nProbe: Int): Unit = {
+      val walls = (1 to 3).map { _ =>
+        val t = System.nanoTime()
+        val got = graft.ops.Vector.ivfProbeSearch(q,
+            spark.table(idxTbl), quant, nProbe = nProbe, k = k,
+            nlistHint = quant.count().toInt)
+          .select("query_id", "neighbor_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        ((System.nanoTime() - t) / 1e9,
+          (got & truth).size.toDouble / truth.size)
+      }
+      println(f"[drift] probe $tag nProbe=$nProbe " +
+        f"wall=${walls.map(_._1).min}%.2f " +
+        f"recall=${walls.head._2}%.3f")
+    }
+
+    ingestPhase("A-historical", hist, cents0)
+    occupancy("post-A")
+    for (np <- Seq(4, 16)) probe("hist pre-drift", qHist, exHist,
+      cents0, np)
+
+    ingestPhase("B-drifted(frozen)", drifted, cents0)
+    occupancy("post-B-frozen")
+    for (np <- Seq(4, 16)) {
+      probe("hist  frozen", qHist, exHist, cents0, np)
+      probe("drift frozen", qDrift, exDrift, cents0, np)
+    }
+
+    val tR = System.nanoTime()
+    val stats = graft.api.Graft.retrainIndex(spark, idxTbl,
+      "vec_id", "embedding")
+    println(f"[drift] retrain wall=${(System.nanoTime() - tR) / 1e9}%.1f " +
+      s"rows=${stats.rows} nlist=${stats.nlist} files=" +
+      s"${stats.filesBefore}->${stats.filesAfter}")
+    val cents1 = graft.api.Graft.loadQuantizer(spark, idxTbl).get
+      .localCheckpoint(true)
+    occupancy("post-retrain")
+    for (np <- Seq(4, 16)) {
+      probe("hist  retrained", qHist, exHist, cents1, np)
+      probe("drift retrained", qDrift, exDrift, cents1, np)
+    }
+
     spark.sql(s"DROP TABLE IF EXISTS $idxTbl")
     graft.ops.StreamingOps.deleteRecursively(new java.io.File(idxDir))
     spark.stop()

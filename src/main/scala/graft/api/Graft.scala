@@ -1628,7 +1628,14 @@ object Graft {
     * driver/broadcast-safe under the [[deriveNlist]] 4√n cap). */
   def ivfPqBuild(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, nlist: Int, m: Int = 8, ksub: Int = 16, iters: Int = 2,
-      trainPerList: Int = 128): IvfPqIndex = {
+      trainPerList: Int = 128, payload: Seq[String] = Nil): IvfPqIndex = {
+    // `payload`: extra columns of `df` carried into the CODES frame —
+    // the vector-store payload-filter design (Qdrant/Vespa): serve-time
+    // metadata predicates ([[ivfPqSearch]]'s `filter`) evaluate against
+    // the codes scan itself, so a filtered search never joins the
+    // corpus to fetch attributes. They persist through [[ivfPqSave]] /
+    // [[ivfPqLoad]] (the codes frame writes wholesale), costing their
+    // width once per code row.
     require(nlist > 0 && trainPerList > 0 && m > 0 && dim % m == 0 &&
       ksub > 1 && iters >= 0,
       s"ivfPqBuild(dim=$dim, nlist=$nlist, m=$m, ksub=$ksub)")
@@ -1645,8 +1652,8 @@ object Graft {
     // full-corpus encode pass — the r10/r11 cliff class)
     val centSide = broadcast(cents
       .select(col("list_id"), col("centroid").as("__cent")))
-    def residuals(src: DataFrame): DataFrame =
-      assignToCentroids(src, idCol, vecCol, cents, nlist)
+    def residuals(src: DataFrame, carry: Seq[String] = Nil): DataFrame =
+      assignToCentroids(src, idCol, vecCol, cents, nlist, carry = carry)
         .join(centSide, "list_id")
         .withColumn("__res", graft.functions.VectorExpressions
           .vecSubF32(col(vecCol), col("__cent")))
@@ -1670,17 +1677,19 @@ object Graft {
         graft.functions.VectorExpressions.pqQueryLutF32(col("centroid"),
           col("__ctcells"), col("__ctcents"), m, ksub, dsub).as("__clut"),
         dot(col("centroid"), col("centroid")).as("__cn2"))
-    val enc = pqEncodeWith(residuals(df), idCol, "__res", lookup, dim, m,
-      ksub, carry = Seq("list_id"), l2 = true)
-      .select(col(idCol), col("list_id"), col("code"), col("rnorm"))
+    val payloadCols = payload.map(col)
+    val enc = pqEncodeWith(residuals(df, carry = payload), idCol, "__res",
+      lookup, dim, m, ksub, carry = Seq("list_id") ++ payload, l2 = true)
+      .select(col(idCol) +: col("list_id") +: col("code") +:
+        col("rnorm") +: payloadCols: _*)
       .join(broadcast(centTerms), "list_id")
       // greatest(0, ·): the three LUT terms are float-rounded; a zero
       // reconstruction must read 0.0, not √(-1e-17) = NaN
-      .select(col(idCol), col("list_id"), col("code"),
+      .select(col(idCol) +: col("list_id") +: col("code") +:
         sqrt(greatest(lit(0.0), col("__cn2") +
           lit(2.0) * graft.functions.VectorExpressions
             .pqAdcLut(col("__clut"), col("code"), ksub) +
-          col("rnorm") * col("rnorm"))).as("rnorm"))
+          col("rnorm") * col("rnorm"))).as("rnorm") +: payloadCols: _*)
     IvfPqIndex(cents, enc, lookup, idCol, nlist, dim, m, ksub)
   }
 
@@ -2353,9 +2362,18 @@ object Graft {
       qvecCol: String, vectors: DataFrame, vecCol: String, k: Int,
       nProbe: Int, shortlist: Int = 50,
       broadcastQueries: Int = 4096,
-      pruneLists: Boolean = false): DataFrame = {
+      pruneLists: Boolean = false,
+      filter: Option[Column] = None): DataFrame = {
     require(shortlist >= k && k > 0 && nProbe > 0 && broadcastQueries >= 0,
       s"ivfPqSearch(k=$k, shortlist=$shortlist, nProbe=$nProbe)")
+    // `filter`: a metadata predicate over the index's `payload` columns
+    // ([[ivfPqBuild]]), PRE-applied to the codes side — results are the
+    // top-k MATCHING rows of the probed lists, exact at any selectivity
+    // (post-filtering an unfiltered top-k returns < k whenever the
+    // unfiltered neighborhood is filter-sparse). On a loaded index the
+    // predicate pushes into the codes parquet scan, composing with
+    // `pruneLists`' bucket pruning.
+    val encFiltered = filter.map(index.enc.filter).getOrElse(index.enc)
     val dsub = index.dim / index.m
     val q0 = normalized(queries, qidCol, qvecCol)
       .select(col(qidCol).as("query_id"), col(qvecCol).as("qe"),
@@ -2396,11 +2414,11 @@ object Graft {
     // low-latency batches; a throughput batch probing most lists
     // should keep the full scan.
     val encSide =
-      if (!pruneLists) index.enc
+      if (!pruneLists) encFiltered
       else {
         val ids = probes.select("list_id").distinct()
           .collect().map(_.getInt(0)).toSeq
-        val byList = index.enc.filter(col("list_id").isin(ids: _*))
+        val byList = encFiltered.filter(col("list_id").isin(ids: _*))
         if (index.buckets > 0)
           byList.filter(col("bucket").isin(
             ids.map(_ % index.buckets).distinct: _*))
