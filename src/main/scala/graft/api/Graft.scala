@@ -2170,6 +2170,104 @@ object Graft {
   final case class RetrainStats(rows: Long, filesBefore: Int,
       filesAfter: Int, tombstonesPurged: Long, nlist: Int)
 
+  /** Point-in-time health of a bucketed index table — the numbers a
+    * deployment reads to DECIDE its maintenance (see
+    * [[maintenanceAdvice]]); every field is bounded work (one
+    * groupBy-count over the index, a file listing, a tombstone count).
+    * `quantizerLists` is None when the table has no persisted quantizer
+    * ([[saveQuantizer]]); `targetNlist` is [[deriveNlist]] at the
+    * CURRENT row count — the width a fresh build would choose. */
+  final case class IndexStats(rows: Long, dataFiles: Int, buckets: Int,
+      lists: Long, occMean: Double, occP99: Long, occMax: Long,
+      pendingTombstones: Long, quantizerLists: Option[Int],
+      targetNlist: Int, generation: String)
+
+  def indexStats(spark: SparkSession, table: String): IndexStats = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(tableIdent(spark, table))
+    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(0)
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files =
+      if (!fs.exists(loc)) 0
+      else fs.listStatus(loc).count(st => !st.isDirectory &&
+        st.getPath.getName.endsWith(".parquet"))
+    val occ = spark.table(table).groupBy(col("list_id")).count()
+      .agg(count(lit(1)).as("lists"),
+        coalesce(sum("count"), lit(0L)).as("rows"),
+        coalesce(avg("count"), lit(0.0)).as("mean"),
+        coalesce(expr("percentile_approx(count, 0.99)"), lit(0L))
+          .as("p99"),
+        coalesce(max("count"), lit(0L)).as("max"))
+      .head()
+    val tombs = pendingTombstones(spark, table)
+      .map(_.distinct().count()).getOrElse(0L)
+    IndexStats(rows = occ.getLong(1), dataFiles = files,
+      buckets = buckets, lists = occ.getLong(0),
+      occMean = occ.getDouble(2), occP99 = occ.getLong(3),
+      occMax = occ.getLong(4), pendingTombstones = tombs,
+      quantizerLists = loadQuantizer(spark, table)
+        .map(_.count().toInt),
+      targetNlist = deriveNlist(occ.getLong(1)),
+      generation = loc.getName)
+  }
+
+  /** What maintenance the index owes, derived from [[IndexStats]] with
+    * thresholds calibrated on the measured failure shapes:
+    *
+    *  - `compact` when the file count exceeds `maxFilesPerBucket` per
+    *    bucket (the soak measured probes degrading ~linearly in file
+    *    count — 16× by ~100 appends — and one compaction rewrites to
+    *    ≤ buckets files) or when pending tombstones exceed
+    *    `maxTombstoneFrac` of the rows (the serve-time anti-join
+    *    broadcast grows with them).
+    *  - `retrain` when the corpus has outgrown the frozen quantizer —
+    *    `targetNlist ≥ 2 × quantizerLists`, i.e. the width a fresh
+    *    build would choose has doubled (the 1M drift run: ingesting a
+    *    distribution shift equal to the corpus doubled occupancy and
+    *    cost 3-4× probe latency; one retrain restored it) — or when
+    *    occupancy skew `occP99 > skewFactor × occMean` says mass is
+    *    crowding into few lists (drift's signature even before the
+    *    corpus doubles). Never advised without a persisted quantizer
+    *    (nothing to compare against — route your own decision).
+    *
+    * retrain subsumes compact (its rewrite IS a compaction), so a
+    * caller acts on retrain first. */
+  final case class MaintenanceAdvice(compact: Boolean, retrain: Boolean,
+      reasons: Seq[String])
+
+  def maintenanceAdvice(stats: IndexStats, maxFilesPerBucket: Int = 4,
+      maxTombstoneFrac: Double = 0.05,
+      skewFactor: Double = 4.0): MaintenanceAdvice = {
+    require(maxFilesPerBucket > 0 && maxTombstoneFrac > 0 &&
+      skewFactor > 1.0, s"maintenanceAdvice($maxFilesPerBucket, " +
+      s"$maxTombstoneFrac, $skewFactor)")
+    val reasons = scala.collection.mutable.ArrayBuffer[String]()
+    val fileCap = maxFilesPerBucket.toLong * math.max(1, stats.buckets)
+    if (stats.dataFiles > fileCap)
+      reasons += s"fragmented: ${stats.dataFiles} data files > " +
+        s"$fileCap (= $maxFilesPerBucket/bucket)"
+    if (stats.rows > 0 &&
+        stats.pendingTombstones > maxTombstoneFrac * stats.rows)
+      reasons += s"tombstones pending: ${stats.pendingTombstones} > " +
+        s"$maxTombstoneFrac of ${stats.rows} rows"
+    val compact = reasons.nonEmpty
+    var retrain = false
+    stats.quantizerLists.foreach { ql =>
+      if (ql > 0 && stats.targetNlist >= 2 * ql) {
+        retrain = true
+        reasons += s"quantizer outgrown: targetNlist " +
+          s"${stats.targetNlist} >= 2x quantizer lists $ql"
+      }
+      if (stats.occMean > 0 && stats.occP99 > skewFactor * stats.occMean) {
+        retrain = true
+        reasons += f"occupancy skew: p99 ${stats.occP99} > " +
+          f"$skewFactor x mean ${stats.occMean}%.0f"
+      }
+    }
+    MaintenanceAdvice(compact, retrain, reasons.toSeq)
+  }
+
   /** Re-train the coarse quantizer of a streaming-ingested bucketed
     * index table from its CURRENT live rows and re-assign every row to
     * the new lists — the lifecycle step after compaction

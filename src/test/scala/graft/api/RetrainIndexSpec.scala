@@ -180,6 +180,68 @@ class RetrainIndexSpec extends AnyFunSuite with Matchers {
       cents.collect().map(r => r.getInt(0)).sorted
   }
 
+  test("indexStats reads the numbers maintenance decides on; " +
+      "tombstones and maintenance round-trip through the advice") {
+    val tbl = s"rt_stats_${System.nanoTime()}"
+    mkDriftedTable(tbl)
+    val s0 = Graft.indexStats(spark, tbl)
+    s0.rows shouldBe 80L
+    s0.buckets shouldBe Buckets
+    s0.lists shouldBe 2L // frozen 2-list quantizer routed everything
+    s0.occMean shouldBe 40.0
+    s0.pendingTombstones shouldBe 0L
+    s0.quantizerLists shouldBe Some(2)
+
+    // 25% deleted > the 5% default: compaction advised
+    import spark.implicits._
+    Graft.ivfDelete(spark, tbl,
+      (0L until 80L).filter(_ % 4 == 0).toDF("vec_id"))
+    val s1 = Graft.indexStats(spark, tbl)
+    s1.pendingTombstones shouldBe 20L
+    val a1 = Graft.maintenanceAdvice(s1)
+    a1.compact shouldBe true
+    a1.reasons.exists(_.contains("tombstones")) shouldBe true
+
+    // acting on the advice clears it
+    Graft.compactBucketedIndex(spark, tbl)
+    val s2 = Graft.indexStats(spark, tbl)
+    s2.rows shouldBe 60L
+    s2.pendingTombstones shouldBe 0L
+    s2.dataFiles should be <= Buckets
+    Graft.maintenanceAdvice(s2).compact shouldBe false
+  }
+
+  test("maintenanceAdvice thresholds pin the measured failure shapes") {
+    val healthy = Graft.IndexStats(rows = 1000000L, dataFiles = 256,
+      buckets = 256, lists = 1250L, occMean = 800.0, occP99 = 1200L,
+      occMax = 1500L, pendingTombstones = 0L,
+      quantizerLists = Some(1250), targetNlist = 2500, generation = "t")
+    // targetNlist 2500 = 2x quantizer 1250: the 1M drift shape — the
+    // corpus doubled under the frozen quantizer
+    val a = Graft.maintenanceAdvice(healthy)
+    a.retrain shouldBe true
+    a.reasons.exists(_.contains("outgrown")) shouldBe true
+
+    // the soak's fragmentation shape: O(appends x buckets) files
+    val frag = healthy.copy(dataFiles = 4567, targetNlist = 1250)
+    val af = Graft.maintenanceAdvice(frag)
+    af.compact shouldBe true
+    af.retrain shouldBe false
+
+    // occupancy skew without corpus growth (drift's early signature)
+    val skew = healthy.copy(targetNlist = 1250, occP99 = 4338L,
+      occMean = 774.0)
+    Graft.maintenanceAdvice(skew).retrain shouldBe true
+
+    // no persisted quantizer: never advise retrain
+    val blind = skew.copy(quantizerLists = None)
+    Graft.maintenanceAdvice(blind).retrain shouldBe false
+
+    // all-clear
+    Graft.maintenanceAdvice(healthy.copy(targetNlist = 1250))
+      .reasons shouldBe empty
+  }
+
   test("an empty index is a named retrain no-op") {
     val tbl = s"rt_empty_${System.nanoTime()}"
     val dir = java.nio.file.Files
