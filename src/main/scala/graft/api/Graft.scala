@@ -2377,11 +2377,34 @@ object Graft {
     * (the pubsub source's replay cache provides it). */
   def bucketedIndexAppender(table: String, buckets: Int,
       centroids: Option[DataFrame], idCol: String, vecCol: String,
-      nlistHint: Int = 0, compactEvery: Int = 0)
+      nlistHint: Int = 0, compactEvery: Int = 0,
+      maintainEvery: Int = 0)
       : (DataFrame, Long) => Unit = {
     require(buckets > 0, s"bucketedIndexAppender(buckets=$buckets)")
     require(compactEvery >= 0,
       s"bucketedIndexAppender(compactEvery=$compactEvery)")
+    require(maintainEvery >= 0,
+      s"bucketedIndexAppender(maintainEvery=$maintainEvery)")
+    require(maintainEvery == 0 || centroids.nonEmpty,
+      s"bucketedIndexAppender($table): maintainEvery without a " +
+        "quantizer — an advice-driven retrain would re-assign the " +
+        "index while upstream keeps routing under its own list ids")
+    // `maintainEvery`: the SELF-MAINTAINING cadence — every N batches,
+    // read [[indexStats]], take [[maintenanceAdvice]], and ACT:
+    // [[retrainIndex]] when the quantizer is outgrown/skewed (after
+    // which THIS appender's quantizer swaps to the retrained one, so
+    // the next batch routes under the NEW lists — the coherence trap a
+    // hand-rolled loop hits: appending under the old quantizer into a
+    // re-assigned table silently hides those rows from probes), else
+    // [[compactBucketedIndex]] when fragmented/tombstone-heavy.
+    // Composes with `compactEvery` (a fixed-cadence compaction floor);
+    // both run from the foreachBatch thread, serialized with appends
+    // by construction. The advice's retrain trigger compares against
+    // the table's PERSISTED quantizer, so pair this with
+    // [[saveQuantizer]] at setup (the retrain path keeps it current
+    // from then on).
+    var quant = centroids
+    var quantNlist = nlistHint
     (batch: DataFrame, batchId: Long) => {
       // fail by NAME on a layout mismatch before any data moves — the
       // append itself would only throw Spark's generic bucket-spec
@@ -2395,9 +2418,9 @@ object Graft {
           s"${spec.map(s => s"(${s.numBuckets}, ${s.bucketColumnNames
             .mkString(",")})").getOrElse("(none)")} does not match " +
           s"appender ($buckets, list_id)")
-      val assigned = centroids match {
+      val assigned = quant match {
         case Some(c) =>
-          assignToCentroids(batch, idCol, vecCol, c, nlistHint)
+          assignToCentroids(batch, idCol, vecCol, c, quantNlist)
         case None =>
           require(batch.columns.contains("list_id"),
             s"bucketedIndexAppender($table): no centroids given and " +
@@ -2415,6 +2438,23 @@ object Graft {
       if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
         compactBucketedIndex(batch.sparkSession, table)
         ()
+      }
+      if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {
+        val spark = batch.sparkSession
+        val advice = maintenanceAdvice(indexStats(spark, table))
+        if (advice.retrain) {
+          val stats = retrainIndex(spark, table, idCol, vecCol)
+          // swap THIS appender onto the retrained quantizer — the next
+          // batch must route under the lists the table now holds
+          quant = Some(loadQuantizer(spark, table).getOrElse(
+            throw new IllegalStateException(
+              s"bucketedIndexAppender($table): retrainIndex published " +
+                "no quantizer")).localCheckpoint(true))
+          quantNlist = stats.nlist
+        } else if (advice.compact) {
+          compactBucketedIndex(spark, table)
+          ()
+        }
       }
     }
   }

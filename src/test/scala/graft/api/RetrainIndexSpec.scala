@@ -242,6 +242,51 @@ class RetrainIndexSpec extends AnyFunSuite with Matchers {
       .reasons shouldBe empty
   }
 
+  test("maintainEvery: the appender reads the advice, retrains when " +
+      "the corpus outgrows the quantizer, and swaps itself onto the " +
+      "retrained quantizer — later batches route under the NEW lists") {
+    val tbl = s"rt_auto_${System.nanoTime()}"
+    val dir = java.nio.file.Files
+      .createTempDirectory("retrain-auto").toString
+    // 1600 rows total: the derived target nlist (1600/400 = 4) reaches
+    // 2x the persisted 2-list quantizer exactly when the drifted half
+    // lands — the outgrown trigger, at spec scale
+    val a = (0L until 1600L).filter(i => i % 4 < 2)
+    val b = (0L until 1600L).filter(i => i % 4 >= 2)
+    nrmd(Graft.assignToCentroids(rows(a), "vec_id", "embedding",
+        oldQuantizer()))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("list_id"))
+      .write.bucketBy(Buckets, "list_id").sortBy("list_id")
+      .option("path", s"$dir/t").saveAsTable(tbl)
+    Graft.saveQuantizer(spark, tbl, oldQuantizer())
+
+    val append = Graft.bucketedIndexAppender(tbl, Buckets,
+      Some(oldQuantizer()), "vec_id", "embedding", maintainEvery = 1)
+    // no maintenance owed after the historical half alone
+    Graft.maintenanceAdvice(Graft.indexStats(spark, tbl))
+      .reasons shouldBe empty
+
+    append(rows(b), 0L) // drift lands -> advice fires -> retrain runs
+    val s1 = Graft.indexStats(spark, tbl)
+    s1.rows shouldBe 1600L
+    s1.quantizerLists shouldBe Some(4)
+    Graft.maintenanceAdvice(s1).retrain shouldBe false // acted on
+
+    // the appender's own quantizer swapped: this batch must route
+    // under the retrained 4-list layout, not the frozen 2-list one
+    import spark.implicits._
+    append(Seq((9999L, Array(0f, 0f, 10f, 0f)))
+      .toDF("vec_id", "embedding"), 1L)
+    val served = spark.table(tbl)
+    served.count() shouldBe 1601L
+    val fresh = Graft.assignToCentroids(
+        served.select("vec_id", "embedding"), "vec_id", "embedding",
+        Graft.loadQuantizer(spark, tbl).get)
+      .select(col("vec_id"), col("list_id").as("fresh"))
+    served.select(col("vec_id"), col("list_id")).join(fresh, "vec_id")
+      .filter(col("list_id") =!= col("fresh")).count() shouldBe 0L
+  }
+
   test("an empty index is a named retrain no-op") {
     val tbl = s"rt_empty_${System.nanoTime()}"
     val dir = java.nio.file.Files
