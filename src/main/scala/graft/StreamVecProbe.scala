@@ -664,16 +664,14 @@ object StreamVecProbe {
         f"${(System.nanoTime() - t) / 1e9}%.1f")
     }
 
+    // one source of truth for occupancy: the SAME numbers the
+    // maintenance loop triggers on (r13 review: a local reimplementation
+    // here could diverge from what maintenanceAdvice reads)
     def occupancy(tag: String): Unit = {
-      val occ = spark.table(idxTbl).groupBy("list_id").count()
-        .agg(count(lit(1)).as("lists"), avg("count").as("mean"),
-          max("count").as("max"),
-          expr("percentile_approx(count, 0.99)").as("p99"),
-          sum("count").as("rows"))
-        .head()
-      println(f"[drift] occupancy $tag lists=${occ.getLong(0)} " +
-        f"mean=${occ.getDouble(1)}%.0f p99=${occ.getLong(3)} " +
-        f"max=${occ.getLong(2)} rows=${occ.getLong(4)}")
+      val s = graft.api.Graft.indexStats(spark, idxTbl)
+      println(f"[drift] occupancy $tag lists=${s.lists} " +
+        f"mean=${s.occMean}%.0f p99=${s.occP99} max=${s.occMax} " +
+        f"rows=${s.rows} files=${s.dataFiles}")
     }
 
     // query slices: 64 drifted + 64 historical corpus vectors
@@ -687,14 +685,21 @@ object StreamVecProbe {
     val qDrift = queries(drifted, nDrift)
     val qHist = queries(hist, nHist)
     val k = 5
-    def exact(q: DataFrame): Set[(Long, Long)] = {
+    // ground truth is scoped to the corpus the index HOLDS at probe
+    // time: a hist query probed pre-drift can only ever recall hist
+    // rows, so its baseline must be exact-over-hist, not exact-over-
+    // everything (r13 review — on this margin fixture neighbors never
+    // cross clusters so the distinction is belt-and-braces, but the
+    // harness should not depend on that)
+    def exact(q: DataFrame, corpus: DataFrame): Set[(Long, Long)] = {
       val ids = q.select("query_id").collect().map(_.getLong(0)).toSet
-      graft.api.Graft.cosineTopK(emb, "vec_id", "embedding",
+      graft.api.Graft.cosineTopK(corpus, "vec_id", "embedding",
           queryPred = col("vec_id").isin(ids.toSeq: _*), k = k)
         .select("query_id", "neighbor_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     }
-    val (exDrift, exHist) = (exact(qDrift), exact(qHist))
+    val exHistPre = exact(qHist, hist)
+    val (exDrift, exHist) = (exact(qDrift, emb), exact(qHist, emb))
 
     def probe(tag: String, q: DataFrame, truth: Set[(Long, Long)],
         quant: DataFrame, nProbe: Int): Unit = {
@@ -715,7 +720,7 @@ object StreamVecProbe {
 
     ingestPhase("A-historical", hist, cents0)
     occupancy("post-A")
-    for (np <- Seq(4, 16)) probe("hist pre-drift", qHist, exHist,
+    for (np <- Seq(4, 16)) probe("hist pre-drift", qHist, exHistPre,
       cents0, np)
 
     ingestPhase("B-drifted(frozen)", drifted, cents0)

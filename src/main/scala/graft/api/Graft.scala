@@ -1639,6 +1639,17 @@ object Graft {
     require(nlist > 0 && trainPerList > 0 && m > 0 && dim % m == 0 &&
       ksub > 1 && iters >= 0,
       s"ivfPqBuild(dim=$dim, nlist=$nlist, m=$m, ksub=$ksub)")
+    // fail by NAME on payload columns that collide with the pipeline's
+    // internals: `bucket` would be SILENTLY overwritten by ivfPqSave's
+    // partition column (a serve-time filter on it would then compare
+    // against pmod(list_id, buckets), wrong results, no error); the
+    // rest die later as opaque ambiguous-column AnalysisExceptions
+    val reserved = Set("bucket", "code", "rnorm", "list_id", "nrm",
+      "cells", "cents", "cnrms", "cnrm2", idCol, vecCol)
+    val bad = payload.filter(reserved)
+    require(bad.isEmpty, s"ivfPqBuild: payload column(s) " +
+      s"${bad.mkString(", ")} collide with reserved index columns " +
+      s"(${reserved.toSeq.sorted.mkString(", ")}) — rename them")
     val dsub = dim / m
     val train = trainSample(df, idCol, nlist.toLong * trainPerList,
       df.count())
@@ -1938,7 +1949,7 @@ object Graft {
 
   def compactBucketedIndex(spark: SparkSession, table: String)
       : CompactionStats =
-    rewriteIndexGeneration(spark, table, transform = identity,
+    rewriteIndexGeneration(spark, table, transform = (df, _) => df,
       beforeSwap = (newLoc, fs) => {
         // the quantizer travels WITH the generation (it is published by
         // the same pointer swap that publishes the rows encoded under
@@ -1962,7 +1973,7 @@ object Graft {
     * clear. All the atomicity and race arguments in
     * [[compactBucketedIndex]]'s scaladoc apply to every caller. */
   private def rewriteIndexGeneration(spark: SparkSession, table: String,
-      transform: DataFrame => DataFrame,
+      transform: (DataFrame, Long) => DataFrame,
       beforeSwap: (org.apache.hadoop.fs.Path,
         org.apache.hadoop.fs.FileSystem) => Unit)
       : CompactionStats = {
@@ -2083,9 +2094,12 @@ object Graft {
       java.util.UUID.randomUUID().toString.take(8)
     // the transform must be row-preserving (the parity require below
     // holds it to that) and schema-preserving up to column order — the
-    // bucketed write needs the table's exact column set
-    val rewritten = transform(cleaned)
-      .select(cleaned.columns.map(col): _*)
+    // bucketed write needs the table's exact column set. It receives
+    // the cleaned ROW COUNT the accounting scan above already paid for,
+    // so a transform needing it (retrain's deriveNlist) never re-scans
+    // the corpus (r13 review: the duplicate cleaned.count() class).
+    val rewritten = transform(cleaned, expected)
+      .select(cleaned.columns.toSeq.map(col): _*)
     var w = rewritten.repartition(nBuckets, bucketCols.map(col): _*)
       .write.bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     if (sortCols.nonEmpty)
@@ -2152,8 +2166,24 @@ object Graft {
       .parquet(quantizerPath(bucketedTableLocation(spark, table)).toString)
 
   /** The persisted quantizer of a bucketed index table — None when the
-    * table was never given one ([[saveQuantizer]] / [[retrainIndex]]). */
+    * table was never given one ([[saveQuantizer]] / [[retrainIndex]]).
+    *
+    * The returned frame is PINNED (eager localCheckpoint): the files it
+    * was read from live inside the CURRENT generation dir, and the
+    * grace cleanup of the second maintenance rewrite after this call
+    * deletes that dir — a lazy plan cached across rewrites would then
+    * throw FileNotFound mid-serve (r13 review). The quantizer is nlist
+    * rows (~KBs), so the pin is cheap; callers holding one across
+    * maintenance cycles read their consistent snapshot, and re-calling
+    * after a retrain reads the new one. */
   def loadQuantizer(spark: SparkSession, table: String)
+      : Option[DataFrame] =
+    rawQuantizer(spark, table).map(_.localCheckpoint(true))
+
+  /** Lazy variant bound to the current generation's files — for
+    * immediately-consumed reads ([[indexStats]] counts it and drops
+    * it) where pinning would accumulate checkpoint blocks. */
+  private def rawQuantizer(spark: SparkSession, table: String)
       : Option[DataFrame] = {
     val dir = quantizerPath(bucketedTableLocation(spark, table))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2206,7 +2236,7 @@ object Graft {
       buckets = buckets, lists = occ.getLong(0),
       occMean = occ.getDouble(2), occP99 = occ.getLong(3),
       occMax = occ.getLong(4), pendingTombstones = tombs,
-      quantizerLists = loadQuantizer(spark, table)
+      quantizerLists = rawQuantizer(spark, table)
         .map(_.count().toInt),
       targetNlist = deriveNlist(occ.getLong(1)),
       generation = loc.getName)
@@ -2233,8 +2263,29 @@ object Graft {
     *
     * retrain subsumes compact (its rewrite IS a compaction), so a
     * caller acts on retrain first. */
+  /** `outgrown`/`skewed` name WHICH retrain trigger fired — a caller
+    * applying hysteresis (the [[bucketedIndexAppender]] maintain loop)
+    * needs to distinguish the monotone trigger (outgrown: a bigger
+    * corpus stays bigger) from the one a retrain may not be able to
+    * fix (skewed: some corpora are INHERENTLY imbalanced — Zipfian
+    * topics — and re-training cannot equalize what the data refuses
+    * to). */
   final case class MaintenanceAdvice(compact: Boolean, retrain: Boolean,
-      reasons: Seq[String])
+      outgrown: Boolean, skewed: Boolean, reasons: Seq[String])
+
+  /** The skew-trigger hysteresis the maintain loop applies on top of
+    * [[maintenanceAdvice]]: a skew-ONLY retrain is actionable when no
+    * post-retrain baseline exists yet, or when the current skew has
+    * grown past the baseline by `growth` — an inherently imbalanced
+    * corpus (Zipfian topics) reads p99 > 4x mean even right after
+    * training, and without this check the loop would pay a full-corpus
+    * rewrite every cadence tick forever, converging on nothing. The
+    * outgrown trigger is exempt (monotone: a bigger corpus stays
+    * bigger, and the retrain provably resolves it by re-deriving
+    * nlist). */
+  private[graft] def skewRetrainActionable(curSkew: Double,
+      postRetrainBaseline: Double, growth: Double = 1.25): Boolean =
+    postRetrainBaseline < 0 || curSkew >= postRetrainBaseline * growth
 
   def maintenanceAdvice(stats: IndexStats, maxFilesPerBucket: Int = 4,
       maxTombstoneFrac: Double = 0.05,
@@ -2252,20 +2303,22 @@ object Graft {
       reasons += s"tombstones pending: ${stats.pendingTombstones} > " +
         s"$maxTombstoneFrac of ${stats.rows} rows"
     val compact = reasons.nonEmpty
-    var retrain = false
+    var outgrown = false
+    var skewed = false
     stats.quantizerLists.foreach { ql =>
       if (ql > 0 && stats.targetNlist >= 2 * ql) {
-        retrain = true
+        outgrown = true
         reasons += s"quantizer outgrown: targetNlist " +
           s"${stats.targetNlist} >= 2x quantizer lists $ql"
       }
       if (stats.occMean > 0 && stats.occP99 > skewFactor * stats.occMean) {
-        retrain = true
+        skewed = true
         reasons += f"occupancy skew: p99 ${stats.occP99} > " +
           f"$skewFactor x mean ${stats.occMean}%.0f"
       }
     }
-    MaintenanceAdvice(compact, retrain, reasons.toSeq)
+    MaintenanceAdvice(compact, outgrown || skewed, outgrown, skewed,
+      reasons.toSeq)
   }
 
   /** Re-train the coarse quantizer of a streaming-ingested bucketed
@@ -2315,14 +2368,13 @@ object Graft {
     var chosenNlist = 0
     var trained: Option[DataFrame] = None
     val stats = rewriteIndexGeneration(spark, table,
-      transform = cleaned => {
+      transform = (cleaned, n) => {
         require(cleaned.columns.contains(idCol) &&
             cleaned.columns.contains(vecCol) &&
             cleaned.columns.contains("list_id"),
           s"retrainIndex($table): index schema " +
             s"${cleaned.columns.mkString(", ")} lacks $idCol/$vecCol/" +
             "list_id")
-        val n = cleaned.count()
         val nl = if (nlist > 0) nlist else deriveNlist(n)
         chosenNlist = nl
         val train = trainSample(cleaned, idCol, nl.toLong * trainPerList, n)
@@ -2405,7 +2457,11 @@ object Graft {
     // from then on).
     var quant = centroids
     var quantNlist = nlistHint
+    // skew left behind by the last advice-driven retrain (p99/mean);
+    // -1 until one runs — the skew-trigger hysteresis baseline
+    var postRetrainSkew = -1.0
     (batch: DataFrame, batchId: Long) => {
+      // (hysteresis rule itself: [[skewRetrainActionable]])
       // fail by NAME on a layout mismatch before any data moves — the
       // append itself would only throw Spark's generic bucket-spec
       // error after the batch-sized shuffle ran
@@ -2441,16 +2497,40 @@ object Graft {
       }
       if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {
         val spark = batch.sparkSession
-        val advice = maintenanceAdvice(indexStats(spark, table))
-        if (advice.retrain) {
+        // self-heal the setup step the retrain trigger reads: without a
+        // PERSISTED quantizer, maintenanceAdvice can never advise a
+        // retrain (quantizerLists = None) and the feature's core
+        // promise silently degrades to compaction-only (r13 review) —
+        // the appender owns the quantizer, so persisting it IS setup
+        if (loadQuantizer(spark, table).isEmpty)
+          saveQuantizer(spark, table, quant.get)
+        val stats0 = indexStats(spark, table)
+        val advice = maintenanceAdvice(stats0)
+        // hysteresis on the SKEW trigger: an inherently imbalanced
+        // corpus (Zipfian topics) reads p99 > 4x mean even right after
+        // training, and a retrain cannot equalize what the data
+        // refuses to — without this check the loop would pay a
+        // full-corpus rewrite every maintainEvery batches forever
+        // (r13 review). A skew-only retrain runs when the skew has
+        // grown ≥ 25% past what the LAST retrain left behind (or no
+        // baseline exists yet); the outgrown trigger stays monotone.
+        val curSkew =
+          if (stats0.occMean > 0) stats0.occP99 / stats0.occMean
+          else 0.0
+        val skewActionable = advice.skewed &&
+          skewRetrainActionable(curSkew, postRetrainSkew)
+        if (advice.outgrown || skewActionable) {
           val stats = retrainIndex(spark, table, idCol, vecCol)
           // swap THIS appender onto the retrained quantizer — the next
           // batch must route under the lists the table now holds
           quant = Some(loadQuantizer(spark, table).getOrElse(
             throw new IllegalStateException(
               s"bucketedIndexAppender($table): retrainIndex published " +
-                "no quantizer")).localCheckpoint(true))
+                "no quantizer")))
           quantNlist = stats.nlist
+          val after = indexStats(spark, table)
+          postRetrainSkew =
+            if (after.occMean > 0) after.occP99 / after.occMean else 0.0
         } else if (advice.compact) {
           compactBucketedIndex(spark, table)
           ()

@@ -98,6 +98,18 @@ class IvfPqFilterSpec extends AnyFunSuite with Matchers {
     unfiltered(1L).count(_ % 3 == 0) should be < K
   }
 
+  test("payload names colliding with index internals fail by name at " +
+      "build time — 'bucket' would be silently overwritten by the " +
+      "save-time partition column") {
+    val e = intercept[IllegalArgumentException] {
+      Graft.ivfPqBuild(corpus().withColumnRenamed("tag", "bucket"),
+        "vec_id", "embedding", dim = Dim, nlist = 4, m = 4, ksub = 16,
+        payload = Seq("bucket"))
+    }
+    e.getMessage should include("bucket")
+    e.getMessage should include("reserved")
+  }
+
   test("payload columns persist through save/load; the filter pushes " +
       "into the codes scan and composes with pruneLists") {
     val index = Graft.ivfPqBuild(corpus(), "vec_id", "embedding",

@@ -228,10 +228,24 @@ class RetrainIndexSpec extends AnyFunSuite with Matchers {
     af.compact shouldBe true
     af.retrain shouldBe false
 
-    // occupancy skew without corpus growth (drift's early signature)
+    // occupancy skew without corpus growth (drift's early signature):
+    // the advice NAMES the trigger so the maintain loop can apply
+    // hysteresis to skew but not to outgrowth
     val skew = healthy.copy(targetNlist = 1250, occP99 = 4338L,
       occMean = 774.0)
-    Graft.maintenanceAdvice(skew).retrain shouldBe true
+    val as = Graft.maintenanceAdvice(skew)
+    as.retrain shouldBe true
+    as.skewed shouldBe true
+    as.outgrown shouldBe false
+    a.outgrown shouldBe true
+
+    // the hysteresis rule: a skew-only retrain fires with no baseline,
+    // or when skew grew >= 25% past what the last retrain left — an
+    // inherently imbalanced corpus (post-retrain skew unchanged) must
+    // NOT retrain-storm every cadence tick
+    Graft.skewRetrainActionable(5.6, -1.0) shouldBe true
+    Graft.skewRetrainActionable(5.6, 5.5) shouldBe false // 1.02x: inherent
+    Graft.skewRetrainActionable(7.0, 5.5) shouldBe true // 1.27x: grew
 
     // no persisted quantizer: never advise retrain
     val blind = skew.copy(quantizerLists = None)
@@ -258,7 +272,10 @@ class RetrainIndexSpec extends AnyFunSuite with Matchers {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("list_id"))
       .write.bucketBy(Buckets, "list_id").sortBy("list_id")
       .option("path", s"$dir/t").saveAsTable(tbl)
-    Graft.saveQuantizer(spark, tbl, oldQuantizer())
+    // deliberately NO saveQuantizer here: the maintain loop must
+    // self-heal the persistence (the retrain trigger reads the
+    // PERSISTED quantizer; without the self-heal a forgotten setup
+    // step silently degrades the feature to compaction-only)
 
     val append = Graft.bucketedIndexAppender(tbl, Buckets,
       Some(oldQuantizer()), "vec_id", "embedding", maintainEvery = 1)
