@@ -54,6 +54,7 @@ import org.apache.spark.sql.streaming.Trigger
   *        StreamVecProbe [dir] persist [buckets]
   *        StreamVecProbe [dir] soak [nAppends] [compactEvery]
   *        StreamVecProbe [dir] drift
+  *        StreamVecProbe [dir] driftauto
   */
 object StreamVecProbe {
   def main(args: Array[String]): Unit = {
@@ -83,6 +84,10 @@ object StreamVecProbe {
     }
     if (args.length > 1 && args(1) == "drift") {
       drift(dir)
+      return
+    }
+    if (args.length > 1 && args(1) == "driftauto") {
+      driftAuto(dir)
       return
     }
     val batchSize = if (args.length > 1) args(1).toInt else 1000
@@ -744,6 +749,112 @@ object StreamVecProbe {
       probe("drift retrained", qDrift, exDrift, cents1, np)
     }
 
+    spark.sql(s"DROP TABLE IF EXISTS $idxTbl")
+    graft.ops.StreamingOps.deleteRecursively(new java.io.File(idxDir))
+    spark.stop()
+  }
+
+  /** The AUTOPILOT arm: the same drift scenario, but nobody calls
+    * retrainIndex — `bucketedIndexAppender(maintainEvery = 5)` must
+    * notice and act on its own. The split is 40/60 (quantizer trained
+    * on labels < 400) so the outgrown trigger (targetNlist ≥ 2×
+    * quantizer lists) fires mid-way through the drifted ingest with a
+    * robust margin, and the ticks after the retrain must take NO
+    * action (outgrowth cleared, skew hysteresis holding) — the loop
+    * settles instead of storming. saveQuantizer is deliberately never
+    * called: the first tick self-heals the persistence. */
+  private def driftAuto(dir: String): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = Tables.load(spark, dir, "embeddings").localCheckpoint(true)
+    val hist = emb.filter(col("label") < 400)
+    val drifted = emb.filter(col("label") >= 400)
+    val (nHist, nDrift) = (hist.count(), drifted.count())
+    val nlist0 = graft.api.Graft.deriveNlist(nHist)
+    val cents0 = graft.api.Graft
+      .kmeansCentroids(hist.filter(pmod(col("vec_id"), lit(math.max(1L,
+          nHist / (nlist0.toLong * 128)))) === 0),
+        "vec_id", "embedding", nlist0, iters = 2)
+      .localCheckpoint(true)
+    println(s"[driftauto] n=${nHist + nDrift} (hist=$nHist " +
+      s"drift=$nDrift) nlist0=$nlist0 quantRows=${cents0.count()}")
+
+    val buckets = 256
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("svp-dauto-idx").toString
+    val idxTbl = s"svp_dauto_${UUID.randomUUID().toString.take(8)}"
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("nrm",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("list_id",
+          org.apache.spark.sql.types.IntegerType))))
+      .write.bucketBy(buckets, "list_id").sortBy("list_id")
+      .option("path", s"$idxDir/t").saveAsTable(idxTbl)
+
+    val append = graft.api.Graft.bucketedIndexAppender(idxTbl, buckets,
+      Some(cents0), "vec_id", "embedding", nlistHint = nlist0,
+      maintainEvery = 5)
+
+    val qDrift = drifted
+      .filter(pmod(col("vec_id"), lit(math.max(1L, nDrift / 64))) === 0)
+      .limit(64)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        sqrt(graft.functions.VectorExpressions
+          .dotF32(col("embedding"), col("embedding"))).as("qn"))
+      .localCheckpoint(true)
+    val qIds = qDrift.select("query_id").collect().map(_.getLong(0)).toSet
+    val truth = graft.api.Graft.cosineTopK(emb, "vec_id", "embedding",
+        queryPred = col("vec_id").isin(qIds.toSeq: _*), k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def report(afterBatch: Long): Unit = {
+      val s = graft.api.Graft.indexStats(spark, idxTbl)
+      val quant = graft.api.Graft.loadQuantizer(spark, idxTbl).get
+      val t = System.nanoTime()
+      val got = graft.ops.Vector.ivfProbeSearch(qDrift,
+          spark.table(idxTbl), quant, nProbe = 16, k = 5,
+          nlistHint = s.quantizerLists.getOrElse(0))
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val wall = (System.nanoTime() - t) / 1e9
+      // recall counted over queries already ingested (phase-B ticks
+      // early in the drifted ingest have not indexed every query's
+      // cluster yet — count hits against the truth rows present)
+      val present = spark.table(idxTbl)
+        .filter(col("vec_id").isin(truth.map(_._2).toSeq: _*))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val truthIn = truth.filter(p => present.contains(p._2))
+      val rec = if (truthIn.isEmpty) -1.0
+        else (got & truthIn).size.toDouble / truthIn.size
+      println(f"[driftauto] tick after batch=$afterBatch " +
+        f"rows=${s.rows} quantLists=${s.quantizerLists.getOrElse(-1)} " +
+        f"targetNlist=${s.targetNlist} occMean=${s.occMean}%.0f " +
+        f"occP99=${s.occP99} files=${s.dataFiles} " +
+        f"probe=$wall%.2f recall_ingested=$rec%.3f")
+      quant.unpersist()
+    }
+
+    var id = 0L
+    for (i <- 0 until 10) { // phase A: historical, 10 slices
+      append(hist.filter(pmod(col("vec_id"), lit(10)) === i), id)
+      if ((id + 1) % 5 == 0) report(id)
+      id += 1
+    }
+    for (j <- 0 until 15) { // phase B: drifted, 15 slices
+      append(drifted.filter(pmod(col("vec_id"), lit(15)) === j), id)
+      if ((id + 1) % 5 == 0) report(id)
+      id += 1
+    }
     spark.sql(s"DROP TABLE IF EXISTS $idxTbl")
     graft.ops.StreamingOps.deleteRecursively(new java.io.File(idxDir))
     spark.stop()
