@@ -55,6 +55,7 @@ import org.apache.spark.sql.streaming.Trigger
   *        StreamVecProbe [dir] soak [nAppends] [compactEvery]
   *        StreamVecProbe [dir] drift
   *        StreamVecProbe [dir] driftauto
+  *        StreamVecProbe [dir] mixedm [maintainEvery]
   */
 object StreamVecProbe {
   def main(args: Array[String]): Unit = {
@@ -73,6 +74,11 @@ object StreamVecProbe {
     }
     if (args.length > 1 && args(1) == "mixedc") {
       mixed(dir, compactEvery =
+        if (args.length > 2) args(2).toInt else 3)
+      return
+    }
+    if (args.length > 1 && args(1) == "mixedm") {
+      mixed(dir, compactEvery = 0, maintainEvery =
         if (args.length > 2) args(2).toInt else 3)
       return
     }
@@ -267,21 +273,38 @@ object StreamVecProbe {
     * ACROSS two full compactions could still outlive its generation's
     * grace files, so the retry-once-on-transient-scan-failure policy
     * stays as the belt to the design's braces. The run fails loudly if
-    * any probe fails twice. */
-  private def mixed(dir: String, compactEvery: Int = 0): Unit = {
+    * any probe fails twice.
+    *
+    * `maintainEvery > 0` (the `mixedm` arm) serves through the
+    * AUTOPILOT instead: advice-driven retrains re-assign every row to
+    * NEW list ids mid-serve, so the probe side must run the
+    * read-committed recipe ([[graft.api.Graft.indexGeneration]]):
+    * resolve the generation, load ITS quantizer, probe, and verify the
+    * generation did not move — a moved generation means the
+    * quantizer/rows pair may be torn, and the probe retries rather
+    * than silently returning candidates joined across two
+    * assignments. */
+  private def mixed(dir: String, compactEvery: Int = 0,
+      maintainEvery: Int = 0): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val emb = Tables.load(spark, dir, "embeddings")
     val n = emb.count()
-    val nlist = graft.api.Graft.deriveNlist(n)
+    // mixedm seeds an UNDERSIZED quantizer (width for n/8) so the
+    // autopilot's outgrown trigger provably fires mid-ingest — the
+    // deployment shape where the index outgrows its training era while
+    // queries keep serving
+    val nlist = if (maintainEvery > 0)
+      graft.api.Graft.deriveNlist(math.max(1L, n / 8))
+    else graft.api.Graft.deriveNlist(n)
     val cents = graft.api.Graft
       .kmeansCentroids(emb.filter(pmod(col("vec_id"), lit(math.max(1L,
         n / (nlist.toLong * 128)))) === 0), "vec_id", "embedding",
         nlist, iters = 2)
       .localCheckpoint(true)
-    println(s"[mixed] n=$n nlist=$nlist")
+    println(s"[mixed] n=$n nlist=$nlist maintainEvery=$maintainEvery")
 
     // ingest stream: 10 batches of 100k
     val epI = s"svpm-i-${UUID.randomUUID()}"
@@ -302,12 +325,15 @@ object StreamVecProbe {
     // query stream: 100-query batches every 2s while ingest runs
     val epQ = s"svpm-q-${UUID.randomUUID()}"
     EmbeddedBroker.get(epQ).createTopic("projects/p/topics/mq")
-    // max(1, ·): a slice under 2000 vectors would otherwise compute
+    // max(1, ·): a slice under the cap would otherwise compute
     // stride 0 — pmod by zero is null, the filter selects nothing, and
     // the run dies on the misleading "probed nothing" require (r12
-    // advice).
-    emb.filter(pmod(col("vec_id"), lit(math.max(1L, n / 2000))) === 0)
-      .limit(2000)
+    // advice). mixedm publishes 3x the queries: its ingest runs ~3x
+    // longer (the retrains), and the serving window must OBSERVE the
+    // whole of it, including probes co-running with each retrain.
+    val nQPub = if (maintainEvery > 0) 6000 else 2000
+    emb.filter(pmod(col("vec_id"), lit(math.max(1L, n / nQPub))) === 0)
+      .limit(nQPub)
       .select(col("vec_id"), col("embedding")).repartition(1)
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         val b = EmbeddedBroker.get(epQ)
@@ -362,7 +388,7 @@ object StreamVecProbe {
         val append = graft.api.Graft.bucketedIndexAppender(idxTbl,
           buckets = 256, centroids = Some(cents), idCol = "vec_id",
           vecCol = "embedding", nlistHint = nlist,
-          compactEvery = compactEvery)
+          compactEvery = compactEvery, maintainEvery = maintainEvery)
         (batch: DataFrame, id: Long) => append(batch, id)
       }
       .option("checkpointLocation", cpI)
@@ -380,7 +406,10 @@ object StreamVecProbe {
         if (c.isInstanceOf[java.io.FileNotFoundException] ||
             (c.getMessage != null &&
               (c.getMessage.contains("FileNotFound") ||
-               c.getMessage.contains("does not exist")))) return true
+               c.getMessage.contains("does not exist") ||
+               // the mixedm read-committed check: the generation moved
+               // between quantizer load and probe — a torn pair, retry
+               c.getMessage.contains("generation moved")))) return true
         c = c.getCause
       }
       false
@@ -404,12 +433,31 @@ object StreamVecProbe {
             col("qe"))))
           .select(col("query_id"), col("qe"), col("qn"))
         def probeOnce(): (Long, Long) = {
+          val g0 = graft.api.Graft.indexGeneration(sess, idxTbl)
           sess.catalog.refreshTable(idxTbl)
-          val seen = sess.table(idxTbl).count()
-          val rows = graft.ops.Vector.ivfProbeSearch(q,
-            sess.table(idxTbl), cents, nProbe = 16, k = 5,
-            nlistHint = nlist, pruneLists = true).count()
-          (seen, rows)
+          // read-committed serve across live RETRAINS: the quantizer
+          // must be the one the current generation's rows were
+          // assigned under — the pair publishes atomically inside the
+          // generation dir, so an unmoved generation token brackets a
+          // coherent (quantizer, rows) read; a moved one may be torn
+          // (old rows + new quantizer or vice versa) and must retry
+          val quant = if (maintainEvery > 0)
+            graft.api.Graft.loadQuantizer(sess, idxTbl).getOrElse(cents)
+          else cents
+          try {
+            val qn = if (maintainEvery > 0) quant.count().toInt else nlist
+            val seen = sess.table(idxTbl).count()
+            val rows = graft.ops.Vector.ivfProbeSearch(q,
+              sess.table(idxTbl), quant, nProbe = 16, k = 5,
+              nlistHint = qn, pruneLists = true).count()
+            if (graft.api.Graft.indexGeneration(sess, idxTbl) != g0)
+              throw new java.io.IOException(
+                s"generation moved during probe (was $g0)")
+            (seen, rows)
+          } finally {
+            if (maintainEvery > 0 && quant.ne(cents)) quant.unpersist()
+            ()
+          }
         }
         val t = System.nanoTime()
         val ((seen, rows), retried) =
@@ -439,6 +487,14 @@ object StreamVecProbe {
       println(s"[mixed] compactEvery=$compactEvery probes=" +
         s"${probes.size} retried=$nRetried (every probe succeeded; " +
         "retries are the transient swap-window collisions)")
+    if (maintainEvery > 0) {
+      val s = graft.api.Graft.indexStats(spark, idxTbl)
+      println(s"[mixed] maintainEvery=$maintainEvery probes=" +
+        s"${probes.size} retried=$nRetried quantLists=" +
+        s"${s.quantizerLists.getOrElse(-1)} files=${s.dataFiles} " +
+        "(every probe coherent: quantizer/rows pair verified by the " +
+        "generation token)")
+    }
     require(!probes.isEmpty, "mixed run probed nothing")
     spark.sql(s"DROP TABLE IF EXISTS $idxTbl")
     // temp hygiene (r12 advice): the checkpoint and index dirs are

@@ -2180,6 +2180,22 @@ object Graft {
       : Option[DataFrame] =
     rawQuantizer(spark, table).map(_.localCheckpoint(true))
 
+  /** The live GENERATION of a bucketed index table — the name of the
+    * directory the catalog currently points at; every maintenance
+    * rewrite ([[compactBucketedIndex]]/[[retrainIndex]]) moves it.
+    * This is the read-committed token for serving across LIVE
+    * retrains: a retrain re-assigns every row to NEW list ids, so a
+    * probe that ranks lists under one generation's quantizer but joins
+    * candidates against another generation's rows silently returns
+    * garbage (contract-valid rows, arbitrary recall — no error). The
+    * coherent serve: read the generation, load the quantizer, probe,
+    * re-read the generation — if it moved, RETRY the batch (the
+    * quantizer publishes inside the generation dir, so equal tokens
+    * prove the pair matched). `StreamVecProbe mixedm` measures the
+    * recipe; the window is the swap instant, so one retry suffices. */
+  def indexGeneration(spark: SparkSession, table: String): String =
+    bucketedTableLocation(spark, table).getName
+
   /** Lazy variant bound to the current generation's files — for
     * immediately-consumed reads ([[indexStats]] counts it and drops
     * it) where pinning would accumulate checkpoint blocks. */
