@@ -256,6 +256,27 @@ object StreamVecProbe {
     * table. Prints per-batch append walls (should be flat in the
     * accumulated index size) and a post-drain probe wall over the
     * fully-ingested table. */
+  /** The empty bucketed index table every arm starts from — one
+    * definition of the (vec_id, embedding, nrm, list_id) layout
+    * instead of a copy per arm (r13 review: a schema change must not
+    * need five edits). */
+  private def createEmptyIndexTable(spark: SparkSession, path: String,
+      table: String, buckets: Int): Unit =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("nrm",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("list_id",
+          org.apache.spark.sql.types.IntegerType))))
+      .write.bucketBy(buckets, "list_id").sortBy("list_id")
+      .option("path", path).saveAsTable(table)
+
   /** The mixed shape: queries SERVE while the index GROWS — an ingest
     * stream appends 100k-vector batches to the bucketed table and a
     * concurrent query stream (ProcessingTime trigger) probes the
@@ -351,20 +372,8 @@ object StreamVecProbe {
     val idxDir = java.nio.file.Files
       .createTempDirectory("svp-mixed-idx").toString
     val idxTbl = s"svp_mix_${UUID.randomUUID().toString.take(8)}"
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("vec_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("embedding",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType)),
-        org.apache.spark.sql.types.StructField("nrm",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("list_id",
-          org.apache.spark.sql.types.IntegerType))))
-      .write.bucketBy(256, "list_id").sortBy("list_id")
-      .option("path", s"$idxDir/t").saveAsTable(idxTbl)
+    createEmptyIndexTable(spark, s"$idxDir/t", idxTbl,
+      buckets = 256)
 
     val cpI = java.nio.file.Files.createTempDirectory("svp-mi-cp").toString
     val cpQ = java.nio.file.Files.createTempDirectory("svp-mq-cp").toString
@@ -426,7 +435,36 @@ object StreamVecProbe {
         "transform(split(CAST(data AS STRING), ','), " +
           "x -> CAST(x AS FLOAT)) AS qe")
       .writeStream
-      .foreachBatch { (batch: DataFrame, id: Long) =>
+      .foreachBatch {
+        // read-committed serve across live RETRAINS (mixedm only; a
+        // compaction preserves list ids, so mixedc probes are coherent
+        // across its swaps by design and keep the old policy): the
+        // quantizer must be the one the current generation's rows were
+        // assigned under — the pair publishes atomically inside the
+        // generation dir, so an unmoved generation token brackets a
+        // coherent (quantizer, rows) read; a moved one may be torn
+        // (old rows + new quantizer or vice versa) and must retry.
+        // The quantizer is CACHED keyed by the token — reloaded (and
+        // the previous generation's pin released at the RDD level,
+        // Dataset.unpersist being a documented no-op on checkpointed
+        // frames) only when a swap actually landed, not per probe.
+        var cachedGen: String = null
+        var cachedQuant: DataFrame = null
+        var cachedQn: Int = 0
+        def quantFor(sess: SparkSession, g: String): (DataFrame, Int) = {
+          if (maintainEvery == 0) return (cents, nlist)
+          if (g != cachedGen) {
+            if (cachedQuant != null && cachedQuant.ne(cents))
+              graft.ops.ListingCache.release(cachedQuant)
+            cachedQuant = graft.api.Graft.loadQuantizer(sess, idxTbl)
+              .getOrElse(cents)
+            cachedQn = if (cachedQuant.ne(cents))
+              cachedQuant.count().toInt else nlist
+            cachedGen = g
+          }
+          (cachedQuant, cachedQn)
+        }
+        (batch: DataFrame, id: Long) =>
         val sess = batch.sparkSession
         val q = batch.withColumn("qn",
           sqrt(graft.functions.VectorExpressions.dotF32(col("qe"),
@@ -435,29 +473,18 @@ object StreamVecProbe {
         def probeOnce(): (Long, Long) = {
           val g0 = graft.api.Graft.indexGeneration(sess, idxTbl)
           sess.catalog.refreshTable(idxTbl)
-          // read-committed serve across live RETRAINS: the quantizer
-          // must be the one the current generation's rows were
-          // assigned under — the pair publishes atomically inside the
-          // generation dir, so an unmoved generation token brackets a
-          // coherent (quantizer, rows) read; a moved one may be torn
-          // (old rows + new quantizer or vice versa) and must retry
-          val quant = if (maintainEvery > 0)
-            graft.api.Graft.loadQuantizer(sess, idxTbl).getOrElse(cents)
-          else cents
-          try {
-            val qn = if (maintainEvery > 0) quant.count().toInt else nlist
-            val seen = sess.table(idxTbl).count()
-            val rows = graft.ops.Vector.ivfProbeSearch(q,
-              sess.table(idxTbl), quant, nProbe = 16, k = 5,
-              nlistHint = qn, pruneLists = true).count()
-            if (graft.api.Graft.indexGeneration(sess, idxTbl) != g0)
-              throw new java.io.IOException(
-                s"generation moved during probe (was $g0)")
-            (seen, rows)
-          } finally {
-            if (maintainEvery > 0 && quant.ne(cents)) quant.unpersist()
-            ()
+          val (quant, qn) = quantFor(sess, g0)
+          val seen = sess.table(idxTbl).count()
+          val rows = graft.ops.Vector.ivfProbeSearch(q,
+            sess.table(idxTbl), quant, nProbe = 16, k = 5,
+            nlistHint = qn, pruneLists = true).count()
+          if (maintainEvery > 0 &&
+              graft.api.Graft.indexGeneration(sess, idxTbl) != g0) {
+            cachedGen = null // the pair may be torn: force a reload
+            throw new java.io.IOException(
+              s"generation moved during probe (was $g0)")
           }
+          (seen, rows)
         }
         val t = System.nanoTime()
         val ((seen, rows), retried) =
@@ -539,20 +566,8 @@ object StreamVecProbe {
     val idxDir = java.nio.file.Files
       .createTempDirectory("svp-soak-idx").toString
     val idxTbl = s"svp_soak_${UUID.randomUUID().toString.take(8)}"
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("vec_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("embedding",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType)),
-        org.apache.spark.sql.types.StructField("nrm",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("list_id",
-          org.apache.spark.sql.types.IntegerType))))
-      .write.bucketBy(256, "list_id").sortBy("list_id")
-      .option("path", s"$idxDir/t").saveAsTable(idxTbl)
+    createEmptyIndexTable(spark, s"$idxDir/t", idxTbl,
+      buckets = 256)
 
     val probeQ = emb.filter(pmod(col("vec_id"), lit(math.max(1L, n / 8)))
         === 0)
@@ -692,20 +707,8 @@ object StreamVecProbe {
     val idxDir = java.nio.file.Files
       .createTempDirectory("svp-drift-idx").toString
     val idxTbl = s"svp_drift_${UUID.randomUUID().toString.take(8)}"
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("vec_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("embedding",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType)),
-        org.apache.spark.sql.types.StructField("nrm",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("list_id",
-          org.apache.spark.sql.types.IntegerType))))
-      .write.bucketBy(buckets, "list_id").sortBy("list_id")
-      .option("path", s"$idxDir/t").saveAsTable(idxTbl)
+    createEmptyIndexTable(spark, s"$idxDir/t", idxTbl,
+      buckets = buckets)
     graft.api.Graft.saveQuantizer(spark, idxTbl, cents0)
 
     // ingest through the deployment write path, 10 appends per phase
@@ -841,20 +844,8 @@ object StreamVecProbe {
     val idxDir = java.nio.file.Files
       .createTempDirectory("svp-dauto-idx").toString
     val idxTbl = s"svp_dauto_${UUID.randomUUID().toString.take(8)}"
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("vec_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("embedding",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType)),
-        org.apache.spark.sql.types.StructField("nrm",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("list_id",
-          org.apache.spark.sql.types.IntegerType))))
-      .write.bucketBy(buckets, "list_id").sortBy("list_id")
-      .option("path", s"$idxDir/t").saveAsTable(idxTbl)
+    createEmptyIndexTable(spark, s"$idxDir/t", idxTbl,
+      buckets = buckets)
 
     val append = graft.api.Graft.bucketedIndexAppender(idxTbl, buckets,
       Some(cents0), "vec_id", "embedding", nlistHint = nlist0,
@@ -873,6 +864,10 @@ object StreamVecProbe {
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+    // (quantLists, targetNlist, lastRecall) per tick — the fail-loud
+    // requires below read these (r13 review: every sibling arm fails
+    // loudly; a printed-only autopilot claim could rot silently)
+    val ticks = scala.collection.mutable.ArrayBuffer[(Int, Int, Double)]()
     def report(afterBatch: Long): Unit = {
       val s = graft.api.Graft.indexStats(spark, idxTbl)
       val quant = graft.api.Graft.loadQuantizer(spark, idxTbl).get
@@ -897,7 +892,10 @@ object StreamVecProbe {
         f"targetNlist=${s.targetNlist} occMean=${s.occMean}%.0f " +
         f"occP99=${s.occP99} files=${s.dataFiles} " +
         f"probe=$wall%.2f recall_ingested=$rec%.3f")
-      quant.unpersist()
+      ticks += ((s.quantizerLists.getOrElse(-1), s.targetNlist, rec))
+      // RDD-level release — Dataset.unpersist on a checkpointed frame
+      // is a documented no-op (the r9 leak class)
+      graft.ops.ListingCache.release(quant)
     }
 
     var id = 0L
@@ -911,6 +909,20 @@ object StreamVecProbe {
       if ((id + 1) % 5 == 0) report(id)
       id += 1
     }
+    // fail-loud: the run's claims, require()'d. (1) the autopilot
+    // actually retrained — the persisted quantizer widened past the
+    // seed; (2) the loop SETTLED — the final width is not still
+    // outgrown; (3) quality held — final-tick recall over ingested
+    // truth is ~1.
+    val q0 = cents0.count()
+    require(ticks.nonEmpty && ticks.last._1 > q0,
+      s"driftauto: no advice-driven retrain fired (quantizer stayed " +
+        s"at $q0 lists): ${ticks.mkString(", ")}")
+    require(ticks.last._2 < 2 * ticks.last._1,
+      s"driftauto: loop did not settle — final targetNlist " +
+        s"${ticks.last._2} still >= 2x quantizer ${ticks.last._1}")
+    require(ticks.last._3 >= 0.95,
+      s"driftauto: final recall ${ticks.last._3} < 0.95")
     spark.sql(s"DROP TABLE IF EXISTS $idxTbl")
     graft.ops.StreamingOps.deleteRecursively(new java.io.File(idxDir))
     spark.stop()
@@ -954,20 +966,8 @@ object StreamVecProbe {
     val idxDir = java.nio.file.Files
       .createTempDirectory("svp-ingest-idx").toString
     val idxTbl = s"svp_idx_${UUID.randomUUID().toString.take(8)}"
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("vec_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("embedding",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType)),
-        org.apache.spark.sql.types.StructField("nrm",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("list_id",
-          org.apache.spark.sql.types.IntegerType))))
-      .write.bucketBy(256, "list_id").sortBy("list_id")
-      .option("path", s"$idxDir/t").saveAsTable(idxTbl)
+    createEmptyIndexTable(spark, s"$idxDir/t", idxTbl,
+      buckets = 256)
 
     val walls = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Long)]()
     val q = spark.readStream.format("pubsub")

@@ -63,10 +63,12 @@ private[graft] object ListingCache {
   /** RDD-level release for checkpointed frames a gate query owns
     * OUTSIDE this cache (p16's per-rep static index — r9 review: eager
     * localCheckpoints with no unpersist reintroduced the per-rep
-    * storage leak this cache's release fixes). Call only once the
-    * frame can no longer be read — a localCheckpoint cannot recompute
-    * from lineage. */
-  private[ops] def release(df: DataFrame): Unit = releaseBlocks(df)
+    * storage leak this cache's release fixes; the measurement mains'
+    * per-generation quantizer pins — r13 review: Dataset.unpersist on
+    * a loadQuantizer frame is a silent no-op, the same leak class).
+    * Call only once the frame can no longer be read — a
+    * localCheckpoint cannot recompute from lineage. */
+  private[graft] def release(df: DataFrame): Unit = releaseBlocks(df)
 
   def shared(method: String, s: SparkSession, d: String,
       reuse: Boolean)(build: => DataFrame): DataFrame = {
