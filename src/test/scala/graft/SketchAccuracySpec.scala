@@ -216,9 +216,15 @@ class SketchAccuracySpec extends AnyFunSuite with Matchers {
     }
     val df = (hot ++ spread).toDF("id", "vec")
     // containment bounds occupancy: the hot list (~half the corpus,
-    // x2 with probes) splits into ~mean-sized sub-blocks
-    val cents = graft.api.Graft.kmeansCentroids(df, "id", "vec", 4, 2)
-    val assigned = graft.api.Graft.assignToCentroids(df, "id", "vec", cents)
+    // x2 with probes) splits into ~mean-sized sub-blocks. The skewed
+    // assignment is CONSTRUCTED (hot cluster -> list 0, spread rows ->
+    // lists 1-3): this test exercises containHotClusters' mechanics,
+    // and deriving the skew through kmeans made it hostage to init
+    // quality — the r13 point-init improvement splits this fixture
+    // well enough that no list trips the hot threshold at all.
+    val assigned = df
+      .withColumn("list_id",
+        when(col("id") < 120, 0).otherwise(pmod(col("id"), lit(3)) + 1))
       .select(col("id"), col("vec"), col("list_id"))
     val before = assigned.groupBy("list_id").count()
       .collect().map(_.getLong(1))
@@ -258,12 +264,26 @@ class SketchAccuracySpec extends AnyFunSuite with Matchers {
       "s10_pq_topk" -> graft.ops.Vector.pqListing(spark, sfDir),
       "s11_ivfpq_topk" -> graft.ops.Vector.ivfpqListing(spark, sfDir),
       "s13_sq_topk" -> graft.ops.Vector.sqListing(spark, sfDir))
+    // Per-index floors, recalibrated for the r13 point-init quantizer
+    // (hash-Forgy seeding): on this 500-vector NEAR-ISOTROPIC fixture,
+    // top-k membership is substantially a tie lottery (the r11
+    // adjudication that motivated the margin slice), so the fixture
+    // recall moves with any index-definition change — the floors here
+    // are regression tripwires at the measured values minus a small
+    // band, NOT quality claims. Quality claims live where geometry is
+    // real: the margin-slice sweep (SCALE.md) reads s11 recall 1.000
+    // at nProbe 16/64/256 under the same init, and the 1M init A/B
+    // measured hash-Forgy at 2,475/2,500 usable lists vs mean-init's
+    // 1,337 with occupancy p99 halved — the change this recalibration
+    // pays for.
+    val floors = Map("s11_ivfpq_topk" -> 0.4).withDefaultValue(0.5)
     for ((name, df) <- listings) {
       val approx = df.collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (approx & exact).size.toDouble / exact.size
       info(s"$name recall = $recall")
-      withClue(s"$name recall vs exact top-k: ")(recall should be >= 0.5)
+      withClue(s"$name recall vs exact top-k: ")(
+        recall should be >= floors(name))
       // The gate entry now emits the per-query structural contract; it
       // must hold for every query (one row each, all invariants true).
       val gate = run(name).collect()
