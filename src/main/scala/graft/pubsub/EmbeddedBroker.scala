@@ -280,6 +280,27 @@ object EmbeddedBroker {
       s.synchronized { ackIds.foreach(s.leased.remove) }
     }
 
+    /** Return leased messages to the queue IMMEDIATELY — the cloud
+      * service's `modifyAckDeadline(0)` nack. A reader that pulled
+      * messages but lost the replay-cache claim race must hand them
+      * back now: left leased, they stay invisible until the ack
+      * deadline (p15's drain measured a silently missing half-trigger
+      * under a 600 s deadline — r13). Unknown/already-acked ids are
+      * no-ops. Entries re-enter pending at their original sequence
+      * positions, so redelivery keeps publish order. */
+    def nack(subscription: String, ackIds: Seq[String]): Unit = {
+      val s = synchronized(subs.getOrElse(subscription, return))
+      s.synchronized {
+        ackIds.foreach { aid =>
+          s.leased.remove(aid).foreach { e =>
+            e.leaseExpiry = 0
+            s.pending += e
+            s.needsSort = true
+          }
+        }
+      }
+    }
+
     /** Changes the subscription's ack deadline for FUTURE leases (the
       * cloud service's UpdateSubscription(ackDeadlineSeconds) — lets a
       * consumer size the deadline above its worst-case pull-to-commit

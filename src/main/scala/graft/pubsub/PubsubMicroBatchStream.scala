@@ -103,12 +103,18 @@ class PubsubMicroBatchStream(
     // min(n, parts * perPartitionCap). Budget = ceil(backlog / effective)
     // or the drain stops with messages still queued when the cap exceeds
     // what the partitions can physically pull in one batch.
+    // +2 slack beyond the exact estimate: a cross-JVM replay-cache
+    // claim race NACKs the loser's pulled slice back into the backlog
+    // (PubsubPartitionReader), so a trigger can under-deliver and the
+    // returned messages need extra triggers to drain. The slack only
+    // engages when backlog remains (mayAdvance checks backlog > 0), so
+    // a clean drain still stops at the estimate.
     availableNowBudget = Some(opts.maxMessagesPerTrigger match {
       case Some(n) =>
         val effective =
           math.max(math.min(n, parts.toLong * opts.maxMessagesPerPartition), 1L)
-        math.max((backlog + effective - 1) / effective, 1L)
-      case None => math.max(backlog / (parts * 500L), 1L)
+        math.max((backlog + effective - 1) / effective, 1L) + 2L
+      case None => math.max(backlog / (parts * 500L), 1L) + 2L
     })
   }
 

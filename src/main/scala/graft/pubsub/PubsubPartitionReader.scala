@@ -63,16 +63,43 @@ class PubsubPartitionReader(p: PubsubInputPartition)
   private def ensureFetched(): Unit = if (fetched == null) {
     val t0 = System.nanoTime()
     var how = "cache"
-    fetched = readCache().getOrElse {
-      val t1 = System.nanoTime()
-      val pulled = EmbeddedBroker.get(p.endpoint)
-        .pull(p.subscriptionPath, p.maxMessages)
-      val t2 = System.nanoTime()
-      // writeCache returns the canonical rows for this slot (the winner's,
-      // if a concurrent evaluation won the rename race).
-      val canonical = writeCache(pulled)
-      how = f"pull=${(t2 - t1) / 1e9}%.2f write=${(System.nanoTime() - t2) / 1e9}%.2f"
-      canonical
+    // Serialize same-slot first evaluations WITHIN this JVM (a striped
+    // lock on the cache path): a batch whose plan evaluates the source
+    // in TWO CONCURRENT JOBS — a broadcast-exchange job racing the main
+    // action, p15's incremental-dedup shape — would otherwise have both
+    // evaluations find no cache and BOTH pull. Only one pull becomes
+    // canonical; the loser's messages sat leased-but-uncached for the
+    // full ack deadline, and the AvailableNow drain under-delivered by
+    // exactly that slice with no error (r13: p15 read 4,375 of 5,000,
+    // the missing 625 = one partition's racing pull). Under the lock
+    // the second evaluation hits the winner's cache. Across JVMs (real
+    // cluster) the lock doesn't reach — there the loser-NACK below
+    // returns the orphaned messages immediately.
+    PubsubPartitionReader.slotLock(p.cachePath).synchronized {
+      fetched = readCache().getOrElse {
+        val t1 = System.nanoTime()
+        val broker = EmbeddedBroker.get(p.endpoint)
+        val pulled = broker.pull(p.subscriptionPath, p.maxMessages)
+        val t2 = System.nanoTime()
+        // writeCache returns the canonical rows for this slot (the
+        // winner's, if a concurrent evaluation won the rename race).
+        val canonical = writeCache(pulled)
+        if (canonical ne pulled) {
+          // lost the cross-JVM claim race: hand back every pulled
+          // message the winner's file does not carry, or they stay
+          // invisible until the ack deadline and the drain silently
+          // under-delivers (the winner's own rows are acked at commit)
+          val kept = canonical.iterator.map(_._1).toSet
+          val orphaned = pulled.collect {
+            case (aid, _) if !kept.contains(aid) => aid
+          }
+          if (orphaned.nonEmpty)
+            broker.nack(p.subscriptionPath, orphaned)
+        }
+        how = f"pull=${(t2 - t1) / 1e9}%.2f " +
+          f"write=${(System.nanoTime() - t2) / 1e9}%.2f"
+        canonical
+      }
     }
     if (sys.env.contains("GRAFT_TIMING")) System.err.println(
       f"[timing]   reader part=${p.partitionIdx} n=${fetched.size} " +
@@ -100,6 +127,16 @@ class PubsubPartitionReader(p: PubsubInputPartition)
   private def writeCache(msgs: Seq[(String, EmbeddedBroker.Message)])
       : Seq[(String, EmbeddedBroker.Message)] =
     ReplayCache.write(p.cachePath, msgs)
+}
+
+object PubsubPartitionReader {
+  // Striped locks for same-JVM same-slot first evaluations (see
+  // ensureFetched): fixed-size, so the map never grows with stream
+  // lifetime; a hash collision merely over-serializes two unrelated
+  // slots' first pulls for one batch.
+  private val slotLocks = Array.fill(64)(new Object)
+  private def slotLock(cachePath: String): Object =
+    slotLocks(math.floorMod(cachePath.hashCode, slotLocks.length))
 }
 
 /** Per-field LAZY row over one pulled message: each field converts to

@@ -605,4 +605,62 @@ class PubsubConnectorSpec extends AnyFunSuite with Matchers
       EmbeddedBroker.get(s"eu-west1-$ep") should be theSameInstanceAs broker
     } finally stream.stop()
   }
+
+  test("nack returns leased messages to the queue immediately, in " +
+      "publish order") {
+    publish100()
+    val first = broker.pull(Sub, 10)
+    first should have size 10
+    // invisible while leased
+    broker.pull(Sub, 100).map(_._2.messageId) should not contain
+      first.head._2.messageId
+    broker.nack(Sub, first.map(_._1))
+    // nacked messages redeliver at their original positions — the
+    // NEXT pull starts with them again
+    val again = broker.pull(Sub, 10)
+    again.map(_._2.messageId) shouldBe first.map(_._2.messageId)
+    // unknown / already-acked ids are no-ops
+    broker.acknowledge(Sub, again.map(_._1))
+    noException should be thrownBy
+      broker.nack(Sub, again.map(_._1) :+ "ack-nonexistent")
+  }
+
+  test("concurrent first evaluations of one partition pull ONCE — the " +
+      "slot lock closes the broadcast-job race that silently lost a " +
+      "half-trigger (p15, r13)") {
+    publish100()
+    val cacheDir = Files.createTempDirectory("graft-race").toString
+    val part = PubsubInputPartition(Sub, ep, batchId = 0,
+      partitionIdx = 0, maxMessages = 50,
+      cachePath = s"$cacheDir/batch=0/part=0", region = "global")
+    def evaluate(): Seq[String] = {
+      val r = new PubsubPartitionReaderFactory().createReader(part)
+      val out = collection.mutable.ArrayBuffer[String]()
+      while (r.next()) { out += r.get().getString(2) } // message_id
+      r.close()
+      out.toSeq
+    }
+    // two evaluations of the SAME batch partition racing from two
+    // threads — the shape of a broadcast-exchange job racing the main
+    // foreachBatch action. Before the slot lock, BOTH found no cache
+    // and both pulled: one pull became the canonical cache, the other
+    // pull's 50 messages sat leased-and-invisible for the whole ack
+    // deadline, and the drain under-delivered with no error.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val f1 = pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+        def call(): Seq[String] = evaluate()
+      })
+      val f2 = pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+        def call(): Seq[String] = evaluate()
+      })
+      val (r1, r2) = (f1.get(), f2.get())
+      // identical rows from both evaluations (replay determinism)...
+      r1 shouldBe r2
+      r1 should have size 50
+      // ...and the OTHER 50 messages are still pullable RIGHT NOW: a
+      // doubled pull would have leased them invisibly
+      broker.pull(Sub, 100) should have size 50
+    } finally pool.shutdown()
+  }
 }
