@@ -2374,7 +2374,18 @@ object Graft {
     * dropped by the swap). Cost: one corpus scan for training sample +
     * count, one re-assignment pass, one corpus-sized bucketed shuffle —
     * the same order as a compaction plus the assignment map work.
-    * An empty index is a named no-op (`nlist = 0`, nothing trained). */
+    * An empty index is a named no-op (`nlist = 0`, nothing trained).
+    *
+    * Scope: the raw-vector STREAMING layout (p17's — re-encode is just
+    * re-assignment, so retrain is a one-pass rewrite). The PQ-coded
+    * persisted layout ([[ivfPqSave]]) retrains by REBUILD —
+    * [[ivfPqBuild]] over the current corpus + [[ivfPqSave]] to the
+    * same dir — because its codes quantize residuals against the
+    * trained codebooks: new centroids invalidate every code, so a
+    * "retrain" there IS the build, and the save's temp-dir swap gives
+    * the same no-torn-state publish. The split is deliberate: the
+    * streaming layout keeps raw vectors exactly so maintenance stays
+    * one-pass. */
   def retrainIndex(spark: SparkSession, table: String, idCol: String,
       vecCol: String, nlist: Int = 0, iters: Int = 2,
       trainPerList: Int = 128): RetrainStats = {
