@@ -575,7 +575,10 @@ object Vector {
       // ANN kNN SELF-join: top-k neighbors for EVERY corpus vector (the
       // query set is the corpus — SemDeDup neighborhoods, diversity
       // filters, kNN-graph construction). IVF-blocked: one primary list
-      // per vector, each vector-as-query probes its 2 nearest lists,
+      // per vector, each vector-as-query probes its 4 nearest lists
+      // (sized with the point-init quantizer's finer effective lists —
+      // 4 probes at the halved occupancy cost what 2 did before, and
+      // margin recall reads 1.000),
       // candidates come from the list-id equi-join — O(n · probes ·
       // occupancy) dot products, never n², with occupancy held constant
       // by deriving nlist from count() (the d12 lesson). Gate row = the
