@@ -2609,6 +2609,10 @@ object Graft {
       broadcastQueries: Int = 4096,
       pruneLists: Boolean = false,
       filter: Option[Column] = None): DataFrame = {
+    // shortlist sizing: see [[deriveShortlist]] — a shortlist below the
+    // probed lists' occupancy caps recall shortlist-bound (flat in
+    // nProbe), measured at 5M; the static default serves fixture-scale
+    // corpora only.
     require(shortlist >= k && k > 0 && nProbe > 0 && broadcastQueries >= 0,
       s"ivfPqSearch(k=$k, shortlist=$shortlist, nProbe=$nProbe)")
     // `filter`: a metadata predicate over the index's `payload` columns
@@ -2742,6 +2746,23 @@ object Graft {
     * scale runs) resolves to the identical layout the fixed-occupancy
     * derivation produced, while a 10⁹-vector corpus gets 4√n ≈ 126k
     * lists instead of 2.5M and a 20× cheaper build. */
+  /** The serving-shortlist sizing rule, measured at 1M and 5M
+    * (SCALE.md r12 shortlist analysis + the r13 5M-decade row): the
+    * ADC shortlist must cover a probed LIST'S OCCUPANCY, or recall
+    * caps shortlist-bound — flat in nProbe — once clusters outgrow
+    * the shortlist (5M defaults read 0.713; shortlist = occupancy
+    * read 0.984 at the same probed fraction). Use with the corpus
+    * size and the index's nlist:
+    * `ivfPqSearch(..., shortlist = deriveShortlist(n, index.nlist))`.
+    * Past the [[deriveNlist]] √n crossover occupancy grows as √n/4,
+    * so this grows with it — which is exactly why it cannot be a
+    * static default. */
+  def deriveShortlist(n: Long, nlist: Int, k: Int = 50): Int = {
+    require(n >= 0 && nlist > 0 && k > 0,
+      s"deriveShortlist($n, $nlist, $k)")
+    math.max(k.toLong, (n + nlist - 1) / nlist).toInt
+  }
+
   def deriveNlist(n: Long, vectorsPerList: Int = 400,
       sqrtFactor: Double = 4.0, floor: Int = 1): Int = {
     require(n >= 0 && vectorsPerList > 0 && sqrtFactor > 0 && floor > 0,

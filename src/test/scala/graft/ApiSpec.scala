@@ -1197,6 +1197,24 @@ class ApiSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy Graft.deriveNlist(-1)
   }
 
+  test("deriveShortlist: covers list occupancy, floors at k, grows " +
+      "past the sqrt-n crossover") {
+    // fixture scale: occupancy tiny, the k floor rules
+    Graft.deriveShortlist(2000, Graft.deriveNlist(2000)) shouldBe 400
+    Graft.deriveShortlist(500, 5, k = 50) shouldBe 100
+    // the measured 5M case: nlist 8,944, occupancy ~559 — the default
+    // 256-class shortlist under-covered (recall 0.713 flat in nProbe);
+    // the derived value covers it (0.984 measured at shortlist >= occ)
+    val n5m = 5000000L
+    val s = Graft.deriveShortlist(n5m, Graft.deriveNlist(n5m))
+    s should be >= 559
+    s should be <= 600
+    // monotone in n at fixed nlist; exact ceiling division
+    Graft.deriveShortlist(1001, 10, k = 1) shouldBe 101
+    an[IllegalArgumentException] should be thrownBy
+      Graft.deriveShortlist(10, 0)
+  }
+
   test("text stats and langId run on the custom schema") {
     Graft.tokenCounts(corpus, "uid", "body").columns shouldBe
       Array("uid", "n_ws", "n_bpe")
