@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `runMain` output normally passes through sbt's logger, which
+// prefixes every stdout line with "[info] " — that prefix is what kept
+// the driver from parsing graft.Bench's single JSON line every round
+// (BENCH_r*.json `parsed: null`, see VERDICT r13 item 5). StdoutOutput
+// hands the forked process the real stdout/stderr, so the JSON line is
+// emitted verbatim.
+run / outputStrategy := Some(sbt.OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
