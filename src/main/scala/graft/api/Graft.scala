@@ -1569,9 +1569,11 @@ object Graft {
   def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, dim: Int, nlist: Int, nProbe: Int = 4,
       m: Int = 8, ksub: Int = 16, iters: Int = 2,
-      shortlist: Int = 50, trainPerList: Int = 128): DataFrame = {
-    require(shortlist >= k && k > 0 && nlist > 0 && nProbe > 0 &&
-      trainPerList > 0,
+      shortlist: Int = 0, trainPerList: Int = 128): DataFrame = {
+    // shortlist = 0 derives from the corpus count ([[ivfPqSearch]]'s
+    // default — [[deriveShortlist]]'s occupancy rule)
+    require((shortlist == 0 || shortlist >= k) && k > 0 && nlist > 0 &&
+      nProbe > 0 && trainPerList > 0,
       s"ivfPqTopK(k=$k, shortlist=$shortlist, nlist=$nlist, nProbe=$nProbe)")
     val index = ivfPqBuild(df, idCol, vecCol, dim, nlist, m, ksub,
       iters, trainPerList)
@@ -1600,7 +1602,12 @@ object Graft {
     * (`buckets` = 0 means in-session/unpartitioned — the build shape). */
   final case class IvfPqIndex(cents: DataFrame, enc: DataFrame,
       lookup: DataFrame, idCol: String, nlist: Int, dim: Int, m: Int,
-      ksub: Int, buckets: Int = 0)
+      ksub: Int, buckets: Int = 0, rows: Long = -1L)
+  // `rows`: the corpus count at build time — what [[ivfPqSearch]]'s
+  // default shortlist derivation sizes against ([[deriveShortlist]]
+  // needs n, and the build already paid the count). -1 = unknown
+  // (hand-assembled or pre-r14 saved index); the search then counts
+  // the codes frame once.
 
   /** Build an [[IvfPqIndex]] over `df` — steps (1)–(3) of the
     * [[ivfPqTopK]] pipeline (sampled Lloyd for centroids and codebooks,
@@ -1645,14 +1652,24 @@ object Graft {
     // against pmod(list_id, buckets), wrong results, no error); the
     // rest die later as opaque ambiguous-column AnalysisExceptions
     val reserved = Set("bucket", "code", "rnorm", "list_id", "nrm",
-      "cells", "cents", "cnrms", "cnrm2", idCol, vecCol)
+      "cells", "cents", "cnrms", "cnrm2", idCol, vecCol,
+      // serve-time internals ([[ivfPqSearch]]): a payload column named
+      // one of these builds fine and then dies at search time as an
+      // opaque ambiguous-column error — or silently shadows the
+      // pipeline's own column (r13 ADVICE). The __-prefixed
+      // intermediates are already collision-proof by convention but
+      // guard them too: the codes frame carries payload columns
+      // verbatim into every serve-time join.
+      "query_id", "neighbor_id", "qe", "qn", "qc", "qlut", "adc",
+      "cos", "rnk", "srnk", "lrnk")
     val bad = payload.filter(reserved)
     require(bad.isEmpty, s"ivfPqBuild: payload column(s) " +
       s"${bad.mkString(", ")} collide with reserved index columns " +
       s"(${reserved.toSeq.sorted.mkString(", ")}) — rename them")
     val dsub = dim / m
+    val nRows = df.count()
     val train = trainSample(df, idCol, nlist.toLong * trainPerList,
-      df.count())
+      nRows)
     // The centroid table feeds two subtrees (corpus assignment + query
     // probes); materialize the Lloyd loop once.
     val cents =
@@ -1701,7 +1718,8 @@ object Graft {
           lit(2.0) * graft.functions.VectorExpressions
             .pqAdcLut(col("__clut"), col("code"), ksub) +
           col("rnorm") * col("rnorm"))).as("rnorm") +: payloadCols: _*)
-    IvfPqIndex(cents, enc, lookup, idCol, nlist, dim, m, ksub)
+    IvfPqIndex(cents, enc, lookup, idCol, nlist, dim, m, ksub,
+      rows = nRows)
   }
 
   /** Persist an [[IvfPqIndex]] as plain parquet under `dir` — the
@@ -1757,8 +1775,8 @@ object Graft {
       // missing meta is visibly incomplete even if the swap below is
       // interrupted between delete and rename.
       Seq((index.idCol, index.nlist, index.dim, index.m, index.ksub,
-        buckets))
-        .toDF("id_col", "nlist", "dim", "m", "ksub", "buckets")
+        buckets, index.rows))
+        .toDF("id_col", "nlist", "dim", "m", "ksub", "buckets", "rows")
         .write.mode("overwrite").parquet(s"$tmp/meta.parquet")
     } catch { case e: Throwable =>
       // a failed WRITE leaves known-incomplete data — clean it up (a
@@ -1782,14 +1800,21 @@ object Graft {
     * `bucket` partition column (harmless to the search joins; it is
     * what makes `pruneLists` partition-prune). */
   def ivfPqLoad(spark: SparkSession, dir: String): IvfPqIndex = {
-    val meta = spark.read.parquet(s"$dir/meta.parquet").head()
+    val metaDf = spark.read.parquet(s"$dir/meta.parquet")
+    val meta = metaDf.head()
+    // `rows` shipped in r14 — a pre-r14 index loads as unknown (-1)
+    // and the search's default-shortlist derivation counts the codes
+    val rows =
+      if (metaDf.columns.contains("rows"))
+        meta.getLong(metaDf.columns.indexOf("rows"))
+      else -1L
     IvfPqIndex(
       cents = spark.read.parquet(s"$dir/cents.parquet"),
       enc = spark.read.parquet(s"$dir/codes.parquet"),
       lookup = spark.read.parquet(s"$dir/lookup.parquet"),
       idCol = meta.getString(0), nlist = meta.getInt(1),
       dim = meta.getInt(2), m = meta.getInt(3), ksub = meta.getInt(4),
-      buckets = meta.getInt(5))
+      buckets = meta.getInt(5), rows = rows)
   }
 
   /** What [[compactBucketedIndex]] did: `rows` survived the rewrite
@@ -2161,9 +2186,62 @@ object Graft {
     * [[bucketedIndexAppender]]); this is a setup-time overwrite, not
     * a concurrent-safe commit. */
   def saveQuantizer(spark: SparkSession, table: String,
-      centroids: DataFrame): Unit =
-    centroids.write.mode("overwrite")
-      .parquet(quantizerPath(bucketedTableLocation(spark, table)).toString)
+      centroids: DataFrame, vectorsPerList: Int = 400,
+      sqrtFactor: Double = 4.0): Unit = {
+    // `vectorsPerList`/`sqrtFactor`: the [[deriveNlist]] parameters this
+    // deployment sizes its index with — persisted in a sidecar next to
+    // the centroids so [[indexStats]]' outgrown trigger and
+    // [[retrainIndex]]'s width re-derivation use the SAME sizing rule
+    // the index was built with (r13 ADVICE: an index built with
+    // non-default width got a miscalibrated outgrown trigger from the
+    // stats' hardcoded defaults — firing too early, or never).
+    require(vectorsPerList > 0 && sqrtFactor > 0,
+      s"saveQuantizer($table, vectorsPerList=$vectorsPerList, " +
+        s"sqrtFactor=$sqrtFactor)")
+    val dir = quantizerPath(bucketedTableLocation(spark, table))
+    // parquet overwrite deletes the dir — the sidecar writes AFTER
+    centroids.write.mode("overwrite").parquet(dir.toString)
+    writeDerivationSidecar(spark, dir, vectorsPerList, sqrtFactor)
+  }
+
+  /** The [[deriveNlist]] parameters persisted next to a table's
+    * quantizer ([[saveQuantizer]]'s sidecar) — the build-time sizing
+    * rule; defaults when the sidecar is absent (pre-r14 indexes). */
+  private[graft] def loadDerivation(spark: SparkSession, table: String)
+      : (Int, Double) = {
+    val p = new org.apache.hadoop.fs.Path(
+      quantizerPath(bucketedTableLocation(spark, table)),
+      DerivationSidecar)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) (400, 4.0)
+    else {
+      val in = fs.open(p)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val vpl = """"vectorsPerList"\s*:\s*([0-9]+)""".r
+        .findFirstMatchIn(content).map(_.group(1).toInt)
+      val sf = """"sqrtFactor"\s*:\s*([0-9.]+)""".r
+        .findFirstMatchIn(content).map(_.group(1).toDouble)
+      (vpl.getOrElse(400), sf.getOrElse(4.0))
+    }
+  }
+
+  /** `.`-prefixed so both [[rawQuantizer]]'s `.parquet` filter and
+    * parquet directory listings ignore it. */
+  private val DerivationSidecar = ".derivation.json"
+
+  private def writeDerivationSidecar(spark: SparkSession,
+      quantDir: org.apache.hadoop.fs.Path, vectorsPerList: Int,
+      sqrtFactor: Double): Unit = {
+    val p = new org.apache.hadoop.fs.Path(quantDir, DerivationSidecar)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"vectorsPerList":$vectorsPerList,"sqrtFactor":$sqrtFactor}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** The persisted quantizer of a bucketed index table — None when the
     * table was never given one ([[saveQuantizer]] / [[retrainIndex]]).
@@ -2248,13 +2326,18 @@ object Graft {
       .head()
     val tombs = pendingTombstones(spark, table)
       .map(_.distinct().count()).getOrElse(0L)
+    // targetNlist under the PERSISTED derivation params
+    // ([[saveQuantizer]]'s sidecar): the outgrown trigger compares
+    // against the sizing rule the index was actually built with, not
+    // the defaults (r13 ADVICE)
+    val (vpl, sf) = loadDerivation(spark, table)
     IndexStats(rows = occ.getLong(1), dataFiles = files,
       buckets = buckets, lists = occ.getLong(0),
       occMean = occ.getDouble(2), occP99 = occ.getLong(3),
       occMax = occ.getLong(4), pendingTombstones = tombs,
       quantizerLists = rawQuantizer(spark, table)
         .map(_.count().toInt),
-      targetNlist = deriveNlist(occ.getLong(1)),
+      targetNlist = deriveNlist(occ.getLong(1), vpl, sf),
       generation = loc.getName)
   }
 
@@ -2394,6 +2477,13 @@ object Graft {
         s"trainPerList=$trainPerList)")
     var chosenNlist = 0
     var trained: Option[DataFrame] = None
+    // re-derive the width under the BUILD-TIME sizing rule (the
+    // saveQuantizer sidecar), not the deriveNlist defaults — a
+    // deployment that sized its index with non-default
+    // vectorsPerList/sqrtFactor must be retrained to the width its own
+    // rule chooses (r13 ADVICE); read before the rewrite so the new
+    // generation re-persists the same rule
+    val (dVpl, dSf) = loadDerivation(spark, table)
     val stats = rewriteIndexGeneration(spark, table,
       transform = (cleaned, n) => {
         require(cleaned.columns.contains(idCol) &&
@@ -2402,7 +2492,7 @@ object Graft {
           s"retrainIndex($table): index schema " +
             s"${cleaned.columns.mkString(", ")} lacks $idCol/$vecCol/" +
             "list_id")
-        val nl = if (nlist > 0) nlist else deriveNlist(n)
+        val nl = if (nlist > 0) nlist else deriveNlist(n, dVpl, dSf)
         chosenNlist = nl
         val train = trainSample(cleaned, idCol, nl.toLong * trainPerList, n)
         val cents = iterCheckpoint(
@@ -2413,12 +2503,15 @@ object Graft {
         assignToCentroids(cleaned, idCol, vecCol, cents,
           nlistHint = nl, carry = payload.toSeq)
       },
-      beforeSwap = (newLoc, _) =>
+      beforeSwap = (newLoc, _) => {
         // write, not copy: the new generation's rows are encoded under
         // the NEW quantizer; publishing the old one would mis-route
         // every probe
         trained.get.write.mode("overwrite")
-          .parquet(quantizerPath(newLoc).toString))
+          .parquet(quantizerPath(newLoc).toString)
+        // the sizing rule travels with the new quantizer
+        writeDerivationSidecar(spark, quantizerPath(newLoc), dVpl, dSf)
+      })
     RetrainStats(stats.rows, stats.filesBefore, stats.filesAfter,
       stats.tombstonesPurged, chosenNlist)
   }
@@ -2484,6 +2577,10 @@ object Graft {
     // from then on).
     var quant = centroids
     var quantNlist = nlistHint
+    // true once `quant` is a frame THIS loop pinned (loadQuantizer
+    // localCheckpoints); the caller's `centroids` arg is never released
+    // here — the caller may still hold it
+    var quantPinned = false
     // skew left behind by the last advice-driven retrain (p99/mean);
     // -1 until one runs — the skew-trigger hysteresis baseline
     var postRetrainSkew = -1.0
@@ -2529,7 +2626,12 @@ object Graft {
         // retrain (quantizerLists = None) and the feature's core
         // promise silently degrades to compaction-only (r13 review) —
         // the appender owns the quantizer, so persisting it IS setup
-        if (loadQuantizer(spark, table).isEmpty)
+        // existence check through the LAZY reader: loadQuantizer's
+        // eager localCheckpoint would pin quantizer-sized blocks on
+        // every cadence tick with nothing ever releasing them — a
+        // long-running appender leaking storage without bound
+        // (r13 ADVICE)
+        if (rawQuantizer(spark, table).isEmpty)
           saveQuantizer(spark, table, quant.get)
         val stats0 = indexStats(spark, table)
         val advice = maintenanceAdvice(stats0)
@@ -2549,11 +2651,18 @@ object Graft {
         if (advice.outgrown || skewActionable) {
           val stats = retrainIndex(spark, table, idCol, vecCol)
           // swap THIS appender onto the retrained quantizer — the next
-          // batch must route under the lists the table now holds
+          // batch must route under the lists the table now holds.
+          // Release the frame the PREVIOUS swap pinned (unpersist is a
+          // no-op on localCheckpointed frames — r13 ADVICE: without
+          // this, every retrain leaks the replaced quantizer's blocks);
+          // never the caller's original `centroids`.
+          val prev = if (quantPinned) quant else None
           quant = Some(loadQuantizer(spark, table).getOrElse(
             throw new IllegalStateException(
               s"bucketedIndexAppender($table): retrainIndex published " +
                 "no quantizer")))
+          quantPinned = true
+          prev.foreach(graft.ops.ListingCache.release)
           quantNlist = stats.nlist
           val after = indexStats(spark, table)
           postRetrainSkew =
@@ -2605,16 +2714,26 @@ object Graft {
     * change. */
   def ivfPqSearch(index: IvfPqIndex, queries: DataFrame, qidCol: String,
       qvecCol: String, vectors: DataFrame, vecCol: String, k: Int,
-      nProbe: Int, shortlist: Int = 50,
+      nProbe: Int, shortlist: Int = 0,
       broadcastQueries: Int = 4096,
       pruneLists: Boolean = false,
       filter: Option[Column] = None): DataFrame = {
-    // shortlist sizing: see [[deriveShortlist]] — a shortlist below the
-    // probed lists' occupancy caps recall shortlist-bound (flat in
-    // nProbe), measured at 5M; the static default serves fixture-scale
-    // corpora only.
-    require(shortlist >= k && k > 0 && nProbe > 0 && broadcastQueries >= 0,
+    // shortlist = 0 (the default) DERIVES the size from the index's own
+    // row count: [[deriveShortlist]] — the shortlist must cover a probed
+    // list's occupancy or recall caps shortlist-bound (flat in nProbe;
+    // the 5M decade measured 0.713 at the old static 256-ish defaults
+    // vs 0.984 at occupancy-sized, SCALE.md). The build/save path
+    // records `rows`, so the derivation is free; a hand-assembled index
+    // without it pays one codes-frame count. Pass an explicit shortlist
+    // to override (fixture oracles pin corpus-fraction sizes).
+    require(k > 0 && nProbe > 0 && broadcastQueries >= 0 &&
+        (shortlist == 0 || shortlist >= k),
       s"ivfPqSearch(k=$k, shortlist=$shortlist, nProbe=$nProbe)")
+    val effShortlist =
+      if (shortlist > 0) shortlist
+      else deriveShortlist(
+        if (index.rows >= 0) index.rows else index.enc.count(),
+        index.nlist, k)
     // `filter`: a metadata predicate over the index's `payload` columns
     // ([[ivfPqBuild]]), PRE-applied to the codes side — results are the
     // top-k MATCHING rows of the probed lists, exact at any selectivity
@@ -2694,7 +2813,7 @@ object Graft {
           .filter(col("query_id") =!= col(index.idCol))
           .select(col("query_id"), col(index.idCol).as("neighbor_id"), adc)
           .withColumn("srnk", row_number().over(wShort))
-          .filter(col("srnk") <= shortlist)
+          .filter(col("srnk") <= effShortlist)
       else {
         val wLocal = org.apache.spark.sql.expressions.Window
           .partitionBy("list_id", "query_id")
@@ -2709,10 +2828,10 @@ object Graft {
           // own (query, list) under the same (adc desc, neighbor asc)
           // total order.
           .withColumn("lrnk", row_number().over(wLocal))
-          .filter(col("lrnk") <= shortlist)
+          .filter(col("lrnk") <= effShortlist)
           .select(col("query_id"), col("neighbor_id"), col("adc"))
           .withColumn("srnk", row_number().over(wShort))
-          .filter(col("srnk") <= shortlist)
+          .filter(col("srnk") <= effShortlist)
       }
     val wFull = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
@@ -2761,6 +2880,33 @@ object Graft {
     require(n >= 0 && nlist > 0 && k > 0,
       s"deriveShortlist($n, $nlist, $k)")
     math.max(k.toLong, (n + nlist - 1) / nlist).toInt
+  }
+
+  /** The multiprobe sizing rule for the kNN self-join family
+    * ([[annKnnJoin]] s12), measured at 1M and 5M (SCALE.md): a fixed
+    * probe count loses recall as clusters outgrow lists — probes must
+    * cover a cluster's LIST SPAN. Under a corpus with K intrinsic
+    * clusters the span is nlist/K (cluster size n/K over occupancy
+    * n/nlist) — a constant FRACTION of lists, independent of n — so the
+    * rule is probes = slack · spanFraction · nlist, floored for
+    * boundary-overlap recall at small nlist (the fixture regime, where
+    * probes = 4 of ≤ 15 lists is the committed behavior) and capped at
+    * nlist. `spanFraction` = 1/K is a property of the DATA (default
+    * anchored to the measured 1000-cluster corpus: probes 2 → 4 at 1M
+    * restored recall 0.78 → 1.000 exactly when probes crossed the
+    * span ~2.5; 5M's span ~9 reads 0.706 at the old fixed 4); `slack`
+    * covers boundary queries whose cluster straddles more lists than
+    * the mean (1M measured 1.6× needed; see SCALE.md r14 for the 5M
+    * confirmation). Per-query candidate cost scales as
+    * probes · occupancy = slack/K · n — linear in n with a 1/K
+    * constant, the right bill for density that genuinely grew. */
+  def deriveProbes(nlist: Int, spanFraction: Double = 0.001,
+      slack: Double = 1.5, floor: Int = 4): Int = {
+    require(nlist > 0 && spanFraction > 0 && slack > 0 && floor > 0,
+      s"deriveProbes($nlist, $spanFraction, $slack, $floor)")
+    math.min(nlist.toLong,
+      math.max(floor.toLong,
+        math.ceil(nlist * spanFraction * slack).toLong)).toInt
   }
 
   def deriveNlist(n: Long, vectorsPerList: Int = 400,
@@ -2841,12 +2987,19 @@ object Graft {
     * Boundary recall comes from multi-probe overlap, exactly like
     * [[semanticDedupPairs]]' 2-probe assignment. */
   def annKnnJoin(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      probes: Int = 4, iters: Int = 2, vectorsPerList: Int = 400,
+      probes: Int = 0, iters: Int = 2, vectorsPerList: Int = 400,
       trainPerList: Int = 128): DataFrame = {
-    require(k > 0 && probes > 0 && vectorsPerList > 0 && trainPerList > 0,
+    // probes = 0 (the default) derives the multiprobe width from the
+    // derived nlist ([[deriveProbes]] — the cluster-span rule): at
+    // fixture scale this resolves to the committed probes = 4, past
+    // the density decades it grows with nlist so the 5M-decade recall
+    // collapse at a FIXED width (0.706, SCALE.md) cannot recur at
+    // defaults.
+    require(k > 0 && probes >= 0 && vectorsPerList > 0 && trainPerList > 0,
       s"annKnnJoin(k=$k, probes=$probes, vectorsPerList=$vectorsPerList)")
     val count = df.count()
     val nlist = deriveNlist(count, vectorsPerList, floor = 1)
+    val effProbes = if (probes > 0) probes else deriveProbes(nlist)
     val train = trainSample(df, idCol, nlist.toLong * trainPerList, count)
     val cents =
       iterCheckpoint(kmeansCentroids(train, idCol, vecCol, nlist, iters))
@@ -2854,7 +3007,7 @@ object Graft {
       .join(assignToCentroids(df, idCol, vecCol, cents, nlist)
         .select(col(idCol), col("list_id")), Seq(idCol))
     val qProbes = assignToCentroidsTopN(df, idCol, vecCol, cents,
-      math.min(probes, nlist), nlist)
+      math.min(effProbes, nlist), nlist)
       .join(normalized(df, idCol, vecCol)
         .select(col(idCol), col("nrm")), Seq(idCol))
       .select(col(idCol).as("query_id"), col(vecCol).as("qe"),

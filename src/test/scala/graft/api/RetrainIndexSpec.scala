@@ -304,6 +304,29 @@ class RetrainIndexSpec extends AnyFunSuite with Matchers {
       .filter(col("list_id") =!= col("fresh")).count() shouldBe 0L
   }
 
+  test("the persisted sizing rule calibrates the outgrown trigger and " +
+      "the retrain width (r13 ADVICE: non-default deployments)") {
+    val tbl = s"rt_deriv_${System.nanoTime()}"
+    mkDriftedTable(tbl)
+    // re-save with a NON-default rule: 10 vectors/list instead of 400.
+    // 80 rows -> targetNlist = min(80/10, 4*sqrt(80)) = 8, vs 1 under
+    // the defaults the stats used to hardcode.
+    Graft.saveQuantizer(spark, tbl, oldQuantizer(),
+      vectorsPerList = 10, sqrtFactor = 4.0)
+    val stats = Graft.indexStats(spark, tbl)
+    stats.targetNlist shouldBe Graft.deriveNlist(80L, 10, 4.0)
+    stats.targetNlist shouldBe 8
+    // the outgrown trigger now fires against the deployment's OWN rule
+    // (8 >= 2 * 2 persisted lists); under the old hardcoded defaults
+    // targetNlist = 1 could never fire
+    Graft.maintenanceAdvice(stats).outgrown shouldBe true
+    // retrain with nlist = 0 re-derives under the persisted rule...
+    Graft.retrainIndex(spark, tbl, "vec_id", "embedding").nlist shouldBe 8
+    // ...and carries the sidecar into the new generation, so the NEXT
+    // cycle still sizes by the same rule
+    Graft.indexStats(spark, tbl).targetNlist shouldBe 8
+  }
+
   test("an empty index is a named retrain no-op") {
     val tbl = s"rt_empty_${System.nanoTime()}"
     val dir = java.nio.file.Files
