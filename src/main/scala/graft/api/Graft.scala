@@ -1666,7 +1666,6 @@ object Graft {
     require(bad.isEmpty, s"ivfPqBuild: payload column(s) " +
       s"${bad.mkString(", ")} collide with reserved index columns " +
       s"(${reserved.toSeq.sorted.mkString(", ")}) — rename them")
-    val dsub = dim / m
     val nRows = df.count()
     val train = trainSample(df, idCol, nlist.toLong * trainPerList,
       nRows)
@@ -1694,6 +1693,31 @@ object Graft {
     // failure mode
     val lookup = iterCheckpoint(pqLookup(pqCodebooks(
       residuals(train), idCol, "__res", dim, m, ksub, iters, l2 = true)))
+    val enc = pqEncodeAgainst(df, idCol, vecCol, cents, lookup,
+      dim, m, ksub, nlist, payload)
+    IvfPqIndex(cents, enc, lookup, idCol, nlist, dim, m, ksub,
+      rows = nRows)
+  }
+
+  /** The IVF-PQ ENCODE pass against a FIXED quantizer + codebook pair —
+    * the shared tail of [[ivfPqBuild]] (freshly trained) and
+    * [[ivfPqAppend]] (frozen, Faiss `add` semantics): assign each row
+    * to its argmax list, residual-encode against the list centroid, and
+    * attach the full reconstruction norm. Map-side throughout: the
+    * centroid table, the codebook lookup, and the nlist-row
+    * reconstruction-term table all broadcast; the corpus streams once.
+    * Output schema: (idCol, list_id, code, rnorm, payload...). */
+  private def pqEncodeAgainst(src: DataFrame, idCol: String,
+      vecCol: String, cents: DataFrame, lookup: DataFrame, dim: Int,
+      m: Int, ksub: Int, nlist: Int, payload: Seq[String]): DataFrame = {
+    val dsub = dim / m
+    val centSide = broadcast(cents
+      .select(col("list_id"), col("centroid").as("__cent")))
+    val residuals = assignToCentroids(src, idCol, vecCol, cents, nlist,
+        carry = payload)
+      .join(centSide, "list_id")
+      .withColumn("__res", graft.functions.VectorExpressions
+        .vecSubF32(col(vecCol), col("__cent")))
     // per-list reconstruction terms for rnorm: clut[cell] =
     // c_sub(mi)·codebook(mi, code) (the query-LUT kernel run with the
     // centroid as the "query"), cn2 = ‖c‖² — nlist rows, built once
@@ -1706,7 +1730,7 @@ object Graft {
           col("__ctcells"), col("__ctcents"), m, ksub, dsub).as("__clut"),
         dot(col("centroid"), col("centroid")).as("__cn2"))
     val payloadCols = payload.map(col)
-    val enc = pqEncodeWith(residuals(df, carry = payload), idCol, "__res",
+    pqEncodeWith(residuals, idCol, "__res",
       lookup, dim, m, ksub, carry = Seq("list_id") ++ payload, l2 = true)
       .select(col(idCol) +: col("list_id") +: col("code") +:
         col("rnorm") +: payloadCols: _*)
@@ -1718,8 +1742,6 @@ object Graft {
           lit(2.0) * graft.functions.VectorExpressions
             .pqAdcLut(col("__clut"), col("code"), ksub) +
           col("rnorm") * col("rnorm"))).as("rnorm") +: payloadCols: _*)
-    IvfPqIndex(cents, enc, lookup, idCol, nlist, dim, m, ksub,
-      rows = nRows)
   }
 
   /** Persist an [[IvfPqIndex]] as plain parquet under `dir` — the
@@ -1815,6 +1837,211 @@ object Graft {
       idCol = meta.getString(0), nlist = meta.getInt(1),
       dim = meta.getInt(2), m = meta.getInt(3), ksub = meta.getInt(4),
       buckets = meta.getInt(5), rows = rows)
+  }
+
+  // ------------------------------------------------------------------
+  // Lifecycle of the SAVED IVF-PQ layout ([[ivfPqSave]] dirs) — the
+  // serving deployment's index. The streaming bucketed-TABLE layout
+  // ([[bucketedIndexAppender]]/[[retrainIndex]]) keeps raw vectors so
+  // its maintenance is one-pass; this layout keeps CODES (64× smaller
+  // serving scans), so growth uses frozen-codebook encode (Faiss `add`)
+  // and retrain is a rebuild — each op below names that trade.
+  // ------------------------------------------------------------------
+
+  final case class PqAppendStats(appended: Long, rowsAfter: Long,
+      codeFiles: Int)
+
+  /** Grow a SAVED IVF-PQ index in place — Faiss `IndexIVFPQ.add`
+    * semantics: the coarse quantizer and PQ codebooks stay FROZEN
+    * (training is batch work on historical data), each new row is
+    * assigned + residual-encoded map-side against the broadcast
+    * frozen tables ([[pqEncodeAgainst]] — the exact encode the build
+    * ran, so an append-built index is row-identical to a batch build
+    * over the union given the same trained state), and the codes
+    * append into the existing `bucket=` hive partitions. The EXISTING
+    * codes never read or shuffle — per-append cost is O(batch).
+    *
+    * Payload columns persist automatically: whatever payload the index
+    * was built with must be present on `batch` (checked by name).
+    * The meta row count advances so [[ivfPqSearch]]'s default-shortlist
+    * derivation keeps sizing to the TRUE corpus.
+    *
+    * Fragmentation: each append writes ≤ touched-bucket files, so a
+    * long-running ingest accrues O(appends · buckets) files and the
+    * pruned serving probe degrades linearly in file count (measured on
+    * the table layout: ~16× by 100 appends) — run [[ivfPqCompact]] on a
+    * cadence, or [[ivfPqRetrain]] when [[maintenanceAdvice]] on
+    * [[ivfPqIndexStats]] says the quantizer itself is stale. Appends
+    * must be serialized with compact/retrain (single maintenance
+    * writer — the [[bucketedIndexAppender]] discipline). */
+  def ivfPqAppend(spark: SparkSession, dir: String, batch: DataFrame,
+      vecCol: String): PqAppendStats = {
+    val idx = ivfPqLoad(spark, dir)
+    require(idx.buckets > 0,
+      s"ivfPqAppend($dir): saved index has no bucket layout")
+    val payload = pqPayloadCols(idx)
+    val missing = (idx.idCol +: vecCol +: payload)
+      .filterNot(batch.columns.contains)
+    require(missing.isEmpty,
+      s"ivfPqAppend($dir): batch lacks column(s) " +
+        s"${missing.mkString(", ")} (index schema: id=${idx.idCol}, " +
+        s"payload=${payload.mkString(", ")})")
+    val n = batch.count()
+    // resolve the pre-append count FIRST (a pre-r14 index has no
+    // recorded rows — one codes count, after which it does)
+    val rowsBefore = if (idx.rows >= 0) idx.rows else idx.enc.count()
+    if (n > 0) {
+      pqEncodeAgainst(batch, idx.idCol, vecCol, idx.cents, idx.lookup,
+          idx.dim, idx.m, idx.ksub, idx.nlist, payload)
+        .withColumn("bucket", pmod(col("list_id"), lit(idx.buckets)))
+        .repartition(col("bucket"))
+        .sortWithinPartitions("bucket", "list_id")
+        .write.mode("append").partitionBy("bucket")
+        .parquet(s"$dir/codes.parquet")
+      rewritePqMetaRows(spark, dir, idx, rowsBefore + n)
+    }
+    PqAppendStats(n, rowsBefore + n, pqCodeFiles(spark, dir))
+  }
+
+  /** Point-in-time health of a SAVED IVF-PQ index — the same decision
+    * surface as the table layout's [[indexStats]], so the SAME
+    * [[maintenanceAdvice]] reads it: `quantizerLists` is the built
+    * nlist (the saved quantizer always exists here), `targetNlist` the
+    * width a fresh build over the CURRENT corpus would choose, so the
+    * outgrown trigger fires when append-driven growth has doubled the
+    * derived width; occupancy skew reads drift even before that.
+    * `pendingTombstones` is 0 (the codes layout has no tombstone
+    * channel — deletes on the serving store are the table layout's
+    * job). Cost: one codes scan (groupBy list_id) + a file listing. */
+  def ivfPqIndexStats(spark: SparkSession, dir: String,
+      vectorsPerList: Int = 400, sqrtFactor: Double = 4.0): IndexStats = {
+    val idx = ivfPqLoad(spark, dir)
+    val occ = idx.enc.groupBy(col("list_id")).count()
+      .agg(count(lit(1)).as("lists"),
+        coalesce(sum("count"), lit(0L)).as("rows"),
+        coalesce(avg("count"), lit(0.0)).as("mean"),
+        coalesce(expr("percentile_approx(count, 0.99)"), lit(0L))
+          .as("p99"),
+        coalesce(max("count"), lit(0L)).as("max"))
+      .head()
+    IndexStats(rows = occ.getLong(1),
+      dataFiles = pqCodeFiles(spark, dir), buckets = idx.buckets,
+      lists = occ.getLong(0), occMean = occ.getDouble(2),
+      occP99 = occ.getLong(3), occMax = occ.getLong(4),
+      pendingTombstones = 0L, quantizerLists = Some(idx.nlist),
+      targetNlist = deriveNlist(occ.getLong(1), vectorsPerList,
+        sqrtFactor),
+      generation = new org.apache.hadoop.fs.Path(dir).getName)
+  }
+
+  /** Rewrite a saved index's codes back to ≤ buckets files — the
+    * fragmentation maintenance for [[ivfPqAppend]]-grown indexes
+    * ([[maintenanceAdvice]]'s `compact` arm). Reuses [[ivfPqSave]]'s
+    * whole-dir temp-and-swap (the new tree writes completely, reading
+    * the old codes as input, before the old dir is replaced), so a
+    * failure leaves either the intact old index or the complete new
+    * tree at the named temp path — never a torn one. Serialize with
+    * appends. */
+  def ivfPqCompact(spark: SparkSession, dir: String): CompactionStats = {
+    val idx = ivfPqLoad(spark, dir)
+    require(idx.buckets > 0,
+      s"ivfPqCompact($dir): saved index has no bucket layout")
+    val before = pqCodeFiles(spark, dir)
+    val rows = if (idx.rows >= 0) idx.rows else idx.enc.count()
+    // drop the partition column before re-saving: ivfPqSave re-derives
+    // it, and a duplicate `bucket` would collide
+    ivfPqSave(idx.copy(enc = idx.enc.drop("bucket"), rows = rows),
+      dir, idx.buckets)
+    CompactionStats(rows, before, pqCodeFiles(spark, dir))
+  }
+
+  final case class PqRetrainStats(rows: Long, nlistBefore: Int,
+      nlistAfter: Int, filesBefore: Int, filesAfter: Int)
+
+  /** Re-train a SAVED IVF-PQ index from the current corpus and swap it
+    * in place — the quantizer-staleness maintenance for the serving
+    * layout ([[maintenanceAdvice]]'s `retrain` arm on
+    * [[ivfPqIndexStats]]). Unlike the raw-vector table layout
+    * ([[retrainIndex]] — one re-assignment pass), the PQ codes quantize
+    * RESIDUALS against the trained centroids and codebooks: new
+    * centroids invalidate every code, so the retrain here IS a rebuild
+    * — [[ivfPqBuild]] over `vectors` (the current full-vector corpus;
+    * the codes-only index cannot reconstruct it) + [[ivfPqSave]] to the
+    * same dir, whose temp-dir swap publishes rows, quantizer, codebooks
+    * and meta atomically (Faiss deployments do exactly this rebuild for
+    * `IndexIVFPQ` drift). Structure (m, ksub, dim, idCol, buckets) and
+    * payload columns carry over from the saved meta; `nlist` = 0
+    * re-derives the width from the CURRENT corpus count — growth is
+    * what moves it. Serialize with appends; serving probes load the
+    * new generation on their next [[ivfPqLoad]]. */
+  def ivfPqRetrain(spark: SparkSession, dir: String, vectors: DataFrame,
+      vecCol: String, nlist: Int = 0, iters: Int = 2,
+      trainPerList: Int = 128, vectorsPerList: Int = 400,
+      sqrtFactor: Double = 4.0): PqRetrainStats = {
+    require(nlist >= 0 && iters >= 0 && trainPerList > 0,
+      s"ivfPqRetrain($dir, nlist=$nlist)")
+    val old = ivfPqLoad(spark, dir)
+    val payload = pqPayloadCols(old)
+    val missing = (old.idCol +: vecCol +: payload)
+      .filterNot(vectors.columns.contains)
+    require(missing.isEmpty,
+      s"ivfPqRetrain($dir): vectors lack column(s) " +
+        s"${missing.mkString(", ")} (index schema: id=${old.idCol}, " +
+        s"payload=${payload.mkString(", ")})")
+    val filesBefore = pqCodeFiles(spark, dir)
+    val n = vectors.count()
+    val nl = math.max(1,
+      if (nlist > 0) nlist else deriveNlist(n, vectorsPerList, sqrtFactor))
+    val rebuilt = ivfPqBuild(vectors, old.idCol, vecCol, old.dim, nl,
+      old.m, old.ksub, iters, trainPerList, payload)
+    ivfPqSave(rebuilt, dir, old.buckets)
+    PqRetrainStats(n, old.nlist, nl, filesBefore,
+      pqCodeFiles(spark, dir))
+  }
+
+  /** The payload columns a saved index carries: everything in the codes
+    * frame that is not pipeline-owned. */
+  private def pqPayloadCols(idx: IvfPqIndex): Seq[String] = {
+    val internal = Set(idx.idCol, "list_id", "code", "rnorm", "bucket")
+    idx.enc.columns.filterNot(internal).toSeq
+  }
+
+  private def pqCodeFiles(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/codes.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+
+  /** Advance the persisted row count after an append. The swap is the
+    * same delete-then-rename instant as [[ivfPqSave]]'s dir swap: a
+    * load racing it can fail loudly and retry, never read torn state
+    * (the tmp tree is complete before the old meta is touched). */
+  private def rewritePqMetaRows(spark: SparkSession, dir: String,
+      idx: IvfPqIndex, rows: Long): Unit = {
+    val s = spark
+    import s.implicits._
+    val target = new org.apache.hadoop.fs.Path(s"$dir/meta.parquet")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(target.getParent,
+      target.getName + ".tmp-" +
+        java.util.UUID.randomUUID().toString.take(8))
+    Seq((idx.idCol, idx.nlist, idx.dim, idx.m, idx.ksub, idx.buckets,
+      rows))
+      .toDF("id_col", "nlist", "dim", "m", "ksub", "buckets", "rows")
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(target) && !fs.delete(target, true))
+      throw new java.io.IOException(
+        s"ivfPqAppend: cannot replace $target")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(
+        s"ivfPqAppend: rename $tmp -> $target failed (complete meta " +
+          "remains at the temp path)")
   }
 
   /** What [[compactBucketedIndex]] did: `rows` survived the rewrite

@@ -718,6 +718,103 @@ object Vector {
         "true AS all_match " +
         "FROM embeddings WHERE vec_id < 40 ORDER BY query_id")),
 
+    Q("s17_pq_maintain",
+      // Maintenance loop for the SAVED IVF-PQ layout (r13 verdict item
+      // 1) — the full lifecycle a serving deployment runs, in one gate:
+      // (1) BUILD on half the corpus (lang payload riding the codes —
+      // the s15 filtered-retrieval shape) and ivfPqSave; (2) GROW with
+      // the other half through ivfPqAppend — frozen quantizer + frozen
+      // codebooks, Faiss `add` semantics, existing codes never read;
+      // (3) ivfPqIndexStats + maintenanceAdvice reads the drift: the
+      // corpus DOUBLED under a quantizer sized for half, so the
+      // outgrown trigger (targetNlist >= 2x built nlist — pure count
+      // arithmetic, deterministic at every fixture under
+      // vectorsPerList = 100) must fire; (4) ivfPqRetrain acts on the
+      // advice — rebuild over the current corpus + atomic dir swap,
+      // width re-derived; (5) the retrained index serves a FILTERED
+      // search ("top-k among lang = 'en'") probed at full coverage, so
+      // the result is the EXACT filtered top-k, which DuckDB recomputes
+      // independently — a wrong retrain (lost rows, lost payload,
+      // mis-assigned lists) cannot hash-match. The recall
+      // degrade→restore of this exact drift shape is measured at 1M in
+      // SCALE.md (the r13 retrainIndex protocol, PQ-layout arm).
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val docs = Tables.load(s, d, "documents")
+        val full = emb
+          .join(docs.select(col("doc_id").as("vec_id"), col("lang")),
+            "vec_id")
+        val n = full.count()
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-s17-pq").toString
+        val Vpl = 100 // sizing rule: outgrown fires on a 2x corpus at
+                      // every fixture (the 4-sqrt(n) cap never binds
+                      // below 160k rows at this width)
+        val half = full.filter(pmod(col("vec_id"), lit(2)) === 0)
+        // FLOOR, not deriveNlist's round: the outgrown trigger below
+        // compares deriveNlist(2n) >= 2 * nlist0, and round(n/Vpl) at a
+        // half-integral count (250/100 -> 3) would make doubling the
+        // corpus land short of doubling the width — floor keeps the
+        // gate's arithmetic exact at every fixture count
+        val nlist0 = math.max(1, (half.count() / Vpl).toInt)
+        graft.api.Graft.ivfPqSave(
+          // iters = 1: the gate's oracle is EXACTNESS under full
+          // coverage (independent of quantizer quality — that is the
+          // 1M measurement's job), so one Lloyd pass keeps the
+          // lifecycle gate cheap
+          graft.api.Graft.ivfPqBuild(half, "vec_id", "embedding",
+            dim = 64, nlist = nlist0, m = 8, ksub = 16, iters = 1,
+            payload = Seq("lang")),
+          dir, buckets = 8)
+        graft.api.Graft.ivfPqAppend(s, dir,
+          full.filter(pmod(col("vec_id"), lit(2)) === 1), "embedding")
+        val stats = graft.api.Graft.ivfPqIndexStats(s, dir,
+          vectorsPerList = Vpl)
+        val advice = graft.api.Graft.maintenanceAdvice(stats)
+        val rt = graft.api.Graft.ivfPqRetrain(s, dir, full, "embedding",
+          iters = 1, vectorsPerList = Vpl)
+        val loaded = graft.api.Graft.ivfPqLoad(s, dir)
+        val queries = emb.filter(col("vec_id") < 40)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        val search = graft.api.Graft.ivfPqSearch(loaded, queries,
+          "query_id", "embedding", emb, "embedding", k = K,
+          nProbe = loaded.nlist, shortlist = math.max(K, n.toInt),
+          filter = Some(col("lang") === "en"))
+          .select(col("query_id"), col("neighbor_id"), col("rnk"),
+            round(col("cos"), 4).as("cos"))
+          .withColumn("advice_outgrown", lit(advice.outgrown))
+          .withColumn("retrain_grew",
+            lit(rt.nlistAfter >= 2 * rt.nlistBefore))
+          .withColumn("n_indexed", lit(loaded.rows))
+          .orderBy("query_id", "rnk")
+        // materialize the bounded listing so the temp dir can drop
+        // before returning (the s14/p17 discipline)
+        val rows = search.collect()
+        val out = s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), search.schema)
+        StreamingOps.deleteRecursively(new java.io.File(dir))
+        out
+      },
+      Some("WITH nn AS (SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(list_zip(embedding, embedding), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) AS nrm " +
+        "FROM embeddings), " +
+        "en AS (SELECT doc_id FROM documents WHERE lang = 'en'), " +
+        "p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+        "(a.nrm * b.nrm) AS cos FROM nn a JOIN nn b " +
+        "ON a.vec_id < 40 AND a.vec_id <> b.vec_id " +
+        "JOIN en e ON b.vec_id = e.doc_id), " +
+        "r AS (SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER " +
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk " +
+        "FROM p) SELECT query_id, neighbor_id, " +
+        "CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 4) AS cos, " +
+        "true AS advice_outgrown, true AS retrain_grew, " +
+        "(SELECT COUNT(*) FROM embeddings e JOIN documents d " +
+        "ON e.vec_id = d.doc_id) AS n_indexed " +
+        s"FROM r WHERE rnk <= $K ORDER BY query_id, rnk")),
+
     Q("s07_ann_recall",
       // The recall CONTRACT for every ANN variant, promoted from
       // SketchAccuracySpec into the oracle gate: the exact top-k (s01's
