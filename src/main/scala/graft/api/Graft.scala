@@ -1520,6 +1520,154 @@ object Graft {
       .filter(col("rnk") <= k)
   }
 
+  /** A built IVF-SQ8 index — the Faiss `IndexIVFScalarQuantizer` shape
+    * (r13 verdict item 3): the trained coarse quantizer gives the SQ
+    * family SUB-LINEAR candidate selection (s13's flat scan reads the
+    * whole corpus per query batch — measured 12.8–46 s at 5M), while
+    * the per-list codes keep SQ8's training-free encode: ingest never
+    * re-trains codebooks (there are none — `mx`/`q` are per-vector),
+    * so growing this index is assign + encode, exactly like
+    * [[ivfPqAppend]] but without even the frozen-codebook caveat.
+    *
+    *  - `cents` (list_id, centroid): the coarse quantizer (≤ 4√n rows
+    *    under [[deriveNlist]]).
+    *  - `enc` (idCol, list_id, mx, q, nrm): the [[sq8Encode]] codes +
+    *    norms, routed — 4× smaller than the float corpus; no raw
+    *    vectors (rerank re-joins the vector store by id). */
+  final case class IvfSqIndex(cents: DataFrame, enc: DataFrame,
+      idCol: String, nlist: Int, rows: Long = -1L)
+
+  /** Build an [[IvfSqIndex]]: sampled-Lloyd coarse centroids, then ONE
+    * corpus pass that assigns (broadcast argmax) and SQ8-encodes
+    * map-side. Zero-direction rows (mx = 0) are excluded, the
+    * [[sq8Encode]] convention. */
+  def ivfSqBuild(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 0, iters: Int = 2, trainPerList: Int = 128)
+      : IvfSqIndex = {
+    require(nlist >= 0 && iters >= 0 && trainPerList > 0,
+      s"ivfSqBuild(nlist=$nlist)")
+    val n = df.count()
+    val nl = math.max(1,
+      if (nlist > 0) nlist else deriveNlist(n))
+    val train = trainSample(df, idCol, nl.toLong * trainPerList, n)
+    val cents =
+      iterCheckpoint(kmeansCentroids(train, idCol, vecCol, nl, iters))
+    // encode first, then route the CODED rows with the codes carried
+    // through the assignment (one corpus pass end to end; carrying
+    // `nrm` recomputes the identical sqrt-dot — the documented
+    // assignToCentroids convention)
+    val enc = assignToCentroids(sq8Encode(df, idCol, vecCol), idCol,
+        vecCol, cents, nl, carry = Seq("mx", "q", "nrm"))
+      .select(col(idCol), col("list_id"), col("mx"), col("q"),
+        col("nrm"))
+    IvfSqIndex(cents, enc, idCol, nl, n)
+  }
+
+  /** Probe + scan + rerank against a built [[IvfSqIndex]] — the
+    * [[ivfPqSearch]] serving discipline with the int8 dot kernel in
+    * place of ADC: each query routes to its `nProbe` max-cosine lists
+    * ([[probeTopN]]), the candidate join is an EQUI-JOIN on the list id
+    * over the int8 codes (never a flat corpus scan — the s13 gap this
+    * exists to close), the per-query `shortlist` (default:
+    * [[deriveShortlist]]'s occupancy rule against the index's own row
+    * count) cuts on the approximate int-dot score, and the exact-cosine
+    * rerank re-joins the full-vector store by id.
+    *
+    * Two physical regimes by query-batch size, the [[ivfPqSearch]]
+    * switch: ≤ `broadcastQueries` broadcasts the probe rows into the
+    * candidate join; above it the probes SHUFFLE-join the codes on
+    * list_id and the shortlist cut is TWO-PHASE (rank within
+    * (list_id, query_id) first — a sort in the join's existing
+    * partitioning, zero new Exchange — so occupancy drops out of the
+    * one unbounded shuffle). The scan carries ONLY (query_id,
+    * neighbor_id, approx) into the shortlist window — the codes-only
+    * discipline; raw vectors re-join AFTER the cut. */
+  def ivfSqSearch(index: IvfSqIndex, queries: DataFrame, qidCol: String,
+      qvecCol: String, vectors: DataFrame, vecCol: String, k: Int,
+      nProbe: Int, shortlist: Int = 0,
+      broadcastQueries: Int = 4096): DataFrame = {
+    require(k > 0 && nProbe > 0 && broadcastQueries >= 0 &&
+        (shortlist == 0 || shortlist >= k),
+      s"ivfSqSearch(k=$k, shortlist=$shortlist, nProbe=$nProbe)")
+    val effShortlist =
+      if (shortlist > 0) shortlist
+      else deriveShortlist(
+        if (index.rows >= 0) index.rows else index.enc.count(),
+        index.nlist, k)
+    val q0 = sq8Encode(queries, qidCol, qvecCol)
+      .select(col(qidCol).as("query_id"), col(qvecCol).as("qe"),
+        col("nrm").as("qn"), col("mx").as("qmx"), col("q").as("qq"))
+    val probes = probeTopN(q0, "qe", Some("qn"), index.cents, nProbe,
+        nlistHint = index.nlist)
+      .select(col("query_id"), col("qn"), col("qmx"), col("qq"),
+        col("list_id"))
+    val probeLimit = (math.min(broadcastQueries.toLong, Int.MaxValue - 1L)
+      + 1L).toInt
+    val small =
+      queries.select(col(qidCol)).limit(probeLimit).count() <=
+        broadcastQueries
+    val approx = (graft.functions.VectorExpressions
+      .dotI32(col("qq"), col("q")).cast("double") *
+      col("qmx") * col("mx") / lit(16129.0) / (col("qn") * col("nrm")))
+      .as("approx")
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val short =
+      if (small)
+        broadcast(probes)
+          .join(index.enc, Seq("list_id"))
+          .filter(col("query_id") =!= col(index.idCol))
+          .select(col("query_id"), col(index.idCol).as("neighbor_id"),
+            approx)
+          .withColumn("srnk", row_number().over(wShort))
+          .filter(col("srnk") <= effShortlist)
+      else {
+        val wLocal = org.apache.spark.sql.expressions.Window
+          .partitionBy("list_id", "query_id")
+          .orderBy(col("approx").desc, col("neighbor_id"))
+        probes
+          .join(index.enc, Seq("list_id"))
+          .filter(col("query_id") =!= col(index.idCol))
+          .select(col("list_id"), col("query_id"),
+            col(index.idCol).as("neighbor_id"), approx)
+          // phase 1 is EXACT: a global top-shortlist candidate is in
+          // its own (query, list) top-shortlist under the same total
+          // order
+          .withColumn("lrnk", row_number().over(wLocal))
+          .filter(col("lrnk") <= effShortlist)
+          .select(col("query_id"), col("neighbor_id"), col("approx"))
+          .withColumn("srnk", row_number().over(wShort))
+          .filter(col("srnk") <= effShortlist)
+      }
+    val wFull = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val nvec = normalized(vectors, index.idCol, vecCol)
+    val qside = q0.select(col("query_id"), col("qe"), col("qn"))
+    short
+      .join(nvec, short("neighbor_id") === nvec(index.idCol))
+      .join(if (small) broadcast(qside) else qside, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qe"), col(vecCol)) /
+          (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(wFull).cast("bigint"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** IVF-SQ8 convenience — [[ivfSqBuild]] + [[ivfSqSearch]] in one call
+    * (the [[ivfPqTopK]] shape); long-lived deployments call the parts
+    * and amortize the build. */
+  def ivfSqTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, nlist: Int = 0, nProbe: Int = 4,
+      iters: Int = 2, shortlist: Int = 0,
+      trainPerList: Int = 128): DataFrame = {
+    val index = ivfSqBuild(df, idCol, vecCol, nlist, iters, trainPerList)
+    ivfSqSearch(index, df.filter(queryPred)
+        .select(col(idCol).as("query_id"), col(vecCol)),
+      "query_id", vecCol, df, vecCol, k, nProbe, shortlist)
+  }
+
   /** IVF-PQ approximate top-k — the Faiss IVFPQ composition ([[pqTopK]]'s
     * own Scaladoc promise): a TRAINED coarse quantizer cuts candidates
     * SUB-LINEARLY before the ADC scan, so neither the queries nor the
