@@ -208,6 +208,204 @@ object VecProbe {
           listing.unpersist()
         }
         index.cents.unpersist(); index.enc.unpersist()
+      case "ivfsqm" =>
+        // r14 (verdict item 3): IVF-SQ8 vs the flat SQ8 scan on the
+        // margin slice — recall@5 over a 64-query sample at nProbe in
+        // {16, 64, 256}, shortlist DERIVED (the occupancy rule, now the
+        // default), against s13's flat scan at the same derived
+        // shortlist. The claim to verify: the router buys the SQ
+        // family sub-linear candidates at recall >= the flat scan's.
+        val qPred = col("vec_id") < 64
+        val t0 = System.nanoTime()
+        val exact64 = graft.api.Graft
+          .cosineTopK(emb, "vec_id", "embedding", queryPred = qPred,
+            k = K)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(f"ivfsqm exact64 wall=" +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f n=${exact64.size}")
+        def recall64(listing: org.apache.spark.sql.DataFrame): Double = {
+          val ap = listing.filter(col("query_id") < 64)
+            .select(col("query_id"), col("neighbor_id"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          (ap & exact64).size.toDouble / exact64.size
+        }
+        val tB = System.nanoTime()
+        val built = graft.api.Graft.ivfSqBuild(emb, "vec_id",
+          "embedding")
+        val index = built.copy(
+          cents = built.cents.localCheckpoint(true),
+          enc = built.enc.localCheckpoint(true))
+        val derived = graft.api.Graft.deriveShortlist(n, index.nlist)
+        println(f"ivfsqm build wall=" +
+          f"${(System.nanoTime() - tB) / 1e9}%.1f nlist=${index.nlist} " +
+          s"derived_shortlist=$derived")
+        val q64 = emb.filter(qPred)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        for (nProbe <- Seq(16, 64, 256)) {
+          val walls = (1 to 2).map { _ =>
+            val t1 = System.nanoTime()
+            val listing = graft.api.Graft.ivfSqSearch(index, q64,
+              "query_id", "embedding", emb, "embedding", k = K,
+              nProbe = nProbe).localCheckpoint(true)
+            val r = recall64(listing)
+            listing.unpersist()
+            ((System.nanoTime() - t1) / 1e9, r)
+          }
+          println(f"ivfsqm s16 nProbe=$nProbe%-4d " +
+            f"probe_pct=${100.0 * nProbe / index.nlist}%5.2f " +
+            f"wall=${walls.map(_._1).min}%6.1f " +
+            f"recall=${walls.head._2}%.3f")
+        }
+        index.cents.unpersist(); index.enc.unpersist()
+        // flat-scan control at the SAME derived shortlist
+        val t2 = System.nanoTime()
+        val sq = graft.api.Graft.sqTopK(emb, "vec_id", "embedding",
+          queryPred = qPred, k = K, shortlist = derived)
+        println(f"ivfsqm s13 shortlist=$derived " +
+          f"wall=${(System.nanoTime() - t2) / 1e9}%6.1f " +
+          f"recall=${recall64(sq)}%.3f")
+
+      case "knnprobes" =>
+        // r14 (verdict item 2): annKnnJoin at the DERIVED probe width
+        // (deriveProbes' cluster-span rule, now the default) on the
+        // margin slice — the 5M-decade configuration that read 0.706
+        // at the old fixed probes = 4. Recall@5 on a 64-query sample.
+        val qPred = col("vec_id") < 64
+        val exact64 = graft.api.Graft
+          .cosineTopK(emb, "vec_id", "embedding", queryPred = qPred,
+            k = K)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val derivedP = graft.api.Graft.deriveProbes(nlist)
+        println(s"knnprobes nlist=$nlist derived_probes=$derivedP " +
+          s"n_exact=${exact64.size}")
+        val t1 = System.nanoTime()
+        val knn = graft.api.Graft.annKnnJoin(emb, "vec_id", "embedding",
+          k = K)
+        val ap = knn.filter(col("query_id") < 64)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(f"knnprobes s12 wall=" +
+          f"${(System.nanoTime() - t1) / 1e9}%6.1f " +
+          f"recall=${(ap & exact64).size.toDouble / exact64.size}%.3f")
+
+      case "pqdrift" =>
+        // r14 (verdict item 1): the r13 retrainIndex drift protocol on
+        // the SAVED IVF-PQ layout. Train-era = labels < 500; the
+        // drifted half ingests through ivfPqAppend (frozen quantizer +
+        // frozen codebooks — a distribution the trained state never
+        // saw); ivfPqIndexStats + maintenanceAdvice must read the
+        // outgrowth; one advice-driven ivfPqRetrain (rebuild + swap)
+        // restores. Recall measured for drifted vs historical query
+        // slices at each stage, UNFILTERED and FILTERED (payload
+        // predicate label % 2 = 0 — the filtered-retrieval arm the
+        // verdict names), probes through the pruneLists serving path.
+        require(emb.columns.contains("label"),
+          "pqdrift needs the margin slice (label = cluster id)")
+        val hist = emb.filter(col("label") < 500)
+        val drifted = emb.filter(col("label") >= 500)
+        val (nHist, nDrift) = (hist.count(), drifted.count())
+        val nlist0 = graft.api.Graft.deriveNlist(nHist)
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("vp-pqdrift").toString + "/idx"
+        val tB = System.nanoTime()
+        graft.api.Graft.ivfPqSave(
+          graft.api.Graft.ivfPqBuild(hist, "vec_id", "embedding",
+            dim = 64, nlist = nlist0, m = 8, ksub = 16,
+            payload = Seq("label")),
+          idxDir, buckets = 256)
+        println(f"pqdrift build+save wall=" +
+          f"${(System.nanoTime() - tB) / 1e9}%.1f " +
+          s"n_hist=$nHist n_drift=$nDrift nlist0=$nlist0")
+        def queries(src: org.apache.spark.sql.DataFrame, nSrc: Long)
+            : org.apache.spark.sql.DataFrame = src
+          .filter(pmod(col("vec_id"), lit(math.max(1L, nSrc / 64))) === 0)
+          .limit(64)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+          .localCheckpoint(true)
+        val qHist = queries(hist, nHist)
+        val qDrift = queries(drifted, nDrift)
+        def exactOf(q: org.apache.spark.sql.DataFrame,
+            corpus: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+          val ids = q.select("query_id").collect().map(_.getLong(0)).toSet
+          graft.api.Graft.cosineTopK(corpus, "vec_id", "embedding",
+              queryPred = col("vec_id").isin(ids.toSeq: _*), k = K)
+            .select("query_id", "neighbor_id")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
+        // ground truth scoped to the corpus the index holds at probe
+        // time (hist-only pre-drift), and to the FILTER for the
+        // filtered arm
+        val exHistPre = exactOf(qHist, hist)
+        val exHist = exactOf(qHist, emb)
+        val exDrift = exactOf(qDrift, emb)
+        val exHistF = exactOf(qHist, emb.filter(col("label") % 2 === 0))
+        val exDriftF = exactOf(qDrift, emb.filter(col("label") % 2 === 0))
+        def probe(tag: String, q: org.apache.spark.sql.DataFrame,
+            truth: Set[(Long, Long)], nProbe: Int,
+            filt: Option[org.apache.spark.sql.Column]): Unit = {
+          val idx = graft.api.Graft.ivfPqLoad(spark, idxDir)
+          val walls = (1 to 2).map { _ =>
+            val t = System.nanoTime()
+            val got = graft.api.Graft.ivfPqSearch(idx, q, "query_id",
+                "embedding", emb, "embedding", k = K, nProbe = nProbe,
+                pruneLists = true, filter = filt)
+              .select("query_id", "neighbor_id")
+              .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+            ((System.nanoTime() - t) / 1e9,
+              (got & truth).size.toDouble / truth.size)
+          }
+          println(f"pqdrift probe $tag nProbe=$nProbe " +
+            f"wall=${walls.map(_._1).min}%.2f " +
+            f"recall=${walls.head._2}%.3f")
+        }
+        def stage(tag: String): Unit = {
+          val s1 = graft.api.Graft.ivfPqIndexStats(spark, idxDir)
+          val adv = graft.api.Graft.maintenanceAdvice(s1)
+          println(f"pqdrift stats $tag rows=${s1.rows} " +
+            f"lists=${s1.lists} mean=${s1.occMean}%.0f p99=${s1.occP99} " +
+            s"files=${s1.dataFiles} target=${s1.targetNlist} " +
+            s"quant=${s1.quantizerLists.getOrElse(-1)} " +
+            s"advice=[compact=${adv.compact} outgrown=${adv.outgrown} " +
+            s"skewed=${adv.skewed}]")
+        }
+        stage("post-build")
+        for (np <- Seq(4, 16)) probe("hist pre-drift ", qHist,
+          exHistPre, np, None)
+        // drifted ingest in 10 frozen appends (the batch cadence)
+        val tI = System.nanoTime()
+        (0 until 10).foreach { i =>
+          graft.api.Graft.ivfPqAppend(spark, idxDir,
+            drifted.filter(pmod(col("vec_id"), lit(10)) === i),
+            "embedding")
+        }
+        println(f"pqdrift ingest wall=" +
+          f"${(System.nanoTime() - tI) / 1e9}%.1f (10 appends)")
+        stage("post-drift-frozen")
+        for (np <- Seq(4, 16)) {
+          probe("hist  frozen   ", qHist, exHist, np, None)
+          probe("drift frozen   ", qDrift, exDrift, np, None)
+          probe("driftF frozen  ", qDrift, exDriftF, np,
+            Some(col("label") % 2 === 0))
+        }
+        val tR = System.nanoTime()
+        val rt = graft.api.Graft.ivfPqRetrain(spark, idxDir, emb,
+          "embedding")
+        println(f"pqdrift retrain wall=" +
+          f"${(System.nanoTime() - tR) / 1e9}%.1f rows=${rt.rows} " +
+          s"nlist=${rt.nlistBefore}->${rt.nlistAfter} " +
+          s"files=${rt.filesBefore}->${rt.filesAfter}")
+        stage("post-retrain")
+        for (np <- Seq(4, 16)) {
+          probe("hist  retrained", qHist, exHist, np, None)
+          probe("drift retrained", qDrift, exDrift, np, None)
+          probe("driftF retrained", qDrift, exDriftF, np,
+            Some(col("label") % 2 === 0))
+        }
+        graft.ops.StreamingOps.deleteRecursively(
+          new java.io.File(idxDir).getParentFile)
+
       case "recallm" =>
         // Margin-slice recall sweep (r11 verdict item 2): deployment
         // probe fractions on data with real cluster structure
