@@ -1535,7 +1535,7 @@ object Graft {
     *    norms, routed — 4× smaller than the float corpus; no raw
     *    vectors (rerank re-joins the vector store by id). */
   final case class IvfSqIndex(cents: DataFrame, enc: DataFrame,
-      idCol: String, nlist: Int, rows: Long = -1L)
+      idCol: String, nlist: Int, rows: Long = -1L, buckets: Int = 0)
 
   /** Build an [[IvfSqIndex]]: sampled-Lloyd coarse centroids, then ONE
     * corpus pass that assigns (broadcast argmax) and SQ8-encodes
@@ -1585,7 +1585,14 @@ object Graft {
   def ivfSqSearch(index: IvfSqIndex, queries: DataFrame, qidCol: String,
       qvecCol: String, vectors: DataFrame, vecCol: String, k: Int,
       nProbe: Int, shortlist: Int = 0,
-      broadcastQueries: Int = 4096): DataFrame = {
+      broadcastQueries: Int = 4096,
+      pruneLists: Boolean = false): DataFrame = {
+    // pruneLists: the serving path for a LOADED index ([[ivfSqLoad]]) —
+    // same semantics and same eager-pin discipline as
+    // [[ivfPqSearch]]'s: the batch's distinct probed list ids are
+    // collected from PINNED probe rows and pushed as filters, so a
+    // bucket-partitioned codes layout partition-prunes to the probed
+    // lists' buckets.
     require(k > 0 && nProbe > 0 && broadcastQueries >= 0 &&
         (shortlist == 0 || shortlist >= k),
       s"ivfSqSearch(k=$k, shortlist=$shortlist, nProbe=$nProbe)")
@@ -1597,10 +1604,23 @@ object Graft {
     val q0 = sq8Encode(queries, qidCol, qvecCol)
       .select(col(qidCol).as("query_id"), col(qvecCol).as("qe"),
         col("nrm").as("qn"), col("mx").as("qmx"), col("q").as("qq"))
-    val probes = probeTopN(q0, "qe", Some("qn"), index.cents, nProbe,
+    val probes0 = probeTopN(q0, "qe", Some("qn"), index.cents, nProbe,
         nlistHint = index.nlist)
       .select(col("query_id"), col("qn"), col("qmx"), col("qq"),
         col("list_id"))
+    val probes =
+      if (!pruneLists) probes0 else probes0.localCheckpoint(true)
+    val encSide =
+      if (!pruneLists) index.enc
+      else {
+        val ids = probes.select("list_id").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val byList = index.enc.filter(col("list_id").isin(ids: _*))
+        if (index.buckets > 0)
+          byList.filter(col("bucket").isin(
+            ids.map(_ % index.buckets).distinct: _*))
+        else byList
+      }
     val probeLimit = (math.min(broadcastQueries.toLong, Int.MaxValue - 1L)
       + 1L).toInt
     val small =
@@ -1616,7 +1636,7 @@ object Graft {
     val short =
       if (small)
         broadcast(probes)
-          .join(index.enc, Seq("list_id"))
+          .join(encSide, Seq("list_id"))
           .filter(col("query_id") =!= col(index.idCol))
           .select(col("query_id"), col(index.idCol).as("neighbor_id"),
             approx)
@@ -1627,7 +1647,7 @@ object Graft {
           .partitionBy("list_id", "query_id")
           .orderBy(col("approx").desc, col("neighbor_id"))
         probes
-          .join(index.enc, Seq("list_id"))
+          .join(encSide, Seq("list_id"))
           .filter(col("query_id") =!= col(index.idCol))
           .select(col("list_id"), col("query_id"),
             col(index.idCol).as("neighbor_id"), approx)
@@ -1666,6 +1686,60 @@ object Graft {
     ivfSqSearch(index, df.filter(queryPred)
         .select(col(idCol).as("query_id"), col(vecCol)),
       "query_id", vecCol, df, vecCol, k, nProbe, shortlist)
+  }
+
+  /** Persist an [[IvfSqIndex]] under `dir` — the [[ivfPqSave]]
+    * deployment shape for the SQ family: centroids + a one-row meta
+    * frame (tiny), codes hive-partitioned by
+    * `bucket = pmod(list_id, buckets)` and sorted by list_id within
+    * each partition so a loaded index's `pruneLists` probe
+    * partition-prunes and row-group-skips to the probed lists. Same
+    * write-into-temp + swap atomicity as [[ivfPqSave]] (a mid-save
+    * failure can never leave new codes under old meta). */
+  def ivfSqSave(index: IvfSqIndex, dir: String, buckets: Int = 64): Unit = {
+    require(buckets > 0, s"ivfSqSave(buckets=$buckets)")
+    val s = index.cents.sparkSession
+    import s.implicits._
+    val hconf = s.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(target.getParent,
+      target.getName + ".tmp-" +
+        java.util.UUID.randomUUID().toString.take(8))
+    try {
+      index.enc
+        .withColumn("bucket", pmod(col("list_id"), lit(buckets)))
+        .repartition(col("bucket"))
+        .sortWithinPartitions("bucket", "list_id")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$tmp/codes.parquet")
+      index.cents.write.mode("overwrite").parquet(s"$tmp/cents.parquet")
+      // meta LAST — the in-temp commit marker, the ivfPqSave discipline
+      Seq((index.idCol, index.nlist, buckets, index.rows))
+        .toDF("id_col", "nlist", "buckets", "rows")
+        .write.mode("overwrite").parquet(s"$tmp/meta.parquet")
+    } catch { case e: Throwable =>
+      try fs.delete(tmp, true)
+      catch { case c: Throwable => e.addSuppressed(c) }
+      throw e
+    }
+    if (fs.exists(target) && !fs.delete(target, true))
+      throw new java.io.IOException(s"ivfSqSave: cannot replace $dir")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(
+        s"ivfSqSave: rename $tmp -> $dir failed (old index removed; " +
+          "the complete new index remains at the temp path)")
+  }
+
+  /** Restore an [[ivfSqSave]]d index (codes keep their `bucket`
+    * partition column — what makes `pruneLists` partition-prune). */
+  def ivfSqLoad(spark: SparkSession, dir: String): IvfSqIndex = {
+    val meta = spark.read.parquet(s"$dir/meta.parquet").head()
+    IvfSqIndex(
+      cents = spark.read.parquet(s"$dir/cents.parquet"),
+      enc = spark.read.parquet(s"$dir/codes.parquet"),
+      idCol = meta.getString(0), nlist = meta.getInt(1),
+      buckets = meta.getInt(2), rows = meta.getLong(3))
   }
 
   /** IVF-PQ approximate top-k — the Faiss IVFPQ composition ([[pqTopK]]'s
