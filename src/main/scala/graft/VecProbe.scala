@@ -257,7 +257,12 @@ object VecProbe {
             f"wall=${walls.map(_._1).min}%6.1f " +
             f"recall=${walls.head._2}%.3f")
         }
-        index.cents.unpersist(); index.enc.unpersist()
+        // ListingCache.release, not unpersist: unpersist is the
+        // documented no-op on localCheckpointed frames (the r13 ADVICE
+        // class) — at the 5M slice the pinned codes would otherwise
+        // stay resident through every later arm
+        graft.ops.ListingCache.release(index.cents)
+        graft.ops.ListingCache.release(index.enc)
         // flat-scan control at the SAME derived shortlist
         val t2 = System.nanoTime()
         val sq = graft.api.Graft.sqTopK(emb, "vec_id", "embedding",
@@ -403,6 +408,8 @@ object VecProbe {
           probe("driftF retrained", qDrift, exDriftF, np,
             Some(col("label") % 2 === 0))
         }
+        graft.ops.ListingCache.release(qHist)
+        graft.ops.ListingCache.release(qDrift)
         graft.ops.StreamingOps.deleteRecursively(
           new java.io.File(idxDir).getParentFile)
 
@@ -457,7 +464,8 @@ object VecProbe {
             f"wall=${(System.nanoTime() - t1) / 1e9}%6.1f recall=$r%.3f")
           listing.unpersist()
         }
-        index.cents.unpersist(); index.enc.unpersist()
+        graft.ops.ListingCache.release(index.cents)
+        graft.ops.ListingCache.release(index.enc)
         val t2 = System.nanoTime()
         val sq = graft.api.Graft.sqTopK(emb, "vec_id", "embedding",
           queryPred = qPred, k = K, shortlist = shortlist)

@@ -1608,71 +1608,22 @@ object Graft {
         nlistHint = index.nlist)
       .select(col("query_id"), col("qn"), col("qmx"), col("qq"),
         col("list_id"))
-    val probes =
-      if (!pruneLists) probes0 else probes0.localCheckpoint(true)
-    val encSide =
-      if (!pruneLists) index.enc
-      else {
-        val ids = probes.select("list_id").distinct()
-          .collect().map(_.getInt(0)).toSeq
-        val byList = index.enc.filter(col("list_id").isin(ids: _*))
-        if (index.buckets > 0)
-          byList.filter(col("bucket").isin(
-            ids.map(_ % index.buckets).distinct: _*))
-        else byList
-      }
+    // the shared serving tail ([[pruneToProbedLists]]/[[shortlistCut]]/
+    // [[exactRerank]]) with the int8 dot kernel as the score
+    val (probes, encSide) = pruneToProbedLists(probes0, index.enc,
+      index.buckets, pruneLists)
     val probeLimit = (math.min(broadcastQueries.toLong, Int.MaxValue - 1L)
       + 1L).toInt
     val small =
       queries.select(col(qidCol)).limit(probeLimit).count() <=
         broadcastQueries
-    val approx = (graft.functions.VectorExpressions
+    val approx = graft.functions.VectorExpressions
       .dotI32(col("qq"), col("q")).cast("double") *
-      col("qmx") * col("mx") / lit(16129.0) / (col("qn") * col("nrm")))
-      .as("approx")
-    val wShort = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(col("approx").desc, col("neighbor_id"))
-    val short =
-      if (small)
-        broadcast(probes)
-          .join(encSide, Seq("list_id"))
-          .filter(col("query_id") =!= col(index.idCol))
-          .select(col("query_id"), col(index.idCol).as("neighbor_id"),
-            approx)
-          .withColumn("srnk", row_number().over(wShort))
-          .filter(col("srnk") <= effShortlist)
-      else {
-        val wLocal = org.apache.spark.sql.expressions.Window
-          .partitionBy("list_id", "query_id")
-          .orderBy(col("approx").desc, col("neighbor_id"))
-        probes
-          .join(encSide, Seq("list_id"))
-          .filter(col("query_id") =!= col(index.idCol))
-          .select(col("list_id"), col("query_id"),
-            col(index.idCol).as("neighbor_id"), approx)
-          // phase 1 is EXACT: a global top-shortlist candidate is in
-          // its own (query, list) top-shortlist under the same total
-          // order
-          .withColumn("lrnk", row_number().over(wLocal))
-          .filter(col("lrnk") <= effShortlist)
-          .select(col("query_id"), col("neighbor_id"), col("approx"))
-          .withColumn("srnk", row_number().over(wShort))
-          .filter(col("srnk") <= effShortlist)
-      }
-    val wFull = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    val nvec = normalized(vectors, index.idCol, vecCol)
-    val qside = q0.select(col("query_id"), col("qe"), col("qn"))
-    short
-      .join(nvec, short("neighbor_id") === nvec(index.idCol))
-      .join(if (small) broadcast(qside) else qside, Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qe"), col(vecCol)) /
-          (col("qn") * col("nrm"))).as("cos"))
-      .withColumn("rnk", row_number().over(wFull).cast("bigint"))
-      .filter(col("rnk") <= k)
+      col("qmx") * col("mx") / lit(16129.0) / (col("qn") * col("nrm"))
+    val short = shortlistCut(probes, encSide, index.idCol, approx,
+      effShortlist, small)
+    exactRerank(short, vectors, index.idCol, vecCol,
+      q0.select(col("query_id"), col("qe"), col("qn")), k, small)
   }
 
   /** IVF-SQ8 convenience — [[ivfSqBuild]] + [[ivfSqSearch]] in one call
@@ -1700,35 +1651,10 @@ object Graft {
     require(buckets > 0, s"ivfSqSave(buckets=$buckets)")
     val s = index.cents.sparkSession
     import s.implicits._
-    val hconf = s.sparkContext.hadoopConfiguration
-    val target = new org.apache.hadoop.fs.Path(dir)
-    val fs = target.getFileSystem(hconf)
-    val tmp = new org.apache.hadoop.fs.Path(target.getParent,
-      target.getName + ".tmp-" +
-        java.util.UUID.randomUUID().toString.take(8))
-    try {
-      index.enc
-        .withColumn("bucket", pmod(col("list_id"), lit(buckets)))
-        .repartition(col("bucket"))
-        .sortWithinPartitions("bucket", "list_id")
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$tmp/codes.parquet")
-      index.cents.write.mode("overwrite").parquet(s"$tmp/cents.parquet")
-      // meta LAST — the in-temp commit marker, the ivfPqSave discipline
-      Seq((index.idCol, index.nlist, buckets, index.rows))
-        .toDF("id_col", "nlist", "buckets", "rows")
-        .write.mode("overwrite").parquet(s"$tmp/meta.parquet")
-    } catch { case e: Throwable =>
-      try fs.delete(tmp, true)
-      catch { case c: Throwable => e.addSuppressed(c) }
-      throw e
-    }
-    if (fs.exists(target) && !fs.delete(target, true))
-      throw new java.io.IOException(s"ivfSqSave: cannot replace $dir")
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(
-        s"ivfSqSave: rename $tmp -> $dir failed (old index removed; " +
-          "the complete new index remains at the temp path)")
+    saveIndexDir("ivfSqSave", dir, buckets, codes = index.enc,
+      extras = Seq("cents.parquet" -> index.cents),
+      meta = Seq((index.idCol, index.nlist, buckets, index.rows))
+        .toDF("id_col", "nlist", "buckets", "rows"))
   }
 
   /** Restore an [[ivfSqSave]]d index (codes keep their `bucket`
@@ -1977,51 +1903,43 @@ object Graft {
     * a few dozen bytes per vector); size `buckets` to the serving
     * batch's probed-list count — more buckets prune sharper but write
     * more files. */
-  def ivfPqSave(index: IvfPqIndex, dir: String, buckets: Int = 64): Unit = {
-    require(buckets > 0, s"ivfPqSave(buckets=$buckets)")
-    val s = index.cents.sparkSession
-    import s.implicits._
-    // Write-into-temp, swap-at-the-end: the sub-frames write
-    // independently, so writing in place would let a mid-save failure
-    // leave NEW codes under OLD meta (or vice versa) — a later
-    // ivfPqLoad + pruneLists would then filter on bucket = id % the
-    // WRONG modulus and silently drop whole probed lists (r12 advice).
-    // With the swap, the failure window leaves either the intact old
-    // index or NO directory — a load can fail loudly but never read a
-    // torn one.
+  /** The shared persistence skeleton of [[ivfPqSave]]/[[ivfSqSave]]:
+    * write-into-temp, swap-at-the-end. The sub-frames write
+    * independently, so writing in place would let a mid-save failure
+    * leave NEW codes under OLD meta (or vice versa) — a later load +
+    * pruneLists would then filter on bucket = id % the WRONG modulus
+    * and silently drop whole probed lists (r12 advice). With the swap,
+    * the failure window leaves either the intact old index or NO
+    * directory — a load can fail loudly but never read a torn one.
+    * The temp tree is a SIBLING of the target composed from the
+    * normalized Path (string concatenation on a trailing-slash dir
+    * would nest it INSIDE the target and the pre-rename delete would
+    * destroy both — r13 review). Codes sort by (bucket, list_id): the
+    * partition column leads, so the write inserts no sort of its own
+    * and the intra-bucket list_id order the row-group-skip needs
+    * survives (r12 advice). Meta writes LAST — the commit marker
+    * within the temp tree. ONE implementation so a fix to either save
+    * path cannot silently miss its twin (r14 review). */
+  private def saveIndexDir(opName: String, dir: String, buckets: Int,
+      codes: DataFrame, extras: Seq[(String, DataFrame)],
+      meta: DataFrame): Unit = {
+    val s = codes.sparkSession
     val hconf = s.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(dir)
     val fs = target.getFileSystem(hconf)
-    // the temp tree must be a SIBLING of the target, composed from the
-    // normalized Path — string concatenation on a trailing-slash `dir`
-    // nests it INSIDE the target and the pre-rename delete would then
-    // destroy both the old index and the freshly written new one
-    // (r13 review)
     val tmp = new org.apache.hadoop.fs.Path(target.getParent,
       target.getName + ".tmp-" +
         java.util.UUID.randomUUID().toString.take(8))
     try {
-      // codes: sortWithinPartitions by (bucket, list_id) — the write's
-      // required ordering on the partition column is then satisfied by
-      // PREFIX, so Spark inserts no sort of its own (a bare list_id sort
-      // would be followed by a planner-inserted, not-guaranteed-stable
-      // sort on bucket that forfeits the intra-bucket list_id order the
-      // row-group-skip property needs — r12 advice).
-      index.enc
+      codes
         .withColumn("bucket", pmod(col("list_id"), lit(buckets)))
         .repartition(col("bucket"))
         .sortWithinPartitions("bucket", "list_id")
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$tmp/codes.parquet")
-      index.cents.write.mode("overwrite").parquet(s"$tmp/cents.parquet")
-      index.lookup.write.mode("overwrite").parquet(s"$tmp/lookup.parquet")
-      // meta LAST — the commit marker within the temp dir: a temp tree
-      // missing meta is visibly incomplete even if the swap below is
-      // interrupted between delete and rename.
-      Seq((index.idCol, index.nlist, index.dim, index.m, index.ksub,
-        buckets, index.rows))
-        .toDF("id_col", "nlist", "dim", "m", "ksub", "buckets", "rows")
-        .write.mode("overwrite").parquet(s"$tmp/meta.parquet")
+      extras.foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$tmp/$name") }
+      meta.write.mode("overwrite").parquet(s"$tmp/meta.parquet")
     } catch { case e: Throwable =>
       // a failed WRITE leaves known-incomplete data — clean it up (a
       // failed RENAME below deliberately keeps the tmp tree: it is
@@ -2033,11 +1951,33 @@ object Graft {
       throw e
     }
     if (fs.exists(target) && !fs.delete(target, true))
-      throw new java.io.IOException(s"ivfPqSave: cannot replace $dir")
+      throw new java.io.IOException(s"$opName: cannot replace $dir")
     if (!fs.rename(tmp, target))
       throw new java.io.IOException(
-        s"ivfPqSave: rename $tmp -> $dir failed (old index removed; " +
+        s"$opName: rename $tmp -> $dir failed (old index removed; " +
           "the complete new index remains at the temp path)")
+  }
+
+  def ivfPqSave(index: IvfPqIndex, dir: String, buckets: Int = 64,
+      vectorsPerList: Int = 400, sqrtFactor: Double = 4.0): Unit = {
+    // `vectorsPerList`/`sqrtFactor`: the deriveNlist rule this
+    // deployment sizes with, persisted in the meta frame so
+    // [[ivfPqIndexStats]]' outgrown trigger and [[ivfPqRetrain]]'s
+    // width re-derivation default to the SAME rule the index was
+    // built with (the saveQuantizer-sidecar discipline, applied to the
+    // saved layout — r14 review).
+    require(buckets > 0 && vectorsPerList > 0 && sqrtFactor > 0,
+      s"ivfPqSave(buckets=$buckets, vectorsPerList=$vectorsPerList, " +
+        s"sqrtFactor=$sqrtFactor)")
+    val s = index.cents.sparkSession
+    import s.implicits._
+    saveIndexDir("ivfPqSave", dir, buckets, codes = index.enc,
+      extras = Seq("cents.parquet" -> index.cents,
+        "lookup.parquet" -> index.lookup),
+      meta = Seq((index.idCol, index.nlist, index.dim, index.m,
+        index.ksub, buckets, index.rows, vectorsPerList, sqrtFactor))
+        .toDF("id_col", "nlist", "dim", "m", "ksub", "buckets", "rows",
+          "vectors_per_list", "sqrt_factor"))
   }
 
   /** Restore an [[ivfPqSave]]d index. The codes frame keeps its
@@ -2046,19 +1986,36 @@ object Graft {
   def ivfPqLoad(spark: SparkSession, dir: String): IvfPqIndex = {
     val metaDf = spark.read.parquet(s"$dir/meta.parquet")
     val meta = metaDf.head()
-    // `rows` shipped in r14 — a pre-r14 index loads as unknown (-1)
-    // and the search's default-shortlist derivation counts the codes
+    val enc = spark.read.parquet(s"$dir/codes.parquet")
+    // `rows` shipped in r14 — a pre-r14 index resolves it ONCE here
+    // (a parquet footer count), never per search call: the default-
+    // shortlist derivation reads index.rows on every ivfPqSearch, and
+    // a per-call count would put an O(files) job in front of every
+    // pruned serving probe (r14 review)
     val rows =
       if (metaDf.columns.contains("rows"))
         meta.getLong(metaDf.columns.indexOf("rows"))
-      else -1L
+      else enc.count()
     IvfPqIndex(
       cents = spark.read.parquet(s"$dir/cents.parquet"),
-      enc = spark.read.parquet(s"$dir/codes.parquet"),
+      enc = enc,
       lookup = spark.read.parquet(s"$dir/lookup.parquet"),
       idCol = meta.getString(0), nlist = meta.getInt(1),
       dim = meta.getInt(2), m = meta.getInt(3), ksub = meta.getInt(4),
       buckets = meta.getInt(5), rows = rows)
+  }
+
+  /** The persisted deriveNlist rule of a saved index ([[ivfPqSave]]'s
+    * meta columns) — defaults for pre-r14 saves. */
+  private def pqSavedDerivation(spark: SparkSession, dir: String)
+      : (Int, Double) = {
+    val metaDf = spark.read.parquet(s"$dir/meta.parquet")
+    if (!metaDf.columns.contains("vectors_per_list")) (400, 4.0)
+    else {
+      val meta = metaDf.head()
+      (meta.getInt(metaDf.columns.indexOf("vectors_per_list")),
+        meta.getDouble(metaDf.columns.indexOf("sqrt_factor")))
+    }
   }
 
   // ------------------------------------------------------------------
@@ -2109,9 +2066,7 @@ object Graft {
         s"${missing.mkString(", ")} (index schema: id=${idx.idCol}, " +
         s"payload=${payload.mkString(", ")})")
     val n = batch.count()
-    // resolve the pre-append count FIRST (a pre-r14 index has no
-    // recorded rows — one codes count, after which it does)
-    val rowsBefore = if (idx.rows >= 0) idx.rows else idx.enc.count()
+    var rowsAfter = idx.rows
     if (n > 0) {
       pqEncodeAgainst(batch, idx.idCol, vecCol, idx.cents, idx.lookup,
           idx.dim, idx.m, idx.ksub, idx.nlist, payload)
@@ -2120,9 +2075,18 @@ object Graft {
         .sortWithinPartitions("bucket", "list_id")
         .write.mode("append").partitionBy("bucket")
         .parquet(s"$dir/codes.parquet")
-      rewritePqMetaRows(spark, dir, idx, rowsBefore + n)
+      // the persisted count is RECOUNTED from the committed codes
+      // (parquet footer metadata — one bounded job), never derived
+      // from the possibly-stale meta: a crash between a previous
+      // append's codes commit and its meta rewrite would otherwise
+      // undercount forever, and every default-shortlist search would
+      // silently derive from the undercount (r14 review). The recount
+      // makes the meta SELF-HEALING — the next append fixes any stale
+      // value.
+      rowsAfter = spark.read.parquet(s"$dir/codes.parquet").count()
+      rewritePqMetaRows(spark, dir, idx, rowsAfter)
     }
-    PqAppendStats(n, rowsBefore + n, pqCodeFiles(spark, dir))
+    PqAppendStats(n, rowsAfter, pqCodeFiles(spark, dir))
   }
 
   /** Point-in-time health of a SAVED IVF-PQ index — the same decision
@@ -2134,10 +2098,20 @@ object Graft {
     * derived width; occupancy skew reads drift even before that.
     * `pendingTombstones` is 0 (the codes layout has no tombstone
     * channel — deletes on the serving store are the table layout's
-    * job). Cost: one codes scan (groupBy list_id) + a file listing. */
+    * job). Cost: one codes scan (groupBy list_id) + a file listing.
+    *
+    * `vectorsPerList`/`sqrtFactor` = 0 (the defaults) read the rule
+    * PERSISTED at [[ivfPqSave]] time — an index sized with a
+    * non-default rule gets its outgrown trigger calibrated to its own
+    * rule without every ops caller having to know it (r14 review; the
+    * same fix the table layout's sidecar applies). Pass explicit
+    * values to override. */
   def ivfPqIndexStats(spark: SparkSession, dir: String,
-      vectorsPerList: Int = 400, sqrtFactor: Double = 4.0): IndexStats = {
+      vectorsPerList: Int = 0, sqrtFactor: Double = 0.0): IndexStats = {
     val idx = ivfPqLoad(spark, dir)
+    val (pVpl, pSf) = pqSavedDerivation(spark, dir)
+    val vpl = if (vectorsPerList > 0) vectorsPerList else pVpl
+    val sf = if (sqrtFactor > 0) sqrtFactor else pSf
     val occ = idx.enc.groupBy(col("list_id")).count()
       .agg(count(lit(1)).as("lists"),
         coalesce(sum("count"), lit(0L)).as("rows"),
@@ -2151,8 +2125,7 @@ object Graft {
       lists = occ.getLong(0), occMean = occ.getDouble(2),
       occP99 = occ.getLong(3), occMax = occ.getLong(4),
       pendingTombstones = 0L, quantizerLists = Some(idx.nlist),
-      targetNlist = deriveNlist(occ.getLong(1), vectorsPerList,
-        sqrtFactor),
+      targetNlist = deriveNlist(occ.getLong(1), vpl, sf),
       generation = new org.apache.hadoop.fs.Path(dir).getName)
   }
 
@@ -2169,11 +2142,14 @@ object Graft {
     require(idx.buckets > 0,
       s"ivfPqCompact($dir): saved index has no bucket layout")
     val before = pqCodeFiles(spark, dir)
-    val rows = if (idx.rows >= 0) idx.rows else idx.enc.count()
+    // RECOUNT, never trust the loaded meta: a crash-orphaned stale
+    // count must not be re-persisted forward (r14 review)
+    val rows = idx.enc.count()
+    val (vpl, sf) = pqSavedDerivation(spark, dir)
     // drop the partition column before re-saving: ivfPqSave re-derives
     // it, and a duplicate `bucket` would collide
     ivfPqSave(idx.copy(enc = idx.enc.drop("bucket"), rows = rows),
-      dir, idx.buckets)
+      dir, idx.buckets, vpl, sf)
     CompactionStats(rows, before, pqCodeFiles(spark, dir))
   }
 
@@ -2198,11 +2174,17 @@ object Graft {
     * new generation on their next [[ivfPqLoad]]. */
   def ivfPqRetrain(spark: SparkSession, dir: String, vectors: DataFrame,
       vecCol: String, nlist: Int = 0, iters: Int = 2,
-      trainPerList: Int = 128, vectorsPerList: Int = 400,
-      sqrtFactor: Double = 4.0): PqRetrainStats = {
+      trainPerList: Int = 128, vectorsPerList: Int = 0,
+      sqrtFactor: Double = 0.0): PqRetrainStats = {
+    // vectorsPerList/sqrtFactor = 0: re-derive under the rule PERSISTED
+    // at save time (see [[ivfPqIndexStats]]) and re-persist it with the
+    // rebuilt index, so the sizing rule survives every retrain cycle
     require(nlist >= 0 && iters >= 0 && trainPerList > 0,
       s"ivfPqRetrain($dir, nlist=$nlist)")
     val old = ivfPqLoad(spark, dir)
+    val (pVpl, pSf) = pqSavedDerivation(spark, dir)
+    val vpl = if (vectorsPerList > 0) vectorsPerList else pVpl
+    val sf = if (sqrtFactor > 0) sqrtFactor else pSf
     val payload = pqPayloadCols(old)
     val missing = (old.idCol +: vecCol +: payload)
       .filterNot(vectors.columns.contains)
@@ -2213,10 +2195,10 @@ object Graft {
     val filesBefore = pqCodeFiles(spark, dir)
     val n = vectors.count()
     val nl = math.max(1,
-      if (nlist > 0) nlist else deriveNlist(n, vectorsPerList, sqrtFactor))
+      if (nlist > 0) nlist else deriveNlist(n, vpl, sf))
     val rebuilt = ivfPqBuild(vectors, old.idCol, vecCol, old.dim, nl,
       old.m, old.ksub, iters, trainPerList, payload)
-    ivfPqSave(rebuilt, dir, old.buckets)
+    ivfPqSave(rebuilt, dir, old.buckets, vpl, sf)
     PqRetrainStats(n, old.nlist, nl, filesBefore,
       pqCodeFiles(spark, dir))
   }
@@ -2248,15 +2230,25 @@ object Graft {
       idx: IvfPqIndex, rows: Long): Unit = {
     val s = spark
     import s.implicits._
+    val (vpl, sf) = pqSavedDerivation(spark, dir)
     val target = new org.apache.hadoop.fs.Path(s"$dir/meta.parquet")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(target.getParent,
       target.getName + ".tmp-" +
         java.util.UUID.randomUUID().toString.take(8))
-    Seq((idx.idCol, idx.nlist, idx.dim, idx.m, idx.ksub, idx.buckets,
-      rows))
-      .toDF("id_col", "nlist", "dim", "m", "ksub", "buckets", "rows")
-      .write.mode("overwrite").parquet(tmp.toString)
+    try {
+      Seq((idx.idCol, idx.nlist, idx.dim, idx.m, idx.ksub, idx.buckets,
+        rows, vpl, sf))
+        .toDF("id_col", "nlist", "dim", "m", "ksub", "buckets", "rows",
+          "vectors_per_list", "sqrt_factor")
+        .write.mode("overwrite").parquet(tmp.toString)
+    } catch { case e: Throwable =>
+      // a failed WRITE must not strand tmp junk inside the index dir
+      // (the ivfPqSave cleanup discipline)
+      try fs.delete(tmp, true)
+      catch { case c: Throwable => e.addSuppressed(c) }
+      throw e
+    }
     if (fs.exists(target) && !fs.delete(target, true))
       throw new java.io.IOException(
         s"ivfPqAppend: cannot replace $target")
@@ -2668,11 +2660,23 @@ object Graft {
       val content =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      val vpl = """"vectorsPerList"\s*:\s*([0-9]+)""".r
-        .findFirstMatchIn(content).map(_.group(1).toInt)
-      val sf = """"sqrtFactor"\s*:\s*([0-9.]+)""".r
-        .findFirstMatchIn(content).map(_.group(1).toDouble)
-      (vpl.getOrElse(400), sf.getOrElse(4.0))
+      // value-shaped token up to the next JSON delimiter, parsed with
+      // toInt/toDouble — a digits-and-dots regex would silently
+      // TRUNCATE scientific-notation doubles (1.0E-3 -> "1.0", a
+      // 1000x different rule with no error: the exact silent
+      // miscalibration this sidecar exists to eliminate), and a
+      // malformed sidecar must fail LOUDLY, not fall back (r14 review)
+      def field(name: String): String =
+        ("\"" + name + "\"\\s*:\\s*([^,}\\s]+)").r
+          .findFirstMatchIn(content).map(_.group(1)).getOrElse(
+            throw new IllegalStateException(
+              s"quantizer derivation sidecar $p is malformed " +
+                s"(missing $name): $content"))
+      try (field("vectorsPerList").toInt, field("sqrtFactor").toDouble)
+      catch { case e: NumberFormatException =>
+        throw new IllegalStateException(
+          s"quantizer derivation sidecar $p is malformed: $content", e)
+      }
     }
   }
 
@@ -3161,6 +3165,99 @@ object Graft {
     * derived from the exact probe rows the candidate join will read —
     * never from a re-execution that nondeterministic inputs could
     * change. */
+  /** The shared prune step of the [[ivfPqSearch]]/[[ivfSqSearch]]
+    * serving paths: pin the probe rows (localCheckpoint — the r12
+    * determinism fix: the pushdown id set must come from the EXACT
+    * rows the candidate join will read, never a re-execution), collect
+    * the batch's distinct probed list ids (bounded by
+    * min(n_q·nProbe, nlist) ints), and push them as list and bucket
+    * filters so a bucket-partitioned codes layout partition-prunes and
+    * row-group-skips to just the probed lists. ONE implementation so a
+    * fix to either search path cannot silently miss its twin
+    * (r14 review). */
+  private def pruneToProbedLists(probes0: DataFrame, enc: DataFrame,
+      buckets: Int, pruneLists: Boolean): (DataFrame, DataFrame) =
+    if (!pruneLists) (probes0, enc)
+    else {
+      val pinned = probes0.localCheckpoint(true)
+      val ids = pinned.select("list_id").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val byList = enc.filter(col("list_id").isin(ids: _*))
+      val pruned =
+        if (buckets > 0)
+          byList.filter(col("bucket").isin(
+            ids.map(_ % buckets).distinct: _*))
+        else byList
+      (pinned, pruned)
+    }
+
+  /** The shared shortlist cut: candidates = probes ⋈ codes on list_id
+    * (each corpus row lives in exactly ONE list, so a (query, neighbor)
+    * candidate appears at most once — no dedup), self-excluded, scored
+    * by `score` (ADC for PQ, the int8 dot for SQ), and cut to the
+    * per-query `effShortlist`. Only (query_id, neighbor_id, score)
+    * rides the shortlist window — the codes-only discipline (~24 bytes
+    * per candidate; raw vectors re-join AFTER the cut). `small`
+    * broadcasts the probe rows; above the switch the probes
+    * SHUFFLE-join the codes and the cut is TWO-PHASE: phase 1 ranks
+    * within (list_id, query_id) — a sort in the join output's existing
+    * list_id hash partitioning, ZERO new Exchange — and is EXACT (a
+    * candidate in a query's global top-shortlist is necessarily in the
+    * top-shortlist of its own (query, list) under the same
+    * (score desc, neighbor asc) total order), so occupancy drops out
+    * of the one unbounded shuffle. */
+  private def shortlistCut(probes: DataFrame, encSide: DataFrame,
+      idCol: String, score: Column, effShortlist: Int,
+      small: Boolean): DataFrame = {
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("__score").desc, col("neighbor_id"))
+    if (small)
+      broadcast(probes)
+        .join(encSide, Seq("list_id"))
+        .filter(col("query_id") =!= col(idCol))
+        .select(col("query_id"), col(idCol).as("neighbor_id"),
+          score.as("__score"))
+        .withColumn("srnk", row_number().over(wShort))
+        .filter(col("srnk") <= effShortlist)
+    else {
+      val wLocal = org.apache.spark.sql.expressions.Window
+        .partitionBy("list_id", "query_id")
+        .orderBy(col("__score").desc, col("neighbor_id"))
+      probes
+        .join(encSide, Seq("list_id"))
+        .filter(col("query_id") =!= col(idCol))
+        .select(col("list_id"), col("query_id"),
+          col(idCol).as("neighbor_id"), score.as("__score"))
+        .withColumn("lrnk", row_number().over(wLocal))
+        .filter(col("lrnk") <= effShortlist)
+        .select(col("query_id"), col("neighbor_id"), col("__score"))
+        .withColumn("srnk", row_number().over(wShort))
+        .filter(col("srnk") <= effShortlist)
+    }
+  }
+
+  /** The shared exact-cosine rerank: the shortlist re-joins the
+    * full-vector store by id (shortlist·n_q rows) and the query side
+    * (`qside` = (query_id, qe, qn), broadcast in the small regime),
+    * then the per-query top-k window orders by exact cosine. */
+  private def exactRerank(short: DataFrame, vectors: DataFrame,
+      idCol: String, vecCol: String, qside: DataFrame, k: Int,
+      small: Boolean): DataFrame = {
+    val wFull = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val nvec = normalized(vectors, idCol, vecCol)
+    short
+      .join(nvec, short("neighbor_id") === nvec(idCol))
+      .join(if (small) broadcast(qside) else qside, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qe"), col(vecCol)) /
+          (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(wFull).cast("bigint"))
+      .filter(col("rnk") <= k)
+  }
+
   def ivfPqSearch(index: IvfPqIndex, queries: DataFrame, qidCol: String,
       qvecCol: String, vectors: DataFrame, vecCol: String, k: Int,
       nProbe: Int, shortlist: Int = 0,
@@ -3206,95 +3303,26 @@ object Graft {
         .select(col("list_id"), col("centroid").as("__qcent"))), "list_id")
       .select(col("query_id"), col("qlut"), col("list_id"),
         dot(col("qe"), col("__qcent")).as("qc"))
-    // pruneLists pins the probe rows (localCheckpoint) BEFORE deriving
-    // the pushdown id set below — ids collected from one execution
-    // joined against a re-execution would silently drop candidates
-    // whenever the query input or probe scoring is nondeterministic
-    // between the runs (r12 advice). The pin makes pruneLists EAGER at
-    // call time; bounded at n_q·nProbe rows (~KB qlut each), the
-    // serving-batch size this path exists for.
-    val probes =
-      if (!pruneLists) probes0 else probes0.localCheckpoint(true)
+    // prune/pin + shortlist + rerank: the shared serving tail
+    // ([[pruneToProbedLists]]/[[shortlistCut]]/[[exactRerank]] — see
+    // their scaladoc for the pin-before-collect determinism argument,
+    // the codes-only shuffle discipline, and the two-phase cut's
+    // exactness proof). The pin makes pruneLists EAGER at call time;
+    // bounded at n_q·nProbe rows (~KB qlut each), the serving-batch
+    // size this path exists for.
+    val (probes, encSide) = pruneToProbedLists(probes0, encFiltered,
+      index.buckets, pruneLists)
     val probeLimit = (math.min(broadcastQueries.toLong, Int.MaxValue - 1L)
       + 1L).toInt
     val small =
       queries.select(col(qidCol)).limit(probeLimit).count() <=
         broadcastQueries
-    // pruneLists: the serving path for a LOADED index ([[ivfPqLoad]]) —
-    // the equi-join already touches only the probed lists' code ROWS,
-    // but the codes SCAN reads the whole table. Collecting the batch's
-    // distinct probed list ids (bounded by min(n_q·nProbe, nlist) ints,
-    // read from the PINNED probe rows above) and pushing them as
-    // filters lets a bucket-partitioned codes layout partition-prune
-    // and row-group-skip to just the probed lists: per-batch scan cost
-    // becomes O(probed occupancy), not O(corpus). Right for small
-    // low-latency batches; a throughput batch probing most lists
-    // should keep the full scan.
-    val encSide =
-      if (!pruneLists) encFiltered
-      else {
-        val ids = probes.select("list_id").distinct()
-          .collect().map(_.getInt(0)).toSeq
-        val byList = encFiltered.filter(col("list_id").isin(ids: _*))
-        if (index.buckets > 0)
-          byList.filter(col("bucket").isin(
-            ids.map(_ % index.buckets).distinct: _*))
-        else byList
-      }
-    // Each corpus row lives in exactly ONE list (argmax assignment), so
-    // a (query, neighbor) candidate appears at most once — no dedup.
-    // The ADC scan carries ONLY (query_id, neighbor_id, adc) into the
-    // shortlist window: the probe side sheds qe/qn and the encoded side
-    // never stored the raw vector, so the shuffle is ~24 bytes per
-    // candidate instead of the ~1.5 KB (qe + qlut + float vector) the
-    // pre-r10 shape dragged through it. The raw vectors re-join AFTER
-    // the shortlist cut (shortlist·n_q rows, an equi-join on the id).
-    val adc = ((col("qc") + graft.functions.VectorExpressions
-      .pqAdcLut(col("qlut"), col("code"), index.ksub)) / col("rnorm"))
-      .as("adc")
-    val wShort = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(col("adc").desc, col("neighbor_id"))
-    val short =
-      if (small)
-        broadcast(probes)
-          .join(encSide, Seq("list_id"))
-          .filter(col("query_id") =!= col(index.idCol))
-          .select(col("query_id"), col(index.idCol).as("neighbor_id"), adc)
-          .withColumn("srnk", row_number().over(wShort))
-          .filter(col("srnk") <= effShortlist)
-      else {
-        val wLocal = org.apache.spark.sql.expressions.Window
-          .partitionBy("list_id", "query_id")
-          .orderBy(col("adc").desc, col("neighbor_id"))
-        probes
-          .join(encSide, Seq("list_id"))
-          .filter(col("query_id") =!= col(index.idCol))
-          .select(col("list_id"), col("query_id"),
-            col(index.idCol).as("neighbor_id"), adc)
-          // Phase 1 is EXACT: a candidate in a query's global ADC
-          // top-shortlist is necessarily in the top-shortlist of its
-          // own (query, list) under the same (adc desc, neighbor asc)
-          // total order.
-          .withColumn("lrnk", row_number().over(wLocal))
-          .filter(col("lrnk") <= effShortlist)
-          .select(col("query_id"), col("neighbor_id"), col("adc"))
-          .withColumn("srnk", row_number().over(wShort))
-          .filter(col("srnk") <= effShortlist)
-      }
-    val wFull = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    val nvec = normalized(vectors, index.idCol, vecCol)
-    val qside = q0.select(col("query_id"), col("qe"), col("qn"))
-    short
-      .join(nvec, short("neighbor_id") === nvec(index.idCol))
-      .join(if (small) broadcast(qside) else qside, Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qe"), col(vecCol)) /
-          (col("qn") * col("nrm"))).as("cos"))
-      .withColumn("rnk", row_number().over(wFull).cast("bigint"))
-      .filter(col("rnk") <= k)
+    val adc = (col("qc") + graft.functions.VectorExpressions
+      .pqAdcLut(col("qlut"), col("code"), index.ksub)) / col("rnorm")
+    val short = shortlistCut(probes, encSide, index.idCol, adc,
+      effShortlist, small)
+    exactRerank(short, vectors, index.idCol, vecCol,
+      q0.select(col("query_id"), col("qe"), col("qn")), k, small)
   }
 
   /** List-count derivation for every k-means-derived index (IVF, IVF-PQ,
@@ -3441,9 +3469,14 @@ object Graft {
     // probes = 0 (the default) derives the multiprobe width from the
     // derived nlist ([[deriveProbes]] — the cluster-span rule): at
     // fixture scale this resolves to the committed probes = 4, past
-    // the density decades it grows with nlist so the 5M-decade recall
-    // collapse at a FIXED width (0.706, SCALE.md) cannot recur at
-    // defaults.
+    // the density decades it grows with nlist, which removes the
+    // 5M-decade recall collapse MEASURED on the 1000-cluster corpus
+    // (0.706 at the fixed width, 0.997 derived — SCALE.md r14). The
+    // rule's spanFraction = 1/K is a DATA property (deriveProbes'
+    // scaladoc): a corpus with far fewer intrinsic clusters has a
+    // proportionally larger span and should pass spanFraction = 1/K
+    // explicitly — the default encodes the measured corpus, not a
+    // universal guarantee.
     require(k > 0 && probes >= 0 && vectorsPerList > 0 && trainPerList > 0,
       s"annKnnJoin(k=$k, probes=$probes, vectorsPerList=$vectorsPerList)")
     val count = df.count()

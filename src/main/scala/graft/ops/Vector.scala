@@ -805,14 +805,16 @@ object Vector {
           graft.api.Graft.ivfPqBuild(half, "vec_id", "embedding",
             dim = 64, nlist = nlist0, m = 8, ksub = 16, iters = 1,
             payload = Seq("lang")),
-          dir, buckets = 8)
+          // the sizing rule persists WITH the index — the no-arg
+          // stats/retrain calls below read it back, the deployment
+          // flow (r14 review)
+          dir, buckets = 8, vectorsPerList = Vpl)
         graft.api.Graft.ivfPqAppend(s, dir,
           full.filter(pmod(col("vec_id"), lit(2)) === 1), "embedding")
-        val stats = graft.api.Graft.ivfPqIndexStats(s, dir,
-          vectorsPerList = Vpl)
+        val stats = graft.api.Graft.ivfPqIndexStats(s, dir)
         val advice = graft.api.Graft.maintenanceAdvice(stats)
         val rt = graft.api.Graft.ivfPqRetrain(s, dir, full, "embedding",
-          iters = 1, vectorsPerList = Vpl)
+          iters = 1)
         val loaded = graft.api.Graft.ivfPqLoad(s, dir)
         val queries = emb.filter(col("vec_id") < 40)
           .select(col("vec_id").as("query_id"), col("embedding"))

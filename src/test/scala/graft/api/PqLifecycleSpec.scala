@@ -144,6 +144,7 @@ class PqLifecycleSpec extends AnyFunSuite with Matchers {
     // advice-driven retrain: width re-derives from the CURRENT corpus
     val rt = Graft.ivfPqRetrain(spark, dir, union, "embedding",
       vectorsPerList = Vpl)
+    rt.rows should be > 0L
     rt.nlistBefore shouldBe nlist0
     rt.nlistAfter shouldBe 16
     rt.rows shouldBe 400L
@@ -156,5 +157,42 @@ class PqLifecycleSpec extends AnyFunSuite with Matchers {
       preCompact
     Graft.maintenanceAdvice(Graft.ivfPqIndexStats(spark, dir,
       vectorsPerList = Vpl)).outgrown shouldBe false
+  }
+
+  test("the sizing rule persists in the save meta and drives " +
+      "stats/retrain DEFAULTS; a stale meta row count self-heals on " +
+      "the next append (r14 review)") {
+    import spark.implicits._
+    val a = mkCorpus(0 until 100, seed = 31)
+    val b = mkCorpus(100 until 200, seed = 32)
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq-meta").toString
+    Graft.ivfPqSave(Graft.ivfPqBuild(a, "vec_id", "embedding",
+      dim = Dim, nlist = 4, m = 4, ksub = 8, iters = 1),
+      dir, buckets = 4, vectorsPerList = 25)
+    // no-args stats read the PERSISTED rule (25/list), not the 400
+    // default — under the default the trigger below could never fire
+    Graft.ivfPqIndexStats(spark, dir).targetNlist shouldBe
+      Graft.deriveNlist(100L, 25)
+    // simulate a crash between a codes commit and its meta rewrite:
+    // the persisted count goes stale
+    Seq(("vec_id", 4, Dim, 4, 8, 4, 7L, 25, 4.0))
+      .toDF("id_col", "nlist", "dim", "m", "ksub", "buckets", "rows",
+        "vectors_per_list", "sqrt_factor")
+      .write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    Graft.ivfPqLoad(spark, dir).rows shouldBe 7L
+    // the next append RECOUNTS the committed codes — self-healed, the
+    // stale 7 never snowballs into the shortlist derivation
+    val st = Graft.ivfPqAppend(spark, dir,
+      b.select("vec_id", "embedding"), "embedding")
+    st.rowsAfter shouldBe 200L
+    Graft.ivfPqLoad(spark, dir).rows shouldBe 200L
+    // no-args retrain re-derives under the persisted rule and
+    // re-persists it for the next cycle
+    Graft.ivfPqRetrain(spark, dir, a.unionByName(b)
+        .select("vec_id", "embedding"), "embedding", iters = 1)
+      .nlistAfter shouldBe Graft.deriveNlist(200L, 25)
+    Graft.ivfPqIndexStats(spark, dir).targetNlist shouldBe
+      Graft.deriveNlist(200L, 25)
   }
 }

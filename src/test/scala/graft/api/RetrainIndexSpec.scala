@@ -327,6 +327,27 @@ class RetrainIndexSpec extends AnyFunSuite with Matchers {
     Graft.indexStats(spark, tbl).targetNlist shouldBe 8
   }
 
+  test("derivation sidecar: scientific-notation doubles round-trip; " +
+      "malformed content fails loudly (r14 review)") {
+    val tbl = s"rt_sci_${System.nanoTime()}"
+    mkDriftedTable(tbl)
+    // Scala renders 1e-10 as "1.0E-10" — a digits-and-dots parse would
+    // silently truncate it to 1.0, a 10^10-different rule
+    Graft.saveQuantizer(spark, tbl, oldQuantizer(),
+      vectorsPerList = 10, sqrtFactor = 1e-10)
+    Graft.loadDerivation(spark, tbl) shouldBe ((10, 1e-10))
+    // malformed sidecar content must throw, never fall back silently
+    val p = new org.apache.hadoop.fs.Path(
+      Graft.bucketedTableLocation(spark, tbl),
+      "_quantizer/.derivation.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write("{\"vectorsPerList\":oops}".getBytes("UTF-8"))
+    finally out.close()
+    an[IllegalStateException] should be thrownBy
+      Graft.loadDerivation(spark, tbl)
+  }
+
   test("an empty index is a named retrain no-op") {
     val tbl = s"rt_empty_${System.nanoTime()}"
     val dir = java.nio.file.Files
