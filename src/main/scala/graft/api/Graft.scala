@@ -1645,8 +1645,9 @@ object Graft {
     * `bucket = pmod(list_id, buckets)` and sorted by list_id within
     * each partition so a loaded index's `pruneLists` probe
     * partition-prunes and row-group-skips to the probed lists. Same
-    * write-into-temp + swap atomicity as [[ivfPqSave]] (a mid-save
-    * failure can never leave new codes under old meta). */
+    * generational publish as [[ivfPqSave]] (a mid-save failure can
+    * never leave new codes under old meta; readers of the previous
+    * generation keep serving through the swap). */
   def ivfSqSave(index: IvfSqIndex, dir: String, buckets: Int = 64): Unit = {
     require(buckets > 0, s"ivfSqSave(buckets=$buckets)")
     val s = index.cents.sparkSession
@@ -1660,10 +1661,11 @@ object Graft {
   /** Restore an [[ivfSqSave]]d index (codes keep their `bucket`
     * partition column — what makes `pruneLists` partition-prune). */
   def ivfSqLoad(spark: SparkSession, dir: String): IvfSqIndex = {
-    val meta = spark.read.parquet(s"$dir/meta.parquet").head()
+    val tree = resolveIndexTree(spark, dir)
+    val meta = spark.read.parquet(s"$tree/meta.parquet").head()
     IvfSqIndex(
-      cents = spark.read.parquet(s"$dir/cents.parquet"),
-      enc = spark.read.parquet(s"$dir/codes.parquet"),
+      cents = spark.read.parquet(s"$tree/cents.parquet"),
+      enc = spark.read.parquet(s"$tree/codes.parquet"),
       idCol = meta.getString(0), nlist = meta.getInt(1),
       buckets = meta.getInt(2), rows = meta.getLong(3))
   }
@@ -1903,6 +1905,36 @@ object Graft {
     * a few dozen bytes per vector); size `buckets` to the serving
     * batch's probed-list count — more buckets prune sharper but write
     * more files. */
+  /** The ACTIVE tree of a saved index dir. Since r14 the save layout is
+    * generational: `dir/CURRENT` (a one-line pointer file) names the
+    * live `gen-<id>/` subdir holding codes/cents/lookup/meta, and
+    * [[saveIndexDir]] publishes a rewrite by swapping the POINTER —
+    * the previous generation's files stay on disk for one full save
+    * cycle, so an index loaded before a retrain/compact keeps scanning
+    * its own complete generation instead of dying on deleted files
+    * mid-probe (the table layout's no-absence-window property,
+    * [[compactBucketedIndex]], brought to the saved layout). A
+    * pre-generational dir (no CURRENT) resolves to itself — legacy
+    * saves keep loading. Reading the pointer pins a COHERENT snapshot:
+    * every frame a load reads comes from the one generation the
+    * pointer named. */
+  private[graft] def resolveIndexTree(spark: SparkSession, dir: String)
+      : String = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(root, "CURRENT")
+    if (!fs.exists(cur)) dir
+    else {
+      val in = fs.open(cur)
+      val name =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(name.nonEmpty && !name.contains("/"),
+        s"resolveIndexTree($dir): malformed CURRENT pointer '$name'")
+      new org.apache.hadoop.fs.Path(root, name).toString
+    }
+  }
+
   /** The shared persistence skeleton of [[ivfPqSave]]/[[ivfSqSave]]:
     * write-into-temp, swap-at-the-end. The sub-frames write
     * independently, so writing in place would let a mid-save failure
@@ -1925,37 +1957,79 @@ object Graft {
       meta: DataFrame): Unit = {
     val s = codes.sparkSession
     val hconf = s.sparkContext.hadoopConfiguration
-    val target = new org.apache.hadoop.fs.Path(dir)
-    val fs = target.getFileSystem(hconf)
-    val tmp = new org.apache.hadoop.fs.Path(target.getParent,
-      target.getName + ".tmp-" +
-        java.util.UUID.randomUUID().toString.take(8))
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hconf)
+    val curFile = new org.apache.hadoop.fs.Path(root, "CURRENT")
+    // the generation the pointer names NOW (None on a fresh or legacy
+    // dir) — it survives this save as the grace copy for readers in
+    // flight, and is reclaimed by the NEXT save
+    val prevGen: Option[String] =
+      if (!fs.exists(curFile)) None
+      else {
+        val in = fs.open(curFile)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim)
+        finally in.close()
+      }
+    val genName = "gen-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val gen = new org.apache.hadoop.fs.Path(root, genName)
     try {
       codes
         .withColumn("bucket", pmod(col("list_id"), lit(buckets)))
         .repartition(col("bucket"))
         .sortWithinPartitions("bucket", "list_id")
         .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$tmp/codes.parquet")
+        .parquet(s"$gen/codes.parquet")
       extras.foreach { case (name, df) =>
-        df.write.mode("overwrite").parquet(s"$tmp/$name") }
-      meta.write.mode("overwrite").parquet(s"$tmp/meta.parquet")
+        df.write.mode("overwrite").parquet(s"$gen/$name") }
+      // meta LAST — the commit marker within the generation: a gen
+      // tree missing meta is visibly incomplete
+      meta.write.mode("overwrite").parquet(s"$gen/meta.parquet")
     } catch { case e: Throwable =>
-      // a failed WRITE leaves known-incomplete data — clean it up (a
-      // failed RENAME below deliberately keeps the tmp tree: it is
-      // complete and the message names it). The cleanup itself may
-      // fail for the same reason the write did — never let it mask
-      // the root cause.
-      try fs.delete(tmp, true)
+      // a failed WRITE leaves known-incomplete data — clean it up; the
+      // cleanup itself may fail for the same reason the write did —
+      // never let it mask the root cause. The live generation was
+      // never touched.
+      try fs.delete(gen, true)
       catch { case c: Throwable => e.addSuppressed(c) }
       throw e
     }
-    if (fs.exists(target) && !fs.delete(target, true))
-      throw new java.io.IOException(s"$opName: cannot replace $dir")
-    if (!fs.rename(tmp, target))
+    // publish: swap the POINTER, not the data. A reader racing the
+    // delete+rename instant can fail loudly on a missing CURRENT and
+    // retry; it can never read a torn tree (each generation is
+    // complete before the pointer moves), and a reader HOLDING frames
+    // of the previous generation keeps scanning files that stay on
+    // disk through this whole save.
+    val tmpCur = new org.apache.hadoop.fs.Path(root,
+      "CURRENT.tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    val out = fs.create(tmpCur, true)
+    try out.write(genName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(curFile) && !fs.delete(curFile, false))
       throw new java.io.IOException(
-        s"$opName: rename $tmp -> $dir failed (old index removed; " +
-          "the complete new index remains at the temp path)")
+        s"$opName: cannot replace $curFile (new generation complete " +
+          s"at $gen)")
+    if (!fs.rename(tmpCur, curFile))
+      throw new java.io.IOException(
+        s"$opName: rename $tmpCur -> $curFile failed (new generation " +
+          s"complete at $gen)")
+    // grace cleanup: generations older than the PREVIOUS one are a
+    // full cycle stale — no reader can still hold them under the
+    // serialize-maintenance contract. Legacy top-level frame dirs
+    // (pre-generational saves) are likewise a cycle stale once a
+    // previous generation existed.
+    val legacyFrames = Set("codes.parquet", "cents.parquet",
+      "lookup.parquet", "meta.parquet")
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      val staleGen = st.isDirectory && n.startsWith("gen-") &&
+        n != genName && !prevGen.contains(n)
+      val staleLegacy = prevGen.isDefined && legacyFrames(n)
+      val staleTmp = n.startsWith("CURRENT.tmp-") && n != tmpCur.getName
+      if (staleGen || staleLegacy || staleTmp)
+        fs.delete(st.getPath, true)
+    }
   }
 
   def ivfPqSave(index: IvfPqIndex, dir: String, buckets: Int = 64,
@@ -1984,9 +2058,12 @@ object Graft {
     * `bucket` partition column (harmless to the search joins; it is
     * what makes `pruneLists` partition-prune). */
   def ivfPqLoad(spark: SparkSession, dir: String): IvfPqIndex = {
-    val metaDf = spark.read.parquet(s"$dir/meta.parquet")
+    // resolve the generation ONCE: every frame below reads the one
+    // coherent tree the pointer named at this instant
+    val tree = resolveIndexTree(spark, dir)
+    val metaDf = spark.read.parquet(s"$tree/meta.parquet")
     val meta = metaDf.head()
-    val enc = spark.read.parquet(s"$dir/codes.parquet")
+    val enc = spark.read.parquet(s"$tree/codes.parquet")
     // `rows` shipped in r14 — a pre-r14 index resolves it ONCE here
     // (a parquet footer count), never per search call: the default-
     // shortlist derivation reads index.rows on every ivfPqSearch, and
@@ -1997,9 +2074,9 @@ object Graft {
         meta.getLong(metaDf.columns.indexOf("rows"))
       else enc.count()
     IvfPqIndex(
-      cents = spark.read.parquet(s"$dir/cents.parquet"),
+      cents = spark.read.parquet(s"$tree/cents.parquet"),
       enc = enc,
-      lookup = spark.read.parquet(s"$dir/lookup.parquet"),
+      lookup = spark.read.parquet(s"$tree/lookup.parquet"),
       idCol = meta.getString(0), nlist = meta.getInt(1),
       dim = meta.getInt(2), m = meta.getInt(3), ksub = meta.getInt(4),
       buckets = meta.getInt(5), rows = rows)
@@ -2009,7 +2086,8 @@ object Graft {
     * meta columns) — defaults for pre-r14 saves. */
   private def pqSavedDerivation(spark: SparkSession, dir: String)
       : (Int, Double) = {
-    val metaDf = spark.read.parquet(s"$dir/meta.parquet")
+    val metaDf = spark.read.parquet(
+      s"${resolveIndexTree(spark, dir)}/meta.parquet")
     if (!metaDf.columns.contains("vectors_per_list")) (400, 4.0)
     else {
       val meta = metaDf.head()
@@ -2067,6 +2145,9 @@ object Graft {
         s"payload=${payload.mkString(", ")})")
     val n = batch.count()
     var rowsAfter = idx.rows
+    // appends grow the LIVE generation in place (serialized with
+    // compact/retrain by contract); resolve it once for all writes
+    val tree = resolveIndexTree(spark, dir)
     if (n > 0) {
       pqEncodeAgainst(batch, idx.idCol, vecCol, idx.cents, idx.lookup,
           idx.dim, idx.m, idx.ksub, idx.nlist, payload)
@@ -2074,7 +2155,7 @@ object Graft {
         .repartition(col("bucket"))
         .sortWithinPartitions("bucket", "list_id")
         .write.mode("append").partitionBy("bucket")
-        .parquet(s"$dir/codes.parquet")
+        .parquet(s"$tree/codes.parquet")
       // the persisted count is RECOUNTED from the committed codes
       // (parquet footer metadata — one bounded job), never derived
       // from the possibly-stale meta: a crash between a previous
@@ -2083,8 +2164,8 @@ object Graft {
       // silently derive from the undercount (r14 review). The recount
       // makes the meta SELF-HEALING — the next append fixes any stale
       // value.
-      rowsAfter = spark.read.parquet(s"$dir/codes.parquet").count()
-      rewritePqMetaRows(spark, dir, idx, rowsAfter)
+      rowsAfter = spark.read.parquet(s"$tree/codes.parquet").count()
+      rewritePqMetaRows(spark, tree, idx, rowsAfter)
     }
     PqAppendStats(n, rowsAfter, pqCodeFiles(spark, dir))
   }
@@ -2132,11 +2213,10 @@ object Graft {
   /** Rewrite a saved index's codes back to ≤ buckets files — the
     * fragmentation maintenance for [[ivfPqAppend]]-grown indexes
     * ([[maintenanceAdvice]]'s `compact` arm). Reuses [[ivfPqSave]]'s
-    * whole-dir temp-and-swap (the new tree writes completely, reading
-    * the old codes as input, before the old dir is replaced), so a
-    * failure leaves either the intact old index or the complete new
-    * tree at the named temp path — never a torn one. Serialize with
-    * appends. */
+    * generational publish (the new generation writes completely,
+    * reading the old codes as input, before the pointer moves), so a
+    * failure leaves the live generation untouched and readers of the
+    * old one keep serving through the swap. Serialize with appends. */
   def ivfPqCompact(spark: SparkSession, dir: String): CompactionStats = {
     val idx = ivfPqLoad(spark, dir)
     require(idx.buckets > 0,
@@ -2165,9 +2245,10 @@ object Graft {
     * centroids invalidate every code, so the retrain here IS a rebuild
     * — [[ivfPqBuild]] over `vectors` (the current full-vector corpus;
     * the codes-only index cannot reconstruct it) + [[ivfPqSave]] to the
-    * same dir, whose temp-dir swap publishes rows, quantizer, codebooks
-    * and meta atomically (Faiss deployments do exactly this rebuild for
-    * `IndexIVFPQ` drift). Structure (m, ksub, dim, idCol, buckets) and
+    * same dir, whose generational pointer swap publishes rows,
+    * quantizer, codebooks and meta atomically while readers of the
+    * previous generation keep serving (Faiss deployments do exactly
+    * this rebuild for `IndexIVFPQ` drift). Structure (m, ksub, dim, idCol, buckets) and
     * payload columns carry over from the saved meta; `nlist` = 0
     * re-derives the width from the CURRENT corpus count — growth is
     * what moves it. Serialize with appends; serving probes load the
@@ -2211,7 +2292,8 @@ object Graft {
   }
 
   private def pqCodeFiles(spark: SparkSession, dir: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/codes.parquet")
+    val p = new org.apache.hadoop.fs.Path(
+      s"${resolveIndexTree(spark, dir)}/codes.parquet")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return 0
     val it = fs.listFiles(p, true)
@@ -2222,10 +2304,11 @@ object Graft {
     n
   }
 
-  /** Advance the persisted row count after an append. The swap is the
-    * same delete-then-rename instant as [[ivfPqSave]]'s dir swap: a
-    * load racing it can fail loudly and retry, never read torn state
-    * (the tmp tree is complete before the old meta is touched). */
+  /** Advance the persisted row count after an append (inside the LIVE
+    * generation — `dir` here is the resolved tree). The swap is a
+    * delete-then-rename instant: a load racing it can fail loudly and
+    * retry, never read torn state (the tmp tree is complete before the
+    * old meta is touched). */
   private def rewritePqMetaRows(spark: SparkSession, dir: String,
       idx: IvfPqIndex, rows: Long): Unit = {
     val s = spark

@@ -1243,11 +1243,14 @@ object StreamingOps {
         graft.api.Graft.ivfPqSave(
           built.copy(enc = seed, rows = seed.count()), dir, buckets = 8)
         // snapshot the seed code files: appends may only ADD files
+        // (resolve the live generation — the save layout is
+        // generational since r14)
         def codeFiles(): Map[String, Long] = {
           def walk(f: java.io.File): Seq[java.io.File] =
             if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
             else Seq(f)
-          walk(new java.io.File(s"$dir/codes.parquet"))
+          walk(new java.io.File(
+            s"${graft.api.Graft.resolveIndexTree(s, dir)}/codes.parquet"))
             .filter(_.getName.endsWith(".parquet"))
             .map(f => f.getPath -> f.length()).toMap
         }

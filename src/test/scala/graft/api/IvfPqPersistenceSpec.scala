@@ -88,22 +88,28 @@ class IvfPqPersistenceSpec extends AnyFunSuite with Matchers {
     val dir = java.nio.file.Files
       .createTempDirectory("ivfpq-resave").toString + "/idx"
     Graft.ivfPqSave(built, dir, buckets = 8)
-    val rows8 = spark.read.parquet(s"$dir/codes.parquet").count()
+    // the layout is generational since r14: resolve the live tree
+    def tree(): String = Graft.resolveIndexTree(spark, dir)
+    val rows8 = spark.read.parquet(s"${tree()}/codes.parquet").count()
     // re-save with a DIFFERENT modulus over the same dir — the r12
     // advice failure shape: in-place sub-path overwrites could leave
     // new meta over old codes (bucket = id % wrong-modulus at load)
     Graft.ivfPqSave(built, dir, buckets = 4)
     val loaded = Graft.ivfPqLoad(spark, dir)
     loaded.buckets shouldBe 4
-    spark.read.parquet(s"$dir/codes.parquet").count() shouldBe rows8
-    // every surviving codes partition dir obeys the LOADED modulus
-    val bucketDirs = new java.io.File(s"$dir/codes.parquet").listFiles()
+    val codesDir = s"${tree()}/codes.parquet"
+    spark.read.parquet(codesDir).count() shouldBe rows8
+    // the LIVE generation's codes partition dirs obey the loaded
+    // modulus — resolving through the pointer is what makes this
+    // coherent (the grace generation still holds the bucket=8 layout
+    // for in-flight readers, by design)
+    val bucketDirs = new java.io.File(codesDir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
       .map(_.getName.stripPrefix("bucket=").toInt)
     bucketDirs should not be empty
     all(bucketDirs) should be < 4
-    // the swap leaves no temp sibling behind
-    new java.io.File(dir).getParentFile.listFiles()
+    // the swap leaves no temp pointer behind
+    new java.io.File(dir).listFiles()
       .map(_.getName).filter(_.contains(".tmp-")) shouldBe empty
     // r12 advice (sort order): intra-bucket list_id order is the
     // row-group-skip property ivfPqSave documents; sortWithinPartitions
@@ -111,7 +117,7 @@ class IvfPqPersistenceSpec extends AnyFunSuite with Matchers {
     // sort is satisfied by prefix and no planner sort reorders rows.
     import spark.implicits._
     for (b <- bucketDirs) {
-      val files = new java.io.File(s"$dir/codes.parquet/bucket=$b")
+      val files = new java.io.File(s"$codesDir/bucket=$b")
         .listFiles().filter(_.getName.endsWith(".parquet"))
       for (f <- files) {
         val ids = spark.read.parquet(f.getAbsolutePath)

@@ -55,8 +55,10 @@ class PqLifecycleSpec extends AnyFunSuite with Matchers {
     Graft.ivfPqSave(built, dir, buckets = 4)
 
     // snapshot the seed code files: an append may only ADD files
-    val codesDir = new java.io.File(s"$dir/codes.parquet")
+    // (resolved through the generation pointer)
     def codeFiles(): Map[String, Long] = {
+      val codesDir = new java.io.File(
+        s"${Graft.resolveIndexTree(spark, dir)}/codes.parquet")
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
       walk(codesDir).filter(_.getName.endsWith(".parquet"))
@@ -179,7 +181,8 @@ class PqLifecycleSpec extends AnyFunSuite with Matchers {
     Seq(("vec_id", 4, Dim, 4, 8, 4, 7L, 25, 4.0))
       .toDF("id_col", "nlist", "dim", "m", "ksub", "buckets", "rows",
         "vectors_per_list", "sqrt_factor")
-      .write.mode("overwrite").parquet(s"$dir/meta.parquet")
+      .write.mode("overwrite").parquet(
+        s"${Graft.resolveIndexTree(spark, dir)}/meta.parquet")
     Graft.ivfPqLoad(spark, dir).rows shouldBe 7L
     // the next append RECOUNTS the committed codes — self-healed, the
     // stale 7 never snowballs into the shortlist derivation
@@ -194,5 +197,73 @@ class PqLifecycleSpec extends AnyFunSuite with Matchers {
       .nlistAfter shouldBe Graft.deriveNlist(200L, 25)
     Graft.ivfPqIndexStats(spark, dir).targetNlist shouldBe
       Graft.deriveNlist(200L, 25)
+  }
+
+  test("generational publish: a reader holding the previous " +
+      "generation keeps serving through one maintenance cycle — no " +
+      "absence window (r14)") {
+    val a = mkCorpus(0 until 200, seed = 51)
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq-gen").toString
+    Graft.ivfPqSave(Graft.ivfPqBuild(a, "vec_id", "embedding",
+      dim = Dim, nlist = 4, m = 4, ksub = 8, iters = 1),
+      dir, buckets = 4)
+    val held = Graft.ivfPqLoad(spark, dir)
+    val before = search(held, a, shortlist = 200)
+
+    // a retrain swaps the POINTER to a fresh generation — the frames
+    // `held` already resolved keep scanning their own complete files
+    // (the pre-generational layout deleted them out from under an
+    // in-flight reader)
+    Graft.ivfPqRetrain(spark, dir, a, "embedding", nlist = 8,
+      iters = 1)
+    search(held, a, shortlist = 200) shouldBe before
+    // a NEW load serves the retrained generation
+    val fresh = Graft.ivfPqLoad(spark, dir)
+    fresh.nlist shouldBe 8
+    search(fresh, a, shortlist = 200) shouldBe before // exact either way
+    // the generation `held` reads is reclaimed by the NEXT cycle
+    // (grace = one cycle), while `fresh`'s survives it
+    Graft.ivfPqCompact(spark, dir)
+    search(Graft.ivfPqLoad(spark, dir), a, shortlist = 200) shouldBe
+      before
+  }
+
+  test("legacy (pre-generational) dirs load; the first save converts " +
+      "in place and keeps the legacy tree for one grace cycle") {
+    val a = mkCorpus(0 until 120, seed = 61)
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq-legacy").toString
+    Graft.ivfPqSave(Graft.ivfPqBuild(a, "vec_id", "embedding",
+      dim = Dim, nlist = 4, m = 4, ksub = 8, iters = 1),
+      dir, buckets = 4)
+    // flatten to the legacy layout: move the generation's frames to
+    // the top level and drop the pointer
+    val root = new java.io.File(dir)
+    val gen = new java.io.File(
+      Graft.resolveIndexTree(spark, dir))
+    gen.listFiles().foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(root, f.getName).toPath)
+    }
+    new java.io.File(root, "CURRENT").delete() shouldBe true
+    gen.delete() shouldBe true
+    // legacy resolve = the dir itself; loads and serves
+    Graft.resolveIndexTree(spark, dir) shouldBe dir
+    val legacy = Graft.ivfPqLoad(spark, dir)
+    val expected = search(legacy, a, shortlist = 120)
+    // first save over the legacy dir converts to generational and
+    // keeps the legacy frames (the in-flight readers' grace copy)...
+    Graft.ivfPqCompact(spark, dir)
+    Graft.resolveIndexTree(spark, dir) should not be dir
+    new java.io.File(root, "codes.parquet").exists() shouldBe true
+    search(legacy, a, shortlist = 120) shouldBe expected
+    search(Graft.ivfPqLoad(spark, dir), a, shortlist = 120) shouldBe
+      expected
+    // ...and the SECOND save reclaims them
+    Graft.ivfPqCompact(spark, dir)
+    new java.io.File(root, "codes.parquet").exists() shouldBe false
+    search(Graft.ivfPqLoad(spark, dir), a, shortlist = 120) shouldBe
+      expected
   }
 }

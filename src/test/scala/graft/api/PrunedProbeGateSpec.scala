@@ -69,7 +69,8 @@ class PrunedProbeGateSpec extends AnyFunSuite with Matchers {
       val totalFiles = {
         def walk(f: java.io.File): Seq[java.io.File] =
           if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-        walk(new java.io.File(s"$dir/codes.parquet"))
+        walk(new java.io.File(
+          s"${Graft.resolveIndexTree(spark, dir)}/codes.parquet"))
           .count(_.getName.endsWith(".parquet"))
       }
       // the save writes >= 1 file per nonempty bucket; probing <= 4 of
