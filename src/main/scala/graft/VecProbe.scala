@@ -413,6 +413,75 @@ object VecProbe {
         graft.ops.StreamingOps.deleteRecursively(
           new java.io.File(idxDir).getParentFile)
 
+      case "pqserve" =>
+        // r14: serving THROUGH a live ivfPqRetrain on the saved layout
+        // — the generational-publish claim, measured (the mixedm
+        // protocol brought to saved dirs). A probe thread runs batch
+        // after batch, each batch loading the index fresh (the serving
+        // convention) AND re-probing a HELD pre-retrain index (the
+        // grace-generation claim); a retrain of the whole corpus fires
+        // mid-run. Every batch must return full k-per-query results —
+        // count the failures instead of crashing so the measurement
+        // reports the true collision rate.
+        val dirIdx = java.nio.file.Files
+          .createTempDirectory("vp-pqserve").toString + "/idx"
+        val tB2 = System.nanoTime()
+        graft.api.Graft.ivfPqSave(
+          graft.api.Graft.ivfPqBuild(emb, "vec_id", "embedding",
+            dim = 64, nlist = nlist, m = 8, ksub = 16),
+          dirIdx, buckets = 256)
+        println(f"pqserve build+save wall=" +
+          f"${(System.nanoTime() - tB2) / 1e9}%.1f nlist=$nlist")
+        val qServe = emb.filter(col("vec_id") < 32)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+          .localCheckpoint(true)
+        val held = graft.api.Graft.ivfPqLoad(spark, dirIdx)
+        def probeOnce(idx: graft.api.Graft.IvfPqIndex): (Boolean, Double) =
+          try {
+            val t = System.nanoTime()
+            val got = graft.api.Graft.ivfPqSearch(idx, qServe,
+                "query_id", "embedding", emb, "embedding", k = K,
+                nProbe = 16, pruneLists = true)
+              .groupBy("query_id").count().collect()
+            ((System.nanoTime() - t) / 1e9,
+              got.length == 32 && got.forall(_.getLong(1) == K)) match {
+              case (w, ok) => (ok, w)
+            }
+          } catch { case e: Throwable =>
+            println(s"pqserve probe FAILED: ${e.getMessage.take(120)}")
+            (false, -1.0)
+          }
+        val retrainer = new Thread(() => {
+          Thread.sleep(3000)
+          val t = System.nanoTime()
+          val rt = graft.api.Graft.ivfPqRetrain(spark, dirIdx, emb,
+            "embedding")
+          println(f"pqserve retrain wall=" +
+            f"${(System.nanoTime() - t) / 1e9}%.1f " +
+            s"nlist=${rt.nlistBefore}->${rt.nlistAfter}")
+        })
+        retrainer.start()
+        var okFresh = 0; var okHeld = 0; var nB = 0
+        val deadline = System.nanoTime() + 45L * 1000000000L
+        while (System.nanoTime() < deadline &&
+            (retrainer.isAlive || nB < 8)) {
+          val (fOk, fW) = probeOnce(graft.api.Graft.ivfPqLoad(spark,
+            dirIdx))
+          val (hOk, hW) = probeOnce(held)
+          if (fOk) okFresh += 1
+          if (hOk) okHeld += 1
+          nB += 1
+          println(f"pqserve batch=$nB fresh_ok=$fOk wall=$fW%.2f " +
+            f"held_ok=$hOk wall=$hW%.2f " +
+            s"retraining=${retrainer.isAlive}")
+        }
+        retrainer.join()
+        println(s"pqserve done batches=$nB fresh_ok=$okFresh/" +
+          s"$nB held_ok=$okHeld/$nB")
+        graft.ops.ListingCache.release(qServe)
+        graft.ops.StreamingOps.deleteRecursively(
+          new java.io.File(dirIdx).getParentFile)
+
       case "recallm" =>
         // Margin-slice recall sweep (r11 verdict item 2): deployment
         // probe fractions on data with real cluster structure
