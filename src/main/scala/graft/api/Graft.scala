@@ -1542,26 +1542,53 @@ object Graft {
     * map-side. Zero-direction rows (mx = 0) are excluded, the
     * [[sq8Encode]] convention. */
   def ivfSqBuild(df: DataFrame, idCol: String, vecCol: String,
-      nlist: Int = 0, iters: Int = 2, trainPerList: Int = 128)
-      : IvfSqIndex = {
+      nlist: Int = 0, iters: Int = 2, trainPerList: Int = 128,
+      payload: Seq[String] = Nil): IvfSqIndex = {
+    // `payload`: metadata columns carried into the codes frame — the
+    // vector-store payload-filter design, exactly [[ivfPqBuild]]'s
+    // (serve-time predicates evaluate against the codes scan itself:
+    // [[ivfSqSearch]]'s `filter`).
     require(nlist >= 0 && iters >= 0 && trainPerList > 0,
       s"ivfSqBuild(nlist=$nlist)")
+    val reserved = Set("bucket", "mx", "q", "nrm", "list_id",
+      idCol, vecCol,
+      "query_id", "neighbor_id", "qe", "qn", "qmx", "qq",
+      "cos", "rnk", "srnk", "lrnk")
+    val bad = payload.filter(reserved)
+    require(bad.isEmpty, s"ivfSqBuild: payload column(s) " +
+      s"${bad.mkString(", ")} collide with reserved index columns " +
+      s"(${reserved.toSeq.sorted.mkString(", ")}) — rename them")
     val n = df.count()
     val nl = math.max(1,
       if (nlist > 0) nlist else deriveNlist(n))
     val train = trainSample(df, idCol, nl.toLong * trainPerList, n)
     val cents =
       iterCheckpoint(kmeansCentroids(train, idCol, vecCol, nl, iters))
-    // encode first, then route the CODED rows with the codes carried
-    // through the assignment (one corpus pass end to end; carrying
-    // `nrm` recomputes the identical sqrt-dot — the documented
-    // assignToCentroids convention)
-    val enc = assignToCentroids(sq8Encode(df, idCol, vecCol), idCol,
-        vecCol, cents, nl, carry = Seq("mx", "q", "nrm"))
-      .select(col(idCol), col("list_id"), col("mx"), col("q"),
-        col("nrm"))
-    IvfSqIndex(cents, enc, idCol, nl, n)
+    IvfSqIndex(cents,
+      sqEncodeAgainst(df, idCol, vecCol, cents, nl, payload),
+      idCol, nl, n)
   }
+
+  /** The IVF-SQ8 ENCODE pass against a FIXED coarse quantizer — the
+    * shared tail of [[ivfSqBuild]] and [[ivfSqAppend]] (the
+    * [[pqEncodeAgainst]] discipline, minus codebooks: SQ8 has NOTHING
+    * trainable in its encode, so frozen-state growth is the pure Faiss
+    * `add` case). One corpus pass: assign (broadcast argmax, payload
+    * carried) + the max-abs int8 kernels map-side. Zero-direction rows
+    * (mx = 0) are excluded, the [[sq8Encode]] convention. Output:
+    * (idCol, list_id, mx, q, nrm, payload...). */
+  private def sqEncodeAgainst(src: DataFrame, idCol: String,
+      vecCol: String, cents: DataFrame, nlist: Int,
+      payload: Seq[String]): DataFrame =
+    assignToCentroids(src, idCol, vecCol, cents, nlist, carry = payload)
+      .withColumn("nrm", sqrt(dot(col(vecCol), col(vecCol))))
+      .withColumn("mx",
+        graft.functions.VectorExpressions.maxAbsF32(col(vecCol)))
+      .filter(col("mx") > 0)
+      .withColumn("q", graft.functions.VectorExpressions
+        .sq8EncodeF32(col(vecCol), col("mx")))
+      .select(col(idCol) +: col("list_id") +: col("mx") +: col("q") +:
+        col("nrm") +: payload.map(col): _*)
 
   /** Probe + scan + rerank against a built [[IvfSqIndex]] — the
     * [[ivfPqSearch]] serving discipline with the int8 dot kernel in
@@ -1586,16 +1613,21 @@ object Graft {
       qvecCol: String, vectors: DataFrame, vecCol: String, k: Int,
       nProbe: Int, shortlist: Int = 0,
       broadcastQueries: Int = 4096,
-      pruneLists: Boolean = false): DataFrame = {
+      pruneLists: Boolean = false,
+      filter: Option[Column] = None): DataFrame = {
     // pruneLists: the serving path for a LOADED index ([[ivfSqLoad]]) —
     // same semantics and same eager-pin discipline as
     // [[ivfPqSearch]]'s: the batch's distinct probed list ids are
     // collected from PINNED probe rows and pushed as filters, so a
     // bucket-partitioned codes layout partition-prunes to the probed
-    // lists' buckets.
+    // lists' buckets. `filter`: a metadata predicate over the index's
+    // payload columns ([[ivfSqBuild]]), PRE-applied to the codes side —
+    // top-k of the MATCHING rows, exact at any selectivity
+    // ([[ivfPqSearch]]'s payload-filter semantics).
     require(k > 0 && nProbe > 0 && broadcastQueries >= 0 &&
         (shortlist == 0 || shortlist >= k),
       s"ivfSqSearch(k=$k, shortlist=$shortlist, nProbe=$nProbe)")
+    val encFiltered = filter.map(index.enc.filter).getOrElse(index.enc)
     val effShortlist =
       if (shortlist > 0) shortlist
       else deriveShortlist(
@@ -1610,7 +1642,7 @@ object Graft {
         col("list_id"))
     // the shared serving tail ([[pruneToProbedLists]]/[[shortlistCut]]/
     // [[exactRerank]]) with the int8 dot kernel as the score
-    val (probes, encSide) = pruneToProbedLists(probes0, index.enc,
+    val (probes, encSide) = pruneToProbedLists(probes0, encFiltered,
       index.buckets, pruneLists)
     val probeLimit = (math.min(broadcastQueries.toLong, Int.MaxValue - 1L)
       + 1L).toInt
@@ -1648,14 +1680,146 @@ object Graft {
     * generational publish as [[ivfPqSave]] (a mid-save failure can
     * never leave new codes under old meta; readers of the previous
     * generation keep serving through the swap). */
-  def ivfSqSave(index: IvfSqIndex, dir: String, buckets: Int = 64): Unit = {
-    require(buckets > 0, s"ivfSqSave(buckets=$buckets)")
+  def ivfSqSave(index: IvfSqIndex, dir: String, buckets: Int = 64,
+      vectorsPerList: Int = 400, sqrtFactor: Double = 4.0): Unit = {
+    // the deriveNlist rule persists with the index, exactly like
+    // [[ivfPqSave]] — [[ivfSqIndexStats]]/[[ivfSqRetrain]] default to it
+    require(buckets > 0 && vectorsPerList > 0 && sqrtFactor > 0,
+      s"ivfSqSave(buckets=$buckets, vectorsPerList=$vectorsPerList)")
     val s = index.cents.sparkSession
     import s.implicits._
     saveIndexDir("ivfSqSave", dir, buckets, codes = index.enc,
       extras = Seq("cents.parquet" -> index.cents),
-      meta = Seq((index.idCol, index.nlist, buckets, index.rows))
-        .toDF("id_col", "nlist", "buckets", "rows"))
+      meta = Seq((index.idCol, index.nlist, buckets, index.rows,
+        vectorsPerList, sqrtFactor))
+        .toDF("id_col", "nlist", "buckets", "rows",
+          "vectors_per_list", "sqrt_factor"))
+  }
+
+  /** Grow a SAVED IVF-SQ8 index in place — [[ivfPqAppend]] for the SQ
+    * family, and the PURE Faiss `add` case: the SQ8 encode has no
+    * trainable state at all (no codebooks), so an append is assign +
+    * encode map-side against the frozen coarse quantizer, nothing
+    * frozen-but-stale beyond the quantizer itself. Existing codes
+    * never read or rewrite; payload columns checked by name; the meta
+    * row count RECOUNTS from the committed codes (self-healing, the
+    * [[ivfPqAppend]] discipline). Serialize with compact/retrain. */
+  def ivfSqAppend(spark: SparkSession, dir: String, batch: DataFrame,
+      vecCol: String): PqAppendStats = {
+    val idx = ivfSqLoad(spark, dir)
+    require(idx.buckets > 0,
+      s"ivfSqAppend($dir): saved index has no bucket layout")
+    val payload = sqPayloadCols(idx)
+    val missing = (idx.idCol +: vecCol +: payload)
+      .filterNot(batch.columns.contains)
+    require(missing.isEmpty,
+      s"ivfSqAppend($dir): batch lacks column(s) " +
+        s"${missing.mkString(", ")} (index schema: id=${idx.idCol}, " +
+        s"payload=${payload.mkString(", ")})")
+    val n = batch.count()
+    var rowsAfter = idx.rows
+    val tree = resolveIndexTree(spark, dir)
+    if (n > 0) {
+      sqEncodeAgainst(batch, idx.idCol, vecCol, idx.cents, idx.nlist,
+          payload)
+        .withColumn("bucket", pmod(col("list_id"), lit(idx.buckets)))
+        .repartition(col("bucket"))
+        .sortWithinPartitions("bucket", "list_id")
+        .write.mode("append").partitionBy("bucket")
+        .parquet(s"$tree/codes.parquet")
+      rowsAfter = spark.read.parquet(s"$tree/codes.parquet").count()
+      val (vpl, sf) = pqSavedDerivation(spark, tree)
+      val sess = spark
+      import sess.implicits._
+      rewriteIndexMeta(spark, tree, "ivfSqAppend",
+        Seq((idx.idCol, idx.nlist, idx.buckets, rowsAfter, vpl, sf))
+          .toDF("id_col", "nlist", "buckets", "rows",
+            "vectors_per_list", "sqrt_factor"))
+    }
+    PqAppendStats(n, rowsAfter, pqCodeFiles(spark, dir))
+  }
+
+  /** [[ivfPqIndexStats]] for a saved IVF-SQ8 index — the same
+    * [[IndexStats]]/[[maintenanceAdvice]] decision surface; the
+    * vectorsPerList/sqrtFactor = 0 defaults read the rule persisted at
+    * [[ivfSqSave]] time. */
+  def ivfSqIndexStats(spark: SparkSession, dir: String,
+      vectorsPerList: Int = 0, sqrtFactor: Double = 0.0): IndexStats = {
+    val idx = ivfSqLoad(spark, dir)
+    val (pVpl, pSf) = pqSavedDerivation(spark, dir)
+    val vpl = if (vectorsPerList > 0) vectorsPerList else pVpl
+    val sf = if (sqrtFactor > 0) sqrtFactor else pSf
+    val occ = idx.enc.groupBy(col("list_id")).count()
+      .agg(count(lit(1)).as("lists"),
+        coalesce(sum("count"), lit(0L)).as("rows"),
+        coalesce(avg("count"), lit(0.0)).as("mean"),
+        coalesce(expr("percentile_approx(count, 0.99)"), lit(0L))
+          .as("p99"),
+        coalesce(max("count"), lit(0L)).as("max"))
+      .head()
+    IndexStats(rows = occ.getLong(1),
+      dataFiles = pqCodeFiles(spark, dir), buckets = idx.buckets,
+      lists = occ.getLong(0), occMean = occ.getDouble(2),
+      occP99 = occ.getLong(3), occMax = occ.getLong(4),
+      pendingTombstones = 0L, quantizerLists = Some(idx.nlist),
+      targetNlist = deriveNlist(occ.getLong(1), vpl, sf),
+      generation = new org.apache.hadoop.fs.Path(dir).getName)
+  }
+
+  /** [[ivfPqCompact]] for the SQ layout: codes rewritten back to
+    * ≤ buckets files through the generational publish. */
+  def ivfSqCompact(spark: SparkSession, dir: String): CompactionStats = {
+    val idx = ivfSqLoad(spark, dir)
+    require(idx.buckets > 0,
+      s"ivfSqCompact($dir): saved index has no bucket layout")
+    val before = pqCodeFiles(spark, dir)
+    val rows = idx.enc.count()
+    val (vpl, sf) = pqSavedDerivation(spark, dir)
+    ivfSqSave(idx.copy(enc = idx.enc.drop("bucket"), rows = rows),
+      dir, idx.buckets, vpl, sf)
+    CompactionStats(rows, before, pqCodeFiles(spark, dir))
+  }
+
+  /** [[ivfPqRetrain]] for the SQ layout. The SQ codes do NOT depend on
+    * the quantizer (no residuals — `mx`/`q` are per-vector), so unlike
+    * PQ a retrain COULD re-route existing codes without the raw
+    * corpus; the rebuild over `vectors` is kept anyway for the exact
+    * [[ivfPqRetrain]] contract (fresh sample-trained centroids — a
+    * re-route under stale centroids would keep the drifted geometry)
+    * and the same generational publish. `nlist` = 0 re-derives under
+    * the persisted rule. */
+  def ivfSqRetrain(spark: SparkSession, dir: String, vectors: DataFrame,
+      vecCol: String, nlist: Int = 0, iters: Int = 2,
+      trainPerList: Int = 128, vectorsPerList: Int = 0,
+      sqrtFactor: Double = 0.0): PqRetrainStats = {
+    require(nlist >= 0 && iters >= 0 && trainPerList > 0,
+      s"ivfSqRetrain($dir, nlist=$nlist)")
+    val old = ivfSqLoad(spark, dir)
+    val (pVpl, pSf) = pqSavedDerivation(spark, dir)
+    val vpl = if (vectorsPerList > 0) vectorsPerList else pVpl
+    val sf = if (sqrtFactor > 0) sqrtFactor else pSf
+    val payload = sqPayloadCols(old)
+    val missing = (old.idCol +: vecCol +: payload)
+      .filterNot(vectors.columns.contains)
+    require(missing.isEmpty,
+      s"ivfSqRetrain($dir): vectors lack column(s) " +
+        s"${missing.mkString(", ")} (index schema: id=${old.idCol}, " +
+        s"payload=${payload.mkString(", ")})")
+    val filesBefore = pqCodeFiles(spark, dir)
+    val n = vectors.count()
+    val nl = math.max(1,
+      if (nlist > 0) nlist else deriveNlist(n, vpl, sf))
+    val rebuilt = ivfSqBuild(vectors, old.idCol, vecCol, nl, iters,
+      trainPerList, payload)
+    ivfSqSave(rebuilt, dir, old.buckets, vpl, sf)
+    PqRetrainStats(n, old.nlist, nl, filesBefore,
+      pqCodeFiles(spark, dir))
+  }
+
+  /** The payload columns a saved SQ index carries. */
+  private def sqPayloadCols(idx: IvfSqIndex): Seq[String] = {
+    val internal = Set(idx.idCol, "list_id", "mx", "q", "nrm", "bucket")
+    idx.enc.columns.filterNot(internal).toSeq
   }
 
   /** Restore an [[ivfSqSave]]d index (codes keep their `bucket`
@@ -2314,30 +2478,36 @@ object Graft {
     val s = spark
     import s.implicits._
     val (vpl, sf) = pqSavedDerivation(spark, dir)
-    val target = new org.apache.hadoop.fs.Path(s"$dir/meta.parquet")
+    rewriteIndexMeta(spark, dir, "ivfPqAppend",
+      Seq((idx.idCol, idx.nlist, idx.dim, idx.m, idx.ksub, idx.buckets,
+        rows, vpl, sf))
+        .toDF("id_col", "nlist", "dim", "m", "ksub", "buckets", "rows",
+          "vectors_per_list", "sqrt_factor"))
+  }
+
+  /** Swap a saved index's meta frame in place (within the LIVE
+    * generation — `tree` is the resolved dir). Delete-then-rename
+    * instant: a racing load can fail loudly and retry, never read torn
+    * state; a failed write strands no tmp junk. */
+  private def rewriteIndexMeta(spark: SparkSession, tree: String,
+      opName: String, meta: DataFrame): Unit = {
+    val target = new org.apache.hadoop.fs.Path(s"$tree/meta.parquet")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(target.getParent,
       target.getName + ".tmp-" +
         java.util.UUID.randomUUID().toString.take(8))
-    try {
-      Seq((idx.idCol, idx.nlist, idx.dim, idx.m, idx.ksub, idx.buckets,
-        rows, vpl, sf))
-        .toDF("id_col", "nlist", "dim", "m", "ksub", "buckets", "rows",
-          "vectors_per_list", "sqrt_factor")
-        .write.mode("overwrite").parquet(tmp.toString)
-    } catch { case e: Throwable =>
-      // a failed WRITE must not strand tmp junk inside the index dir
-      // (the ivfPqSave cleanup discipline)
+    try meta.write.mode("overwrite").parquet(tmp.toString)
+    catch { case e: Throwable =>
       try fs.delete(tmp, true)
       catch { case c: Throwable => e.addSuppressed(c) }
       throw e
     }
     if (fs.exists(target) && !fs.delete(target, true))
       throw new java.io.IOException(
-        s"ivfPqAppend: cannot replace $target")
+        s"$opName: cannot replace $target")
     if (!fs.rename(tmp, target))
       throw new java.io.IOException(
-        s"ivfPqAppend: rename $tmp -> $target failed (complete meta " +
+        s"$opName: rename $tmp -> $target failed (complete meta " +
           "remains at the temp path)")
   }
 

@@ -1,0 +1,112 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The SQ-family lifecycle ([[Graft.ivfSqAppend]] /
+  * [[Graft.ivfSqIndexStats]] / [[Graft.ivfSqCompact]] /
+  * [[Graft.ivfSqRetrain]]) + payload filters — PqLifecycleSpec's
+  * contracts on the machinery the two families share, plus the one
+  * property unique to SQ: appends are the PURE Faiss `add` case (no
+  * codebooks — nothing frozen-but-stale beyond the quantizer). */
+class IvfSqLifecycleSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val Dim = 16
+
+  private def mkCorpus(ids: Range, seed: Int): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    ids.map { i =>
+      val v = Array.fill(Dim)((rnd.nextGaussian() + 0.1).toFloat)
+      (i.toLong, v, if (i % 3 == 0) "en" else "de")
+    }.toDF("vec_id", "embedding", "lang")
+  }
+
+  private def search(idx: Graft.IvfSqIndex, corpus: DataFrame,
+      shortlist: Int, filter: Option[org.apache.spark.sql.Column] = None)
+      : Seq[(Long, Long, Long)] = {
+    import spark.implicits._
+    val queries = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    Graft.ivfSqSearch(idx, queries, "qid", "embedding",
+      corpus, "embedding", k = 4, nProbe = idx.nlist,
+      shortlist = shortlist, filter = filter)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+  }
+
+  test("append-grown SQ index serves identically to a batch build " +
+      "over the union; payload filters work on appended rows; stats + " +
+      "advice drive compact and retrain under the persisted rule") {
+    val a = mkCorpus(0 until 100, seed = 71)
+    val b = mkCorpus(100 until 400, seed = 72)
+    val union = a.unionByName(b)
+    val dir = java.nio.file.Files
+      .createTempDirectory("sq-lifecycle").toString
+    val Vpl = 25
+    Graft.ivfSqSave(Graft.ivfSqBuild(a, "vec_id", "embedding",
+      nlist = 4, iters = 1, payload = Seq("lang")),
+      dir, buckets = 4, vectorsPerList = Vpl)
+
+    // frozen growth in 3 appends — the training-free add
+    Seq(0, 1, 2).foreach(i =>
+      Graft.ivfSqAppend(spark, dir,
+        b.filter(pmod(col("vec_id"), lit(3)) === i), "embedding"))
+
+    val loaded = Graft.ivfSqLoad(spark, dir)
+    loaded.rows shouldBe 400L
+    loaded.enc.count() shouldBe 400L
+    // full-coverage probe == batch build over the union (exact rerank)
+    val expected = search(Graft.ivfSqBuild(union, "vec_id", "embedding",
+      nlist = 4, iters = 1, payload = Seq("lang")), union,
+      shortlist = 400)
+    search(loaded, union, shortlist = 400) shouldBe expected
+    // payload filter: every neighbor matches, including appended rows
+    val en = union.filter(col("lang") === "en")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    search(loaded, union, shortlist = 400,
+      filter = Some(col("lang") === "en"))
+      .map(_._2).foreach(nb => en should contain(nb))
+    // a batch missing the payload column fails by name
+    intercept[IllegalArgumentException] {
+      Graft.ivfSqAppend(spark, dir, b.drop("lang"), "embedding")
+    }.getMessage should include("lang")
+
+    // stats at DEFAULTS read the persisted rule; the 4x growth fires
+    // the outgrown trigger
+    val stats = Graft.ivfSqIndexStats(spark, dir)
+    stats.rows shouldBe 400L
+    stats.quantizerLists shouldBe Some(4)
+    stats.targetNlist shouldBe Graft.deriveNlist(400L, Vpl) // = 16
+    Graft.maintenanceAdvice(stats).outgrown shouldBe true
+
+    // compact: files bounded, serving identical
+    val c = Graft.ivfSqCompact(spark, dir)
+    c.rows shouldBe 400L
+    c.filesAfter should be <= 4
+    search(Graft.ivfSqLoad(spark, dir), union, shortlist = 400) shouldBe
+      expected
+
+    // retrain at DEFAULTS re-derives under the persisted rule, keeps
+    // payload, and the retrained index still serves the exact top-k
+    val rt = Graft.ivfSqRetrain(spark, dir, union, "embedding",
+      iters = 1)
+    rt.nlistBefore shouldBe 4
+    rt.nlistAfter shouldBe Graft.deriveNlist(400L, Vpl)
+    val retrained = Graft.ivfSqLoad(spark, dir)
+    search(retrained, union, shortlist = 400) shouldBe expected
+    search(retrained, union, shortlist = 400,
+      filter = Some(col("lang") === "en"))
+      .map(_._2).foreach(nb => en should contain(nb))
+    Graft.maintenanceAdvice(Graft.ivfSqIndexStats(spark, dir))
+      .outgrown shouldBe false
+  }
+}
