@@ -436,7 +436,10 @@ object VecProbe {
           .select(col("vec_id").as("query_id"), col("embedding"))
           .localCheckpoint(true)
         val held = graft.api.Graft.ivfPqLoad(spark, dirIdx)
-        def probeOnce(idx: graft.api.Graft.IvfPqIndex): (Boolean, Double) =
+        // by-name: the LOAD races the pointer swap too — it must be
+        // inside the try, or the exact collision this arm measures
+        // crashes the measurement instead of counting (r14 review)
+        def probeOnce(idx: => graft.api.Graft.IvfPqIndex): (Boolean, Double) =
           try {
             val t = System.nanoTime()
             val got = graft.api.Graft.ivfPqSearch(idx, qServe,

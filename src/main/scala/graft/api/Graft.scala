@@ -1535,7 +1535,8 @@ object Graft {
     *    norms, routed — 4× smaller than the float corpus; no raw
     *    vectors (rerank re-joins the vector store by id). */
   final case class IvfSqIndex(cents: DataFrame, enc: DataFrame,
-      idCol: String, nlist: Int, rows: Long = -1L, buckets: Int = 0)
+      idCol: String, nlist: Int, rows: Long = -1L, buckets: Int = 0,
+      dim: Int = -1)
 
   /** Build an [[IvfSqIndex]]: sampled-Lloyd coarse centroids, then ONE
     * corpus pass that assigns (broadcast argmax) and SQ8-encodes
@@ -1551,7 +1552,7 @@ object Graft {
     require(nlist >= 0 && iters >= 0 && trainPerList > 0,
       s"ivfSqBuild(nlist=$nlist)")
     val reserved = Set("bucket", "mx", "q", "nrm", "list_id",
-      idCol, vecCol,
+      "cells", "cents", "cnrms", "cnrm2", idCol, vecCol,
       "query_id", "neighbor_id", "qe", "qn", "qmx", "qq",
       "cos", "rnk", "srnk", "lrnk")
     val bad = payload.filter(reserved)
@@ -1564,9 +1565,14 @@ object Graft {
     val train = trainSample(df, idCol, nl.toLong * trainPerList, n)
     val cents =
       iterCheckpoint(kmeansCentroids(train, idCol, vecCol, nl, iters))
+    // record the dimension (one bounded job): the SQ kernels TRUNCATE
+    // mismatched lengths to min(length) instead of failing, so a
+    // wrong-dimension append would otherwise corrupt rankings silently
+    // (r14 review); [[ivfSqAppend]] checks batches against this
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
     IvfSqIndex(cents,
       sqEncodeAgainst(df, idCol, vecCol, cents, nl, payload),
-      idCol, nl, n)
+      idCol, nl, n, dim = dim)
   }
 
   /** The IVF-SQ8 ENCODE pass against a FIXED coarse quantizer — the
@@ -1691,9 +1697,9 @@ object Graft {
     saveIndexDir("ivfSqSave", dir, buckets, codes = index.enc,
       extras = Seq("cents.parquet" -> index.cents),
       meta = Seq((index.idCol, index.nlist, buckets, index.rows,
-        vectorsPerList, sqrtFactor))
+        vectorsPerList, sqrtFactor, index.dim))
         .toDF("id_col", "nlist", "buckets", "rows",
-          "vectors_per_list", "sqrt_factor"))
+          "vectors_per_list", "sqrt_factor", "dim"))
   }
 
   /** Grow a SAVED IVF-SQ8 index in place — [[ivfPqAppend]] for the SQ
@@ -1717,6 +1723,7 @@ object Graft {
         s"${missing.mkString(", ")} (index schema: id=${idx.idCol}, " +
         s"payload=${payload.mkString(", ")})")
     val n = batch.count()
+    requireBatchDim("ivfSqAppend", batch, vecCol, idx.dim, n)
     var rowsAfter = idx.rows
     val tree = resolveIndexTree(spark, dir)
     if (n > 0) {
@@ -1763,7 +1770,8 @@ object Graft {
       occP99 = occ.getLong(3), occMax = occ.getLong(4),
       pendingTombstones = 0L, quantizerLists = Some(idx.nlist),
       targetNlist = deriveNlist(occ.getLong(1), vpl, sf),
-      generation = new org.apache.hadoop.fs.Path(dir).getName)
+      generation = new org.apache.hadoop.fs.Path(
+        resolveIndexTree(spark, dir)).getName)
   }
 
   /** [[ivfPqCompact]] for the SQ layout: codes rewritten back to
@@ -1816,6 +1824,21 @@ object Graft {
       pqCodeFiles(spark, dir))
   }
 
+  /** Fail-by-name dimension check for the frozen append paths: the
+    * dot kernels truncate mismatched lengths to min(length) (never
+    * throw), so a wrong-width batch would corrupt every later ranking
+    * silently (r14 review). Skipped when the index predates the dim
+    * column (-1) or the batch is empty. */
+  private def requireBatchDim(op: String, batch: DataFrame,
+      vecCol: String, expected: Int, n: Long): Unit =
+    if (expected > 0 && n > 0) {
+      val got = batch.select(size(col(vecCol))).head().getInt(0)
+      require(got == expected,
+        s"$op: batch $vecCol has dimension $got but the index was " +
+          s"built at $expected — the int8/float dot kernels would " +
+          "silently truncate to the overlap")
+    }
+
   /** The payload columns a saved SQ index carries. */
   private def sqPayloadCols(idx: IvfSqIndex): Seq[String] = {
     val internal = Set(idx.idCol, "list_id", "mx", "q", "nrm", "bucket")
@@ -1826,12 +1849,17 @@ object Graft {
     * partition column — what makes `pruneLists` partition-prune). */
   def ivfSqLoad(spark: SparkSession, dir: String): IvfSqIndex = {
     val tree = resolveIndexTree(spark, dir)
-    val meta = spark.read.parquet(s"$tree/meta.parquet").head()
+    val metaDf = spark.read.parquet(s"$tree/meta.parquet")
+    val meta = metaDf.head()
+    val dim =
+      if (metaDf.columns.contains("dim"))
+        meta.getInt(metaDf.columns.indexOf("dim"))
+      else -1
     IvfSqIndex(
       cents = spark.read.parquet(s"$tree/cents.parquet"),
       enc = spark.read.parquet(s"$tree/codes.parquet"),
       idCol = meta.getString(0), nlist = meta.getInt(1),
-      buckets = meta.getInt(2), rows = meta.getLong(3))
+      buckets = meta.getInt(2), rows = meta.getLong(3), dim = dim)
   }
 
   /** IVF-PQ approximate top-k — the Faiss IVFPQ composition ([[pqTopK]]'s
@@ -2087,8 +2115,24 @@ object Graft {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new org.apache.hadoop.fs.Path(root, "CURRENT")
-    if (!fs.exists(cur)) dir
-    else {
+    if (!fs.exists(cur)) {
+      // missing pointer + generation dirs present = the swap instant
+      // (or a crash inside it): falling back to the root here would
+      // SILENTLY serve a stale legacy tree kept for grace — fail
+      // loudly instead; a retry lands after the rename, and the next
+      // save self-heals a crashed swap (it writes a fresh generation
+      // and pointer). Only a dir with NO generations is a legacy
+      // layout (r14 review).
+      val hasGens = fs.exists(root) && fs.listStatus(root)
+        .exists(st => st.isDirectory &&
+          st.getPath.getName.startsWith("gen-"))
+      if (hasGens)
+        throw new IllegalStateException(
+          s"resolveIndexTree($dir): CURRENT pointer missing while " +
+            "generation dirs exist — a publish swap is in flight " +
+            "(retry) or crashed mid-swap (the next save repairs it)")
+      dir
+    } else {
       val in = fs.open(cur)
       val name =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
@@ -2308,6 +2352,7 @@ object Graft {
         s"${missing.mkString(", ")} (index schema: id=${idx.idCol}, " +
         s"payload=${payload.mkString(", ")})")
     val n = batch.count()
+    requireBatchDim("ivfPqAppend", batch, vecCol, idx.dim, n)
     var rowsAfter = idx.rows
     // appends grow the LIVE generation in place (serialized with
     // compact/retrain by contract); resolve it once for all writes
@@ -2371,7 +2416,11 @@ object Graft {
       occP99 = occ.getLong(3), occMax = occ.getLong(4),
       pendingTombstones = 0L, quantizerLists = Some(idx.nlist),
       targetNlist = deriveNlist(occ.getLong(1), vpl, sf),
-      generation = new org.apache.hadoop.fs.Path(dir).getName)
+      // the LIVE generation's name — it moves on every retrain/compact,
+      // so before/after comparisons detect a publish (the table
+      // layout's indexGeneration contract; r14 review)
+      generation = new org.apache.hadoop.fs.Path(
+        resolveIndexTree(spark, dir)).getName)
   }
 
   /** Rewrite a saved index's codes back to ≤ buckets files — the
@@ -3427,7 +3476,11 @@ object Graft {
     * filters so a bucket-partitioned codes layout partition-prunes and
     * row-group-skips to just the probed lists. ONE implementation so a
     * fix to either search path cannot silently miss its twin
-    * (r14 review). */
+    * (r14 review). The pinned blocks are reclaimed by Spark's
+    * ContextCleaner once the caller drops the returned search frame
+    * (weak-reference GC cleanup — unlike the r9/r13 leak class, no
+    * session-lived strong reference holds them), so a serving loop
+    * that discards each batch's result does not accumulate pins. */
   private def pruneToProbedLists(probes0: DataFrame, enc: DataFrame,
       buckets: Int, pruneLists: Boolean): (DataFrame, DataFrame) =
     if (!pruneLists) (probes0, enc)
