@@ -1560,16 +1560,27 @@ object Graft {
       s"${bad.mkString(", ")} collide with reserved index columns " +
       s"(${reserved.toSeq.sorted.mkString(", ")}) — rename them")
     val n = df.count()
+    require(n > 0, s"ivfSqBuild: empty corpus — nothing to index " +
+      s"(the $vecCol dimension cannot even be established)")
     val nl = math.max(1,
       if (nlist > 0) nlist else deriveNlist(n))
     val train = trainSample(df, idCol, nl.toLong * trainPerList, n)
     val cents =
       iterCheckpoint(kmeansCentroids(train, idCol, vecCol, nl, iters))
-    // record the dimension (one bounded job): the SQ kernels TRUNCATE
-    // mismatched lengths to min(length) instead of failing, so a
-    // wrong-dimension append would otherwise corrupt rankings silently
-    // (r14 review); [[ivfSqAppend]] checks batches against this
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    // record the dimension (one bounded aggregate job): the SQ kernels
+    // TRUNCATE mismatched lengths to min(length) instead of failing,
+    // so a wrong-dimension append would otherwise corrupt rankings
+    // silently (r14 review); [[ivfSqAppend]] checks batches against
+    // this. Aggregate, not head(): a mixed-width CORPUS must fail the
+    // build, not record whatever width row 1 happened to have (r14
+    // advice).
+    val dimRow = df.agg(min(size(col(vecCol))).as("lo"),
+      max(size(col(vecCol))).as("hi")).head()
+    val dim = dimRow.getInt(0)
+    require(dim == dimRow.getInt(1) && dim > 0,
+      s"ivfSqBuild: $vecCol has mixed dimensions " +
+        s"${dimRow.getInt(0)}..${dimRow.getInt(1)} — the int8 dot " +
+        "kernels would silently truncate mismatched rows")
     IvfSqIndex(cents,
       sqEncodeAgainst(df, idCol, vecCol, cents, nl, payload),
       idCol, nl, n, dim = dim)
@@ -1738,10 +1749,15 @@ object Graft {
       val (vpl, sf) = pqSavedDerivation(spark, tree)
       val sess = spark
       import sess.implicits._
+      // preserve EVERY ivfSqSave meta column — dropping `dim` here
+      // would make ivfSqLoad resolve dim = -1 after the first append,
+      // silently disarming requireBatchDim for every later one
+      // (r14 advice; rewritePqMetaRows is the reference shape)
       rewriteIndexMeta(spark, tree, "ivfSqAppend",
-        Seq((idx.idCol, idx.nlist, idx.buckets, rowsAfter, vpl, sf))
+        Seq((idx.idCol, idx.nlist, idx.buckets, rowsAfter, vpl, sf,
+            idx.dim))
           .toDF("id_col", "nlist", "buckets", "rows",
-            "vectors_per_list", "sqrt_factor"))
+            "vectors_per_list", "sqrt_factor", "dim"))
     }
     PqAppendStats(n, rowsAfter, pqCodeFiles(spark, dir))
   }
@@ -1832,10 +1848,15 @@ object Graft {
   private def requireBatchDim(op: String, batch: DataFrame,
       vecCol: String, expected: Int, n: Long): Unit =
     if (expected > 0 && n > 0) {
-      val got = batch.select(size(col(vecCol))).head().getInt(0)
-      require(got == expected,
-        s"$op: batch $vecCol has dimension $got but the index was " +
-          s"built at $expected — the int8/float dot kernels would " +
+      // aggregate over the WHOLE batch, not head(): a mixed-width
+      // batch whose first row happens to match would otherwise pass
+      // and still truncate in the kernels (r14 advice)
+      val mm = batch.agg(min(size(col(vecCol))).as("lo"),
+        max(size(col(vecCol))).as("hi")).head()
+      val (lo, hi) = (mm.getInt(0), mm.getInt(1))
+      require(lo == expected && hi == expected,
+        s"$op: batch $vecCol has dimension(s) $lo..$hi but the index " +
+          s"was built at $expected — the int8/float dot kernels would " +
           "silently truncate to the overlap")
     }
 
@@ -2170,15 +2191,26 @@ object Graft {
     val curFile = new org.apache.hadoop.fs.Path(root, "CURRENT")
     // the generation the pointer names NOW (None on a fresh or legacy
     // dir) — it survives this save as the grace copy for readers in
-    // flight, and is reclaimed by the NEXT save
+    // flight, and is reclaimed by the NEXT save. If CURRENT is ABSENT
+    // but complete generations exist, a previous save crashed inside
+    // its delete→rename pointer swap: readers loaded before the crash
+    // still hold frames of the newest complete generation, so THAT
+    // generation is the grace copy — treating it as None would let the
+    // cleanup below delete it out from under them (r14 advice).
     val prevGen: Option[String] =
-      if (!fs.exists(curFile)) None
-      else {
+      if (fs.exists(curFile)) {
         val in = fs.open(curFile)
         try Some(scala.io.Source.fromInputStream(in, "UTF-8")
           .mkString.trim)
         finally in.close()
-      }
+      } else if (!fs.exists(root)) None
+      else fs.listStatus(root)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("gen-") &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath,
+            "meta.parquet")))
+        .sortBy(_.getModificationTime)
+        .lastOption.map(_.getPath.getName)
     val genName = "gen-" +
       java.util.UUID.randomUUID().toString.take(8)
     val gen = new org.apache.hadoop.fs.Path(root, genName)
@@ -3787,7 +3819,20 @@ object Graft {
       s"annKnnJoin(k=$k, probes=$probes, vectorsPerList=$vectorsPerList)")
     val count = df.count()
     val nlist = deriveNlist(count, vectorsPerList, floor = 1)
-    val effProbes = if (probes > 0) probes else deriveProbes(nlist)
+    val effProbes = if (probes > 0) probes else {
+      val p = deriveProbes(nlist)
+      // the derived default encodes spanFraction = 0.001 (the measured
+      // 1000-cluster corpus); say so OUT LOUD so a deployment on a
+      // corpus with far fewer intrinsic clusters notices the knob
+      // instead of silently under-probing (r14 advice)
+      org.apache.log4j.Logger.getLogger(getClass)
+        .info(s"annKnnJoin: probes derived as $p of nlist=$nlist via " +
+          "deriveProbes(spanFraction=0.001, slack=1.5) — the default " +
+          "assumes ~1000 intrinsic clusters; on a corpus with K " +
+          "clusters pass probes explicitly or use " +
+          "deriveProbes(nlist, spanFraction = 1.0/K)")
+      p
+    }
     val train = trainSample(df, idCol, nlist.toLong * trainPerList, count)
     val cents =
       iterCheckpoint(kmeansCentroids(train, idCol, vecCol, nlist, iters))

@@ -109,4 +109,90 @@ class IvfSqLifecycleSpec extends AnyFunSuite with Matchers {
     Graft.maintenanceAdvice(Graft.ivfSqIndexStats(spark, dir))
       .outgrown shouldBe false
   }
+
+  test("the dim guard survives appends: the meta rewrite preserves " +
+      "dim, so a wrong-width batch still fails AFTER a first append " +
+      "(r14 advice), and a mixed-width batch fails the aggregate check") {
+    import spark.implicits._
+    val a = mkCorpus(0 until 60, seed = 81)
+    val dir = java.nio.file.Files
+      .createTempDirectory("sq-dim-guard").toString
+    Graft.ivfSqSave(Graft.ivfSqBuild(a, "vec_id", "embedding",
+      nlist = 2, iters = 1, payload = Seq("lang")), dir, buckets = 2)
+
+    // first GOOD append rewrites meta — dim must survive the rewrite
+    Graft.ivfSqAppend(spark, dir, mkCorpus(60 until 90, seed = 82),
+      "embedding")
+    Graft.ivfSqLoad(spark, dir).dim shouldBe Dim
+
+    // second append at the wrong width must STILL throw
+    val rnd = new scala.util.Random(83)
+    val narrow = (90 until 95).map(i =>
+      (i.toLong, Array.fill(Dim / 2)(rnd.nextGaussian().toFloat), "en"))
+      .toDF("vec_id", "embedding", "lang")
+    intercept[IllegalArgumentException] {
+      Graft.ivfSqAppend(spark, dir, narrow, "embedding")
+    }.getMessage should include("dimension")
+
+    // a batch whose FIRST row has the right width but a later row does
+    // not fails the min/max aggregate (head() would have passed it)
+    val mixed = (95 until 99).map { i =>
+      val d = if (i == 95) Dim else Dim / 2
+      (i.toLong, Array.fill(d)(rnd.nextGaussian().toFloat), "de")
+    }.toDF("vec_id", "embedding", "lang")
+    intercept[IllegalArgumentException] {
+      Graft.ivfSqAppend(spark, dir, mixed, "embedding")
+    }.getMessage should include("dimension")
+  }
+
+  test("ivfSqBuild rejects an empty corpus explicitly and a " +
+      "mixed-width corpus by aggregate") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float], String)]
+      .toDF("vec_id", "embedding", "lang")
+    intercept[IllegalArgumentException] {
+      Graft.ivfSqBuild(empty, "vec_id", "embedding", nlist = 2,
+        iters = 1)
+    }.getMessage should include("empty corpus")
+    val rnd = new scala.util.Random(84)
+    val mixed = (0 until 40).map { i =>
+      val d = if (i % 7 == 0) Dim / 2 else Dim
+      (i.toLong, Array.fill(d)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Graft.ivfSqBuild(mixed, "vec_id", "embedding", nlist = 2,
+        iters = 1)
+    }.getMessage should include("mixed dimensions")
+  }
+
+  test("a crashed pointer swap does not lose the grace generation: " +
+      "the next save keeps the newest complete generation for one " +
+      "cycle (r14 advice)") {
+    val a = mkCorpus(0 until 60, seed = 91)
+    val dir = java.nio.file.Files
+      .createTempDirectory("sq-crash-swap").toString
+    def gens(): Set[String] = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .map(_.getName).toSet
+    def current(): String = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "CURRENT")), "UTF-8").trim
+
+    Graft.ivfSqSave(Graft.ivfSqBuild(a, "vec_id", "embedding",
+      nlist = 2, iters = 1), dir, buckets = 2)
+    val genA = current()
+    Graft.ivfSqSave(Graft.ivfSqBuild(a, "vec_id", "embedding",
+      nlist = 2, iters = 1), dir, buckets = 2)
+    val genB = current()
+    gens() shouldBe Set(genA, genB) // genA is the live grace copy
+
+    // crash INSIDE the swap: CURRENT deleted, rename never happened —
+    // in-flight readers still hold frames of genB (newest complete)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "CURRENT"))
+    Graft.ivfSqSave(Graft.ivfSqBuild(a, "vec_id", "embedding",
+      nlist = 2, iters = 1), dir, buckets = 2)
+    val genC = current()
+    // genB (the generation readers could hold) MUST survive this save;
+    // genA (a full cycle stale) is reclaimed
+    gens() shouldBe Set(genB, genC)
+  }
 }
