@@ -1328,6 +1328,121 @@ object StreamingOps {
         "CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 4) AS cos, " +
         "true AS codes_match, true AS seed_intact, " +
         "(SELECT COUNT(*) FROM embeddings) AS n_indexed " +
+        "FROM r WHERE rnk <= 5 ORDER BY query_id, rnk")),
+
+    Q("p19_stream_sq_ingest",
+      // SQ-CODED streaming ingest (r14 verdict item 2) — p18 for the
+      // SAVED IVF-SQ8 layout, the TRAINING-FREE ingest path (the more
+      // common one: SQ8's encode has no codebooks, so a frozen-state
+      // append is the pure Faiss `IndexIVFScalarQuantizer.add` — only
+      // the coarse quantizer is frozen state at all). The gate seeds a
+      // saved index with the first 40 rows' codes, streams the REST
+      // through foreachBatch -> Graft.ivfSqAppend, then pins p18's
+      // three properties a broken ingest cannot fake: (a) grown codes
+      // ROW-IDENTICAL to the batch build's over the full corpus
+      // (exceptAll empty both ways); (b) SEED code files byte-intact
+      // (appends only ADD files — per-append cost O(batch)); (c) a
+      // full-coverage probe of the grown index returns the EXACT
+      // top-k, which DuckDB recomputes.
+      (s, d) => {
+        val (ep, sub) = publishEmbeddingsAll(s, d)
+        val emb = Tables.load(s, d, "embeddings")
+        val n = emb.count()
+        val cap = math.max(50L, (n + 3) / 4)
+        val nlist = math.max(2, graft.api.Graft.deriveNlist(n))
+        // iters = 1 (exactness oracle, the s17/p18 convention); pin the
+        // codes once so the seed write and both exceptAll sides read
+        // the materialized encode
+        val built0 = graft.api.Graft.ivfSqBuild(emb, "vec_id",
+          "embedding", nlist = nlist, iters = 1)
+        val built = built0.copy(enc = built0.enc.localCheckpoint(true))
+        val dir = Files.createTempDirectory("graft-p19-sq").toString
+        val seed = built.enc.filter(col("vec_id") < 40)
+        graft.api.Graft.ivfSqSave(
+          built.copy(enc = seed, rows = seed.count()), dir, buckets = 8)
+        def codeFiles(): Map[String, Long] = {
+          def walk(f: java.io.File): Seq[java.io.File] =
+            if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+            else Seq(f)
+          walk(new java.io.File(
+            s"${graft.api.Graft.resolveIndexTree(s, dir)}/codes.parquet"))
+            .filter(_.getName.endsWith(".parquet"))
+            .map(f => f.getPath -> f.length()).toMap
+        }
+        val seedFiles = codeFiles()
+        val sizes =
+          new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        val q = s.readStream.format("pubsub")
+          .option("project_id", "p")
+          .option("subscription", sub)
+          .option("endpoint", ep)
+          .option("max_messages_per_trigger", cap.toString)
+          .option("max_messages_per_partition", "50000")
+          .option("dynamic_partitioning", "false")
+          .option("ack_deadline_seconds", "600")
+          .load()
+          .selectExpr(
+            "CAST(attributes['vec_id'] AS BIGINT) AS vec_id",
+            "transform(split(CAST(data AS STRING), ','), " +
+              "x -> CAST(x AS FLOAT)) AS embedding")
+          .filter(col("vec_id") >= 40)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            sizes.add(batch.count())
+            graft.api.Graft.ivfSqAppend(s, dir, batch, "embedding")
+            ()
+          }
+          .option("checkpointLocation", tmpCheckpoint("graft-p19"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(300000)
+        val after = codeFiles()
+        val seedIntact = seedFiles.forall { case (p, len) =>
+          after.get(p).contains(len) }
+        val loaded = graft.api.Graft.ivfSqLoad(s, dir)
+        val nIndexed = loaded.enc.count()
+        import scala.jdk.CollectionConverters._
+        val sz = sizes.asScala.toSeq
+        require(nIndexed == n && sz.forall(_ <= cap),
+          s"p19 ingest broke: indexed $nIndexed of $n over batches $sz " +
+            s"(cap $cap)")
+        // (a) grown codes == batch-built codes, row for row
+        val grown = loaded.enc.drop("bucket")
+        val codesMatch =
+          grown.exceptAll(built.enc).isEmpty &&
+            built.enc.exceptAll(grown).isEmpty
+        val queries = emb.filter(col("vec_id") < 40)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        val search = graft.api.Graft.ivfSqSearch(loaded, queries,
+          "query_id", "embedding", emb, "embedding", k = 5,
+          nProbe = loaded.nlist, shortlist = math.max(5, n.toInt))
+          .select(col("query_id"), col("neighbor_id"), col("rnk"),
+            round(col("cos"), 4).as("cos"))
+          .withColumn("codes_match", lit(codesMatch))
+          .withColumn("seed_intact", lit(seedIntact))
+          .withColumn("n_indexed", lit(nIndexed))
+          .orderBy("query_id", "rnk")
+        val rows = search.collect()
+        val out = s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), search.schema)
+        deleteRecursively(new java.io.File(dir))
+        out
+      },
+      Some("WITH nn AS (SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(list_zip(embedding, embedding), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) AS nrm " +
+        "FROM embeddings), " +
+        "p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+        "(a.nrm * b.nrm) AS cos FROM nn a JOIN nn b " +
+        "ON a.vec_id < 40 AND a.vec_id <> b.vec_id), " +
+        "r AS (SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER " +
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk " +
+        "FROM p) SELECT query_id, neighbor_id, " +
+        "CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 4) AS cos, " +
+        "true AS codes_match, true AS seed_intact, " +
+        "(SELECT COUNT(*) FROM embeddings) AS n_indexed " +
         "FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"))
   )
 }
