@@ -2529,6 +2529,100 @@ object Graft {
       pqCodeFiles(spark, dir))
   }
 
+  /** The maintenance AUTOPILOT for a saved IVF-PQ serving dir — the
+    * [[bucketedIndexAppender]] `maintainEvery` loop brought to the
+    * generational layout, so a long-lived deployment wires
+    * `writeStream.foreachBatch(Graft.ivfPqDirAppender(...))` and never
+    * calls stats/compact/retrain by hand (r14 verdict item 1):
+    *
+    *  1. each micro-batch appends through [[ivfPqAppend]] — frozen
+    *     quantizer + codebooks, O(batch), existing code files never
+    *     read;
+    *  2. every `maintainEvery` batches, [[ivfPqIndexStats]] →
+    *     [[maintenanceAdvice]], and the loop ACTS: [[ivfPqRetrain]]
+    *     when the quantizer is outgrown (or skew-actionable under the
+    *     same [[skewRetrainActionable]] hysteresis the table loop
+    *     applies — an inherently imbalanced corpus must not buy a
+    *     rebuild every cadence tick), else [[ivfPqCompact]] when
+    *     fragmented. Retrain subsumes compact (its rewrite IS one).
+    *
+    * Unlike the table-layout loop, NO quantizer-swap state lives here:
+    * every [[ivfPqAppend]] resolves the dir's CURRENT pointer and
+    * loads the live generation's frozen state, so the first append
+    * after a retrain automatically assigns + encodes under the NEW
+    * quantizer/codebooks — the appender "swaps itself onto the new
+    * generation" by construction, and readers holding the previous
+    * generation keep serving through it (the [[saveIndexDir]] grace
+    * guarantee).
+    *
+    * `vectors` is a SUPPLIER of the current raw-vector corpus,
+    * re-evaluated at retrain time — PQ codes quantize residuals, so a
+    * retrain is a rebuild and needs the full vectors ([[ivfPqRetrain]]
+    * scaladoc). It must cover every row ingested so far, including
+    * payload columns: the raw store the serving path's exact rerank
+    * already requires (typically the table/dir the deployment appends
+    * raw rows to alongside the coded index — the p20 gate's shape).
+    * All maintenance runs on the foreachBatch thread, serialized with
+    * appends by construction (the documented serialize-maintenance
+    * contract). `maintainEvery` = 0 disables the cadence. */
+  def ivfPqDirAppender(spark: SparkSession, dir: String, vecCol: String,
+      vectors: () => DataFrame, maintainEvery: Int = 0, iters: Int = 2)
+      : (DataFrame, Long) => Unit =
+    savedDirAppender("ivfPqDirAppender", maintainEvery,
+      append = b => { ivfPqAppend(spark, dir, b, vecCol); () },
+      stats = () => ivfPqIndexStats(spark, dir),
+      compact = () => { ivfPqCompact(spark, dir); () },
+      retrain = () =>
+        { ivfPqRetrain(spark, dir, vectors(), vecCol, iters = iters); () })
+
+  /** [[ivfPqDirAppender]] for the saved IVF-SQ8 layout — the
+    * training-free twin: appends are the pure Faiss `add`
+    * ([[ivfSqAppend]]), and the advice-driven retrain is
+    * [[ivfSqRetrain]]'s fresh-centroid rebuild. Same supplier
+    * contract, same hysteresis, same generation-swap-by-construction. */
+  def ivfSqDirAppender(spark: SparkSession, dir: String, vecCol: String,
+      vectors: () => DataFrame, maintainEvery: Int = 0, iters: Int = 2)
+      : (DataFrame, Long) => Unit =
+    savedDirAppender("ivfSqDirAppender", maintainEvery,
+      append = b => { ivfSqAppend(spark, dir, b, vecCol); () },
+      stats = () => ivfSqIndexStats(spark, dir),
+      compact = () => { ivfSqCompact(spark, dir); () },
+      retrain = () =>
+        { ivfSqRetrain(spark, dir, vectors(), vecCol, iters = iters); () })
+
+  /** The shared autopilot loop of [[ivfPqDirAppender]] /
+    * [[ivfSqDirAppender]] — ONE implementation so a fix to either
+    * family's cadence cannot silently miss its twin (the
+    * [[saveIndexDir]] discipline). Cadence on the stream's batchId,
+    * exactly like [[bucketedIndexAppender]]. */
+  private def savedDirAppender(op: String, maintainEvery: Int,
+      append: DataFrame => Unit, stats: () => IndexStats,
+      compact: () => Unit, retrain: () => Unit)
+      : (DataFrame, Long) => Unit = {
+    require(maintainEvery >= 0, s"$op(maintainEvery=$maintainEvery)")
+    // skew left behind by the last advice-driven retrain (p99/mean);
+    // -1 until one runs — the skew-trigger hysteresis baseline
+    var postRetrainSkew = -1.0
+    (batch: DataFrame, batchId: Long) => {
+      append(batch)
+      if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {
+        val st = stats()
+        val advice = maintenanceAdvice(st)
+        val curSkew =
+          if (st.occMean > 0) st.occP99 / st.occMean else 0.0
+        val skewActionable = advice.skewed &&
+          skewRetrainActionable(curSkew, postRetrainSkew)
+        if (advice.outgrown || skewActionable) {
+          retrain()
+          val after = stats()
+          postRetrainSkew =
+            if (after.occMean > 0) after.occP99 / after.occMean
+            else 0.0
+        } else if (advice.compact) compact()
+      }
+    }
+  }
+
   /** The payload columns a saved index carries: everything in the codes
     * frame that is not pipeline-owned. */
   private def pqPayloadCols(idx: IvfPqIndex): Seq[String] = {

@@ -1443,6 +1443,150 @@ object StreamingOps {
         "CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 4) AS cos, " +
         "true AS codes_match, true AS seed_intact, " +
         "(SELECT COUNT(*) FROM embeddings) AS n_indexed " +
+        "FROM r WHERE rnk <= 5 ORDER BY query_id, rnk")),
+
+    Q("p20_pq_autopilot",
+      // The saved-layout AUTOPILOT end-to-end (r14 verdict item 1):
+      // a serving deployment wires foreachBatch(ivfPqDirAppender) and
+      // the maintenance loop runs itself. The gate seeds a saved
+      // IVF-PQ index on a THIRD of the corpus under a sizing rule
+      // (vectorsPerList = n/10) whose outgrown trigger must fire
+      // mid-stream (at ~2/3 ingested the derived width doubles the
+      // built one), streams the remaining two thirds through the
+      // appender with maintainEvery = 1, and checks what a faked loop
+      // cannot: (a) the generation CHANGED strictly before the last
+      // batch (retrain fired unprompted, mid-stream); (b) batches kept
+      // appending AFTER the swap and the drained index holds the full
+      // corpus (the post-retrain appends landed in the NEW generation —
+      // the appender re-resolves the pointer per call); (c) the
+      // retrained quantizer is wider than the seed's; (d) a
+      // full-coverage FILTERED search (lang = 'en' payload riding the
+      // codes through seed build, appends AND the rebuild) returns the
+      // exact filtered top-k, which DuckDB recomputes. The raw-vector
+      // store grows alongside the codes (each batch appends raw rows
+      // to a parquet dir) — the retrain's vectors() supplier reads it,
+      // so the rebuild sees exactly the rows ingested so far.
+      (s, d) => {
+        val (ep, sub) = publishEmbeddingsAll(s, d)
+        val emb = Tables.load(s, d, "embeddings")
+        val docs = Tables.load(s, d, "documents")
+        val full = emb.join(
+          docs.select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
+        val n = full.count()
+        val vpl = math.max(1, (n / 10).toInt)
+        val seed = full.filter(pmod(col("vec_id"), lit(3)) === 0)
+        val nSeed = seed.count()
+        val nlist0 = math.max(1, (nSeed / vpl).toInt)
+        val rawDir = Files.createTempDirectory("graft-p20-raw").toString
+        val dir = Files.createTempDirectory("graft-p20-pq").toString
+        seed.write.mode("overwrite").parquet(rawDir)
+        graft.api.Graft.ivfPqSave(
+          graft.api.Graft.ivfPqBuild(seed, "vec_id", "embedding",
+            dim = 64, nlist = nlist0, m = 8, ksub = 16, iters = 1,
+            payload = Seq("lang")),
+          dir, buckets = 8, vectorsPerList = vpl)
+        // maintainEvery = 2 over ~4 batches: the outgrown trigger
+        // (rows >= 5.5 x vpl) lands on the SECOND tick at every
+        // fixture, leaving the last two batches to append post-swap —
+        // and the cadence halves the per-tick stats scans vs
+        // every-batch (this gate is the suite's most expensive; the
+        // cadence is also the realistic deployment shape)
+        val appender = graft.api.Graft.ivfPqDirAppender(s, dir,
+          "embedding", vectors = () => s.read.parquet(rawDir),
+          maintainEvery = 2, iters = 1)
+        val cap = math.max(50L, (n + 3) / 4)
+        val langByDoc = docs
+          .select(col("doc_id").as("vec_id"), col("lang"))
+        val gens =
+          new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        // record the SEED generation first: genSeq[i+1] is then the
+        // live generation right after append i, so the first index
+        // where it differs from genSeq.head is the append whose
+        // maintenance tick retrained
+        gens.add(new org.apache.hadoop.fs.Path(
+          graft.api.Graft.resolveIndexTree(s, dir)).getName)
+        val q = s.readStream.format("pubsub")
+          .option("project_id", "p")
+          .option("subscription", sub)
+          .option("endpoint", ep)
+          .option("max_messages_per_trigger", cap.toString)
+          .option("max_messages_per_partition", "50000")
+          .option("dynamic_partitioning", "false")
+          .option("ack_deadline_seconds", "600")
+          .load()
+          .selectExpr(
+            "CAST(attributes['vec_id'] AS BIGINT) AS vec_id",
+            "transform(split(CAST(data AS STRING), ','), " +
+              "x -> CAST(x AS FLOAT)) AS embedding")
+          .filter(pmod(col("vec_id"), lit(3)) =!= 0)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val withLang = batch
+              .join(broadcast(langByDoc), "vec_id")
+              .select(col("vec_id"), col("embedding"), col("lang"))
+              .localCheckpoint(true)
+            // the raw store grows FIRST (retrain reads it this tick)
+            withLang.write.mode("append").parquet(rawDir)
+            appender(withLang, batchId)
+            gens.add(new org.apache.hadoop.fs.Path(
+              graft.api.Graft.resolveIndexTree(s, dir)).getName)
+            ()
+          }
+          .option("checkpointLocation", tmpCheckpoint("graft-p20"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(300000)
+        import scala.jdk.CollectionConverters._
+        val genSeq = gens.asScala.toSeq
+        val loaded = graft.api.Graft.ivfPqLoad(s, dir)
+        val nIndexed = loaded.enc.count()
+        // (a) unprompted retrain strictly before the last batch;
+        // (b) post-swap batches appended into the new generation
+        // (firstChange < size-1 means at least one append ran after
+        // the swap; nIndexed == n below proves it landed)
+        val firstChange = genSeq.indexWhere(_ != genSeq.head)
+        val retrainMidStream =
+          firstChange >= 1 && firstChange < genSeq.size - 1
+        require(nIndexed == n,
+          s"p20 autopilot broke: indexed $nIndexed of $n " +
+            s"(generations ${genSeq.distinct.size}: $genSeq)")
+        val queries = emb.filter(col("vec_id") < 40)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        val search = graft.api.Graft.ivfPqSearch(loaded, queries,
+          "query_id", "embedding", emb, "embedding", k = 5,
+          nProbe = loaded.nlist, shortlist = math.max(5, n.toInt),
+          filter = Some(col("lang") === "en"))
+          .select(col("query_id"), col("neighbor_id"), col("rnk"),
+            round(col("cos"), 4).as("cos"))
+          .withColumn("retrain_mid_stream", lit(retrainMidStream))
+          .withColumn("quantizer_grew", lit(loaded.nlist > nlist0))
+          .withColumn("n_indexed", lit(nIndexed))
+          .orderBy("query_id", "rnk")
+        val rows = search.collect()
+        val out = s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), search.schema)
+        deleteRecursively(new java.io.File(dir))
+        deleteRecursively(new java.io.File(rawDir))
+        out
+      },
+      Some("WITH nn AS (SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(list_zip(embedding, embedding), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) AS nrm " +
+        "FROM embeddings), " +
+        "en AS (SELECT doc_id FROM documents WHERE lang = 'en'), " +
+        "p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+        "(a.nrm * b.nrm) AS cos FROM nn a JOIN nn b " +
+        "ON a.vec_id < 40 AND a.vec_id <> b.vec_id " +
+        "JOIN en e ON b.vec_id = e.doc_id), " +
+        "r AS (SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER " +
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk " +
+        "FROM p) SELECT query_id, neighbor_id, " +
+        "CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 4) AS cos, " +
+        "true AS retrain_mid_stream, true AS quantizer_grew, " +
+        "(SELECT COUNT(*) FROM embeddings e JOIN documents d " +
+        "ON e.vec_id = d.doc_id) AS n_indexed " +
         "FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"))
   )
 }

@@ -165,6 +165,53 @@ class IvfSqLifecycleSpec extends AnyFunSuite with Matchers {
     }.getMessage should include("mixed dimensions")
   }
 
+  test("ivfSqDirAppender autopilot: advice-driven retrain fires " +
+      "unprompted mid-ingest, later appends land in the new " +
+      "generation, and serving stays exact") {
+    import spark.implicits._
+    val full = mkCorpus(0 until 300, seed = 95)
+    val dir = java.nio.file.Files
+      .createTempDirectory("sq-autopilot").toString
+    val rawDir = java.nio.file.Files
+      .createTempDirectory("sq-autopilot-raw").toString
+    val Vpl = 30
+    val seed = full.filter(col("vec_id") < 100)
+    seed.write.mode("overwrite").parquet(rawDir)
+    // nlist0 = 3; outgrown (target >= 6) fires at rows >= 165 —
+    // batch 3 of 5 under 40-row batches
+    Graft.ivfSqSave(Graft.ivfSqBuild(seed, "vec_id", "embedding",
+      nlist = 3, iters = 1, payload = Seq("lang")),
+      dir, buckets = 4, vectorsPerList = Vpl)
+    def gen(): String = new org.apache.hadoop.fs.Path(
+      Graft.resolveIndexTree(spark, dir)).getName
+    val seedGen = gen()
+    val appender = Graft.ivfSqDirAppender(spark, dir, "embedding",
+      vectors = () => spark.read.parquet(rawDir),
+      maintainEvery = 1, iters = 1)
+    val genAt = scala.collection.mutable.ArrayBuffer[String]()
+    (0 until 5).foreach { i =>
+      val batch = full
+        .filter(col("vec_id") >= 100 + i * 40 &&
+          col("vec_id") < 100 + (i + 1) * 40)
+        .localCheckpoint(true)
+      batch.write.mode("append").parquet(rawDir)
+      appender(batch, i.toLong)
+      genAt += gen()
+    }
+    // retrain fired unprompted, strictly before the last batch
+    val firstChange = genAt.indexWhere(_ != seedGen)
+    firstChange should be >= 0
+    firstChange should be < genAt.size - 1
+    val loaded = Graft.ivfSqLoad(spark, dir)
+    loaded.rows shouldBe 300L // post-swap appends landed
+    loaded.nlist should be >= 6 // re-derived width
+    // serving stays exact at full coverage
+    val expected = search(Graft.ivfSqBuild(full, "vec_id", "embedding",
+      nlist = 3, iters = 1, payload = Seq("lang")), full,
+      shortlist = 300)
+    search(loaded, full, shortlist = 300) shouldBe expected
+  }
+
   test("a crashed pointer swap does not lose the grace generation: " +
       "the next save keeps the newest complete generation for one " +
       "cycle (r14 advice)") {
