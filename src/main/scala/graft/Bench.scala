@@ -209,9 +209,27 @@ object Bench {
     // n_queries: totals across rounds are only comparable per-query — the
     // registered surface grew from 55 (r1) to 75 (r2) to 95 (r3).
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"regressions_vs_local":$regs,"sf":"$sfDir"}"""
+    // The FULL per-query line outgrew the driver's 2000-char stdout
+    // tail at ~144 queries (BENCH_r12..r14 all landed `parsed: null`,
+    // flagged three verdicts running), so it now goes to a COMMITTED
+    // file the judge reads directly, and stdout ends with a compact
+    // summary line that fits the tail: total, n_queries, the
+    // regression map, and the top-10 slowest queries. The full line
+    // still prints first for humans tailing the log.
     println(line)
-    // Optional file copy of the JSON line (tooling-friendly; the driver
-    // reads stdout).
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL_OUT",
+      "BENCH_full.json")
+    if (only.isEmpty) { // dev subset runs must not clobber the artifact
+      val w = new java.io.PrintWriter(fullPath, "UTF-8")
+      try w.println(line) finally w.close()
+    }
+    val slow = merged.filter(_._2 >= 0).sortBy(-_._2).take(10)
+    val qsTop = slow
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries_shown":${slow.size},"queries":$qsTop,"regressions_vs_local":$regs,"full":"$fullPath","sf":"$sfDir"}""")
+    // Optional file copy of the full JSON line (tooling-friendly; the
+    // driver reads stdout).
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       val w = new java.io.PrintWriter(p, "UTF-8")
       try w.println(line) finally w.close()
