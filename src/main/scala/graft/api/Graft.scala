@@ -629,6 +629,81 @@ object Graft {
       .limit(topK)
   }
 
+  /** Multi-iteration BPE TRAINER — [[bpePairCounts]] run to a
+    * vocabulary: `merges` rounds of (count adjacent token pairs over
+    * the weighted word vocabulary → merge the winner everywhere),
+    * the loop every byte-pair tokenizer training runs (r14 verdict
+    * item 5). Returns the merge TABLE (step, pair, merged, cnt) —
+    * the artifact a tokenizer ships. Deterministic: the winner is
+    * (count desc, pair asc), so both engines replay the identical
+    * sequence.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-count shuffle,
+    * carrying (word, count) rows); every merge round then runs over
+    * the DISTINCT vocabulary only — millions of rows at web scale
+    * where the corpus is trillions — with one vocabulary-sized
+    * aggregation per round (pair counts, map-side combined, keyed by
+    * the bounded pair alphabet) and one map-only rewrite. The
+    * per-round winner is a LIMIT-1 collect (one row; the kmeans-loop
+    * discipline), and the rewritten vocabulary localCheckpoints so
+    * round k+1's plan does not recompute rounds 1..k.
+    *
+    * Words are token SEQUENCES encoded as a sentinel-spaced string —
+    * every token wrapped in its own leading/trailing space
+    * (`" t1  t2  t3 "`): a merge of (t1, t2) is then the plain
+    * left-to-right non-overlapping `replace(" t1  t2 ", " t1t2 ")`,
+    * with each token's own wrapping intact on both sides of any
+    * match, so consecutive same-pair runs merge exactly like BPE's
+    * leftmost-first scan ("a a a a" → "aa aa", never "aa a a") and a
+    * token SUFFIX can never false-match a pair boundary ("xa b" does
+    * not contain pair (a, b)). Tokens themselves contain no spaces —
+    * they come from whitespace-split words. */
+  def bpeTrain(df: DataFrame, textCol: String,
+      merges: Int = 8): DataFrame = {
+    require(merges > 0 && merges <= 64, s"bpeTrain(merges=$merges)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = iterCheckpoint(df
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .select(concat(lit(" "), array_join(
+          expr("transform(sequence(1, length(word)), " +
+            "i -> substring(word, i, 1))"), "  "), lit(" ")).as("s"),
+        col("wc")))
+    val steps = Seq.newBuilder[(Long, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= merges && !exhausted) {
+      val best = vocab
+        .select(col("wc"), split(trim(col("s")), "  ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("wc"),
+          explode(expr("sequence(1, size(t) - 1)")).as("i"), col("t"))
+        .select(col("wc"), concat(element_at(col("t"), col("i")),
+          lit(" "), element_at(col("t"), col("i") + 1)).as("pair"))
+        .groupBy("pair").agg(sum("wc").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val cnt = best(0).getLong(1)
+        val Array(l, r) = pair.split(" ", 2)
+        steps += ((k.toLong, pair, l + r, cnt))
+        val old = vocab
+        vocab = iterCheckpoint(vocab.select(
+          org.apache.spark.sql.functions.replace(col("s"),
+            lit(s" $l  $r "), lit(s" ${l + r} ")).as("s"),
+          col("wc")))
+        graft.ops.ListingCache.release(old)
+        k += 1
+      }
+    }
+    graft.ops.ListingCache.release(vocab)
+    steps.result().toDF("step", "pair", "merged", "cnt")
+  }
+
   /** Top-`k` TF-IDF terms per document: tf = in-document occurrences,
     * idf = ln((N+1)/(df+1)) with df = number of documents containing the
     * term. The corpus size N stays a one-row broadcast (never a driver
