@@ -88,4 +88,52 @@ class PrunedProbeGateSpec extends AnyFunSuite with Matchers {
       wall should be < 30.0
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
+
+  test("the SQ serving path partition-prunes identically: a pruned " +
+      "ivfSqSearch reads ONLY the probed buckets' code files " +
+      "(r14 verdict item 7)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 800).map(i =>
+      (i.toLong, Array.fill(Dim)((rnd.nextGaussian() + 0.1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("pruned-gate-sq").toString
+    Graft.ivfSqSave(Graft.ivfSqBuild(corpus, "vec_id", "embedding",
+      nlist = 16, iters = 1), dir, buckets = Buckets)
+    val loaded = Graft.ivfSqLoad(spark, dir)
+    val queries = corpus.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding"))
+
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val t0 = System.nanoTime()
+      val probe = Graft.ivfSqSearch(loaded, queries, "qid", "embedding",
+        corpus, "embedding", k = 3, nProbe = 2, shortlist = 8,
+        pruneLists = true)
+      probe.collect().length should be > 0
+      val wall = (System.nanoTime() - t0) / 1e9
+
+      val scans = probe.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+            .exists(_.toString.contains(dir)) => f
+      }
+      scans should not be empty
+      val filesRead = scans.map(_.metrics("numFiles").value).sum
+      val totalFiles = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(
+          s"${Graft.resolveIndexTree(spark, dir)}/codes.parquet"))
+          .count(_.getName.endsWith(".parquet"))
+      }
+      withClue(s"pruned SQ scan read $filesRead of $totalFiles code " +
+          "files — partition pruning lost:") {
+        filesRead should be < totalFiles.toLong
+        filesRead should be <= (totalFiles.toLong * 4 / Buckets)
+      }
+      wall should be < 30.0
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
 }
