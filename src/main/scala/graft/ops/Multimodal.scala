@@ -20,6 +20,32 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** The m11/m13 augmented near-dup corpus, factored OUT of the gate
+    * bodies so the construction is pinned in ONE place
+    * (AugmentedCorpusSpec) and fixture drift cannot silently change
+    * the constructed pair set on one consumer but not the other (r14
+    * verdict item 8; the r8 timestamp lesson). Every 7th document
+    * (with ≥ 2 characters) re-appears under id + 1,000,000 with its
+    * first and last characters swapped — a byte-SUM-preserving
+    * perturbation of the UTF-8 payload, so only the aHash chunks
+    * holding those characters' bytes can flip and each copy sits
+    * within hamming distance 2 of its source in BOTH the 60-bit and
+    * the 120-bit metric. */
+  private[graft] def ahashAugmentedCorpus(s: SparkSession, d: String)
+      : DataFrame = {
+    val base = Tables.load(s, d, "documents")
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"), col("text"))
+    val perturbed = base
+      .filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        expr("concat(substring(text, length(text), 1), " +
+          "substring(text, 2, length(text) - 2), " +
+          "substring(text, 1, 1))").as("text"))
+    base.unionByName(perturbed)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+  }
+
   /** The (stub) decoder's fixed geometry: 16-byte "frames", every 4th
     * sampled — shared by m02's declarative formulation and its oracle. */
   private object FakeDecoder {
@@ -375,23 +401,10 @@ object Multimodal {
       // this gate also exercises the derivation path. All integer bit
       // math, so the DuckDB oracle rebuilds the augmented corpus, both
       // hashes, the banding AND the popcount verify bit for bit.
-      (s, d) => {
-        val base = Tables.load(s, d, "documents")
-          .filter(length(col("text")) >= 2)
-          .select(col("doc_id"), col("text"))
-        val perturbed = base
-          .filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-            expr("concat(substring(text, length(text), 1), " +
-              "substring(text, 2, length(text) - 2), " +
-              "substring(text, 1, 1))").as("text"))
-        graft.api.Graft.ahashNearDupPairs(
-          base.unionByName(perturbed)
-            .select(col("doc_id"),
-              encode(col("text"), "UTF-8").as("payload")),
+      (s, d) =>
+        graft.api.Graft.ahashNearDupPairs(ahashAugmentedCorpus(s, d),
           "doc_id", "payload", radius = 3)
-          .orderBy("id_a", "id_b")
-      },
+          .orderBy("id_a", "id_b"),
       Some {
         val bits = (0 until 60).map(i =>
           s"BOOL_OR(chunk = $i) AND SUM(CASE WHEN chunk = $i THEN bv " +
@@ -443,23 +456,10 @@ object Multimodal {
       // source in the 120-bit metric too). All integer bit math; the
       // oracle rebuilds both 60-bit words, the 4 x 30-bit banding and
       // the two-word popcount bit for bit.
-      (s, d) => {
-        val base = Tables.load(s, d, "documents")
-          .filter(length(col("text")) >= 2)
-          .select(col("doc_id"), col("text"))
-        val perturbed = base
-          .filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-            expr("concat(substring(text, length(text), 1), " +
-              "substring(text, 2, length(text) - 2), " +
-              "substring(text, 1, 1))").as("text"))
-        graft.api.Graft.ahashWideNearDupPairs(
-          base.unionByName(perturbed)
-            .select(col("doc_id"),
-              encode(col("text"), "UTF-8").as("payload")),
+      (s, d) =>
+        graft.api.Graft.ahashWideNearDupPairs(ahashAugmentedCorpus(s, d),
           "doc_id", "payload", radius = 3, words = 2)
-          .orderBy("id_a", "id_b")
-      },
+          .orderBy("id_a", "id_b"),
       Some {
         val bits = (0 until 120).map(i =>
           s"BOOL_OR(chunk = $i) AND SUM(CASE WHEN chunk = $i THEN bv " +
