@@ -704,6 +704,54 @@ object Graft {
     steps.result().toDF("step", "pair", "merged", "cnt")
   }
 
+  /** Tokenizer APPLY — the other half of [[bpeTrain]]: encode a corpus
+    * under a trained merge table and report per-document token counts
+    * (`n_words`, `n_tokens`), the number every training pipeline needs
+    * per document once a real tokenizer replaces the whitespace
+    * heuristics (t01). Documents with no words keep a zero row.
+    *
+    * Scale shape: the merge table is tokenizer-sized (`bpeTrain` caps
+    * it at 64 rows), so collecting it is the broadcast every tokenizer
+    * apply does — the merges compile into ONE map-only chain of
+    * `replace` calls over the DISTINCT vocabulary (same sentinel-spaced
+    * representation as training; sequential fold in step order is
+    * exactly the training rewrite order). The corpus itself is touched
+    * once for per-doc word counts; the vocabulary join back is an
+    * equi-join on the word, dwarfed by the corpus-side explode. No
+    * per-round materialization: unlike training there is nothing
+    * iterative here, the k replaces are one codegen'd projection. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame = {
+    val steps = merges.select(col("step"), col("pair"), col("merged"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    require(steps.length <= 64,
+      s"bpeEncode: merge table has ${steps.length} rows — not a " +
+        "bpeTrain artifact (its contract caps merges at 64)")
+    val words = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("n"))
+    val spaced = concat(lit(" "), array_join(
+      expr("transform(sequence(1, length(word)), " +
+        "i -> substring(word, i, 1))"), "  "), lit(" "))
+    val applied = steps.foldLeft(spaced) { case (acc, (pair, merged)) =>
+      val Array(l, r) = pair.split(" ", 2)
+      org.apache.spark.sql.functions.replace(acc,
+        lit(s" $l  $r "), lit(s" $merged "))
+    }
+    val vocabTok = words.select(col("word")).distinct()
+      .select(col("word"),
+        size(split(trim(applied), "  ")).cast("bigint").as("wt"))
+    val perDoc = words.join(vocabTok, "word")
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("w"), sum(col("n") * col("wt")).as("t"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("w"), lit(0L)).cast("bigint").as("n_words"),
+        coalesce(col("t"), lit(0L)).cast("bigint").as("n_tokens"))
+  }
+
   /** Top-`k` TF-IDF terms per document: tf = in-document occurrences,
     * idf = ln((N+1)/(df+1)) with df = number of documents containing the
     * term. The corpus size N stays a one-row broadcast (never a driver
@@ -4877,7 +4925,8 @@ object Graft {
     * per-round materialization executor-loss-proof; the algorithm is
     * unchanged. */
   def dupClusters(nodes: DataFrame, idCol: String, pairs: DataFrame,
-      aCol: String, bCol: String, maxIters: Int = 50): DataFrame = {
+      aCol: String, bCol: String, maxIters: Int = 50,
+      onRounds: Int => Unit = _ => ()): DataFrame = {
     requireNumericId(nodes, idCol, "dupClusters")
     val sym = iterCheckpoint(pairs // pair generation runs ONCE, not per round
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
@@ -4921,6 +4970,11 @@ object Graft {
       converged = acc.value == 0
       it += 1
     }
+    // Rounds-to-convergence diagnostic (includes the fixpoint-confirming
+    // round): SCALE.md's decade measurements read it via ClusterProbe —
+    // round count is the term that would bend this loop super-linear on
+    // high-diameter graphs, so the growth record tracks it explicitly.
+    onRounds(it)
     labels.select(col("id").as(idCol), col("lab").as("cluster_id"))
   }
 
@@ -4945,7 +4999,7 @@ object Graft {
     * (equivalence on random graphs asserted in ApiSpec). */
   def dupClustersLargeStar(nodes: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50, onRounds: Int => Unit = _ => ()): DataFrame = {
     requireNumericId(nodes, idCol, "dupClustersLargeStar")
     def canon(e: DataFrame): DataFrame = e
       .select(greatest(col("u"), col("v")).as("hi"),
@@ -5000,6 +5054,7 @@ object Graft {
       edges = small
       it += 1
     }
+    onRounds(it) // same diagnostic contract as [[dupClusters]]
     val labels = edges.select(col("hi").as("id"), col("lo").as("cl"))
     nodes.select(col(idCol).cast("long").as("id"))
       .join(labels, Seq("id"), "left")
@@ -5557,17 +5612,24 @@ object Graft {
     * when it exceeds `hotShingleGuardDf`: one web-scale stop-shingle
     * ("in the the") makes its self-join bucket alone O(df²) rows and can
     * dominate the whole shuffle. */
+  /** Returns the admitted shingle table plus, when the guard pass ran
+    * (the default), the exact candidate volume Σ df·(df−1)/2 it
+    * computed for free — [[candidateAggPartitions]] derives the pair
+    * aggregation's width from it. */
   private def admittedShingles(all: DataFrame, idCol: String,
       maxShingleDf: Int, hotShingleGuardDf: Int, op: String,
-      keyCol: String = "s"): DataFrame =
+      keyCol: String = "s"): (DataFrame, Option[Long]) =
     if (maxShingleDf != Int.MaxValue) {
       val quiet = all.groupBy(keyCol).agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxShingleDf).select(keyCol)
-      all.join(quiet, keyCol)
+      (all.join(quiet, keyCol), None)
     } else {
       if (hotShingleGuardDf != Int.MaxValue) {
+        // df·(df−1) stays integral (SQL `/` would widen to DOUBLE);
+        // halve on the driver
         val m = all.groupBy(keyCol).agg(count(lit(1)).as("df"))
-          .agg(max(col("df"))).head()
+          .agg(max(col("df")),
+            sum(col("df") * (col("df") - 1L))).head()
         val hot = if (m.isNullAt(0)) 0L else m.getLong(0)
         require(hot <= hotShingleGuardDf,
           s"$op: the hottest shingle occurs in $hot documents; its " +
@@ -5575,11 +5637,31 @@ object Graft {
             s"pair rows and would dominate the shuffle. Pass maxShingleDf " +
             s"to drop hot shingles (stopword semantics), or " +
             s"hotShingleGuardDf >= $hot to force the unbounded join.")
-      }
-      all
+        (all, Some(if (m.isNullAt(1)) 0L else m.getLong(1) / 2))
+      } else (all, None)
     }
 
+  /** Partition count for a candidate-pair aggregation, derived from
+    * the guard pass's exact candidate volume: the (id_a, id_b) agg
+    * holds its hash map per partition, so at a FIXED partition count
+    * the map crosses execution memory once the corpus is big enough —
+    * the r15 5M decade measured exactly that cliff (candidate rows
+    * 226M→1.13B, perfectly linear ×5.0, while the agg wall went
+    * ×10.5; ~45 GB of live map at 32 partitions). ~2M candidates per
+    * partition keeps the map in the low hundreds of MB. Never BELOW
+    * the session's shuffle partitions (fixture plans unchanged —
+    * callers skip the explicit repartition then), capped at 4096. */
+  private def candidateAggPartitions(spark: SparkSession,
+      est: Option[Long]): Int = {
+    val sess = spark.sessionState.conf.numShufflePartitions
+    est.fold(sess)(e => math.min(4096L,
+      math.max(sess.toLong, e / 2000000L + 1)).toInt)
+  }
+
   /** Exact n-gram Jaccard pairs over shared shingles, thresholded.
+    * The join runs in [[shingleKey]]'s 60-bit hash space (16-byte
+    * shuffle rows; the oracle replays the identical key, so both
+    * engines agree even on a collision).
     *
     * `maxShingleDf` caps the document frequency of shingles admitted to
     * the pair space: at web scale a stop-shingle ("in the the") occurs in
@@ -5604,23 +5686,58 @@ object Graft {
     * dedup family (see [[minhashLshPairsFromShingles]]). The df cap /
     * hot-shingle tripwire still run here (they are one map+agg pass
     * over the shared table, not a rebuild). */
+  /** The 60-bit shingle join key: first 15 hex chars of md5(s), the
+    * [[ngramNovelty]] width. The shingle equi-joins run entirely in
+    * this hash space — the shuffle then carries 16-byte (id, h) rows
+    * instead of ~30-byte shingle strings, which is what kept the d07
+    * decade super-linear (1M→5M docs read 8.8× on 5× data: ~500M
+    * string rows through a 32-partition sort-merge join spill; the
+    * probe put 94% of the wall in pair generation, rounds flat at 2).
+    * Exactness is preserved CROSS-ENGINE, not just probabilistically:
+    * the oracles compute the identical md5-slice key, so even a
+    * collision (~n²/2⁶¹ expected pairs — single digits at 10⁹
+    * shingles) replays identically on both engines. */
+  private def shingleKey(c: Column): Column =
+    graft.functions.TextExpressions.hexSliceLong(md5(c), 1, 15)
+
   def ngramJaccardPairsFromShingles(shIn: DataFrame, idCol: String,
       threshold: Double = 0.5,
       maxShingleDf: Int = Int.MaxValue,
       hotShingleGuardDf: Int = DefaultHotShingleGuardDf): DataFrame = {
-    val sh = admittedShingles(shIn, idCol,
-      maxShingleDf, hotShingleGuardDf, "ngramJaccardPairs")
+    // Hash-space rows from here on ([[shingleKey]]): the df cap, the
+    // per-doc counts and the self-join all see (id, h) only. The
+    // count table BROADCASTS (doc-count rows — 16 bytes each, tiny
+    // next to the candidate volume that bounds this op's applicable
+    // scale; the banded sketch members are the path past that), so
+    // attaching (na, nb) is map-side and they ride the candidate
+    // shuffle: the thresholded Jaccard becomes a map-side filter with
+    // NO join against the candidate-pair table — the r15 5M decade
+    // measured the old shape's two sort-merge joins of that ~100x-
+    // corpus-rows table against the counts as the dominant,
+    // super-linear cost. The two join sides stay canonically
+    // identical, so ReusedExchange keeps the candidate shuffle to one
+    // write.
+    val (sh, est) = admittedShingles(
+      shIn.select(col(idCol), shingleKey(col("s")).as("h")), idCol,
+      maxShingleDf, hotShingleGuardDf, "ngramJaccardPairs", keyCol = "h")
     val cnt = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .agg(count(lit(1)).as("i"))
-    val jac = col("i").cast("double") / (col("ca.n") + col("cb.n") - col("i"))
-    inter
-      .join(cnt.as("ca"), col("id_a") === col(s"ca.$idCol"))
-      .join(cnt.as("cb"), col("id_b") === col(s"cb.$idCol"))
-      .filter(jac >= threshold)
+    val withN = sh.join(broadcast(cnt), Seq(idCol))
+    val a = withN.select(col(idCol).as("id_a"), col("h"),
+      col("n").as("na"))
+    val b = withN.select(col(idCol).as("id_b"), col("h"),
+      col("n").as("nb"))
+    val joined = a.join(b, "h").filter(col("id_a") < col("id_b"))
+    val parts = candidateAggPartitions(shIn.sparkSession, est)
+    val pre =
+      if (parts > shIn.sparkSession.sessionState.conf.numShufflePartitions)
+        joined.repartition(parts, col("id_a"), col("id_b"))
+      else joined
+    val inter = pre
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("i"), min("na").as("na"),
+        min("nb").as("nb"))
+    val jac = col("i").cast("double") / (col("na") + col("nb") - col("i"))
+    inter.filter(jac >= threshold)
       .select(col("id_a"), col("id_b"), jac.as("jac"))
   }
 
@@ -5649,18 +5766,30 @@ object Graft {
       threshold: Double = 0.8,
       maxShingleDf: Int = Int.MaxValue,
       hotShingleGuardDf: Int = DefaultHotShingleGuardDf): DataFrame = {
-    val sh = admittedShingles(shIn, idCol,
-      maxShingleDf, hotShingleGuardDf, "containmentPairs")
+    // same hash-space + broadcast-the-counts discipline as
+    // [[ngramJaccardPairsFromShingles]]; containment is asymmetric so
+    // only side a's count rides the candidate shuffle
+    val (sh, est) = admittedShingles(
+      shIn.select(col(idCol), shingleKey(col("s")).as("h")), idCol,
+      maxShingleDf, hotShingleGuardDf, "containmentPairs", keyCol = "h")
     val cnt = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.s") === col("b.s") && col(s"a.$idCol") =!= col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .agg(count(lit(1)).as("i"))
-    val cont = col("i").cast("double") / col("ca.n")
-    inter
-      .join(cnt.as("ca"), col("id_a") === col(s"ca.$idCol"))
-      .filter(cont >= threshold)
+    val a = sh.join(broadcast(cnt), Seq(idCol))
+      .select(col(idCol).as("id_a"), col("h"), col("n").as("na"))
+    val b = sh.select(col(idCol).as("id_b"), col("h"))
+    val joined = a.join(b, "h").filter(col("id_a") =!= col("id_b"))
+    // ordered pairs: both orientations survive, so the candidate
+    // volume is twice the guard's Σ df·(df−1)/2
+    val parts = candidateAggPartitions(shIn.sparkSession,
+      est.map(e => if (e > Long.MaxValue / 2) Long.MaxValue else e * 2))
+    val pre =
+      if (parts > shIn.sparkSession.sessionState.conf.numShufflePartitions)
+        joined.repartition(parts, col("id_a"), col("id_b"))
+      else joined
+    val inter = pre
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("i"), min("na").as("na"))
+    val cont = col("i").cast("double") / col("na")
+    inter.filter(cont >= threshold)
       .select(col("id_a"), col("id_b"), cont.as("containment"))
   }
 
@@ -5788,7 +5917,7 @@ object Graft {
       s"bottomKContainmentPairs(k=$k, threshold=$threshold)")
     val hashed = admittedShingles(hashedIn,
       idCol, maxShingleDf, hotShingleGuardDf, "bottomKContainmentPairs",
-      keyCol = "h")
+      keyCol = "h")._1 // sketch side joins k-bounded rows; no wide agg
     val cnt = hashed.groupBy(idCol).agg(count(lit(1)).as("nh"))
     val wBk = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("h"))

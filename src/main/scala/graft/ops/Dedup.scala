@@ -134,14 +134,19 @@ object Dedup {
     * d10 (large-star contraction): both algorithms compute the same
     * function, so they share one oracle. */
   private val JaccardClustersCte: String =
+    // the pair step replays the engine's hash space: the shingle join
+    // key is the 60-bit md5 slice (Graft.shingleKey), so both engines
+    // agree bit-for-bit even on a hash collision
     "WITH RECURSIVE toks AS (SELECT doc_id, " +
       "string_split(text, ' ') AS w FROM documents), " +
       "sh AS (SELECT DISTINCT doc_id, " +
       "array_to_string(list_slice(w, g, g+2), ' ') AS s FROM toks, " +
       "UNNEST(generate_series(1, len(w)-2)) AS t(g)), " +
-      "cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
+      "hh AS (SELECT doc_id, CAST(concat('0x', " +
+      "substring(md5(s), 1, 15)) AS BIGINT) AS h FROM sh), " +
+      "cnt AS (SELECT doc_id, COUNT(*) AS n FROM hh GROUP BY doc_id), " +
       "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) " +
-      "AS i FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
+      "AS i FROM hh a JOIN hh b ON a.h = b.h AND a.doc_id < b.doc_id " +
       "GROUP BY 1, 2), " +
       "pairs AS (SELECT doc_a, doc_b FROM inter " +
       "JOIN cnt ca ON doc_a = ca.doc_id " +
@@ -430,14 +435,18 @@ object Dedup {
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
           round(col("jac"), 4).as("jac"))
         .orderBy("doc_a", "doc_b"),
+      // hash-space replay (Graft.shingleKey): join on the 60-bit md5
+      // slice exactly as the engine does
       Some("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w " +
         "FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, " +
         "array_to_string(list_slice(w, g, g+2), ' ') AS s FROM toks, " +
         "UNNEST(generate_series(1, len(w)-2)) AS t(g)), " +
-        "cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
+        "hh AS (SELECT doc_id, CAST(concat('0x', " +
+        "substring(md5(s), 1, 15)) AS BIGINT) AS h FROM sh), " +
+        "cnt AS (SELECT doc_id, COUNT(*) AS n FROM hh GROUP BY doc_id), " +
         "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) " +
-        "AS i FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "AS i FROM hh a JOIN hh b ON a.h = b.h AND a.doc_id < b.doc_id " +
         "GROUP BY 1, 2) " +
         "SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE)/(ca.n + cb.n - i), 4) " +
         "AS jac FROM inter JOIN cnt ca ON doc_a = ca.doc_id " +
@@ -460,14 +469,17 @@ object Dedup {
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
           round(col("containment"), 4).as("containment"))
         .orderBy("doc_a", "doc_b"),
+      // hash-space replay (Graft.shingleKey), as d04
       Some("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w " +
         "FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, " +
         "array_to_string(list_slice(w, g, g+2), ' ') AS s FROM toks, " +
         "UNNEST(generate_series(1, len(w)-2)) AS t(g)), " +
-        "cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
+        "hh AS (SELECT doc_id, CAST(concat('0x', " +
+        "substring(md5(s), 1, 15)) AS BIGINT) AS h FROM sh), " +
+        "cnt AS (SELECT doc_id, COUNT(*) AS n FROM hh GROUP BY doc_id), " +
         "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) " +
-        "AS i FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id " +
+        "AS i FROM hh a JOIN hh b ON a.h = b.h AND a.doc_id <> b.doc_id " +
         "GROUP BY 1, 2) " +
         "SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE)/ca.n, 4) " +
         "AS containment FROM inter JOIN cnt ca ON doc_a = ca.doc_id " +

@@ -688,6 +688,36 @@ class ApiSpec extends AnyFunSuite with Matchers {
     got shouldBe Array(("ab", 4L), ("bc", 1L))
   }
 
+  test("bpeTrain: deterministic merge sequence, later rounds merge " +
+    "earlier rounds' output, consecutive runs merge leftmost-first") {
+    val s = spark
+    import s.implicits._
+    // vocab: aaab (wc 2), ab (1), xy (1).
+    // round 1 pairs: (a,a) 2x2=4, (a,b) 2+1=3, (x,y) 1 -> merge "a a";
+    //   aaab rewrites a,a,a,b -> aa,a,b (leftmost non-overlapping).
+    // round 2 pairs: (aa,a) 2, (a,b) 2+1=3, (x,y) 1 -> merge "a b".
+    val df = Seq(("d1", "aaab aaab ab"), ("d2", "xy")).toDF("id", "body")
+    val got = Graft.bpeTrain(df, "body", merges = 2)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    got shouldBe Array((1L, "a a", "aa", 4L), (2L, "a b", "ab", 3L))
+  }
+
+  test("bpeEncode: per-doc token counts under the trained merges; " +
+    "wordless docs keep a zero row") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("d1", "aaab aaab ab"), ("d2", "xy"), ("d3", ""))
+      .toDF("id", "body")
+    val merges = Graft.bpeTrain(df, "body", merges = 2)
+    val got = Graft.bpeEncode(df, "id", "body", merges)
+      .orderBy("id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // after (a a)->aa, (a b)->ab: aaab = [aa, ab] (2 tokens: the round-2
+    // state aa,a,b takes the (a,b) merge), ab = [ab] (1), xy = [x, y] (2)
+    got shouldBe Array(("d1", 3L, 5L), ("d2", 1L, 2L), ("d3", 0L, 0L))
+  }
+
   test("stratifiedSample: deterministic, rate-monotone, missing strata " +
     "drop, rate 1.0 keeps everything") {
     val s = spark
