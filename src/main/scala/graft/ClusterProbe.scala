@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * (localCheckpoint), so the clustering wall is the loop alone, not a
   * re-run of the n-gram join per measurement.
   *
-  * Usage: ClusterProbe [sfDir] [prop|star|sem|all]
+  * Usage: ClusterProbe [sfDir] [prop|star|sem|decomp|all]
   */
 object ClusterProbe {
   def main(args: Array[String]): Unit = {

@@ -5601,6 +5601,24 @@ object Graft {
     * shingle is already ~5·10⁷ pair rows from that single bucket. */
   val DefaultHotShingleGuardDf: Int = 10000
 
+  /** Ceiling on the corpus document count up to which the pair ops'
+    * per-document shingle-count table is force-broadcast. The
+    * broadcast keeps the thresholded Jaccard/containment a map-side
+    * filter with no join against the candidate table (the r15 5M
+    * decade measured the shuffled shape's two sort-merge joins of the
+    * ~100×-corpus-rows candidate table as the dominant super-linear
+    * cost) — but the build side is one row per DOCUMENT, a dimension
+    * the hot-shingle guard does not bound: past ~10⁸ mostly-unique
+    * docs it hits Spark's 8 GB broadcast hard limit. 10⁷ rows is a
+    * few hundred MB built; beyond it the count table joins by plain
+    * shuffled equi-join (slower, never fatal). */
+  val MaxBroadcastCountDocs: Long = 10L * 1000 * 1000
+
+  /** The per-document count side of a pair op's size join: broadcast
+    * up to [[MaxBroadcastCountDocs]] documents, shuffled past it. */
+  private def countSide(cnt: DataFrame, nDocs: Long): DataFrame =
+    if (nDocs <= MaxBroadcastCountDocs) broadcast(cnt) else cnt
+
   /** Shingles admitted to a pair join, with the skew tripwire.
     *
     * With a finite `maxShingleDf`, shingles hotter than the cap are
@@ -5621,8 +5639,20 @@ object Graft {
       keyCol: String = "s"): (DataFrame, Option[Long]) =
     if (maxShingleDf != Int.MaxValue) {
       val quiet = all.groupBy(keyCol).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxShingleDf).select(keyCol)
-      (all.join(quiet, keyCol), None)
+        .filter(col("df") <= maxShingleDf)
+      // The df-cap branch aggregates per-key df anyway; one more
+      // driver-side aggregate over that pass yields the EXACT capped
+      // candidate volume, so [[candidateAggPartitions]] sizes the pair
+      // aggregation on this path too — the hash-map-per-partition
+      // memory cliff the estimate fences is independent of HOW
+      // shingles were admitted (the r15 decade measured ~45 GB of
+      // live map at 32 partitions on 1.13 B candidates). The join
+      // below recomputes the df aggregation (one extra map-side-
+      // combined pass over rows it already scans — the guard-pass
+      // cost argument).
+      val r = quiet.agg(sum(col("df") * (col("df") - 1L))).head()
+      val est = if (r.isNullAt(0)) 0L else r.getLong(0) / 2
+      (all.join(quiet.select(keyCol), keyCol), Some(est))
     } else {
       if (hotShingleGuardDf != Int.MaxValue) {
         // df·(df−1) stays integral (SQL `/` would widen to DOUBLE);
@@ -5673,7 +5703,15 @@ object Graft {
     * pairing, which is almost always the wanted behavior). Without a cap
     * the join is exact but guarded: it refuses to run if the hottest
     * shingle's df exceeds `hotShingleGuardDf`
-    * ([[admittedShingles]]). */
+    * ([[admittedShingles]]).
+    *
+    * The df cap and guard operate on the 60-bit [[shingleKey]] hash,
+    * not the shingle string: a key collision (~n²/2⁶¹ expected —
+    * single digits at 10⁹ distinct shingles) merges two shingles'
+    * document frequencies and can admit/drop marginally differently
+    * from string-space semantics. The gate oracles replay the
+    * identical key (d04 unguarded, d22 df-capped), so whichever way a
+    * collision falls, both engines fall the same way. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5,
       maxShingleDf: Int = Int.MaxValue,
@@ -5706,22 +5744,23 @@ object Graft {
       hotShingleGuardDf: Int = DefaultHotShingleGuardDf): DataFrame = {
     // Hash-space rows from here on ([[shingleKey]]): the df cap, the
     // per-doc counts and the self-join all see (id, h) only. The
-    // count table BROADCASTS (doc-count rows — 16 bytes each, tiny
-    // next to the candidate volume that bounds this op's applicable
-    // scale; the banded sketch members are the path past that), so
-    // attaching (na, nb) is map-side and they ride the candidate
-    // shuffle: the thresholded Jaccard becomes a map-side filter with
-    // NO join against the candidate-pair table — the r15 5M decade
-    // measured the old shape's two sort-merge joins of that ~100x-
-    // corpus-rows table against the counts as the dominant,
-    // super-linear cost. The two join sides stay canonically
-    // identical, so ReusedExchange keeps the candidate shuffle to one
-    // write.
+    // count table broadcasts up to [[MaxBroadcastCountDocs]] docs
+    // ([[countSide]] — doc-count rows, a dimension the hot-shingle
+    // guard does not bound), so attaching (na, nb) is map-side and
+    // they ride the candidate shuffle: the thresholded Jaccard
+    // becomes a map-side filter with NO join against the
+    // candidate-pair table — the r15 5M decade measured the old
+    // shape's two sort-merge joins of that ~100x-corpus-rows table
+    // against the counts as the dominant, super-linear cost. The two
+    // join sides stay canonically identical, so ReusedExchange keeps
+    // the candidate shuffle to one write.
     val (sh, est) = admittedShingles(
       shIn.select(col(idCol), shingleKey(col("s")).as("h")), idCol,
       maxShingleDf, hotShingleGuardDf, "ngramJaccardPairs", keyCol = "h")
     val cnt = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
-    val withN = sh.join(broadcast(cnt), Seq(idCol))
+    // exact doc count for the broadcast guard — one small driver
+    // action over an aggregation the query runs anyway
+    val withN = sh.join(countSide(cnt, cnt.count()), Seq(idCol))
     val a = withN.select(col(idCol).as("id_a"), col("h"),
       col("n").as("na"))
     val b = withN.select(col(idCol).as("id_b"), col("h"),
@@ -5752,7 +5791,9 @@ object Graft {
     * directions when both clear the threshold). Same
     * shingle-equi-join shuffle discipline as [[ngramJaccardPairs]],
     * including the hot-shingle document-frequency cap and skew
-    * tripwire ([[admittedShingles]]). */
+    * tripwire ([[admittedShingles]]; like there, the cap counts df in
+    * [[shingleKey]] hash space — see [[ngramJaccardPairs]] on
+    * collision semantics). */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
       maxShingleDf: Int = Int.MaxValue,
@@ -5773,7 +5814,7 @@ object Graft {
       shIn.select(col(idCol), shingleKey(col("s")).as("h")), idCol,
       maxShingleDf, hotShingleGuardDf, "containmentPairs", keyCol = "h")
     val cnt = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
-    val a = sh.join(broadcast(cnt), Seq(idCol))
+    val a = sh.join(countSide(cnt, cnt.count()), Seq(idCol))
       .select(col(idCol).as("id_a"), col("h"), col("n").as("na"))
     val b = sh.select(col(idCol).as("id_b"), col("h"))
     val joined = a.join(b, "h").filter(col("id_a") =!= col("id_b"))

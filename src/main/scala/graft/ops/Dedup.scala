@@ -454,6 +454,45 @@ object Dedup {
         "WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.5 " +
         "ORDER BY doc_a, doc_b")),
 
+    Q("d22_jaccard_dfcap",
+      // d04's documented web-scale configuration: `maxShingleDf` drops
+      // shingles hotter than the cap up front (stopword-removal
+      // semantics — Jaccard over the REDUCED sets) so one hot
+      // boilerplate shingle can never own an O(df²) self-join bucket.
+      // The cap counts document frequency in the 60-bit shingleKey
+      // hash space, exactly like the join itself; the oracle replays
+      // the identical key AND the identical capped df filter, so the
+      // hash-space semantics (r15 ADVICE: previously untested
+      // cross-engine) are now pinned end to end. Cap 8 is sized to
+      // bite at sf0.1 (drops ~61% of shingles, p99 df = 18) while
+      // staying non-trivial at the small fixtures.
+      (s, d) => graft.api.Graft
+        .ngramJaccardPairsFromShingles(
+          sharedShingles(s, d, reuse = true), "doc_id", threshold = 0.5,
+          maxShingleDf = 8)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          round(col("jac"), 4).as("jac"))
+        .orderBy("doc_a", "doc_b"),
+      Some("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w " +
+        "FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, " +
+        "array_to_string(list_slice(w, g, g+2), ' ') AS s FROM toks, " +
+        "UNNEST(generate_series(1, len(w)-2)) AS t(g)), " +
+        "hh AS (SELECT doc_id, CAST(concat('0x', " +
+        "substring(md5(s), 1, 15)) AS BIGINT) AS h FROM sh), " +
+        "adm AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM hh " +
+        "GROUP BY h) WHERE df <= 8), " +
+        "hq AS (SELECT hh.doc_id, hh.h FROM hh JOIN adm USING (h)), " +
+        "cnt AS (SELECT doc_id, COUNT(*) AS n FROM hq GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) " +
+        "AS i FROM hq a JOIN hq b ON a.h = b.h AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE)/(ca.n + cb.n - i), 4) " +
+        "AS jac FROM inter JOIN cnt ca ON doc_a = ca.doc_id " +
+        "JOIN cnt cb ON doc_b = cb.doc_id " +
+        "WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.5 " +
+        "ORDER BY doc_a, doc_b")),
+
     Q("d14_containment",
       // Asymmetric inclusion detection (Broder's containment, vs d04's
       // symmetric resemblance): |S(a)∩S(b)| / |S(a)| — a short document
