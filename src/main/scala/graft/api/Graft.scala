@@ -639,14 +639,35 @@ object Graft {
     * sequence.
     *
     * Scale shape: the corpus is touched ONCE (the word-count shuffle,
-    * carrying (word, count) rows); every merge round then runs over
-    * the DISTINCT vocabulary only — millions of rows at web scale
-    * where the corpus is trillions — with one vocabulary-sized
-    * aggregation per round (pair counts, map-side combined, keyed by
-    * the bounded pair alphabet) and one map-only rewrite. The
-    * per-round winner is a LIMIT-1 collect (one row; the kmeans-loop
-    * discipline), and the rewritten vocabulary localCheckpoints so
-    * round k+1's plan does not recompute rounds 1..k.
+    * carrying (word, count) rows, materialized); the merge loop then
+    * runs over the DISTINCT vocabulary only — millions of rows at web
+    * scale where the corpus is trillions — in one of two regimes
+    * picked by vocabulary size:
+    *
+    *  - `nVocab <= localVocabMax` (the common case — even
+    *    trillion-token web corpora have ~10⁸ distinct words, and BPE
+    *    trainers conventionally run on a word-count table): the
+    *    weighted vocabulary collects ONCE and the merge loop runs on
+    *    the driver with incremental pair-count maintenance
+    *    ([[bpeMergeLoopLocal]]) — the only loop shape that reaches a
+    *    production tokenizer's ~30k merges, since per-merge work is
+    *    proportional to the words containing the merged pair, not the
+    *    vocabulary.
+    *  - above it: the distributed loop — one vocabulary-sized
+    *    aggregation per round (pair counts, map-side combined, keyed
+    *    by the bounded pair alphabet) and one map-only rewrite; the
+    *    per-round winner is a LIMIT-1 collect (one row; the
+    *    kmeans-loop discipline), and the rewritten vocabulary
+    *    checkpoints so round k+1's plan does not recompute rounds
+    *    1..k. One driver round-trip per merge caps this regime at 64
+    *    merges.
+    *
+    * The two regimes emit the IDENTICAL merge table (spec-pinned at
+    * K=64): same all-adjacent-positions pair counting, same leftmost-
+    * first non-overlapping rewrite, same (count desc, pair asc)
+    * winner with the tie compared in UTF-8 BYTE order — Spark's
+    * binary string ordering — not Java's UTF-16 order, and the same
+    * code-point (not UTF-16 code unit) initial tokenization.
     *
     * Words are token SEQUENCES encoded as a sentinel-spaced string —
     * every token wrapped in its own leading/trailing space
@@ -658,19 +679,149 @@ object Graft {
     * token SUFFIX can never false-match a pair boundary ("xa b" does
     * not contain pair (a, b)). Tokens themselves contain no spaces —
     * they come from whitespace-split words. */
-  def bpeTrain(df: DataFrame, textCol: String,
-      merges: Int = 8): DataFrame = {
-    require(merges > 0 && merges <= 64, s"bpeTrain(merges=$merges)")
+  /** Vocabulary ceiling for [[bpeTrain]]'s local merge loop: up to
+    * this many distinct words collect to the driver (~a few hundred
+    * MB of heap at 4M typical words — weigh against a driver that
+    * holds multi-GB broadcast tables routinely). Past it the trainer
+    * falls back to the distributed per-merge loop (capped at 64
+    * merges) rather than risk a driver OOM. */
+  val BpeLocalVocabMax: Long = 4L * 1000 * 1000
+
+  /** Unsigned UTF-8 byte-order comparison — Spark's binary string
+    * ordering (UTF8String), which differs from Java's UTF-16
+    * `compareTo` for supplementary code points and is what the
+    * distributed loop's `ORDER BY pair ASC` uses. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver-side BPE merge loop over a collected weighted vocabulary —
+    * [[bpeTrain]]'s local regime. Incremental pair-count maintenance
+    * (the classic trainer shape): a `stats` map holds every adjacent
+    * pair's weighted count and a `where` index maps each pair to the
+    * words containing it, so a merge re-counts only the affected
+    * words. Semantics replay the distributed loop exactly: counts
+    * over ALL adjacent positions (overlapping runs included), winner
+    * = (count desc, then the "l r" pair string asc in UTF-8 byte
+    * order), rewrite = leftmost-first non-overlapping, initial tokens
+    * = code points (Spark `substring` semantics, so a surrogate pair
+    * is ONE token on both paths). */
+  private def bpeMergeLoopLocal(vocabIn: Array[(String, Long)],
+      merges: Int): Seq[(Long, String, String, Long)] = {
+    import scala.collection.mutable
+    val words: Array[Array[String]] = vocabIn.map { case (w, _) =>
+      w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+    }
+    val wcs: Array[Long] = vocabIn.map(_._2)
+    val stats = mutable.HashMap.empty[(String, String), Long]
+    val where =
+      mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def index(wi: Int): Unit = {
+      val t = words(wi); val wc = wcs(wi); var i = 0
+      while (i < t.length - 1) {
+        val p = (t(i), t(i + 1))
+        stats.update(p, stats.getOrElse(p, 0L) + wc)
+        where.getOrElseUpdate(p, mutable.Set.empty) += wi
+        i += 1
+      }
+    }
+    def unindex(wi: Int): Unit = {
+      val t = words(wi); val wc = wcs(wi); var i = 0
+      while (i < t.length - 1) {
+        val p = (t(i), t(i + 1))
+        val c = stats.getOrElse(p, 0L) - wc
+        if (c == 0L) stats.remove(p) else stats.update(p, c)
+        where.get(p).foreach(_ -= wi)
+        i += 1
+      }
+    }
+    var wi = 0
+    while (wi < words.length) { index(wi); wi += 1 }
+    val steps = Seq.newBuilder[(Long, String, String, Long)]
+    var k = 1
+    while (k <= merges && stats.nonEmpty) {
+      var bestPair: (String, String) = null
+      var bestStr: String = null
+      var bestCnt = Long.MinValue
+      for ((p, c) <- stats) {
+        if (c >= bestCnt) {
+          val s = p._1 + " " + p._2
+          if (c > bestCnt || utf8Lt(s, bestStr)) {
+            bestPair = p; bestStr = s; bestCnt = c
+          }
+        }
+      }
+      val (l, r) = bestPair
+      val merged = l + r
+      steps += ((k.toLong, bestStr, merged, bestCnt))
+      val affected =
+        where.getOrElse(bestPair, mutable.Set.empty[Int]).toArray
+      var j = 0
+      while (j < affected.length) {
+        val w = affected(j)
+        unindex(w)
+        val t = words(w)
+        val out = Array.newBuilder[String]
+        var i = 0
+        while (i < t.length) {
+          if (i < t.length - 1 && t(i) == l && t(i + 1) == r) {
+            out += merged; i += 2
+          } else { out += t(i); i += 1 }
+        }
+        words(w) = out.result()
+        index(w)
+        j += 1
+      }
+      k += 1
+    }
+    steps.result()
+  }
+
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int = 8,
+      localVocabMax: Long = BpeLocalVocabMax): DataFrame = {
+    require(merges > 0, s"bpeTrain(merges=$merges)")
     val spark = df.sparkSession
     import spark.implicits._
-    var vocab = iterCheckpoint(df
+    // ONE corpus shuffle either way: the weighted word vocabulary.
+    // Materialized so the regime decision (count) and the chosen
+    // loop's first pass both read the checkpoint, not the corpus.
+    val wordCounts = iterCheckpoint(df
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) >= 1)
-      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .groupBy("word").agg(count(lit(1)).as("wc")))
+    val nVocab = wordCounts.count()
+    if (nVocab <= localVocabMax) {
+      // Local regime: collect the bounded vocabulary once and run the
+      // merge loop on the driver — the only loop shape that reaches a
+      // production tokenizer's ~30k merges (the distributed loop pays
+      // one driver round-trip + checkpoint PER MERGE: 30k Spark jobs).
+      val vocab = wordCounts.collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      graft.ops.ListingCache.release(wordCounts)
+      return bpeMergeLoopLocal(vocab, merges)
+        .toDF("step", "pair", "merged", "cnt")
+    }
+    require(merges <= 64, s"bpeTrain(merges=$merges): the distributed " +
+      s"merge loop pays one driver round-trip + checkpoint per merge " +
+      s"and is capped at 64; a $nVocab-word vocabulary exceeds " +
+      s"localVocabMax=$localVocabMax, so either raise localVocabMax " +
+      s"(driver memory permitting) or train on a corpus sample")
+    var vocab = iterCheckpoint(wordCounts
       .select(concat(lit(" "), array_join(
           expr("transform(sequence(1, length(word)), " +
             "i -> substring(word, i, 1))"), "  "), lit(" ")).as("s"),
         col("wc")))
+    graft.ops.ListingCache.release(wordCounts)
     val steps = Seq.newBuilder[(Long, String, String, Long)]
     var k = 1
     var exhausted = false
@@ -710,24 +861,25 @@ object Graft {
     * per document once a real tokenizer replaces the whitespace
     * heuristics (t01). Documents with no words keep a zero row.
     *
-    * Scale shape: the merge table is tokenizer-sized (`bpeTrain` caps
-    * it at 64 rows), so collecting it is the broadcast every tokenizer
-    * apply does — the merges compile into ONE map-only chain of
+    * Scale shape: the merge table is tokenizer-sized (thousands of
+    * rows at most), so collecting it is the broadcast every tokenizer
+    * apply does — the merges compile into a map-only chain of
     * `replace` calls over the DISTINCT vocabulary (same sentinel-spaced
     * representation as training; sequential fold in step order is
-    * exactly the training rewrite order). The corpus itself is touched
-    * once for per-doc word counts; the vocabulary join back is an
-    * equi-join on the word, dwarfed by the corpus-side explode. No
-    * per-round materialization: unlike training there is nothing
-    * iterative here, the k replaces are one codegen'd projection. */
+    * exactly the training rewrite order). Up to 64 merges the chain is
+    * ONE codegen'd projection (the t28 gate's plan); longer tables —
+    * [[bpeTrain]]'s local loop emits production-sized ones — apply in
+    * chunks of 64 replaces with a checkpoint between chunks, each
+    * materialization vocabulary-sized, so per-stage codegen stays
+    * bounded at the same width the single-projection path compiles.
+    * The corpus itself is touched once for per-doc word counts; the
+    * vocabulary join back is an equi-join on the word, dwarfed by the
+    * corpus-side explode. */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
       merges: DataFrame): DataFrame = {
     val steps = merges.select(col("step"), col("pair"), col("merged"))
       .collect().sortBy(_.getLong(0))
       .map(r => (r.getString(1), r.getString(2)))
-    require(steps.length <= 64,
-      s"bpeEncode: merge table has ${steps.length} rows — not a " +
-        "bpeTrain artifact (its contract caps merges at 64)")
     val words = df
       .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) >= 1)
@@ -735,14 +887,34 @@ object Graft {
     val spaced = concat(lit(" "), array_join(
       expr("transform(sequence(1, length(word)), " +
         "i -> substring(word, i, 1))"), "  "), lit(" "))
-    val applied = steps.foldLeft(spaced) { case (acc, (pair, merged)) =>
-      val Array(l, r) = pair.split(" ", 2)
-      org.apache.spark.sql.functions.replace(acc,
-        lit(s" $l  $r "), lit(s" $merged "))
-    }
-    val vocabTok = words.select(col("word")).distinct()
-      .select(col("word"),
-        size(split(trim(applied), "  ")).cast("bigint").as("wt"))
+    def chain(base: Column, chunk: Array[(String, String)]): Column =
+      chunk.foldLeft(base) { case (acc, (pair, merged)) =>
+        val Array(l, r) = pair.split(" ", 2)
+        org.apache.spark.sql.functions.replace(acc,
+          lit(s" $l  $r "), lit(s" $merged "))
+      }
+    val chunks = steps.grouped(64).toSeq
+    val vocabTok =
+      if (chunks.length <= 1) {
+        val applied = chain(spaced, steps)
+        words.select(col("word")).distinct()
+          .select(col("word"),
+            size(split(trim(applied), "  ")).cast("bigint").as("wt"))
+      } else {
+        // chunked apply: vocabulary-sized intermediates, 64 replaces
+        // per codegen'd stage (the final checkpoint stays referenced
+        // by the returned plan; Spark's context cleaner reclaims it)
+        var v = iterCheckpoint(words.select(col("word")).distinct()
+          .select(col("word"), chain(spaced, chunks.head).as("s")))
+        chunks.tail.foreach { c =>
+          val old = v
+          v = iterCheckpoint(
+            v.select(col("word"), chain(col("s"), c).as("s")))
+          graft.ops.ListingCache.release(old)
+        }
+        v.select(col("word"),
+          size(split(trim(col("s")), "  ")).cast("bigint").as("wt"))
+      }
     val perDoc = words.join(vocabTok, "word")
       .groupBy(col(idCol))
       .agg(sum(col("n")).as("w"), sum(col("n") * col("wt")).as("t"))

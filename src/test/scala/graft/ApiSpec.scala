@@ -718,6 +718,102 @@ class ApiSpec extends AnyFunSuite with Matchers {
     got shouldBe Array(("d1", 3L, 5L), ("d2", 1L, 2L), ("d3", 0L, 0L))
   }
 
+  test("bpeTrain: local and distributed regimes emit the identical " +
+    "merge table at K=64 on the fixture corpus") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def table(localVocabMax: Long) =
+      Graft.bpeTrain(docs, "text", merges = 64,
+          localVocabMax = localVocabMax)
+        .orderBy("step").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3)))
+    val local = table(Long.MaxValue)
+    val dist = table(0L)
+    local.length shouldBe 64
+    local shouldBe dist
+  }
+
+  test("bpeTrain: UTF-8 byte tie order and code-point tokens, pinned " +
+    "identical across both regimes") {
+    val s = spark
+    import s.implicits._
+    // (U+FF61, a) and (U+10000, b) tie at count 2. Spark's binary
+    // string order puts "｡ a" FIRST (EF BD A1 < F0 90 80 80);
+    // Java's UTF-16 compareTo would pick the other (D800 < FF61) —
+    // the local loop must follow Spark. U+10000 is a surrogate PAIR
+    // in UTF-16 but ONE token under code-point tokenization.
+    val df = Seq("｡a ｡a 𐀀b 𐀀b")
+      .toDF("body")
+    def table(localVocabMax: Long) =
+      Graft.bpeTrain(df, "body", merges = 2,
+          localVocabMax = localVocabMax)
+        .orderBy("step").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3)))
+    val local = table(Long.MaxValue)
+    local shouldBe table(0L)
+    local(0) shouldBe ((1L, "｡ a", "｡a", 2L))
+    local(1) shouldBe ((2L, "𐀀 b", "𐀀b", 2L))
+  }
+
+  test("bpeTrain: overlapping-run counts and leftmost-first rewrite, " +
+    "identical across both regimes") {
+    val s = spark
+    import s.implicits._
+    // "cccc" counts (c,c) at ALL 3 adjacent positions; the rewrite is
+    // leftmost non-overlapping -> "cc cc", so round 2 merges (cc,cc).
+    val df = Seq("cccc").toDF("body")
+    def table(localVocabMax: Long) =
+      Graft.bpeTrain(df, "body", merges = 3,
+          localVocabMax = localVocabMax)
+        .orderBy("step").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3)))
+    val local = table(Long.MaxValue)
+    local shouldBe table(0L)
+    local shouldBe Array((1L, "c c", "cc", 3L),
+      (2L, "cc cc", "cccc", 1L))
+  }
+
+  test("bpeEncode: >64-merge tables apply chunked and match a local " +
+    "reference tokenizer") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val merges = Graft.bpeTrain(docs, "text", merges = 80)
+    val steps = merges.orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    steps.length shouldBe 80
+    // independent reference: apply the merge table per word in plain
+    // Scala (code-point tokens, leftmost non-overlapping, step order)
+    def tokenize(word: String): Long = {
+      var t = word.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+      steps.foreach { case (pair, m) =>
+        val Array(l, r) = pair.split(" ", 2)
+        val out = Array.newBuilder[String]
+        var i = 0
+        while (i < t.length) {
+          if (i < t.length - 1 && t(i) == l && t(i + 1) == r) {
+            out += m; i += 2
+          } else { out += t(i); i += 1 }
+        }
+        t = out.result()
+      }
+      t.length.toLong
+    }
+    val expected = docs.select("doc_id", "text").collect().map { r =>
+      val words = r.getString(1).split(" ").filter(_.nonEmpty)
+      (r.getLong(0), words.length.toLong,
+        words.map(tokenize).sum)
+    }.sortBy(_._1)
+    val got = Graft.bpeEncode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got shouldBe expected
+  }
+
   test("stratifiedSample: deterministic, rate-monotone, missing strata " +
     "drop, rate 1.0 keeps everything") {
     val s = spark
