@@ -107,21 +107,29 @@ object Graft {
       round(stops.cast("double") / words, 4).as("stop_ratio"))
   }
 
-  /** Stopword-profile language ID; profiles are (lang, regex-alternation)
-    * pairs scored by hit count, argmax in profile order. */
-  def langId(df: DataFrame, idCol: String, textCol: String,
-      profiles: Seq[(String, String)]): DataFrame = {
+  /** The argmax-in-profile-order prediction expression of [[langId]] —
+    * row-local, so pipeline composers ([[curate]]) can ride it on an
+    * existing scan instead of paying a separate langId pass + semi
+    * join. */
+  private def langIdPred(text: Column,
+      profiles: Seq[(String, String)]): Column = {
     val scores = profiles.map { case (_, re) =>
-      regexp_count(col(textCol), lit(s"\\b($re)\\b"))
+      regexp_count(text, lit(s"\\b($re)\\b"))
     }
-    val pred = profiles.zipWithIndex.foldRight(
+    profiles.zipWithIndex.foldRight(
       lit(profiles.last._1): Column) { case (((lang, _), i), els) =>
       if (i == profiles.size - 1) els
       else when(scores.drop(i + 1).map(scores(i) >= _).reduce(_ && _),
         lang).otherwise(els)
     }
-    df.select(col(idCol), pred.as("pred_lang"))
   }
+
+  /** Stopword-profile language ID; profiles are (lang, regex-alternation)
+    * pairs scored by hit count, argmax in profile order. */
+  def langId(df: DataFrame, idCol: String, textCol: String,
+      profiles: Seq[(String, String)]): DataFrame =
+    df.select(col(idCol),
+      langIdPred(col(textCol), profiles).as("pred_lang"))
 
   /** PII patterns shared by [[redactPii]] and its oracle: RE2-compatible
     * (no backreferences/lookaround), so DuckDB applies them verbatim. */
@@ -2028,8 +2036,7 @@ object Graft {
       s"ivfSqAppend($dir): batch lacks column(s) " +
         s"${missing.mkString(", ")} (index schema: id=${idx.idCol}, " +
         s"payload=${payload.mkString(", ")})")
-    val n = batch.count()
-    requireBatchDim("ivfSqAppend", batch, vecCol, idx.dim, n)
+    val n = countAndCheckDim("ivfSqAppend", batch, vecCol, idx.dim)
     var rowsAfter = idx.rows
     val tree = resolveIndexTree(spark, dir)
     if (n > 0) {
@@ -2138,22 +2145,31 @@ object Graft {
   /** Fail-by-name dimension check for the frozen append paths: the
     * dot kernels truncate mismatched lengths to min(length) (never
     * throw), so a wrong-width batch would corrupt every later ranking
-    * silently (r14 review). Skipped when the index predates the dim
-    * column (-1) or the batch is empty. */
-  private def requireBatchDim(op: String, batch: DataFrame,
-      vecCol: String, expected: Int, n: Long): Unit =
+    * silently (r14 review).
+    *
+    * Fused with the batch count since r16 — ONE aggregation
+    * job per streaming append instead of count + dim-check back to
+    * back (r16: the appends run per micro-batch, so per-call jobs are
+    * the ingest path's fixed cost). The check aggregates over the
+    * WHOLE batch, not head(): a mixed-width batch whose first row
+    * happens to match would otherwise pass and still truncate in the
+    * kernels (r14 advice); it is skipped when the index predates the
+    * dim column (-1) or the batch is empty. Returns the count. */
+  private def countAndCheckDim(op: String, batch: DataFrame,
+      vecCol: String, expected: Int): Long = {
+    val mm = batch.agg(count(lit(1)).as("n"),
+      min(size(col(vecCol))).as("lo"),
+      max(size(col(vecCol))).as("hi")).head()
+    val n = mm.getLong(0)
     if (expected > 0 && n > 0) {
-      // aggregate over the WHOLE batch, not head(): a mixed-width
-      // batch whose first row happens to match would otherwise pass
-      // and still truncate in the kernels (r14 advice)
-      val mm = batch.agg(min(size(col(vecCol))).as("lo"),
-        max(size(col(vecCol))).as("hi")).head()
-      val (lo, hi) = (mm.getInt(0), mm.getInt(1))
+      val (lo, hi) = (mm.getInt(1), mm.getInt(2))
       require(lo == expected && hi == expected,
         s"$op: batch $vecCol has dimension(s) $lo..$hi but the index " +
           s"was built at $expected — the int8/float dot kernels would " +
           "silently truncate to the overlap")
     }
+    n
+  }
 
   /** The payload columns a saved SQ index carries. */
   private def sqPayloadCols(idx: IvfSqIndex): Seq[String] = {
@@ -2678,8 +2694,7 @@ object Graft {
       s"ivfPqAppend($dir): batch lacks column(s) " +
         s"${missing.mkString(", ")} (index schema: id=${idx.idCol}, " +
         s"payload=${payload.mkString(", ")})")
-    val n = batch.count()
-    requireBatchDim("ivfPqAppend", batch, vecCol, idx.dim, n)
+    val n = countAndCheckDim("ivfPqAppend", batch, vecCol, idx.dim)
     var rowsAfter = idx.rows
     // appends grow the LIVE generation in place (serialized with
     // compact/retrain by contract); resolve it once for all writes
@@ -6192,38 +6207,58 @@ object Graft {
       jaccardThreshold: Double = 0.5): DataFrame = {
     require(minWords <= maxWords, s"curate($minWords > $maxWords)")
     val idc = col(idCol)
-    val qualIds = qualityScore(df, idCol, textCol)
-      .filter(col("words").between(minWords, maxWords))
-      .select(idc)
-    val langIds = langId(df, idCol, textCol, langProfiles)
-      .filter(col("pred_lang") === keepLang)
-      .select(idc)
-    val s1 = df.join(qualIds, Seq(idCol), "left_semi")
-      .join(langIds, Seq(idCol), "left_semi")
-    val exactKeep = exactDedup(s1, idCol, textCol)
-      .select(col("keep_id").as(idCol))
-    val s2 = s1.join(exactKeep, Seq(idCol), "left_semi")
+    // The quality word band and the language argmax are ROW-LOCAL
+    // predicates — ride them on one scan (as filter / flag columns)
+    // instead of the r15 shape's two separate corpus passes + two semi
+    // joins. The one flagged aggregation at the bottom reads n_input /
+    // n_quality / n_lang off the same single scan.
+    val qFlag = size(split(col(textCol), " ")).cast("bigint")
+      .between(minWords, maxWords)
+    val lFlag = langIdPred(col(textCol), langProfiles) === keepLang
+    val s1 = df.filter(qFlag && lFlag)
+    // Exact-dedup keepers materialize ONCE, ids only (narrow, bounded:
+    // one long per surviving doc — the guide's decide-with-small-rows
+    // shape). They define s2, its count, AND every downstream branch;
+    // the r15 shape re-ran the quality+lang+digest chain inside each
+    // crossJoin branch instead.
+    val exactKeep = iterCheckpoint(exactDedup(s1, idCol, textCol)
+      .select(col("keep_id").as(idCol)))
+    // keepers ⊆ s1 by construction, so the exact-dedup survivor set is
+    // one semi join against the RAW corpus — no quality/lang re-scan
+    val s2 = df.join(exactKeep, Seq(idCol), "left_semi")
     val clusters = dupClusters(s2, idCol,
       minhashLshPairs(s2, idCol, textCol,
         k = minhashK, bands = bands, threshold = jaccardThreshold),
       "id_a", "id_b")
-    val keep = keepBestFromClusters(s2, idCol, sizeCol, clusters)
-    val s3 = s2.join(keep.filter(col("kept")).select(idc),
+    // Keep pick, materialized once as narrow (id, size, kept) rows: the
+    // near-stage count, the removed-chars report and the mixture's
+    // survivor set all read this frame. Joining `df` (not s2) is
+    // equivalent — the inner join restricts to the clusters' ids, which
+    // ARE s2's ids — and skips a semi join.
+    val keep = iterCheckpoint(
+      keepBestFromClusters(df, idCol, sizeCol, clusters)
+        .select(idc, col(sizeCol).cast("long").as("__sz"), col("kept")))
+    val s3 = df.join(keep.filter(col("kept")).select(idc),
       Seq(idCol), "left_semi")
-    val perCluster = clusters
-      .join(s2.select(idc, col(sizeCol).cast("long").as("sz")), Seq(idCol))
-      .groupBy("cluster_id")
-      .agg((sum("sz") - max("sz")).as("rm"))
     val mix = mixtureByBudget(s3, idCol, sizeCol, sourceCol, budgets)
-    def cnt(d: DataFrame, as: String): DataFrame =
-      d.agg(count(lit(1)).cast("bigint").as(as))
-    cnt(df, "n_input")
-      .crossJoin(cnt(qualIds, "n_quality"))
-      .crossJoin(cnt(s1, "n_lang"))
-      .crossJoin(cnt(s2, "n_exact"))
-      .crossJoin(cnt(s3, "n_near"))
-      .crossJoin(perCluster.agg(coalesce(sum("rm"), lit(0L))
-        .cast("bigint").as("chars_removed_near")))
+    // chars_removed_near: the kept row's size IS its cluster's max
+    // (row_number orders size desc), so Σ sz − Σ (sz | kept) equals
+    // d20's per-cluster sum-minus-max without the separate
+    // groupBy(cluster_id) pass.
+    df.select(qFlag.as("__q"), lFlag.as("__l"))
+      .agg(count(lit(1)).cast("bigint").as("n_input"),
+        coalesce(sum(when(col("__q"), 1L).otherwise(0L)), lit(0L))
+          .cast("bigint").as("n_quality"),
+        coalesce(sum(when(col("__q") && col("__l"), 1L).otherwise(0L)),
+          lit(0L)).cast("bigint").as("n_lang"))
+      .crossJoin(exactKeep
+        .agg(count(lit(1)).cast("bigint").as("n_exact")))
+      .crossJoin(keep.agg(
+        coalesce(sum(when(col("kept"), 1L).otherwise(0L)), lit(0L))
+          .cast("bigint").as("n_near"),
+        (coalesce(sum("__sz"), lit(0L)) -
+          coalesce(sum(when(col("kept"), col("__sz"))), lit(0L)))
+          .cast("bigint").as("chars_removed_near")))
       .crossJoin(mix.agg(count(lit(1)).cast("bigint").as("n_admitted"),
         coalesce(sum("n_tok"), lit(0L)).cast("bigint").as("tok_admitted")))
   }

@@ -1291,11 +1291,17 @@ object StreamingOps {
         require(nIndexed == n && sz.forall(_ <= cap),
           s"p18 ingest broke: indexed $nIndexed of $n over batches $sz " +
             s"(cap $cap)")
-        // (a) grown codes == batch-built codes, row for row
+        // (a) grown codes == batch-built codes, row for row: multiset
+        // equality via ONE tagged-union aggregation (sum of +1/-1 tags
+        // zero for every row group) — exact like the r15 two-way
+        // exceptAll but one shuffle + one action instead of two of each
+        val cols = built.enc.columns.toSeq
         val grown = loaded.enc.drop("bucket")
-        val codesMatch =
-          grown.exceptAll(built.enc).isEmpty &&
-            built.enc.exceptAll(grown).isEmpty
+        val codesMatch = grown.select(cols.map(col): _*)
+          .withColumn("__t", lit(1L))
+          .unionAll(built.enc.withColumn("__t", lit(-1L)))
+          .groupBy(cols.map(col): _*).agg(sum("__t").as("__d"))
+          .filter(col("__d") =!= 0L).isEmpty
         val queries = emb.filter(col("vec_id") < 40)
           .select(col("vec_id").as("query_id"), col("embedding"))
         val search = graft.api.Graft.ivfPqSearch(loaded, queries,
@@ -1406,11 +1412,15 @@ object StreamingOps {
         require(nIndexed == n && sz.forall(_ <= cap),
           s"p19 ingest broke: indexed $nIndexed of $n over batches $sz " +
             s"(cap $cap)")
-        // (a) grown codes == batch-built codes, row for row
+        // (a) grown codes == batch-built codes, row for row: multiset
+        // equality via ONE tagged-union aggregation (the p18 shape)
+        val cols = built.enc.columns.toSeq
         val grown = loaded.enc.drop("bucket")
-        val codesMatch =
-          grown.exceptAll(built.enc).isEmpty &&
-            built.enc.exceptAll(grown).isEmpty
+        val codesMatch = grown.select(cols.map(col): _*)
+          .withColumn("__t", lit(1L))
+          .unionAll(built.enc.withColumn("__t", lit(-1L)))
+          .groupBy(cols.map(col): _*).agg(sum("__t").as("__d"))
+          .filter(col("__d") =!= 0L).isEmpty
         val queries = emb.filter(col("vec_id") < 40)
           .select(col("vec_id").as("query_id"), col("embedding"))
         val search = graft.api.Graft.ivfSqSearch(loaded, queries,
@@ -1472,10 +1482,15 @@ object StreamingOps {
         val docs = Tables.load(s, d, "documents")
         val full = emb.join(
           docs.select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
-        val n = full.count()
+        // one pass over the joined corpus for both sizing counts
+        // (r16: the n and seed counts each re-ran the emb⋈docs join)
+        val cnts = full.agg(count(lit(1)).as("n"),
+          sum(when(pmod(col("vec_id"), lit(3)) === 0, 1L)
+            .otherwise(0L)).as("nseed")).head()
+        val n = cnts.getLong(0)
         val vpl = math.max(1, (n / 10).toInt)
         val seed = full.filter(pmod(col("vec_id"), lit(3)) === 0)
-        val nSeed = seed.count()
+        val nSeed = cnts.getLong(1)
         val nlist0 = math.max(1, (nSeed / vpl).toInt)
         val rawDir = Files.createTempDirectory("graft-p20-raw").toString
         val dir = Files.createTempDirectory("graft-p20-pq").toString

@@ -784,7 +784,12 @@ object Vector {
         val full = emb
           .join(docs.select(col("doc_id").as("vec_id"), col("lang")),
             "vec_id")
-        val n = full.count()
+        // one pass over the joined corpus for both sizing counts
+        // (r16: n and the half count each re-ran the emb⋈docs join)
+        val cnts = full.agg(count(lit(1)).as("n"),
+          sum(when(pmod(col("vec_id"), lit(2)) === 0, 1L)
+            .otherwise(0L)).as("nhalf")).head()
+        val n = cnts.getLong(0)
         val dir = java.nio.file.Files
           .createTempDirectory("graft-s17-pq").toString
         val Vpl = 100 // sizing rule: outgrown fires on a 2x corpus at
@@ -796,7 +801,7 @@ object Vector {
         // half-integral count (250/100 -> 3) would make doubling the
         // corpus land short of doubling the width — floor keeps the
         // gate's arithmetic exact at every fixture count
-        val nlist0 = math.max(1, (half.count() / Vpl).toInt)
+        val nlist0 = math.max(1, (cnts.getLong(1) / Vpl).toInt)
         graft.api.Graft.ivfPqSave(
           // iters = 1: the gate's oracle is EXACTNESS under full
           // coverage (independent of quantizer quality — that is the
