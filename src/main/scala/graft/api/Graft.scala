@@ -4240,15 +4240,19 @@ object Graft {
     val train = trainSample(df, idCol, nlist.toLong * trainPerList, count)
     val cents =
       iterCheckpoint(kmeansCentroids(train, idCol, vecCol, nlist, iters))
-    val listed = normalized(df, idCol, vecCol)
-      .join(assignToCentroids(df, idCol, vecCol, cents, nlist)
-        .select(col(idCol), col("list_id")), Seq(idCol))
-    val qProbes = assignToCentroidsTopN(df, idCol, vecCol, cents,
-      math.min(effProbes, nlist), nlist)
-      .join(normalized(df, idCol, vecCol)
-        .select(col(idCol), col("nrm")), Seq(idCol))
-      .select(col(idCol).as("query_id"), col(vecCol).as("qe"),
-        col("nrm").as("qn"), col("list_id"))
+    // Both sides are MAP-ONLY since r16: the assignment carries the
+    // norm through (`carry`) and the probe side rides [[probeTopN]]
+    // over the normalized frame — the old shape joined each back to
+    // normalized(df) on id, paying two corpus-sized hash joins for
+    // columns the assignment pass already had in hand.
+    val listed = assignToCentroids(df, idCol, vecCol, cents, nlist,
+      carry = Seq("nrm"))
+    val qProbes = probeTopN(
+      normalized(df, idCol, vecCol)
+        .select(col(idCol).as("query_id"), col(vecCol).as("qe"),
+          col("nrm").as("qn")),
+      "qe", Some("qn"), cents, math.min(effProbes, nlist),
+      nlistHint = nlist)
     // Two-phase top-k. The candidate join emits n·probes·occupancy
     // rows; a single global window over query_id would SHUFFLE all of
     // them (the op's one unbounded shuffle — ~10¹⁰ rows past the
@@ -4270,8 +4274,18 @@ object Graft {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
+    // `merge` hint: this is a corpus×corpus SELF-join — at scale
+    // neither side ever fits a broadcast, and the r16 map-only sides
+    // (above) otherwise estimate under the 10 MB threshold at FIXTURE
+    // scale, flipping the planner to a broadcast join whose output is
+    // unpartitioned — which re-shuffles the full n·probes·occupancy
+    // candidate set into the local window, the exact shuffle the
+    // two-phase cut exists to avoid. The hint pins the scale-true
+    // sort-merge shape: both sides exchange ONCE on list_id and the
+    // local window rides that partitioning (PlanPropertiesSpec).
     qProbes.as("q")
-      .join(listed.as("c"), col("q.list_id") === col("c.list_id") &&
+      .join(listed.as("c").hint("merge"),
+        col("q.list_id") === col("c.list_id") &&
         col("q.query_id") =!= col(s"c.$idCol"))
       .select(col("q.query_id"), col("q.list_id"),
         col(s"c.$idCol").as("neighbor_id"),
@@ -5122,8 +5136,6 @@ object Graft {
       .distinct())
     var labels = iterCheckpoint(nodes
       .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("lab")))
-    val spark = nodes.sparkSession
-    import spark.implicits._
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -5132,12 +5144,16 @@ object Graft {
       // One Spark job per round, not two: the old-label row rides the
       // same aggregation tagged `self` (each id has exactly ONE self
       // row, so min-over-self recovers it), and convergence is counted
-      // by an accumulator DURING the checkpoint materialization — the
-      // separate join+count job doubled per-round driver latency and
-      // was d07's main scheduler-jitter amplifier (round-4 verdict).
-      // Labels only ever decrease, so "no decrease" == fixpoint; a task
-      // retry can only over-count decreases (costing at most one extra
-      // round), never under-count a materialized one.
+      // DURING the checkpoint materialization — the separate
+      // join+count job doubled per-round driver latency and was d07's
+      // main scheduler-jitter amplifier (round-4 verdict). Since r16
+      // the count rides a declarative `observe` (CollectMetrics) on
+      // the materialized frame instead of an accumulator fed by an
+      // rdd.map pass: the round stays whole-stage-codegen end to end
+      // (no DeserializeToObject/SerializeFromObject row conversion on
+      // the full-corpus pass), and the observed value is EXACT under
+      // task retries — no over-count, no spurious extra round.
+      // Labels only ever decrease, so "no decrease" == fixpoint.
       val merged = labels.select(col("id"), col("lab"), lit(true).as("self"))
         .union(prop)
         .groupBy("id").agg(min("lab").as("lab"),
@@ -5145,16 +5161,13 @@ object Graft {
           // unchanged (the old join-based check never counted them)
           coalesce(min(when(col("self"), col("lab"))), min("lab"))
             .as("old_lab"))
-      val acc = spark.sparkContext.longAccumulator("labelDecreases")
-      labels = iterCheckpoint(merged.rdd.map { r =>
-        val lab = r.getLong(1)
-        if (lab < r.getLong(2)) acc.add(1L)
-        (r.getLong(0), lab)
-      }.toDF("id", "lab"))
-      // Task retries (and the reliable checkpoint's write pass) can only
-      // ADD accumulator counts, so a nonzero value when the labels are
-      // actually at fixpoint costs one extra round; zero is trustworthy.
-      converged = acc.value == 0
+      val obs = new org.apache.spark.sql.Observation
+      labels = iterCheckpoint(merged
+        .observe(obs, coalesce(
+          sum(when(col("lab") < col("old_lab"), 1L).otherwise(0L)),
+          lit(0L)).as("decreases"))
+        .select(col("id"), col("lab")))
+      converged = obs.get("decreases").asInstanceOf[Long] == 0L
       it += 1
     }
     // Rounds-to-convergence diagnostic (includes the fixpoint-confirming
@@ -5193,12 +5206,21 @@ object Graft {
         least(col("u"), col("v")).as("lo"))
       .filter(col("hi") =!= col("lo"))
       .distinct()
-    val spark = nodes.sparkSession
-    import spark.implicits._
-    var edges = iterCheckpoint(canon(pairs
+    // Edge count observed on every materialization (declarative
+    // CollectMetrics riding the checkpoint job — the r16 observe
+    // discipline, see [[dupClusters]]): the convergence test below
+    // compares round-over-round sizes without ever paying a separate
+    // count() job.
+    def observedCheckpoint(df: DataFrame): (DataFrame, Long) = {
+      val obs = new org.apache.spark.sql.Observation
+      val out = iterCheckpoint(
+        df.observe(obs, count(lit(1)).as("n")))
+      (out, obs.get("n").asInstanceOf[Long])
+    }
+    var (edges, edgeCount) = observedCheckpoint(canon(pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))))
     var it = 0
-    var converged = edges.isEmpty
+    var converged = edgeCount == 0L
     while (!converged && it < maxIters) {
       // large-star over the symmetric adjacency. `large` IS eagerly
       // materialized: small-star consumes it twice under DIFFERENT
@@ -5218,27 +5240,28 @@ object Graft {
         .select(col("lo").as("u"), col("m").as("v"))
         .union(mins2.select(col("hi").as("u"), col("m").as("v"))))
       // Fixpoint = edge set unchanged. Tag each candidate edge with
-      // whether it already existed and count the new ones by accumulator
-      // during the checkpoint materialization: accNew == 0 means
-      // small ⊆ edges (both are distinct sets), so equality needs only
-      // the sizes to match. Accumulators can over-count (task retries,
-      // the reliable checkpoint's write pass) — safe for accNew, whose
-      // inflation merely defers convergence one round, but NOT for a
-      // size equality (an inflated total that lands on the old size by
-      // coincidence would declare a shrunk edge set converged). So the
-      // sizes come from exact count() jobs on the two already-
-      // materialized DataFrames, run only on candidate-convergence
-      // rounds (accNew == 0) — every other round stays one job.
-      val accNew = spark.sparkContext.longAccumulator("newEdges")
-      val flagged = smallCand.join(
-        edges.select(col("hi"), col("lo"), lit(true).as("was")),
-        Seq("hi", "lo"), "left")
-      val small = iterCheckpoint(flagged.rdd.map { r =>
-        if (r.isNullAt(2)) accNew.add(1L)
-        (r.getLong(0), r.getLong(1))
-      }.toDF("hi", "lo"))
-      converged = accNew.value == 0 && small.count() == edges.count()
+      // whether it already existed; new-edge and total counts ride the
+      // SAME materialization as exact observe metrics (r16 — the old
+      // shape fed an accumulator through an rdd.map row-conversion
+      // pass, then paid two extra count() jobs on candidate rounds
+      // because accumulators over-count under retries; CollectMetrics
+      // is exact, so newCount == 0 plus total == previous round's
+      // observed total decides convergence with ZERO extra jobs and
+      // the round stays whole-stage codegen).
+      val obs = new org.apache.spark.sql.Observation
+      val small = iterCheckpoint(smallCand.join(
+          edges.select(col("hi"), col("lo"), lit(true).as("was")),
+          Seq("hi", "lo"), "left")
+        .observe(obs,
+          coalesce(sum(when(col("was").isNull, 1L).otherwise(0L)),
+            lit(0L)).as("new_edges"),
+          count(lit(1)).as("n"))
+        .select(col("hi"), col("lo")))
+      val newCount = obs.get("new_edges").asInstanceOf[Long]
+      val smallCount = obs.get("n").asInstanceOf[Long]
+      converged = newCount == 0L && smallCount == edgeCount
       edges = small
+      edgeCount = smallCount
       it += 1
     }
     onRounds(it) // same diagnostic contract as [[dupClusters]]
