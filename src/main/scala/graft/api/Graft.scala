@@ -795,20 +795,44 @@ object Graft {
     steps.result()
   }
 
+  /** Below this vocabulary size the local merge loop wins even at
+    * small merge counts — collecting a quarter-million weighted words
+    * is cheaper than ANY number of vocabulary-sized Spark rounds.
+    * Above it, the driver collect itself is the cost: measured at a
+    * 2M-word vocabulary with merges = 8, local read 14.1 s (the
+    * collect dominates) vs 5.2 s distributed (r16) — so a multi-
+    * million-word vocabulary only goes local when the merge count
+    * actually NEEDS the local loop (merges > 64, the distributed
+    * cap's territory, where 30k vocabulary-sized rounds would dwarf
+    * any collect). */
+  val BpeLocalSmallVocab: Long = 256L * 1024
+
   def bpeTrain(df: DataFrame, textCol: String, merges: Int = 8,
       localVocabMax: Long = BpeLocalVocabMax): DataFrame = {
     require(merges > 0, s"bpeTrain(merges=$merges)")
     val spark = df.sparkSession
     import spark.implicits._
     // ONE corpus shuffle either way: the weighted word vocabulary.
-    // Materialized so the regime decision (count) and the chosen
-    // loop's first pass both read the checkpoint, not the corpus.
+    // Materialized so the regime decision and the chosen loop's first
+    // pass both read the checkpoint, not the corpus; the vocabulary
+    // count rides the materialization as an observed metric (the r16
+    // observe discipline — no separate count job).
+    val obs = new org.apache.spark.sql.Observation
     val wordCounts = iterCheckpoint(df
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) >= 1)
-      .groupBy("word").agg(count(lit(1)).as("wc")))
-    val nVocab = wordCounts.count()
-    if (nVocab <= localVocabMax) {
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .observe(obs, count(lit(1)).as("n")))
+    val nVocab = obs.get("n").asInstanceOf[Long]
+    // Regime choice (r16): the local loop is MANDATORY past the
+    // distributed cap (merges > 64 — its reason to exist) and a free
+    // win on driver-trivial vocabularies; in between (big vocabulary,
+    // few merges) the distributed rounds are cheaper than the collect
+    // — see [[BpeLocalSmallVocab]]. Both regimes emit the IDENTICAL
+    // table (spec-pinned), so this is a cost choice, never a
+    // semantic one.
+    if (nVocab <= localVocabMax &&
+        (merges > 64 || nVocab <= BpeLocalSmallVocab)) {
       // Local regime: collect the bounded vocabulary once and run the
       // merge loop on the driver — the only loop shape that reaches a
       // production tokenizer's ~30k merges (the distributed loop pays
@@ -6211,16 +6235,24 @@ object Graft {
     * the integration proof of the composed API, not a parallel
     * implementation.
     *
-    * Scale shape: the quality/language stages are map-only scans; exact
-    * dedup is one digest-keyed aggregation; near-dedup pair generation
-    * is the banded equi-join (never all-pairs) running on the ALREADY
+    * Scale shape (r16): the quality word band and the language argmax
+    * are row-local predicates riding ONE scan — the input counts come
+    * from a single flagged aggregation of it, and the survivor set is
+    * the same predicates as a pushed filter; exact dedup is one
+    * digest-keyed aggregation whose keeper ids MATERIALIZE once
+    * (narrow — one id per survivor, the decide-with-small-rows shape)
+    * and re-attach by one semi join; near-dedup pair generation is the
+    * banded equi-join (never all-pairs) running on the ALREADY
     * exact-deduped survivor set (the documented order — pairwise
     * MinHash on a million verbatim copies computes nothing the digest
     * shuffle didn't); clustering's label frame is reliably checkpointed
-    * per round, so every downstream consumer (keep pick, removed-chars
-    * report, mixture) reads the materialized labels instead of
-    * replaying propagation. The report row itself is a crossJoin of
-    * 1-row aggregates — scalar broadcasts, no data-scale work. */
+    * per round; the keep pick materializes once as narrow
+    * (id, size, kept) rows that the near-stage count, the
+    * removed-chars report AND the mixture's survivor set all read
+    * (the kept row's size is its cluster's max, so the removed-chars
+    * branch needs no per-cluster aggregation). The report row itself
+    * is a crossJoin of 1-row aggregates — scalar broadcasts, no
+    * data-scale work. */
   def curate(df: DataFrame, idCol: String, textCol: String,
       sizeCol: String, sourceCol: String,
       langProfiles: Seq[(String, String)], keepLang: String,
