@@ -2050,7 +2050,12 @@ object Graft {
     * [[ivfPqAppend]] discipline). Serialize with compact/retrain. */
   def ivfSqAppend(spark: SparkSession, dir: String, batch: DataFrame,
       vecCol: String): PqAppendStats = {
-    val idx = ivfSqLoad(spark, dir)
+    // live generation resolved once; frozen state from the
+    // per-generation cache (the [[ivfPqAppend]] shape — see
+    // [[frozenIdxCache]] for the immutability argument)
+    val tree = resolveIndexTree(spark, dir)
+    val idx = frozenIdx(spark, "ivfsq", tree,
+      () => ivfSqLoadTree(spark, tree))
     require(idx.buckets > 0,
       s"ivfSqAppend($dir): saved index has no bucket layout")
     val payload = sqPayloadCols(idx)
@@ -2061,8 +2066,9 @@ object Graft {
         s"${missing.mkString(", ")} (index schema: id=${idx.idCol}, " +
         s"payload=${payload.mkString(", ")})")
     val n = countAndCheckDim("ivfSqAppend", batch, vecCol, idx.dim)
-    var rowsAfter = idx.rows
-    val tree = resolveIndexTree(spark, dir)
+    // empty batch: re-read the live meta (cached rows may be stale)
+    var rowsAfter =
+      if (n > 0) idx.rows else ivfSqLoadTree(spark, tree).rows
     if (n > 0) {
       sqEncodeAgainst(batch, idx.idCol, vecCol, idx.cents, idx.nlist,
           payload)
@@ -2203,8 +2209,11 @@ object Graft {
 
   /** Restore an [[ivfSqSave]]d index (codes keep their `bucket`
     * partition column — what makes `pruneLists` partition-prune). */
-  def ivfSqLoad(spark: SparkSession, dir: String): IvfSqIndex = {
-    val tree = resolveIndexTree(spark, dir)
+  def ivfSqLoad(spark: SparkSession, dir: String): IvfSqIndex =
+    ivfSqLoadTree(spark, resolveIndexTree(spark, dir))
+
+  private def ivfSqLoadTree(spark: SparkSession, tree: String)
+      : IvfSqIndex = {
     val metaDf = spark.read.parquet(s"$tree/meta.parquet")
     val meta = metaDf.head()
     val dim =
@@ -2632,10 +2641,13 @@ object Graft {
   /** Restore an [[ivfPqSave]]d index. The codes frame keeps its
     * `bucket` partition column (harmless to the search joins; it is
     * what makes `pruneLists` partition-prune). */
-  def ivfPqLoad(spark: SparkSession, dir: String): IvfPqIndex = {
+  def ivfPqLoad(spark: SparkSession, dir: String): IvfPqIndex =
     // resolve the generation ONCE: every frame below reads the one
     // coherent tree the pointer named at this instant
-    val tree = resolveIndexTree(spark, dir)
+    ivfPqLoadTree(spark, resolveIndexTree(spark, dir))
+
+  private def ivfPqLoadTree(spark: SparkSession, tree: String)
+      : IvfPqIndex = {
     val metaDf = spark.read.parquet(s"$tree/meta.parquet")
     val meta = metaDf.head()
     val enc = spark.read.parquet(s"$tree/codes.parquet")
@@ -2656,6 +2668,34 @@ object Graft {
       dim = meta.getInt(2), m = meta.getInt(3), ksub = meta.getInt(4),
       buckets = meta.getInt(5), rows = rows)
   }
+
+  /** Per-application cache of a saved index tree's FROZEN state (r16),
+    * keyed by (applicationId, layout, resolved tree). Within one
+    * generation the quantizer (cents), codebooks (lookup), structural
+    * meta and the codes SCHEMA are immutable by the layout's design —
+    * appends only ADD code files and rewrite the meta ROW COUNT — and
+    * generation names are fresh UUIDs on every publish
+    * ([[saveIndexDir]]), so a retrain/compact is a guaranteed cache
+    * miss: the append path re-resolves CURRENT per call and lands on
+    * the new generation's entry (the autopilot specs pin post-swap
+    * batches routing under the NEW lists). Only the APPEND path reads
+    * this cache — loads that serve searches must see freshly-listed
+    * code files and keep using [[ivfPqLoad]]/[[ivfSqLoad]]. A cached
+    * entry's `rows` may predate later appends within the same
+    * generation: append callers recount from the committed codes, and
+    * the empty-batch path re-reads the live meta. Entries are lazy
+    * frame plans (no pinned storage), so no eviction is needed; what
+    * the cache saves is the per-micro-batch footer/schema re-reads and
+    * the meta head() job — fixed driver cost on every streaming
+    * append. */
+  private val frozenIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), AnyRef]()
+
+  private def frozenIdx[A <: AnyRef](spark: SparkSession, layout: String,
+      tree: String, load: () => A): A =
+    frozenIdxCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, layout, tree),
+      _ => load()).asInstanceOf[A]
 
   /** The persisted deriveNlist rule of a saved index ([[ivfPqSave]]'s
     * meta columns) — defaults for pre-r14 saves. */
@@ -2708,7 +2748,13 @@ object Graft {
     * writer — the [[bucketedIndexAppender]] discipline). */
   def ivfPqAppend(spark: SparkSession, dir: String, batch: DataFrame,
       vecCol: String): PqAppendStats = {
-    val idx = ivfPqLoad(spark, dir)
+    // resolve the live generation once for all reads AND writes; the
+    // frozen state (quantizer/codebooks/structural meta) comes from
+    // the per-generation cache — see [[frozenIdxCache]] — so a
+    // steady-state streaming append pays no footer/schema re-reads
+    val tree = resolveIndexTree(spark, dir)
+    val idx = frozenIdx(spark, "ivfpq", tree,
+      () => ivfPqLoadTree(spark, tree))
     require(idx.buckets > 0,
       s"ivfPqAppend($dir): saved index has no bucket layout")
     val payload = pqPayloadCols(idx)
@@ -2719,10 +2765,10 @@ object Graft {
         s"${missing.mkString(", ")} (index schema: id=${idx.idCol}, " +
         s"payload=${payload.mkString(", ")})")
     val n = countAndCheckDim("ivfPqAppend", batch, vecCol, idx.dim)
-    var rowsAfter = idx.rows
-    // appends grow the LIVE generation in place (serialized with
-    // compact/retrain by contract); resolve it once for all writes
-    val tree = resolveIndexTree(spark, dir)
+    // empty batch: the cached rows may predate earlier appends in this
+    // generation — re-read the live meta so the stats stay exact
+    var rowsAfter =
+      if (n > 0) idx.rows else ivfPqLoadTree(spark, tree).rows
     if (n > 0) {
       pqEncodeAgainst(batch, idx.idCol, vecCol, idx.cents, idx.lookup,
           idx.dim, idx.m, idx.ksub, idx.nlist, payload)
