@@ -114,8 +114,12 @@ object Bench {
     // gets the committed defaults above.
     sys.env.get("SPARK_GRAFT_BENCH_CONF").foreach(_.split(";")
       .filter(_.nonEmpty).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_BENCH_CONF entry '$kv' lacks '=' " +
+              "(expected k=v;k=v)")
+        }
       })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

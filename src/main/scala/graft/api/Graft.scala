@@ -2054,8 +2054,12 @@ object Graft {
     // per-generation cache (the [[ivfPqAppend]] shape — see
     // [[frozenIdxCache]] for the immutability argument)
     val tree = resolveIndexTree(spark, dir)
-    val idx = frozenIdx(spark, "ivfsq", tree,
-      () => ivfSqLoadTree(spark, tree))
+    val fz = frozenIdx(spark, "ivfsq", dir, tree, () => {
+      val i = ivfSqLoadTree(spark, tree)
+      val (vpl, sf) = pqSavedDerivation(spark, tree)
+      FrozenSqIdx(i, freezeCents(i.cents, i.nlist), vpl, sf)
+    })
+    val idx = fz.idx
     require(idx.buckets > 0,
       s"ivfSqAppend($dir): saved index has no bucket layout")
     val payload = sqPayloadCols(idx)
@@ -2070,24 +2074,24 @@ object Graft {
     var rowsAfter =
       if (n > 0) idx.rows else ivfSqLoadTree(spark, tree).rows
     if (n > 0) {
-      sqEncodeAgainst(batch, idx.idCol, vecCol, idx.cents, idx.nlist,
-          payload)
+      sqEncodeFrozen(batch, idx.idCol, vecCol, fz.st, payload)
         .withColumn("bucket", pmod(col("list_id"), lit(idx.buckets)))
         .repartition(col("bucket"))
         .sortWithinPartitions("bucket", "list_id")
         .write.mode("append").partitionBy("bucket")
         .parquet(s"$tree/codes.parquet")
       rowsAfter = spark.read.parquet(s"$tree/codes.parquet").count()
-      val (vpl, sf) = pqSavedDerivation(spark, tree)
       val sess = spark
       import sess.implicits._
       // preserve EVERY ivfSqSave meta column — dropping `dim` here
       // would make ivfSqLoad resolve dim = -1 after the first append,
       // silently disarming requireBatchDim for every later one
-      // (r14 advice; rewritePqMetaRows is the reference shape)
+      // (r14 advice; rewritePqMetaRows is the reference shape). The
+      // deriveNlist rule (vpl, sf) comes from the generation cache —
+      // it is save-time state this rewrite re-persists unchanged.
       rewriteIndexMeta(spark, tree, "ivfSqAppend",
-        Seq((idx.idCol, idx.nlist, idx.buckets, rowsAfter, vpl, sf,
-            idx.dim))
+        Seq((idx.idCol, idx.nlist, idx.buckets, rowsAfter, fz.vpl,
+            fz.sf, idx.dim))
           .toDF("id_col", "nlist", "buckets", "rows",
             "vectors_per_list", "sqrt_factor", "dim"))
     }
@@ -2192,11 +2196,17 @@ object Graft {
       max(size(col(vecCol))).as("hi")).head()
     val n = mm.getLong(0)
     if (expected > 0 && n > 0) {
-      val (lo, hi) = (mm.getInt(1), mm.getInt(2))
-      require(lo == expected && hi == expected,
-        s"$op: batch $vecCol has dimension(s) $lo..$hi but the index " +
-          s"was built at $expected — the int8/float dot kernels would " +
-          "silently truncate to the overlap")
+      // an all-null vector column yields null min/max (size(null) is
+      // null under the default conf) — fold it into the named failure
+      // instead of an opaque NPE on getInt (r16 ADVICE)
+      val nulls = mm.isNullAt(1) || mm.isNullAt(2)
+      val (lo, hi) =
+        if (nulls) (-1, -1) else (mm.getInt(1), mm.getInt(2))
+      require(!nulls && lo == expected && hi == expected,
+        s"$op: batch $vecCol has dimension(s) " +
+          s"${if (nulls) "null (all-null vectors)" else s"$lo..$hi"} " +
+          s"but the index was built at $expected — the int8/float dot " +
+          "kernels would silently truncate to the overlap")
     }
     n
   }
@@ -2670,32 +2680,272 @@ object Graft {
   }
 
   /** Per-application cache of a saved index tree's FROZEN state (r16),
-    * keyed by (applicationId, layout, resolved tree). Within one
-    * generation the quantizer (cents), codebooks (lookup), structural
-    * meta and the codes SCHEMA are immutable by the layout's design —
-    * appends only ADD code files and rewrite the meta ROW COUNT — and
-    * generation names are fresh UUIDs on every publish
-    * ([[saveIndexDir]]), so a retrain/compact is a guaranteed cache
-    * miss: the append path re-resolves CURRENT per call and lands on
-    * the new generation's entry (the autopilot specs pin post-swap
-    * batches routing under the NEW lists). Only the APPEND path reads
-    * this cache — loads that serve searches must see freshly-listed
-    * code files and keep using [[ivfPqLoad]]/[[ivfSqLoad]]. A cached
+    * keyed by (applicationId, layout, index dir) and VALIDATED against
+    * the resolved generation tree. Within one generation the quantizer
+    * (cents), codebooks (lookup), structural meta and the codes SCHEMA
+    * are immutable by the layout's design — appends only ADD code
+    * files and rewrite the meta ROW COUNT — and generation names are
+    * fresh UUIDs on every publish ([[saveIndexDir]]), so a
+    * retrain/compact is a guaranteed cache miss: the append path
+    * re-resolves CURRENT per call and lands on the new generation's
+    * entry (the autopilot specs pin post-swap batches routing under
+    * the NEW lists). Keying by DIR and replacing on a tree change
+    * (r17, the r16-verdict eviction item) means a dead generation's
+    * entry is dropped the moment the next append sees the new
+    * generation — a weeks-long retraining stream holds ONE entry per
+    * index, not one per publish. Only the APPEND path reads this
+    * cache — loads that serve searches must see freshly-listed code
+    * files and keep using [[ivfPqLoad]]/[[ivfSqLoad]]. A cached
     * entry's `rows` may predate later appends within the same
     * generation: append callers recount from the committed codes, and
-    * the empty-batch path re-reads the live meta. Entries are lazy
-    * frame plans (no pinned storage), so no eviction is needed; what
-    * the cache saves is the per-micro-batch footer/schema re-reads and
-    * the meta head() job — fixed driver cost on every streaming
-    * append. */
+    * the empty-batch path re-reads the live meta. Since r17 the entry
+    * also carries the generation's FROZEN ENCODE state ([[FrozenCents]]
+    * /[[FrozenPq]] — bounded tables collected once and re-embedded as
+    * plan literals), which is what removes the per-micro-batch
+    * broadcast-future jobs from the append encode. */
   private val frozenIdxCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), AnyRef]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, String, String), (String, AnyRef)]()
 
   private def frozenIdx[A <: AnyRef](spark: SparkSession, layout: String,
-      tree: String, load: () => A): A =
-    frozenIdxCache.computeIfAbsent(
-      (spark.sparkContext.applicationId, layout, tree),
-      _ => load()).asInstanceOf[A]
+      dir: String, tree: String, load: () => A): A =
+    frozenIdxCache.compute(
+      (spark.sparkContext.applicationId, layout, dir),
+      (_, cur) => if (cur != null && cur._1 == tree) cur
+        else (tree, load()))._2.asInstanceOf[A]
+
+  /** Test hook: the cached generation trees for one index dir (all
+    * layouts) — pins the r17 eviction contract (one live entry per
+    * dir; a publish replaces, never accumulates). */
+  private[graft] def frozenIdxCachedTrees(dir: String): Seq[String] =
+    frozenIdxCache.entrySet().stream()
+      .filter(e => e.getKey._3 == dir)
+      .map[String](e => e.getValue._1)
+      .toArray.toSeq.map(_.toString)
+
+  /** FROZEN quantizer state for literal-plan encodes (r17): the
+    * bounded centroid table collected ONCE and re-embedded as plan
+    * literals / kernel arrays, so re-encoding a batch against it runs
+    * ZERO side jobs per call. The broadcast-join shape launched one
+    * broadcast-future job per frozen subtree per call — 4-5 per
+    * append, per MICRO-BATCH, measured as the dominant job count on
+    * the p18/p19/p20/s17 ingest gates (guide §1.2-1/§3: the frozen
+    * tables are immutable within a generation, so re-executing their
+    * subtrees per batch buys nothing). Values come from executing the
+    * SAME Spark expressions the join shape broadcast (one bounded job
+    * at freeze time), so every downstream float is bit-identical —
+    * p18/p19's grown-equals-built multiset gates pin this. The
+    * literals ride the task binary (TorrentBroadcast once per stage)
+    * exactly like the broadcast relation they replace — same bytes
+    * moved at scale, fewer driver round trips per batch. nlist is
+    * bounded by the deriveNlist 4√n cap, the same driver-size class as
+    * [[collectCentroids]] (which the kernel path already collected PER
+    * CALL; freezing collects once per generation). */
+  private[graft] final case class FrozenCents(
+      nlist: Int,
+      rows: Array[(Int, scala.collection.Seq[Float], Double)],
+      centroidType: org.apache.spark.sql.types.DataType) {
+    import org.apache.spark.sql.types._
+    def isEmpty: Boolean = rows.isEmpty
+    private def litCol(v: Any, dt: DataType): Column =
+      org.apache.spark.sql.graft.Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt))
+    /** array<struct<list_id,centroid,cnrm>> literal — the identical
+      * array the one-row collect_list broadcast carried, feeding the
+      * shared [[centroidArgmaxFold]]. */
+    lazy val structsLit: Column = litCol(
+      rows.toSeq.map { case (id, c, nr) =>
+        org.apache.spark.sql.Row(id, c, nr) },
+      ArrayType(StructType(Seq(
+        StructField("list_id", IntegerType, nullable = false),
+        StructField("centroid", centroidType),
+        StructField("cnrm", DoubleType, nullable = false)))))
+    /** Dense array<array<float>> literal indexed by list_id + 1 —
+      * replaces the broadcast equi-join that re-attached the centroid
+      * for the residual step. Gaps (a Lloyd list can die) are null and
+      * never read: list_id always comes from the argmax over this same
+      * table. */
+    lazy val centByList: Column = {
+      val size = if (rows.isEmpty) 0 else rows.map(_._1).max + 1
+      val dense = new Array[Any](size)
+      rows.foreach { case (id, c, _) => dense(id) = c }
+      litCol(dense.toSeq, ArrayType(centroidType, containsNull = true))
+    }
+    /** The [[collectCentroids]] shape for the native kernel above
+      * [[KernelNlist]], from the same collected values. */
+    lazy val kernelArrays: (Array[Float], Array[Double], Array[Int], Int) = {
+      val dim = if (rows.isEmpty) 0 else rows.map(_._2.length).max
+      val flat = new Array[Float](rows.length * dim)
+      val cnrms = new Array[Double](rows.length)
+      val ids = new Array[Int](rows.length)
+      var i = 0
+      while (i < rows.length) {
+        val (id, v, nr) = rows(i)
+        ids(i) = id
+        cnrms(i) = nr
+        var k = 0
+        while (k < v.length) { flat(i * dim + k) = v(k); k += 1 }
+        i += 1
+      }
+      (flat, cnrms, ids, dim)
+    }
+  }
+
+  /** Collect a bounded centroid table once (ONE job). cnrm is computed
+    * by the same sqrt(dotF32) expression the broadcast one-row
+    * aggregation evaluated, so the frozen fold sees bit-identical
+    * values; rows sort by list_id so the embedded literal is
+    * deterministic across runs (the fold itself is order-independent). */
+  private def freezeCents(cents: DataFrame, nlist: Int): FrozenCents = {
+    val rows = cents
+      .select(col("list_id").cast("int"), col("centroid"),
+        sqrt(dot(col("centroid"), col("centroid"))).as("cnrm"))
+      .collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Float](1): scala.collection.Seq[Float],
+        r.getDouble(2)))
+      .sortBy(_._1)
+    FrozenCents(nlist, rows, cents.schema("centroid").dataType)
+  }
+
+  /** [[assignToCentroids]] against a FROZEN quantizer: the identical
+    * regime switch and expressions (the shared [[centroidArgmaxFold]]
+    * below [[KernelNlist]]; the [[graft.functions.CentroidTopNF32]]
+    * kernel above), minus the per-call one-row aggregation + broadcast
+    * — the cents array is a plan literal. Output schema and every
+    * value match [[assignToCentroids]] row for row. */
+  private def assignFrozen(df: DataFrame, idCol: String, vecCol: String,
+      fc: FrozenCents, carry: Seq[String] = Nil): DataFrame = {
+    val n =
+      if (carry.isEmpty) normalized(df, idCol, vecCol)
+      else df.select(col(idCol) +: col(vecCol) +:
+        carry.filterNot(_ == "nrm").map(col) :+
+        sqrt(dot(col(vecCol), col(vecCol))).as("nrm"): _*)
+    val carried = carry.map(col)
+    if (fc.isEmpty)
+      // empty quantizer => zero assignments, the assignToCentroids
+      // empty-table contract (same schema, zero rows)
+      n.filter(lit(false)).select(col(idCol) +: col(vecCol) +: carried :+
+        lit(0).cast("int").as("list_id"): _*)
+    else if (fc.nlist > KernelNlist) {
+      val (flat, cnrms, ids, dim) = fc.kernelArrays
+      n.select(col(idCol) +: col(vecCol) +: carried :+
+        graft.functions.VectorExpressions.centroidTopN(
+          col(vecCol), col("nrm"), flat, cnrms, ids, dim,
+          probes = 1, nanWins = true).getItem(0).as("list_id"): _*)
+    } else
+      n.withColumn("cents", fc.structsLit)
+        .select(col(idCol) +: col(vecCol) +: carried :+
+          centroidArgmaxFold(col(vecCol), col("nrm")).as("list_id"): _*)
+  }
+
+  /** The frozen-literal twin of [[pqEncodeAgainst]]'s per-generation
+    * state: codebook arrays ([[pqFlatLookup]]'s one row) plus the
+    * per-list reconstruction terms, dense-indexed by list_id. */
+  private[graft] final case class FrozenPq(cents: FrozenCents,
+      cellsLit: Column, cbCentsLit: Column, cbCnrmsLit: Column,
+      cnrm2Lit: Column, clutByList: Column, cn2ByList: Column)
+
+  /** Freeze a saved generation's full PQ encode state: TWO bounded
+    * jobs (centroid collect + centTerms collect) and one head() on the
+    * one-row flattened codebook — paid once per (application,
+    * generation), amortized over every later append's micro-batch. */
+  private def freezePq(idx: IvfPqIndex): FrozenPq = {
+    import org.apache.spark.sql.types._
+    val fc = freezeCents(idx.cents, idx.nlist)
+    val dsub = idx.dim / idx.m
+    val flatDf = pqFlatLookup(idx.lookup, idx.m, idx.ksub)
+    val fSchema = flatDf.schema
+    val fRow = flatDf.head()
+    def flit(i: Int): Column =
+      org.apache.spark.sql.graft.Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          fRow.get(i), fSchema(i).dataType))
+    val cellsLit = flit(fSchema.fieldIndex("cells"))
+    val cbCentsLit = flit(fSchema.fieldIndex("cents"))
+    val cbCnrmsLit = flit(fSchema.fieldIndex("cnrms"))
+    val cnrm2Lit = flit(fSchema.fieldIndex("cnrm2"))
+    // per-list reconstruction terms ([[pqEncodeAgainst]]'s centTerms
+    // subtree), computed ONCE from the already-frozen codebook
+    // literals — same kernel, same inputs, bit-identical values
+    val ctDf = idx.cents.select(col("list_id").cast("int"),
+      graft.functions.VectorExpressions.pqQueryLutF32(col("centroid"),
+        cellsLit, cbCentsLit, idx.m, idx.ksub, dsub).as("__clut"),
+      dot(col("centroid"), col("centroid")).as("__cn2"))
+    val clutType = ctDf.schema("__clut").dataType
+    val ct = ctDf.collect()
+    val size = if (ct.isEmpty) 0 else ct.map(_.getInt(0)).max + 1
+    val clutDense = new Array[Any](size)
+    val cn2Dense = new Array[Any](size)
+    ct.foreach { r =>
+      clutDense(r.getInt(0)) = r.get(1)
+      cn2Dense(r.getInt(0)) = r.getDouble(2)
+    }
+    def dlit(v: Array[Any], elem: DataType): Column =
+      org.apache.spark.sql.graft.Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          v.toSeq, ArrayType(elem, containsNull = true)))
+    FrozenPq(fc, cellsLit, cbCentsLit, cbCnrmsLit, cnrm2Lit,
+      dlit(clutDense, clutType), dlit(cn2Dense, DoubleType))
+  }
+
+  /** [[pqEncodeAgainst]] against a FROZEN generation — the identical
+    * assign → residual → encode → rnorm pipeline and kernels, with
+    * every per-generation table a plan literal instead of a broadcast
+    * join: the whole encode is ONE map-only stage with zero
+    * broadcast-future jobs. Dense element_at lookups replace the two
+    * nlist-row equi-joins (O(1) per row; list_id always indexes a live
+    * entry — it came from the argmax over the same table). */
+  private def pqEncodeFrozen(src: DataFrame, idCol: String,
+      vecCol: String, st: FrozenPq, dim: Int, m: Int, ksub: Int,
+      payload: Seq[String]): DataFrame = {
+    val dsub = dim / m
+    val payloadCols = payload.map(col)
+    assignFrozen(src, idCol, vecCol, st.cents, carry = payload)
+      .withColumn("__cent",
+        element_at(st.cents.centByList, col("list_id") + 1))
+      .withColumn("__res", graft.functions.VectorExpressions
+        .vecSubF32(col(vecCol), col("__cent")))
+      .withColumn("code", graft.functions.VectorExpressions.pqEncodeF32(
+        col("__res"), st.cellsLit, st.cbCentsLit, st.cbCnrmsLit,
+        m, ksub, dsub, l2 = true))
+      .withColumn("rnorm", sqrt(graft.functions.VectorExpressions
+        .pqAdcLut(st.cnrm2Lit, col("code"), ksub)))
+      // greatest(0, ·): the three LUT terms are float-rounded; a zero
+      // reconstruction must read 0.0, not √(-1e-17) = NaN
+      .select(col(idCol) +: col("list_id") +: col("code") +:
+        sqrt(greatest(lit(0.0),
+          element_at(st.cn2ByList, col("list_id") + 1) +
+          lit(2.0) * graft.functions.VectorExpressions.pqAdcLut(
+            element_at(st.clutByList, col("list_id") + 1),
+            col("code"), ksub) +
+          col("rnorm") * col("rnorm"))).as("rnorm") +: payloadCols: _*)
+  }
+
+  /** [[sqEncodeAgainst]] against a FROZEN quantizer — same kernels,
+    * literal centroid table, zero side jobs per batch. */
+  private def sqEncodeFrozen(src: DataFrame, idCol: String,
+      vecCol: String, fc: FrozenCents, payload: Seq[String]): DataFrame =
+    assignFrozen(src, idCol, vecCol, fc, carry = payload)
+      .withColumn("nrm", sqrt(dot(col(vecCol), col(vecCol))))
+      .withColumn("mx",
+        graft.functions.VectorExpressions.maxAbsF32(col(vecCol)))
+      .filter(col("mx") > 0)
+      .withColumn("q", graft.functions.VectorExpressions
+        .sq8EncodeF32(col(vecCol), col("mx")))
+      .select(col(idCol) +: col("list_id") +: col("mx") +: col("q") +:
+        col("nrm") +: payload.map(col): _*)
+
+  /** The cache entries: the lazy frame state (schema checks, meta),
+    * the generation's frozen encode state, and the persisted
+    * deriveNlist rule (vpl, sf — written at save time, re-written
+    * UNCHANGED by every append, so frozen within a generation too:
+    * hoisting it removes the per-batch meta re-read from the
+    * row-count rewrite). */
+  private final case class FrozenPqIdx(idx: IvfPqIndex, st: FrozenPq,
+      vpl: Int, sf: Double)
+  private final case class FrozenSqIdx(idx: IvfSqIndex, st: FrozenCents,
+      vpl: Int, sf: Double)
 
   /** The persisted deriveNlist rule of a saved index ([[ivfPqSave]]'s
     * meta columns) — defaults for pre-r14 saves. */
@@ -2749,12 +2999,17 @@ object Graft {
   def ivfPqAppend(spark: SparkSession, dir: String, batch: DataFrame,
       vecCol: String): PqAppendStats = {
     // resolve the live generation once for all reads AND writes; the
-    // frozen state (quantizer/codebooks/structural meta) comes from
-    // the per-generation cache — see [[frozenIdxCache]] — so a
-    // steady-state streaming append pays no footer/schema re-reads
+    // frozen state (quantizer/codebooks/structural meta + the literal
+    // encode tables) comes from the per-generation cache — see
+    // [[frozenIdxCache]] — so a steady-state streaming append pays no
+    // footer/schema re-reads and no broadcast-future jobs
     val tree = resolveIndexTree(spark, dir)
-    val idx = frozenIdx(spark, "ivfpq", tree,
-      () => ivfPqLoadTree(spark, tree))
+    val fz = frozenIdx(spark, "ivfpq", dir, tree, () => {
+      val i = ivfPqLoadTree(spark, tree)
+      val (vpl, sf) = pqSavedDerivation(spark, tree)
+      FrozenPqIdx(i, freezePq(i), vpl, sf)
+    })
+    val idx = fz.idx
     require(idx.buckets > 0,
       s"ivfPqAppend($dir): saved index has no bucket layout")
     val payload = pqPayloadCols(idx)
@@ -2770,8 +3025,8 @@ object Graft {
     var rowsAfter =
       if (n > 0) idx.rows else ivfPqLoadTree(spark, tree).rows
     if (n > 0) {
-      pqEncodeAgainst(batch, idx.idCol, vecCol, idx.cents, idx.lookup,
-          idx.dim, idx.m, idx.ksub, idx.nlist, payload)
+      pqEncodeFrozen(batch, idx.idCol, vecCol, fz.st,
+          idx.dim, idx.m, idx.ksub, payload)
         .withColumn("bucket", pmod(col("list_id"), lit(idx.buckets)))
         .repartition(col("bucket"))
         .sortWithinPartitions("bucket", "list_id")
@@ -2786,7 +3041,7 @@ object Graft {
       // makes the meta SELF-HEALING — the next append fixes any stale
       // value.
       rowsAfter = spark.read.parquet(s"$tree/codes.parquet").count()
-      rewritePqMetaRows(spark, tree, idx, rowsAfter)
+      rewritePqMetaRows(spark, tree, idx, rowsAfter, fz.vpl, fz.sf)
     }
     PqAppendStats(n, rowsAfter, pqCodeFiles(spark, dir))
   }
@@ -3029,10 +3284,12 @@ object Graft {
     * retry, never read torn state (the tmp tree is complete before the
     * old meta is touched). */
   private def rewritePqMetaRows(spark: SparkSession, dir: String,
-      idx: IvfPqIndex, rows: Long): Unit = {
+      idx: IvfPqIndex, rows: Long, vpl: Int, sf: Double): Unit = {
+    // (vpl, sf): the persisted deriveNlist rule, passed in from the
+    // generation cache — save-time state, re-persisted unchanged, so
+    // the per-append meta re-read it used to pay is gone (r17)
     val s = spark
     import s.implicits._
-    val (vpl, sf) = pqSavedDerivation(spark, dir)
     rewriteIndexMeta(spark, dir, "ivfPqAppend",
       Seq((idx.idCol, idx.nlist, idx.dim, idx.m, idx.ksub, idx.buckets,
         rows, vpl, sf))
@@ -4988,22 +5245,30 @@ object Graft {
       // sentinel — an empty centroid table must mean zero assignments
       .filter(size(col("cents")) > 0)
       .select(col(idCol) +: col(vecCol) +: carried :+
-        aggregate(
-          // cosine computed ONCE per (vector, centroid): HOF lambdas run
-          // interpreted with no common-subexpression elimination, so a
-          // fold that embeds the dot product in both comparisons and the
-          // winner struct evaluates it 3x in the Lloyd hot loop
-          transform(col("cents"), c => struct(
-            c("list_id").cast("int").as("list_id"),
-            (dot(col(vecCol), c("centroid")) / (col("nrm") * c("cnrm")))
-              .cast("double").as("cos"))),
-          struct(lit(Int.MaxValue).as("list_id"),
-            lit(-2.0).cast("double").as("cos")),
-          (acc, e) =>
-            when(e("cos") > acc("cos") ||
-                (e("cos") === acc("cos") && e("list_id") < acc("list_id")),
-              e).otherwise(acc))("list_id").as("list_id"): _*)
+        centroidArgmaxFold(col(vecCol), col("nrm")).as("list_id"): _*)
   }
+
+  /** The HOF argmax fold over a `cents` array column
+    * (array<struct<list_id, centroid, cnrm>>) — shared by
+    * [[assignToCentroids]] (broadcast one-row build side) and the
+    * frozen-literal path ([[assignFrozen]]), so both evaluate the
+    * IDENTICAL expression tree over the same values. */
+  private def centroidArgmaxFold(vec: Column, nrm: Column): Column =
+    aggregate(
+      // cosine computed ONCE per (vector, centroid): HOF lambdas run
+      // interpreted with no common-subexpression elimination, so a
+      // fold that embeds the dot product in both comparisons and the
+      // winner struct evaluates it 3x in the Lloyd hot loop
+      transform(col("cents"), c => struct(
+        c("list_id").cast("int").as("list_id"),
+        (dot(vec, c("centroid")) / (nrm * c("cnrm")))
+          .cast("double").as("cos"))),
+      struct(lit(Int.MaxValue).as("list_id"),
+        lit(-2.0).cast("double").as("cos")),
+      (acc, e) =>
+        when(e("cos") > acc("cos") ||
+            (e("cos") === acc("cos") && e("list_id") < acc("list_id")),
+          e).otherwise(acc))("list_id")
 
   /** Multi-probe assignment: each vector joins its `probes` nearest
     * centroids (cos desc, list asc tie-break) instead of only the

@@ -85,6 +85,29 @@ class ClusterResilienceSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("observed metrics are NOT doubled by the reliable checkpoint's " +
+    "write pass: observe(count) through an eager checkpoint equals a " +
+    "direct count (r16 ADVICE — bpeTrain's regime gate and both " +
+    "clustering loops compare observed counts against exact " +
+    "thresholds, so a re-execution-inflated metric would silently " +
+    "flip cost regimes / convergence)") {
+    val dir = Files.createTempDirectory("graft-ckpt-obs").toString
+    withRetrySession(Some(dir)) { spark =>
+      // no wildcard functions._ import: its `not` shadows Matchers'
+      import org.apache.spark.sql.functions.{col, count, lit}
+      import spark.implicits._
+      val df = (0L until 1000L).toDF("id")
+        .repartition(4).filter(col("id") % 3L =!= 1L)
+      val direct = df.count()
+      val obs = new org.apache.spark.sql.Observation
+      val ck = df.observe(obs, count(lit(1)).as("n"))
+        .checkpoint(eager = true) // reliable: the dir is set
+      rddCheckpointDirs(dir) should not be empty
+      obs.get("n").asInstanceOf[Long] shouldBe direct
+      ck.count() shouldBe direct
+    }
+  }
+
   test("a task failure mid-run (executor-loss stand-in) retries and the " +
     "clustering completes with correct clusters") {
     withRetrySession(None) { spark =>
