@@ -5557,18 +5557,31 @@ object Graft {
     var it = 0
     var converged = edgeCount == 0L
     while (!converged && it < maxIters) {
-      // large-star over the symmetric adjacency. `large` IS eagerly
-      // materialized: small-star consumes it twice under DIFFERENT
-      // partitionings (min-agg on hi, re-attach join on (hi, lo)), so
-      // exchange reuse cannot cover both and skipping the checkpoint
-      // re-computes the whole phase (measured 4.1s vs 3.4s at sf0.1).
+      // large-star over the symmetric adjacency. Since r17 each round
+      // materializes ONCE (the round-end checkpoint), not twice: the
+      // large-star output flows into small-star as a plain
+      // `repartition(hi)` exchange that BOTH small-star consumers
+      // (min-agg on hi, re-attach join on hi) sit directly on top of,
+      // so ReuseExchange executes the large phase once and reads the
+      // one shuffle twice (guide §2.4 — two operations keyed the same
+      // way share one exchange; the r16 shape checkpointed `large`
+      // because the groupBy's partial-aggregate sat BELOW its
+      // exchange, which defeated reuse). Dedup of the large output is
+      // DEFERRED to smallCand's canon: min-per-hi and the re-attach
+      // are duplicate-insensitive, and the canon distinct collapses
+      // them before anything is counted, so every round's edge SET —
+      // and therefore the observed convergence counts and the final
+      // labeling — is identical to the two-checkpoint shape.
       val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
         .union(edges.select(col("lo").as("u"), col("hi").as("v")))
       val mins = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val large = iterCheckpoint(canon(sym.join(mins, "u")
+      // the large-star edges arrive already hi->lo oriented and
+      // loop-free: m <= u < v on every emitted row
+      val large = sym.join(mins, "u")
         .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .repartition(col("hi"))
       // small-star on the hi->lo orientation
       val mins2 = large.groupBy("hi").agg(min("lo").as("m"))
       val smallCand = canon(large.join(mins2, "hi")
