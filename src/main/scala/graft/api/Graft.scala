@@ -1615,6 +1615,39 @@ object Graft {
              |    transform(es, x -> struct(x.cell, x.cnrm * x.cnrm))), i),
              |  CAST(0 AS DOUBLE)))""".stripMargin).as("cnrm2"))
 
+  /** The one-row flattened codebook ([[pqFlatLookup]]) collected once
+    * and re-embedded as four plan literals (cells, cents, cnrms,
+    * cnrm2) — the flat-PQ member of the r17 frozen-literal family:
+    * the per-call broadcast-future job the one-row join paid becomes
+    * one head() at freeze time, and every consumer plan is map-only. */
+  private def freezeFlatLookup(lookup: DataFrame, m: Int, ksub: Int)
+      : (Column, Column, Column, Column) = {
+    val flatDf = pqFlatLookup(lookup, m, ksub)
+    val fSchema = flatDf.schema
+    val fRow = flatDf.head()
+    def flit(name: String): Column = {
+      val i = fSchema.fieldIndex(name)
+      org.apache.spark.sql.graft.Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          fRow.get(i), fSchema(i).dataType))
+    }
+    (flit("cells"), flit("cents"), flit("cnrms"), flit("cnrm2"))
+  }
+
+  /** [[pqEncodeWith]] against a FROZEN codebook (the four
+    * [[freezeFlatLookup]] literals): identical kernels and values,
+    * zero broadcast jobs. */
+  private def pqEncodeWithFrozen(df: DataFrame, idCol: String,
+      vecCol: String, cells: Column, cbCents: Column, cbCnrms: Column,
+      cnrm2: Column, m: Int, ksub: Int, dsub: Int,
+      carry: Seq[String] = Nil, l2: Boolean = false): DataFrame =
+    df.withColumn("code", graft.functions.VectorExpressions.pqEncodeF32(
+        col(vecCol), cells, cbCents, cbCnrms, m, ksub, dsub, l2 = l2))
+      .withColumn("rnorm", sqrt(graft.functions.VectorExpressions
+        .pqAdcLut(cnrm2, col("code"), ksub)))
+      .select(col(idCol) +: carry.map(col) :+ col(vecCol) :+
+        col("code") :+ col("rnorm"): _*)
+
   private def pqEncodeWith(df: DataFrame, idCol: String, vecCol: String,
       lookup: DataFrame, dim: Int, m: Int, ksub: Int,
       carry: Seq[String] = Nil, l2: Boolean = false): DataFrame = {
@@ -1669,16 +1702,19 @@ object Graft {
     val train = trainSample(df, idCol, ksub.toLong * trainPerSub,
       df.count())
     val cb = pqCodebooks(train, idCol, vecCol, dim, m, ksub, iters)
-    // The lookup appears in two subtrees (encode + query LUT); materialize
-    // it once — a few KB — so the training pipeline runs exactly once
-    // instead of once per subtree.
+    // The lookup appears in two subtrees (encode + query LUT);
+    // materialize the training pipeline once and FREEZE the one-row
+    // flattened codebook as plan literals (r17): the encode pass and
+    // the per-query LUT read the same values with zero broadcast jobs.
     val lookup = iterCheckpoint(pqLookup(cb))
-    val enc = pqEncodeWith(df, idCol, vecCol, lookup, dim, m, ksub)
-    val q = pqQueryLut(
-      normalized(df.filter(queryPred), idCol, vecCol)
-        .select(col(idCol).as("query_id"), col(vecCol).as("qe"),
-          col("nrm").as("qn")),
-      lookup, m, ksub, dsub)
+    val (cells, cbc, cbn, cn2) = freezeFlatLookup(lookup, m, ksub)
+    val enc = pqEncodeWithFrozen(df, idCol, vecCol, cells, cbc, cbn,
+      cn2, m, ksub, dsub)
+    val q = normalized(df.filter(queryPred), idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qe"),
+        col("nrm").as("qn"))
+      .withColumn("qlut", graft.functions.VectorExpressions
+        .pqQueryLutF32(col("qe"), cells, cbc, m, ksub, dsub))
     // The ADC scan reads CODES and emits only (query_id, neighbor_id,
     // adc) — m bytes scored, ~24 bytes shuffled per candidate. The raw
     // vectors join back AFTER the shortlist cut (shortlist·n_q rows):
@@ -1909,19 +1945,26 @@ object Graft {
         s"${dimRow.getInt(0)}..${dimRow.getInt(1)} — the int8 dot " +
         "kernels would silently truncate mismatched rows")
     IvfSqIndex(cents,
-      sqEncodeAgainst(df, idCol, vecCol, cents, nl, payload),
+      // frozen-literal encode (r17): one bounded centroid collect,
+      // zero broadcast jobs on the corpus encode pass — bit-identical
+      // to the broadcast-join [[sqEncodeAgainst]] (FrozenEncodeSpec)
+      sqEncodeFrozen(df, idCol, vecCol, freezeCents(cents, nl), payload),
       idCol, nl, n, dim = dim)
   }
 
-  /** The IVF-SQ8 ENCODE pass against a FIXED coarse quantizer — the
-    * shared tail of [[ivfSqBuild]] and [[ivfSqAppend]] (the
-    * [[pqEncodeAgainst]] discipline, minus codebooks: SQ8 has NOTHING
-    * trainable in its encode, so frozen-state growth is the pure Faiss
-    * `add` case). One corpus pass: assign (broadcast argmax, payload
-    * carried) + the max-abs int8 kernels map-side. Zero-direction rows
-    * (mx = 0) are excluded, the [[sq8Encode]] convention. Output:
-    * (idCol, list_id, mx, q, nrm, payload...). */
-  private def sqEncodeAgainst(src: DataFrame, idCol: String,
+  /** The IVF-SQ8 ENCODE pass against a FIXED coarse quantizer,
+    * broadcast-join formulation (the [[pqEncodeAgainst]] discipline,
+    * minus codebooks: SQ8 has NOTHING trainable in its encode, so
+    * frozen-state growth is the pure Faiss `add` case). One corpus
+    * pass: assign (broadcast argmax, payload carried) + the max-abs
+    * int8 kernels map-side. Zero-direction rows (mx = 0) are excluded,
+    * the [[sq8Encode]] convention. Output:
+    * (idCol, list_id, mx, q, nrm, payload...).
+    *
+    * Since r17 production paths run [[sqEncodeFrozen]] (same values,
+    * plan literals, zero broadcast jobs); this formulation is RETAINED
+    * as the reference implementation FrozenEncodeSpec pins against. */
+  private[graft] def sqEncodeAgainst(src: DataFrame, idCol: String,
       vecCol: String, cents: DataFrame, nlist: Int,
       payload: Seq[String]): DataFrame =
     assignToCentroids(src, idCol, vecCol, cents, nlist, carry = payload)
@@ -2387,20 +2430,27 @@ object Graft {
     val train = trainSample(df, idCol, nlist.toLong * trainPerList,
       nRows)
     // The centroid table feeds two subtrees (corpus assignment + query
-    // probes); materialize the Lloyd loop once.
+    // probes); materialize the Lloyd loop once. The trained table is
+    // then FROZEN once (r17 — one bounded collect over the checkpoint
+    // blocks, the [[FrozenCents]] literal-plan discipline): the
+    // codebook-training residuals and the corpus encode pass read the
+    // centroids as plan literals instead of re-executing a
+    // broadcast-join subtree each, which removes every per-build
+    // broadcast-future job from the encode tail while keeping each
+    // value bit-identical (FrozenEncodeSpec pins frozen == broadcast
+    // encode in both assignment regimes).
     val cents =
       iterCheckpoint(kmeansCentroids(train, idCol, vecCol, nlist, iters))
-    // assignment + residual: one broadcast equi-join on the bounded
-    // centroid table, subtraction through the codegen'd VecSubF32
+    val fc = freezeCents(cents, nlist)
+    // assignment + residual: literal-table argmax + O(1) element_at
+    // centroid fetch, subtraction through the codegen'd VecSubF32
     // kernel (an interpreted zip_with here would put a lambda on the
     // full-corpus encode pass — the r10/r11 cliff class)
-    val centSide = broadcast(cents
-      .select(col("list_id"), col("centroid").as("__cent")))
     def residuals(src: DataFrame, carry: Seq[String] = Nil): DataFrame =
-      assignToCentroids(src, idCol, vecCol, cents, nlist, carry = carry)
-        .join(centSide, "list_id")
+      assignFrozen(src, idCol, vecCol, fc, carry = carry)
         .withColumn("__res", graft.functions.VectorExpressions
-          .vecSubF32(col(vecCol), col("__cent")))
+          .vecSubF32(col(vecCol),
+            element_at(fc.centByList, col("list_id") + 1)))
     // codebooks train on the SAMPLE's residuals (one shared PQ across
     // lists, the Faiss shape — per-list codebooks would be nlist·m·ksub
     // driver state for nothing)
@@ -2410,21 +2460,27 @@ object Graft {
     // failure mode
     val lookup = iterCheckpoint(pqLookup(pqCodebooks(
       residuals(train), idCol, "__res", dim, m, ksub, iters, l2 = true)))
-    val enc = pqEncodeAgainst(df, idCol, vecCol, cents, lookup,
-      dim, m, ksub, nlist, payload)
+    val enc = pqEncodeFrozen(df, idCol, vecCol,
+      freezePq(fc, cents, lookup, dim, m, ksub), dim, m, ksub, payload)
     IvfPqIndex(cents, enc, lookup, idCol, nlist, dim, m, ksub,
       rows = nRows)
   }
 
-  /** The IVF-PQ ENCODE pass against a FIXED quantizer + codebook pair —
-    * the shared tail of [[ivfPqBuild]] (freshly trained) and
-    * [[ivfPqAppend]] (frozen, Faiss `add` semantics): assign each row
-    * to its argmax list, residual-encode against the list centroid, and
-    * attach the full reconstruction norm. Map-side throughout: the
-    * centroid table, the codebook lookup, and the nlist-row
-    * reconstruction-term table all broadcast; the corpus streams once.
-    * Output schema: (idCol, list_id, code, rnorm, payload...). */
-  private def pqEncodeAgainst(src: DataFrame, idCol: String,
+  /** The IVF-PQ ENCODE pass against a FIXED quantizer + codebook pair,
+    * broadcast-join formulation: assign each row to its argmax list,
+    * residual-encode against the list centroid, and attach the full
+    * reconstruction norm. Map-side throughout: the centroid table, the
+    * codebook lookup, and the nlist-row reconstruction-term table all
+    * broadcast; the corpus streams once.
+    * Output schema: (idCol, list_id, code, rnorm, payload...).
+    *
+    * Since r17 production paths ([[ivfPqBuild]]'s tail and
+    * [[ivfPqAppend]]) run [[pqEncodeFrozen]] — the same pipeline with
+    * the frozen tables as plan literals, zero broadcast-future jobs.
+    * This formulation is RETAINED as the reference implementation:
+    * FrozenEncodeSpec pins the two bit-identical row for row, which is
+    * the value-equality argument the frozen path rests on. */
+  private[graft] def pqEncodeAgainst(src: DataFrame, idCol: String,
       vecCol: String, cents: DataFrame, lookup: DataFrame, dim: Int,
       m: Int, ksub: Int, nlist: Int, payload: Seq[String]): DataFrame = {
     val dsub = dim / m
@@ -2796,7 +2852,7 @@ object Graft {
     * aggregation evaluated, so the frozen fold sees bit-identical
     * values; rows sort by list_id so the embedded literal is
     * deterministic across runs (the fold itself is order-independent). */
-  private def freezeCents(cents: DataFrame, nlist: Int): FrozenCents = {
+  private[graft] def freezeCents(cents: DataFrame, nlist: Int): FrozenCents = {
     val rows = cents
       .select(col("list_id").cast("int"), col("centroid"),
         sqrt(dot(col("centroid"), col("centroid"))).as("cnrm"))
@@ -2846,15 +2902,16 @@ object Graft {
       cellsLit: Column, cbCentsLit: Column, cbCnrmsLit: Column,
       cnrm2Lit: Column, clutByList: Column, cn2ByList: Column)
 
-  /** Freeze a saved generation's full PQ encode state: TWO bounded
-    * jobs (centroid collect + centTerms collect) and one head() on the
-    * one-row flattened codebook — paid once per (application,
-    * generation), amortized over every later append's micro-batch. */
-  private def freezePq(idx: IvfPqIndex): FrozenPq = {
+  /** Freeze a full PQ encode state from a (frozen-cents, lookup) pair:
+    * ONE bounded job (centTerms collect) and one head() on the one-row
+    * flattened codebook — paid once per generation (append path) or
+    * once per build (the [[ivfPqBuild]] encode tail), amortized over
+    * the corpus-sized encode pass / every later micro-batch. */
+  private[graft] def freezePq(fc: FrozenCents, cents: DataFrame,
+      lookup: DataFrame, dim: Int, m: Int, ksub: Int): FrozenPq = {
     import org.apache.spark.sql.types._
-    val fc = freezeCents(idx.cents, idx.nlist)
-    val dsub = idx.dim / idx.m
-    val flatDf = pqFlatLookup(idx.lookup, idx.m, idx.ksub)
+    val dsub = dim / m
+    val flatDf = pqFlatLookup(lookup, m, ksub)
     val fSchema = flatDf.schema
     val fRow = flatDf.head()
     def flit(i: Int): Column =
@@ -2868,9 +2925,9 @@ object Graft {
     // per-list reconstruction terms ([[pqEncodeAgainst]]'s centTerms
     // subtree), computed ONCE from the already-frozen codebook
     // literals — same kernel, same inputs, bit-identical values
-    val ctDf = idx.cents.select(col("list_id").cast("int"),
+    val ctDf = cents.select(col("list_id").cast("int"),
       graft.functions.VectorExpressions.pqQueryLutF32(col("centroid"),
-        cellsLit, cbCentsLit, idx.m, idx.ksub, dsub).as("__clut"),
+        cellsLit, cbCentsLit, m, ksub, dsub).as("__clut"),
       dot(col("centroid"), col("centroid")).as("__cn2"))
     val clutType = ctDf.schema("__clut").dataType
     val ct = ctDf.collect()
@@ -2896,7 +2953,7 @@ object Graft {
     * broadcast-future jobs. Dense element_at lookups replace the two
     * nlist-row equi-joins (O(1) per row; list_id always indexes a live
     * entry — it came from the argmax over the same table). */
-  private def pqEncodeFrozen(src: DataFrame, idCol: String,
+  private[graft] def pqEncodeFrozen(src: DataFrame, idCol: String,
       vecCol: String, st: FrozenPq, dim: Int, m: Int, ksub: Int,
       payload: Seq[String]): DataFrame = {
     val dsub = dim / m
@@ -2924,7 +2981,7 @@ object Graft {
 
   /** [[sqEncodeAgainst]] against a FROZEN quantizer — same kernels,
     * literal centroid table, zero side jobs per batch. */
-  private def sqEncodeFrozen(src: DataFrame, idCol: String,
+  private[graft] def sqEncodeFrozen(src: DataFrame, idCol: String,
       vecCol: String, fc: FrozenCents, payload: Seq[String]): DataFrame =
     assignFrozen(src, idCol, vecCol, fc, carry = payload)
       .withColumn("nrm", sqrt(dot(col(vecCol), col(vecCol))))
@@ -3007,7 +3064,8 @@ object Graft {
     val fz = frozenIdx(spark, "ivfpq", dir, tree, () => {
       val i = ivfPqLoadTree(spark, tree)
       val (vpl, sf) = pqSavedDerivation(spark, tree)
-      FrozenPqIdx(i, freezePq(i), vpl, sf)
+      FrozenPqIdx(i, freezePq(freezeCents(i.cents, i.nlist), i.cents,
+        i.lookup, i.dim, i.m, i.ksub), vpl, sf)
     })
     val idx = fz.idx
     require(idx.buckets > 0,

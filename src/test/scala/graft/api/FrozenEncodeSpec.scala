@@ -112,6 +112,28 @@ class FrozenEncodeSpec extends AnyFunSuite with Matchers {
     sameRows(grown, pinned.enc)
   }
 
+  test("pqEncodeFrozen is bit-identical to the retained broadcast-join " +
+      "reference (pqEncodeAgainst) on the same trained state — the " +
+      "value-equality argument the r17 literal-plan encode rests on") {
+    val corpus = mkCorpus(0 until 400, seed = 111)
+    val built = Graft.ivfPqBuild(corpus, "vec_id", "embedding",
+      dim = Dim, nlist = 6, m = 4, ksub = 8, iters = 1,
+      payload = Seq("lang"))
+    val reference = Graft.pqEncodeAgainst(corpus, "vec_id", "embedding",
+      built.cents, built.lookup, Dim, 4, 8, 6, Seq("lang"))
+    sameRows(built.enc, reference)
+  }
+
+  test("sqEncodeFrozen is bit-identical to the retained broadcast-join " +
+      "reference (sqEncodeAgainst) on the same trained state") {
+    val corpus = mkCorpus(0 until 400, seed = 121)
+    val built = Graft.ivfSqBuild(corpus, "vec_id", "embedding",
+      nlist = 6, iters = 1, payload = Seq("lang"))
+    val reference = Graft.sqEncodeAgainst(corpus, "vec_id", "embedding",
+      built.cents, 6, Seq("lang"))
+    sameRows(built.enc, reference)
+  }
+
   test("the generation cache keeps ONE live entry per dir: a retrain " +
       "publish evicts the dead generation's entry and the next append " +
       "encodes under the new generation (r16-verdict eviction item)") {
